@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for reading the testdata corpus and writing oracle-stable
+  * (bit-deterministic, DuckDB-matchable) expressions. */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true — set in every
+    * session we build). Convert to a microsecond TimestampType with integer
+    * division (ns magnitudes exceed double's 53-bit mantissa). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+
+  /** Cast to a fixed-point decimal so sums are exact and engine-independent.
+    * Summing doubles is order-dependent (Spark partial aggregation vs DuckDB
+    * sequential); summing decimals is exact, and casting the exact result back
+    * to double is bit-identical in both engines. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent, DuckDB-bit-identical sum of a 2-decimal double column. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact average: exact decimal sum cast to double, divided by count. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** DuckDB SQL fragment equivalent of [[dsum]]. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def sqlDavg(expr: String): String = s"${sqlDsum(expr)} / COUNT(*)"
+
+  /** Deterministic dot product of two float-array columns, computed in double
+    * in array order (matches DuckDB's list_dot_product over DOUBLE[]). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+}
