@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.delta.DeltaTable
+import graft.Tables._
+
+/**
+ * Oracle-gated round-trips through the Delta-style table: each query writes
+ * testdata into a fresh graft DeltaTable under java.io.tmpdir, runs an
+ * operation (query/DML/time travel), and returns a DataFrame whose expected
+ * content is expressible as plain SQL over the ORIGINAL parquet — so the
+ * driver's DuckDB oracle verifies the whole log/write/read/DML path.
+ */
+object DeltaQueries {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-dq").toString
+
+  /** Write → Mongo-filtered read back (log, stats, pruning, filter translation). */
+  def roundtripFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "lineitem"))
+    t.query("""{"l_returnflag":"A","l_quantity":{"$gte":45}}""")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Copy-on-write delete, then full scan of the survivors. */
+  def deleteRows(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "orders"))
+    t.delete("""{"o_orderstatus":"F"}""")
+    t.toDF()
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Copy-on-write update (field patch on matching rows). */
+  def updateRows(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "customer"))
+    t.update("""{"c_mktsegment":"BUILDING"}""", """{"c_acctbal": 0}""")
+    t.toDF()
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Append twice, then time travel back to version 0. */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val part = t_(s, dir, "part")
+    t.write(part)
+    t.write(part.filter(col("p_size") > 25)) // extra rows the travel must not see
+    t.asOf(0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Hive-partitioned write + partition-pruned Mongo query. */
+  def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(events(s, dir), partitionBy = Seq("event_type"))
+    t.query("""{"event_type":"purchase","value":{"$gt":50}}""")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
+  // Tables.t is shadowed by method params named t; tiny alias.
+  private def t_(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_delta_roundtrip" -> (roundtripFilter(_, _)),
+    "d2_delta_delete" -> (deleteRows(_, _)),
+    "d3_delta_update" -> (updateRows(_, _)),
+    "d4_delta_timetravel" -> (timeTravel(_, _)),
+    "d5_delta_partition_prune" -> (partitionPrune(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_delta_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d2_delta_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d3_delta_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "d4_delta_timetravel" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d5_delta_partition_prune" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'purchase' AND value > 50
+        |ORDER BY event_id""".stripMargin)
+}

@@ -22,7 +22,59 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ DeltaQueries.queries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] =
+    baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle
+
+  // ---- §2.4 aggregation pipeline (Mongo stage list → DataFrame plan) ----
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pipeline_group" -> ((s, dir) => {
+      graft.query.Pipeline.run(t(s, dir, "lineitem"),
+        """[{"$match":{"l_returnflag":"A"}},
+          | {"$group":{"_id":"$l_linestatus",
+          |            "total_qty":{"$sum":"$l_quantity"},
+          |            "avg_qty":{"$avg":"$l_quantity"},
+          |            "n":{"$sum":1}}},
+          | {"$sort":{"_id":1}}]""".stripMargin)
+    }),
+    "p2_pipeline_unwind" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("tokens", split(col("text"), " "))
+        .select("doc_id", "tokens")
+      graft.query.Pipeline.run(docs,
+        """[{"$unwind":"$tokens"},
+          | {"$group":{"_id":"$tokens","n":{"$sum":1}}},
+          | {"$sort":{"n":-1,"_id":1}},
+          | {"$limit":15}]""".stripMargin)
+    }),
+    "p3_pipeline_match_group" -> ((s, dir) => {
+      graft.query.Pipeline.run(events(s, dir),
+        """[{"$match":{"event_type":{"$in":["purchase","signup"]},"value":{"$gte":10}}},
+          | {"$group":{"_id":"$user_id","n":{"$sum":1},
+          |            "max_v":{"$max":"$value"},"min_v":{"$min":"$value"}}},
+          | {"$sort":{"n":-1,"_id":1}},
+          | {"$limit":25}]""".stripMargin)
+    }))
+
+  private def pipelineOracle: Map[String, String] = Map(
+    "p1_pipeline_group" ->
+      """SELECT l_linestatus AS _id, SUM(l_quantity) AS total_qty,
+        |  AVG(l_quantity) AS avg_qty, COUNT(*) AS n
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY _id""".stripMargin,
+    "p2_pipeline_unwind" ->
+      """SELECT token AS _id, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) sub
+        |GROUP BY token ORDER BY n DESC, _id LIMIT 15""".stripMargin,
+    "p3_pipeline_match_group" ->
+      """SELECT user_id AS _id, COUNT(*) AS n, max(value) AS max_v, min(value) AS min_v
+        |FROM events
+        |WHERE event_type IN ('purchase','signup') AND value >= 10
+        |GROUP BY user_id ORDER BY n DESC, _id LIMIT 25""".stripMargin)
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregation: group + sum/avg/count (TPC-H Q1 shape) ----
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -193,7 +245,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,

@@ -1,0 +1,93 @@
+package graft.delta
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Parquet checkpoints of the replayed state, in the reference's layout:
+ * one row per action with JSON-string columns `add/remove/metaData/protocol`
+ * (reference: src/delta/checkpoint.ts:345-384), multi-part round-robin when
+ * the action count exceeds `actionsPerPart` (checkpoint.ts:227-340), and a
+ * `_last_checkpoint` pointer (checkpoint.ts:41-47).
+ */
+object Checkpoints {
+
+  val DefaultInterval = 10          // commits between checkpoints (checkpoint.ts:41-47)
+  val DefaultActionsPerPart = 1000000L
+
+  private val schema = StructType(Seq(
+    StructField("add", StringType, nullable = true),
+    StructField("remove", StringType, nullable = true),
+    StructField("metaData", StringType, nullable = true),
+    StructField("protocol", StringType, nullable = true)))
+
+  private def render(a: Action): String =
+    JsonMethods.compact(JsonMethods.render(a.wrap.obj.head._2))
+
+  def write(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+            actionsPerPart: Long = DefaultActionsPerPart): Unit = {
+    val rows: Seq[Row] =
+      snap.metadata.map(m => Row(null, null, render(m), null)).toSeq ++
+        snap.protocol.map(p => Row(null, null, null, render(p))).toSeq ++
+        snap.activeFiles.map(a => Row(render(a), null, null, null)) ++
+        snap.tombstones.map(r => Row(null, render(r), null, null))
+    val nParts = math.max(1, math.ceil(rows.size.toDouble / actionsPerPart).toInt)
+
+    if (nParts == 1) {
+      writePart(spark, log, rows, log.checkpointFile(snap.version))
+    } else {
+      // Round-robin distribution across parts (checkpoint.ts:300-318).
+      rows.zipWithIndex.groupBy(_._2 % nParts).toSeq.foreach { case (part, grouped) =>
+        writePart(spark, log, grouped.map(_._1),
+          log.checkpointPart(snap.version, part + 1, nParts))
+      }
+    }
+    log.writeLastCheckpoint(snap.version, rows.size.toLong,
+      if (nParts == 1) None else Some(nParts))
+  }
+
+  private def writePart(spark: SparkSession, log: DeltaLog,
+                        rows: Seq[Row], target: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(log.logPath,
+      s".cp-tmp-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = log.fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    log.fs.delete(target, false)
+    log.fs.rename(part, target)
+    log.fs.delete(tmp, true)
+  }
+
+  /** Load the checkpointed snapshot at `version`. */
+  def read(spark: SparkSession, log: DeltaLog, version: Long,
+           parts: Option[Int]): Snapshot = {
+    val files: Seq[String] = parts match {
+      case None => Seq(log.checkpointFile(version).toString)
+      case Some(n) => (1 to n).map(p => log.checkpointPart(version, p, n).toString)
+    }
+    val rows = spark.read.schema(schema).parquet(files: _*).collect()
+    var metadata: Option[TableMetadata] = None
+    var protocol: Option[Protocol] = None
+    val adds = Seq.newBuilder[AddFile]
+    val removes = Seq.newBuilder[RemoveFile]
+    rows.foreach { r =>
+      if (r.getString(0) != null) adds += Actions.parseAdd(JsonMethods.parse(r.getString(0)))
+      else if (r.getString(1) != null) removes += Actions.parseRemove(JsonMethods.parse(r.getString(1)))
+      else if (r.getString(2) != null) metadata = Some(Actions.parseMetadata(JsonMethods.parse(r.getString(2))))
+      else if (r.getString(3) != null) protocol = Some(Actions.parseProtocol(JsonMethods.parse(r.getString(3))))
+    }
+    Snapshot(version, metadata, protocol, adds.result(), removes.result())
+  }
+
+  /** Versions that have a (single or multi-part) checkpoint on disk. */
+  def listCheckpointVersions(log: DeltaLog): Seq[Long] = {
+    if (!log.fs.exists(log.logPath)) return Nil
+    val Re = raw"(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet".r
+    log.fs.listStatus(log.logPath).iterator.map(_.getPath.getName).collect {
+      case Re(v, _) => v.toLong
+    }.toSeq.distinct.sorted
+  }
+}

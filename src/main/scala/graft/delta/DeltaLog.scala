@@ -1,0 +1,110 @@
+package graft.delta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.charset.StandardCharsets
+
+/** Raised when an optimistic commit loses the race for a version
+  * (reference: ConcurrencyError, src/delta/table.ts:807-814). */
+final class ConcurrencyException(version: Long)
+  extends RuntimeException(s"commit $version already exists (concurrent writer)")
+
+/**
+ * The transaction log: 20-digit zero-padded NDJSON commits under
+ * `<table>/_delta_log/` (reference: src/utils/index.ts:140-146,170-184),
+ * with optimistic concurrency via atomic create-if-not-exists
+ * (reference: src/delta/table.ts:801; contract src/storage/types.ts:81-119).
+ *
+ * All log I/O is driver-side (commit files are small); data files are
+ * read/written by executors through the DataFrame API.
+ */
+final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
+
+  val fs: FileSystem = tablePath.getFileSystem(hadoopConf)
+  val logPath: Path = new Path(tablePath, "_delta_log")
+
+  def commitFile(version: Long): Path = new Path(logPath, f"$version%020d.json")
+  def checkpointFile(version: Long): Path =
+    new Path(logPath, f"$version%020d.checkpoint.parquet")
+  def checkpointPart(version: Long, part: Int, parts: Int): Path =
+    new Path(logPath, f"$version%020d.checkpoint.$part%010d.$parts%010d.parquet")
+  def lastCheckpointFile: Path = new Path(logPath, "_last_checkpoint")
+
+  /** Latest committed version, or -1 for an empty/nonexistent log. */
+  def latestVersion(): Long = listCommitVersions().lastOption.getOrElse(-1L)
+
+  def listCommitVersions(): Seq[Long] =
+    if (!fs.exists(logPath)) Nil
+    else fs.listStatus(logPath).iterator
+      .map(_.getPath.getName)
+      .collect { case CommitName(v) => v }
+      .toSeq.sorted
+
+  private object CommitName {
+    private val Re = raw"(\d{20})\.json".r
+    def unapply(name: String): Option[Long] = name match {
+      case Re(v) => Some(v.toLong)
+      case _ => None
+    }
+  }
+
+  def readCommit(version: Long): Seq[Action] =
+    Actions.fromNdjson(readString(commitFile(version)))
+
+  /**
+   * Atomically write commit `version`. Create-if-not-exists is the whole
+   * concurrency story: losing the race throws [[ConcurrencyException]], and
+   * callers retry on a fresh snapshot (reference: src/delta/retry.ts:79-134).
+   */
+  def writeCommit(version: Long, actions: Seq[Action]): Unit = {
+    fs.mkdirs(logPath)
+    val target = commitFile(version)
+    if (fs.exists(target)) throw new ConcurrencyException(version)
+    val out =
+      try fs.create(target, /*overwrite=*/ false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrencyException(version)
+      }
+    try out.write(Actions.toNdjson(actions).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---- _last_checkpoint ----------------------------------------------------
+
+  /** `{version, size, parts?}` (reference: src/delta/types.ts:334-340). */
+  def readLastCheckpoint(): Option[(Long, Long, Option[Int])] = {
+    if (!fs.exists(lastCheckpointFile)) return None
+    scala.util.Try {
+      val j = JsonMethods.parse(readString(lastCheckpointFile))
+      val v = j \ "version" match { case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L }
+      val size = j \ "size" match { case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L }
+      val parts = j \ "parts" match { case JInt(n) => Some(n.toInt); case _ => None }
+      (v, size, parts)
+    }.toOption.filter(_._1 >= 0)
+  }
+
+  def writeLastCheckpoint(version: Long, size: Long, parts: Option[Int]): Unit = {
+    val base = s"""{"version":$version,"size":$size"""
+    val body = parts.fold(base)(p => s"""$base,"parts":$p""") + "}"
+    writeString(lastCheckpointFile, body, overwrite = true)
+  }
+
+  // ---- small-file helpers --------------------------------------------------
+
+  def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(p: Path, content: String, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

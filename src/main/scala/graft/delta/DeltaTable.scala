@@ -1,0 +1,418 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.query.{MongoFilter, Projection}
+
+/**
+ * A Delta-protocol-style table: an ordered log of NDJSON commits over
+ * immutable Parquet files (reference: src/delta/table.ts:249-345), with the
+ * execution re-expressed on Spark — executors write/read the Parquet, the
+ * driver only sequences small log files.
+ *
+ * Scale notes (100 TB design):
+ *  - data moves exclusively through DataFrame jobs (no driver row
+ *    materialization anywhere);
+ *  - per-file stats are computed by ONE distributed aggregation over
+ *    `_metadata.file_path`, not a job per file;
+ *  - reads construct a pruned file list (partition values + zone maps from
+ *    add-action stats) before Spark ever lists anything, so a selective query
+ *    on a million-file table touches only its files.
+ */
+final class DeltaTable private (val spark: SparkSession, val path: String) {
+
+  val tablePath = new Path(path)
+  val log = new DeltaLog(tablePath, spark.sessionState.newHadoopConf())
+  private def fs: FileSystem = log.fs
+
+  var checkpointInterval: Int = Checkpoints.DefaultInterval
+
+  // ---- snapshots -----------------------------------------------------------
+
+  def version: Long = log.latestVersion()
+
+  /** State at `versionOpt` (default: latest), replayed from the newest
+    * checkpoint at or below it (reference: src/delta/table.ts:557-642). */
+  def snapshot(versionOpt: Option[Long] = None): Snapshot = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    if (target < 0) return Snapshot.empty
+    val cpFromPointer = log.readLastCheckpoint().filter(_._1 <= target)
+    val cp = cpFromPointer.orElse {
+      // Fallback: scan for checkpoint files (pointer may lag or be missing).
+      Checkpoints.listCheckpointVersions(log).filter(_ <= target).lastOption
+        .map(v => (v, 0L, None))
+    }
+    val (base, from) = cp match {
+      case Some((cv, _, parts)) =>
+        (Checkpoints.read(spark, log, cv, parts), cv + 1)
+      case None => (Snapshot.empty, 0L)
+    }
+    val versions = log.listCommitVersions().filter(v => v >= from && v <= target)
+    Snapshot.replay(base.copy(version = target),
+      versions.iterator.map(v => (v, log.readCommit(v))))
+  }
+
+  /** Time travel (reference: src/delta/table.ts:1546-1556). */
+  def asOf(version: Long): DataFrame = toDF(snapshot(Some(version)))
+
+  // ---- read path -----------------------------------------------------------
+
+  /** DataFrame over a snapshot's active files: explicit schema from the log's
+    * metadata (so dropped/added columns resolve and old files backfill null),
+    * basePath so Hive-style partition directories surface as columns. */
+  def toDF(snap: Snapshot): DataFrame = {
+    val schema = snap.schema
+    if (snap.activeFiles.isEmpty) {
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
+    val files = snap.activeFiles.map(f => new Path(tablePath, f.path).toString)
+    val reader = spark.read.option("basePath", path)
+    (if (schema.nonEmpty) reader.schema(schema) else reader).parquet(files: _*)
+  }
+
+  def toDF(): DataFrame = toDF(snapshot())
+
+  /**
+   * Mongo-style read (reference: DeltaTable.query, src/delta/table.ts:1482-1605):
+   * prune files from the log (partitions + zone maps), then hand Catalyst a
+   * declarative filter/projection so pushdown and column pruning still apply
+   * within the surviving files.
+   */
+  def query(filterJson: String = "{}",
+            projectionJson: Option[String] = None,
+            version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(version)
+    val filter = JsonMethods.parse(filterJson)
+    val pruned = FilePruner.prune(snap, filter)
+    val df0 = toDF(snap.copy(activeFiles = pruned))
+    val df1 = df0.filter(MongoFilter.translate(filter, df0.schema))
+    projectionJson.fold(df1)(p => Projection(df1, p))
+  }
+
+  // ---- write path ----------------------------------------------------------
+
+  /**
+   * Batch write (reference: DeltaTable.write, src/delta/table.ts:694-837).
+   * Executors write Parquet into a staging dir; files are moved into the
+   * table layout; ONE aggregation computes per-file stats; the driver then
+   * commits atomically with OCC retry. Schema evolves additively
+   * (src/delta/table.ts:1239-1280).
+   */
+  def write(df: DataFrame, mode: String = "append",
+            partitionBy: Seq[String] = Nil): Long = {
+    require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
+    val snap0 = snapshot()
+    val isFirst = snap0.metadata.isEmpty
+    val partCols = if (isFirst) partitionBy else {
+      require(partitionBy.isEmpty || partitionBy == snap0.partitionColumns,
+        s"partitionBy ${partitionBy.mkString(",")} != table partitioning " +
+          snap0.partitionColumns.mkString(","))
+      snap0.partitionColumns
+    }
+    val targetSchema =
+      if (isFirst) df.schema
+      else SchemaUtils.merge(snap0.schema, df.schema)
+    val aligned = alignTo(df, targetSchema)
+    val adds = writeDataFiles(aligned, partCols, targetSchema)
+
+    Retry.withRetry() {
+      val snap = snapshot() // re-resolve under OCC retry
+      val v = snap.version + 1
+      val now = System.currentTimeMillis()
+      val meta = buildMetadata(snap, targetSchema, partCols, now)
+      val removes: Seq[Action] =
+        if (mode == "overwrite") snap.activeFiles.map(f =>
+          RemoveFile(f.path, now))
+        else Nil
+      val actions: Seq[Action] =
+        (if (v == 0) Seq[Action](Protocol()) else Nil) ++
+          (meta.toSeq: Seq[Action]) ++ removes ++ (adds: Seq[Action]) ++ Seq[Action](
+          CommitInfo(now, if (mode == "overwrite") "WRITE-OVERWRITE" else "WRITE",
+            Map("numFiles" -> adds.size.toString)))
+      log.writeCommit(v, actions)
+      maybeCheckpoint(v)
+      v
+    }
+  }
+
+  /** Include a metaData action when schema/partitioning changed (or at v0). */
+  private def buildMetadata(snap: Snapshot, schema: StructType,
+                            partCols: Seq[String], now: Long): Option[TableMetadata] =
+    snap.metadata match {
+      case None => Some(TableMetadata(
+        id = java.util.UUID.randomUUID().toString,
+        schemaString = schema.json,
+        partitionColumns = partCols,
+        createdTime = now))
+      case Some(m) if m.schemaString != schema.json =>
+        Some(m.copy(schemaString = schema.json))
+      case _ => None
+    }
+
+  /** Cast present columns to their merged target type (column order and
+    * missing columns are handled at read time via the explicit schema). */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      target.fields.find(_.name == f.name) match {
+        case Some(tf) if tf.dataType != f.dataType => col(f.name).cast(tf.dataType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Write `df` as new data files in the table layout; returns add actions
+    * with stats attached. */
+  private[delta] def writeDataFiles(df: DataFrame, partCols: Seq[String],
+                                    schema: StructType): Seq[AddFile] = {
+    val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(staging.toString)
+
+    val parts = listRecursive(staging).filter(_.getPath.getName.startsWith("part-"))
+    val now = System.currentTimeMillis()
+    val adds = parts.map { st =>
+      val rel = relativize(staging, st.getPath)
+      val dest = new Path(tablePath, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(s"failed to move ${st.getPath} -> $dest")
+      AddFile(rel, PartitionPaths.parse(rel), st.getLen, now)
+    }
+    fs.delete(staging, true)
+    if (adds.isEmpty) Nil else attachStats(adds, partCols, schema)
+  }
+
+  /** Per-file column stats (numRecords/min/max/nullCount,
+    * reference: src/delta/table.ts:1110-1147) via one distributed
+    * aggregation over `_metadata.file_path` — scales with executor count,
+    * not file count. */
+  private def attachStats(adds: Seq[AddFile], partCols: Seq[String],
+                          schema: StructType): Seq[AddFile] = {
+    val statable = schema.fields
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => isStatable(f.dataType))
+    val files = adds.map(f => new Path(tablePath, f.path).toString)
+    val reader = spark.read.option("basePath", path)
+    val df = (if (schema.nonEmpty) reader.schema(schema) else reader).parquet(files: _*)
+
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__cnt")) ++ statable.flatMap { f =>
+      Seq(
+        min(col(f.name)).as(s"__min_${f.name}"),
+        max(col(f.name)).as(s"__max_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nc_${f.name}"))
+    }
+    val rows = df.groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+
+    val byPath: Map[String, Row] = rows.map { r =>
+      new Path(r.getString(0)).toUri.getPath -> r
+    }.toMap
+
+    adds.map { add =>
+      val key = new Path(tablePath, add.path).toUri.getPath
+      byPath.get(key) match {
+        case None => add
+        case Some(r) =>
+          val mins = Map.newBuilder[String, JValue]
+          val maxs = Map.newBuilder[String, JValue]
+          val ncs = Map.newBuilder[String, Long]
+          statable.foreach { f =>
+            val mn = r.getAs[Any](s"__min_${f.name}")
+            val mx = r.getAs[Any](s"__max_${f.name}")
+            statJValue(mn).foreach(v => mins += f.name -> v)
+            statJValue(mx).foreach(v => maxs += f.name -> v)
+            ncs += f.name -> r.getAs[Long](s"__nc_${f.name}")
+          }
+          add.copy(stats = Some(FileStats(
+            r.getAs[Long]("__cnt"), mins.result(), maxs.result(), ncs.result()).toJsonString))
+      }
+    }
+  }
+
+  private def isStatable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | TimestampType |
+         TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** Long strings are excluded from stats rather than truncated — a truncated
+    * max would understate the bound and break skipping correctness. */
+  private def statJValue(v: Any): Option[JValue] = v match {
+    case null => None
+    case s: String => if (s.length <= 256) Some(JString(s)) else None
+    case i: Int => Some(JInt(i))
+    case l: Long => Some(JInt(l))
+    case sh: Short => Some(JInt(sh.toInt))
+    case b: Byte => Some(JInt(b.toInt))
+    case d: Double => Some(JDouble(d))
+    case f: Float => Some(JDouble(f.toDouble))
+    case b: Boolean => Some(JBool(b))
+    case t: java.sql.Timestamp =>
+      Some(JString(t.toLocalDateTime.toString))
+    case ldt: java.time.LocalDateTime => Some(JString(ldt.toString))
+    case inst: java.time.Instant =>
+      Some(JString(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC).toString))
+    case d: java.sql.Date => Some(JString(d.toString))
+    case ld: java.time.LocalDate => Some(JString(ld.toString))
+    case dec: java.math.BigDecimal => Some(JDecimal(BigDecimal(dec)))
+    case other => Some(JString(other.toString))
+  }
+
+  // ---- DML (copy-on-write) -------------------------------------------------
+
+  final case class DmlResult(rowsAffected: Long, filesRewritten: Long, version: Long)
+
+  /**
+   * Copy-on-write delete (reference: src/delta/table.ts:2214-2297): find the
+   * files containing matches (after pruning), rewrite them without the
+   * matching rows in one distributed job, commit remove+add. Errors if
+   * nothing matched, like the reference.
+   */
+  def delete(filterJson: String): DmlResult = {
+    val snap = snapshot()
+    val filter = JsonMethods.parse(filterJson)
+    val candidates = FilePruner.prune(snap, filter)
+    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    if (nMatched == 0)
+      throw new IllegalArgumentException("delete matched no rows")
+
+    val matchedSet = matchedFiles.toSet
+    val keep = candidateDF(snap, candidates)
+      .filter(col("__file").isin(matchedFiles: _*))
+      .filter(!MongoFilter.translate(filter, snap.schema))
+      .drop("__file")
+    val adds = writeDataFiles(keep, snap.partitionColumns, snap.schema)
+    val v = commitRewrite(snap, matchedSet, adds, "DELETE")
+    DmlResult(nMatched, matchedFiles.size.toLong, v)
+  }
+
+  /**
+   * Copy-on-write update (reference: src/delta/table.ts:2321-2414): shallow
+   * field patch on matching rows; files with matches are rewritten whole.
+   */
+  def update(filterJson: String, updatesJson: String): DmlResult = {
+    val snap = snapshot()
+    val filter = JsonMethods.parse(filterJson)
+    val updates = JsonMethods.parse(updatesJson) match {
+      case JObject(fs) => fs
+      case other => throw new IllegalArgumentException(s"updates must be an object: $other")
+    }
+    val candidates = FilePruner.prune(snap, filter)
+    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    if (nMatched == 0)
+      throw new IllegalArgumentException("update matched no rows")
+
+    val pred = MongoFilter.translate(filter, snap.schema)
+    val base = candidateDF(snap, candidates)
+      .filter(col("__file").isin(matchedFiles: _*))
+    val patched = updates.foldLeft(base) { case (acc, (field, value)) =>
+      val litVal = jvalueLiteral(value, snap.schema, field)
+      acc.withColumn(field, when(pred, litVal).otherwise(col(field)))
+    }.drop("__file")
+    val adds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
+    val v = commitRewrite(snap, matchedFiles.toSet, adds, "UPDATE")
+    DmlResult(nMatched, matchedFiles.size.toLong, v)
+  }
+
+  private def jvalueLiteral(v: JValue, schema: StructType, field: String): Column = {
+    val target = schema.fields.find(_.name == field).map(_.dataType)
+    val c = v match {
+      case JNull => lit(null)
+      case JString(s) => target match {
+        case Some(TimestampNTZType) => lit(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+        case Some(TimestampType) => lit(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+        case _ => lit(s)
+      }
+      case JInt(n) => lit(n.toLong)
+      case JLong(n) => lit(n)
+      case JDouble(d) => lit(d)
+      case JDecimal(d) => lit(d.toDouble)
+      case JBool(b) => lit(b)
+      case other => lit(JsonMethods.compact(JsonMethods.render(other)))
+    }
+    target.fold(c)(dt => c.cast(dt))
+  }
+
+  /** DataFrame over candidate files with their source file path attached. */
+  private def candidateDF(snap: Snapshot, candidates: Seq[AddFile]): DataFrame =
+    toDF(snap.copy(activeFiles = candidates))
+      .withColumn("__file", col("_metadata.file_path"))
+
+  /** Which candidate files actually contain matching rows, and how many rows
+    * match — one distributed aggregation. */
+  private def matchingFiles(snap: Snapshot, candidates: Seq[AddFile],
+                            filter: JValue): (Seq[String], Long) = {
+    if (candidates.isEmpty) return (Nil, 0L)
+    val df = candidateDF(snap, candidates)
+    val rows = df.filter(MongoFilter.translate(filter, snap.schema))
+      .groupBy(col("__file")).agg(count(lit(1)).as("n")).collect()
+    (rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
+  }
+
+  /** Commit a rewrite: removes for the rewritten files, adds for their
+    * replacements. `rewrittenAbs` holds absolute `file:` URIs from
+    * `_metadata.file_path`. */
+  private def commitRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
+                            adds: Seq[AddFile], op: String): Long = {
+    val rewrittenRel = snapAtRead.activeFiles.filter { f =>
+      rewrittenAbs.exists(abs => new Path(abs).toUri.getPath ==
+        new Path(tablePath, f.path).toUri.getPath)
+    }.map(_.path).toSet
+    Retry.withRetry() {
+      val snap = snapshot()
+      val now = System.currentTimeMillis()
+      val removes = snap.activeFiles.filter(f => rewrittenRel.contains(f.path))
+        .map(f => RemoveFile(f.path, now))
+      if (removes.size != rewrittenRel.size)
+        throw new ConcurrencyException(snap.version + 1) // file vanished under us; surface as conflict
+      val v = snap.version + 1
+      log.writeCommit(v, removes ++ adds :+ CommitInfo(now, op,
+        Map("numRewrittenFiles" -> removes.size.toString)))
+      maybeCheckpoint(v)
+      v
+    }
+  }
+
+  // ---- checkpoints ---------------------------------------------------------
+
+  /** Checkpoint every `checkpointInterval` commits:
+    * `(v+1) % interval == 0` (reference: src/delta/table.ts:2808-2888). */
+  private def maybeCheckpoint(v: Long): Unit =
+    if (checkpointInterval > 0 && (v + 1) % checkpointInterval == 0) {
+      Checkpoints.write(spark, log, snapshot(Some(v)))
+    }
+
+  def checkpoint(): Unit = Checkpoints.write(spark, log, snapshot())
+
+  /** Commit history, newest first. */
+  def history(): Seq[(Long, Seq[Action])] =
+    log.listCommitVersions().reverse.map(v => v -> log.readCommit(v))
+
+  // ---- fs helpers ----------------------------------------------------------
+
+  private def listRecursive(dir: Path): Seq[FileStatus] = {
+    val out = Seq.newBuilder[FileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val baseUri = fs.makeQualified(base).toUri.getPath
+    val pUri = fs.makeQualified(p).toUri.getPath
+    require(pUri.startsWith(baseUri), s"$p not under $base")
+    pUri.stripPrefix(baseUri).stripPrefix("/")
+  }
+}
+
+object DeltaTable {
+  def forPath(spark: SparkSession, path: String): DeltaTable =
+    new DeltaTable(spark, path)
+}

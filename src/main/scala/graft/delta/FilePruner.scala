@@ -1,0 +1,159 @@
+package graft.delta
+
+import org.apache.spark.sql.types._
+import org.json4s._
+
+/**
+ * Driver-side file skipping from the transaction log, before the DataFrame
+ * is even constructed — Catalyst can't prune our file list for us because the
+ * active set comes from the log, not a catalog.
+ *
+ * Two phases, mirroring the reference:
+ *  - partition pruning on `$eq`/`$in` (and bare literals), conservatively
+ *    keeping files for any other operator
+ *    (reference: src/delta/table.ts:1624-1687);
+ *  - zone-map skipping of data files whose add-action min/max stats prove the
+ *    predicate false (reference: canSkipZoneMap, src/parquet/index.ts:160-250 —
+ *    latent there, wired in here).
+ *
+ * Only top-level conjunctive predicates prune; `$or`/`$not`/`$nor` etc. are
+ * never used for skipping (conservative = correct).
+ */
+object FilePruner {
+
+  def prune(snap: Snapshot, filter: JValue): Seq[AddFile] = filter match {
+    case JObject(entries) =>
+      val partCols = snap.partitionColumns.toSet
+      val schema = snap.schema
+      // Conjunctive top-level entries only; flatten top-level $and.
+      val conj: Seq[(String, JValue)] = entries.flatMap {
+        case ("$and", JArray(subs)) => subs.collect { case JObject(fs) => fs }.flatten
+        case other => Seq(other)
+      }
+      snap.activeFiles.filter { f =>
+        conj.forall { case (field, cond) =>
+          if (partCols.contains(field)) partitionKeeps(f, field, cond)
+          else statsKeep(f, field, cond, schema)
+        }
+      }
+    case _ => snap.activeFiles
+  }
+
+  // ---- partition pruning ---------------------------------------------------
+
+  private def partitionKeeps(f: AddFile, field: String, cond: JValue): Boolean = {
+    val actual = f.partitionValues.get(field) match {
+      case Some(v) if v != PartitionPaths.NullMarker => Some(v)
+      case Some(_) => None // hive null marker
+      case None => return true // unknown partition value: keep
+    }
+    cond match {
+      case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
+        ops.forall {
+          case ("$eq", v) => matchesPartition(actual, v)
+          case ("$in", JArray(items)) => items.exists(matchesPartition(actual, _))
+          case _ => true // other operators: conservative keep ($ne/$nin/ranges skipped, table.ts:1624-1657)
+        }
+      case literal => matchesPartition(actual, literal)
+    }
+  }
+
+  /** Partition values live as path strings; compare against the literal's
+    * canonical string form (Spark writes numbers/booleans in plain form). */
+  private def matchesPartition(actual: Option[String], v: JValue): Boolean = (actual, v) match {
+    case (None, JNull) => true
+    case (None, _) | (_, JNull) => false
+    case (Some(s), JString(x)) => s == x
+    case (Some(s), JInt(x)) => scala.util.Try(BigDecimal(s) == BigDecimal(x)).getOrElse(false)
+    case (Some(s), JLong(x)) => scala.util.Try(BigDecimal(s) == BigDecimal(x)).getOrElse(false)
+    case (Some(s), JDouble(x)) => scala.util.Try(s.toDouble == x).getOrElse(false)
+    case (Some(s), JBool(x)) => scala.util.Try(s.toBoolean == x).getOrElse(false)
+    case _ => true
+  }
+
+  // ---- zone-map (stats) skipping --------------------------------------------
+
+  private def statsKeep(f: AddFile, field: String, cond: JValue, schema: StructType): Boolean = {
+    val stats = f.parsedStats.getOrElse(return true)
+    val dt = schema.fields.find(_.name == field).map(_.dataType).getOrElse(return true)
+    val lo = stats.minValues.get(field)
+    val hi = stats.maxValues.get(field)
+    val nulls = stats.nullCount.getOrElse(field, 0L)
+    val allNull = stats.numRecords > 0 && nulls == stats.numRecords
+
+    def keepOp(op: String, v: JValue): Boolean = op match {
+      case "$eq" => mayContain(lo, hi, v, dt, allNull)
+      case "$gt" => cmpHi(hi, v, dt).forall(_ > 0) && !allNull
+      case "$gte" => cmpHi(hi, v, dt).forall(_ >= 0) && !allNull
+      case "$lt" => cmpLo(lo, v, dt).forall(_ < 0) && !allNull
+      case "$lte" => cmpLo(lo, v, dt).forall(_ <= 0) && !allNull
+      case "$in" => v match {
+        case JArray(items) => items.exists(i => mayContain(lo, hi, i, dt, allNull))
+        case _ => true
+      }
+      case _ => true
+    }
+
+    cond match {
+      case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
+        ops.forall { case (op, v) => keepOp(op, v) }
+      case JNull => true
+      case literal => keepOp("$eq", literal)
+    }
+  }
+
+  private def mayContain(lo: Option[JValue], hi: Option[JValue], v: JValue,
+                         dt: DataType, allNull: Boolean): Boolean = v match {
+    case JNull => allNull || lo.isEmpty // null-eq only matches null rows
+    case _ =>
+      if (allNull) return false
+      cmpLo(lo, v, dt).forall(_ <= 0) && cmpHi(hi, v, dt).forall(_ >= 0)
+  }
+
+  /** compare(min, literal): None when incomparable (keep file). */
+  private def cmpLo(lo: Option[JValue], v: JValue, dt: DataType): Option[Int] =
+    lo.flatMap(compare(_, v, dt))
+  private def cmpHi(hi: Option[JValue], v: JValue, dt: DataType): Option[Int] =
+    hi.flatMap(compare(_, v, dt))
+
+  private def num(j: JValue): Option[BigDecimal] = j match {
+    case JInt(n) => Some(BigDecimal(n))
+    case JLong(n) => Some(BigDecimal(n))
+    case JDouble(d) => Some(BigDecimal(d))
+    case JDecimal(d) => Some(d)
+    case _ => None
+  }
+
+  private def compare(statVal: JValue, lit: JValue, dt: DataType): Option[Int] = dt match {
+    case _: NumericType =>
+      for (a <- num(statVal); b <- num(lit)) yield a.compare(b)
+    case StringType => (statVal, lit) match {
+      case (JString(a), JString(b)) => Some(a.compareTo(b).sign)
+      case _ => None
+    }
+    case TimestampType | TimestampNTZType | DateType => (statVal, lit) match {
+      // Stats store ISO-8601 strings; lexicographic compare is chronological
+      // for same-precision ISO timestamps.
+      case (JString(a), JString(b)) => Some(a.compareTo(b).sign)
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+/** Hive-style partition path conventions, as Spark writes them
+  * (reference: src/delta/table.ts:946,967-982 uses the identical layout). */
+object PartitionPaths {
+  val NullMarker = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Parse `k=v/k2=v2/part-....parquet` into partition values. */
+  def parse(relativePath: String): Map[String, String] = {
+    val dirs = relativePath.split('/').dropRight(1)
+    dirs.iterator.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+  }
+}

@@ -1,0 +1,153 @@
+package graft.delta
+
+import graft.SparkTestBase
+import java.nio.file.Files
+
+class DeltaTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): DeltaTable =
+    DeltaTable.forPath(spark, Files.createTempDirectory("graft-delta").toString)
+
+  test("append + read round-trip, commit layout") {
+    val t = tmpTable()
+    val v0 = t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    assert(v0 == 0)
+    val v1 = t.write(Seq((3, "c")).toDF("id", "s"))
+    assert(v1 == 1)
+    val got = t.toDF().orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+    // protocol + metaData in commit 0; 20-digit zero-padded names
+    assert(t.log.fs.exists(t.log.commitFile(0)))
+    assert(t.log.commitFile(0).getName == "0" * 19 + "0.json")
+    val actions0 = t.log.readCommit(0)
+    assert(actions0.exists(_.isInstanceOf[Protocol]))
+    assert(actions0.exists(_.isInstanceOf[TableMetadata]))
+    assert(actions0.exists(_.isInstanceOf[AddFile]))
+  }
+
+  test("add actions carry stats (numRecords/min/max/nullCount)") {
+    val t = tmpTable()
+    t.write(Seq((1, Some("a")), (2, None), (5, Some("z"))).toDF("id", "s"))
+    val adds = t.snapshot().activeFiles
+    val stats = adds.flatMap(_.parsedStats)
+    assert(stats.map(_.numRecords).sum == 3)
+    val all = stats.flatMap(_.nullCount.get("s"))
+    assert(all.sum == 1)
+  }
+
+  test("overwrite replaces the active set, old version still readable") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.write(Seq((9, "x")).toDF("id", "s"), mode = "overwrite")
+    assert(t.toDF().as[(Int, String)].collect().toSeq == Seq((9, "x")))
+    // time travel to version 0
+    assert(t.asOf(0).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+  }
+
+  test("schema evolution: new column appended, old rows read null; int widens to long") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.write(Seq((2L, "b", 7.5)).toDF("id", "s", "score"))
+    val snap = t.snapshot()
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(snap.schema("id").dataType.typeName == "long")
+    val got = t.toDF().orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(7.5))))
+  }
+
+  test("incompatible schema change is rejected") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    intercept[SchemaValidationException] {
+      t.write(Seq((true, "b")).toDF("id", "s"))
+    }
+  }
+
+  test("partitioned write uses hive layout; query prunes partitions and stats") {
+    val t = tmpTable()
+    val df = Seq(
+      (1, "US", 10.0), (2, "US", 20.0), (3, "DE", 30.0), (4, "FR", 40.0)
+    ).toDF("id", "country", "amount")
+    t.write(df, partitionBy = Seq("country"))
+    val snap = t.snapshot()
+    assert(snap.activeFiles.forall(_.path.contains("country=")))
+    assert(snap.activeFiles.exists(_.partitionValues.get("country").contains("US")))
+    // partition pruning: only US files survive
+    val pruned = FilePruner.prune(snap,
+      org.json4s.jackson.JsonMethods.parse("""{"country":"US"}"""))
+    assert(pruned.nonEmpty && pruned.forall(_.partitionValues("country") == "US"))
+    // query returns correct rows incl. partition column
+    val got = t.query("""{"country":"US"}""").orderBy("id")
+      .selectExpr("id", "country", "amount")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(got == Seq((1, "US", 10.0), (2, "US", 20.0)))
+    // stats pruning on the data column
+    val pruned2 = FilePruner.prune(snap,
+      org.json4s.jackson.JsonMethods.parse("""{"amount":{"$gt":1000}}"""))
+    assert(pruned2.isEmpty)
+  }
+
+  test("delete is copy-on-write and errors when nothing matches") {
+    val t = tmpTable()
+    t.write((1 to 100).map(i => (i, i % 5)).toDF("id", "g"))
+    val r = t.delete("""{"g":0}""")
+    assert(r.rowsAffected == 20)
+    assert(t.toDF().count() == 80)
+    assert(t.toDF().filter($"g" === 0).count() == 0)
+    intercept[IllegalArgumentException] { t.delete("""{"g":99}""") }
+    // old version intact
+    assert(t.asOf(r.version - 1).count() == 100)
+  }
+
+  test("update patches matching rows in place") {
+    val t = tmpTable()
+    t.write(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)).toDF("id", "s", "x"))
+    val r = t.update("""{"s":"a"}""", """{"x": 99.5}""")
+    assert(r.rowsAffected == 2)
+    val got = t.toDF().orderBy("id").as[(Int, String, Double)].collect().toSeq
+    assert(got == Seq((1, "a", 99.5), (2, "b", 2.0), (3, "a", 99.5)))
+  }
+
+  test("checkpoint + snapshot from checkpoint + replay tail") {
+    val t = tmpTable()
+    t.checkpointInterval = 4
+    (0 until 6).foreach(i => t.write(Seq((i, s"v$i")).toDF("id", "s")))
+    // interval 4 → checkpoint at v3 ((3+1)%4==0)
+    assert(t.log.readLastCheckpoint().exists(_._1 == 3))
+    assert(t.log.fs.exists(t.log.checkpointFile(3)))
+    // snapshot must replay checkpoint + commits 4..5
+    val snap = t.snapshot()
+    assert(snap.version == 5)
+    assert(t.toDF().count() == 6)
+    // time travel below the checkpoint still works (commits retained)
+    assert(t.asOf(1).count() == 2)
+  }
+
+  test("concurrent commit attempt raises ConcurrencyException after retries") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    // Manually occupy the next version to force a conflict.
+    t.log.writeCommit(1, Seq(CommitInfo(0L, "SQUAT")))
+    intercept[ConcurrencyException] {
+      t.log.writeCommit(1, Seq(CommitInfo(0L, "LOSER")))
+    }
+    // The table-level writer retries onto version 2 and succeeds.
+    val v = t.write(Seq((2, "b")).toDF("id", "s"))
+    assert(v == 2)
+    assert(t.toDF().count() == 2)
+  }
+
+  test("mongo query end-to-end over a delta table") {
+    val t = tmpTable()
+    t.write(Seq(
+      (1, "red", 10.0), (2, "blue", 20.0), (3, "red", 30.0), (4, "green", 40.0)
+    ).toDF("id", "color", "price"))
+    val got = t.query("""{"color":{"$in":["red","green"]},"price":{"$gte":20}}""")
+      .orderBy("id").selectExpr("id").as[Int].collect().toSeq
+    assert(got == Seq(3, 4))
+    val projected = t.query("""{}""", Some("""{"id":1,"color":1}"""))
+    assert(projected.columns.toSeq == Seq("id", "color"))
+  }
+}
