@@ -70,6 +70,38 @@ object DeltaQueries {
       .orderBy(col("event_id"))
   }
 
+  /** MERGE upsert: update a tenth of the rows, insert new keys; the final
+    * state is a UNION the oracle can reproduce. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val orders = t_(s, dir, "orders")
+    t.write(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", lit(0.0))
+    val inserts = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_totalprice", lit(-1.0))
+    t.merge(updates.unionByName(inserts), Seq("o_orderkey"))
+    t.toDF()
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CDC: enable the feed, append + delete, read the change rows back. */
+  def cdcFeed(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val ev = events(s, dir)
+    t.write(ev.filter(col("event_type") === "view")) // v0 (pre-CDC)
+    t.enableCDC() // v1
+    t.write(ev.filter(col("event_type") === "click")) // v2 → inserts
+    t.delete("""{"value":{"$lt":5}}""") // v3 → deletes
+    t.changes(2, 3)
+      .select(col(graft.delta.Cdc.ChangeType), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col(graft.delta.Cdc.ChangeType), col("event_id"))
+  }
+
   // Tables.t is shadowed by method params named t; tiny alias.
   private def t_(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
@@ -79,7 +111,9 @@ object DeltaQueries {
     "d2_delta_delete" -> (deleteRows(_, _)),
     "d3_delta_update" -> (updateRows(_, _)),
     "d4_delta_timetravel" -> (timeTravel(_, _)),
-    "d5_delta_partition_prune" -> (partitionPrune(_, _)))
+    "d5_delta_partition_prune" -> (partitionPrune(_, _)),
+    "d6_delta_merge" -> (mergeUpsert(_, _)),
+    "d7_delta_cdc" -> (cdcFeed(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "d1_delta_roundtrip" ->
@@ -106,5 +140,26 @@ object DeltaQueries {
     "d5_delta_partition_prune" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE event_type = 'purchase' AND value > 50
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "d6_delta_merge" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST(0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,
+        |    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0) merged
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d7_delta_cdc" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, event_id, user_id, event_type, value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'delete', event_id, user_id, event_type, value
+        |  FROM events WHERE event_type IN ('view','click') AND value < 5) ch
+        |ORDER BY _change_type, event_id""".stripMargin)
 }

@@ -1,0 +1,138 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Change data feed: per-commit Parquet under `<table>/_change_data/` with the
+ * Delta CDF columns `_change_type / _commit_version / _commit_timestamp`
+ * (reference: src/cdc/index.ts:105-128,1592-1654,2319-2359).
+ *
+ * Files land both at the direct path `cdc-<20-digit-version>.parquet` and
+ * under a `date=YYYY-MM-DD/` partition, mirroring the reference's dual
+ * layout (src/cdc/index.ts:2336-2348). Each "file" is a Spark-written
+ * parquet directory — executors write it, so capture scales with the data.
+ *
+ * The reference's CDC-enabled update/delete emit change rows without
+ * applying the change (src/cdc/index.ts:1830-1916, a documented quirk); here
+ * capture hangs off the real DML paths, so the table and its feed agree.
+ */
+object Cdc {
+
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+  val CommitTimestamp = "_commit_timestamp"
+  val EnableKey = "delta.enableChangeDataFeed"
+
+  def changeDataDir(tablePath: Path) = new Path(tablePath, "_change_data")
+
+  def cdcFileName(version: Long): String = f"cdc-$version%020d.parquet"
+
+  /** Write change rows (`df` = data columns + `_change_type`) for `version`. */
+  def writeChanges(table: DeltaTable, version: Long, df: DataFrame,
+                   timestampMs: Long): Unit = {
+    val stamped = df
+      .withColumn(CommitVersion, lit(version))
+      .withColumn(CommitTimestamp,
+        timestamp_millis(lit(timestampMs)))
+    val dir = changeDataDir(table.tablePath)
+    val direct = new Path(dir, cdcFileName(version))
+    stamped.write.mode("overwrite").parquet(direct.toString)
+    // Dual date-partitioned layout (date=YYYY-MM-DD/cdc-<v>.parquet).
+    val date = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(timestampMs), java.time.ZoneOffset.UTC)
+    val dated = new Path(dir, s"date=$date/${cdcFileName(version)}")
+    stamped.write.mode("overwrite").parquet(dated.toString)
+  }
+
+  private def listVersions(table: DeltaTable): Seq[(Long, Path)] = {
+    val dir = changeDataDir(table.tablePath)
+    if (!table.log.fs.exists(dir)) return Nil
+    val Re = raw"cdc-(\d{20})\.parquet".r
+    table.log.fs.listStatus(dir).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case Re(v) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Changes for versions in [start, end] (reference: cdc/index.ts:1244-1254). */
+  def readByVersion(table: DeltaTable, start: Long, end: Long): DataFrame = {
+    val files = listVersions(table)
+      .filter { case (v, _) => v >= start && v <= end }.map(_._2.toString)
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no CDC data in version range [$start,$end]")
+    table.spark.read.parquet(files: _*)
+  }
+
+  /** Changes with commit timestamp in [startMs, endMs], ascending
+    * (reference: cdc/index.ts:1259-1270). */
+  def readByTimestamp(table: DeltaTable, startMs: Long, endMs: Long): DataFrame = {
+    val files = listVersions(table).map(_._2.toString)
+    if (files.isEmpty)
+      throw new IllegalArgumentException("no CDC data")
+    table.spark.read.parquet(files: _*)
+      .filter(col(CommitTimestamp) >= timestamp_millis(lit(startMs)) &&
+        col(CommitTimestamp) <= timestamp_millis(lit(endMs)))
+      .orderBy(col(CommitTimestamp))
+  }
+}
+
+/** Kafka-style offset tracking for CDC consumption
+  * (reference: CDCConsumer, src/cdc/index.ts:607-1204; OffsetStorage 465-596).
+  * Offsets are committed versions: position = last consumed version + 1. */
+trait OffsetStorage {
+  def read(group: String): Option[Long]
+  def write(group: String, version: Long): Unit
+}
+
+final class InMemoryOffsetStorage extends OffsetStorage {
+  private val m = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def read(group: String): Option[Long] = m.get(group)
+  def write(group: String, version: Long): Unit = m.put(group, version)
+}
+
+/** Offsets in a small JSON file next to the table (driver-side state). */
+final class FileOffsetStorage(log: DeltaLog) extends OffsetStorage {
+  private def p(group: String) =
+    new Path(log.tablePath, s"_cdc_offsets/$group.json")
+  def read(group: String): Option[Long] =
+    if (!log.fs.exists(p(group))) None
+    else scala.util.Try {
+      val j = org.json4s.jackson.JsonMethods.parse(log.readString(p(group)))
+      (j \ "version") match {
+        case org.json4s.JInt(n) => n.toLong
+        case org.json4s.JLong(n) => n
+        case _ => -1L
+      }
+    }.toOption.filter(_ >= 0)
+  def write(group: String, version: Long): Unit = {
+    log.fs.mkdirs(p(group).getParent)
+    log.writeString(p(group), s"""{"version":$version}""", overwrite = true)
+  }
+}
+
+/** Pull-based consumer: `poll()` returns all changes after the committed
+  * offset; `commit()` advances it. */
+final class CdcConsumer(table: DeltaTable, storage: OffsetStorage, group: String) {
+  private var lastPolled: Option[Long] = None
+
+  def position: Long = storage.read(group).map(_ + 1).getOrElse(0L)
+
+  def poll(): Option[DataFrame] = {
+    val from = position
+    val latest = table.version
+    if (latest < from) return None
+    lastPolled = Some(latest)
+    scala.util.Try(Cdc.readByVersion(table, from, latest)).toOption
+  }
+
+  def commit(): Unit = lastPolled.foreach(v => storage.write(group, v))
+
+  def reset(toVersion: Long): Unit = {
+    storage.write(group, toVersion - 1)
+    lastPolled = None
+  }
+}

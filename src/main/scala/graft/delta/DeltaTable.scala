@@ -120,7 +120,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val aligned = alignTo(df, targetSchema)
     val adds = writeDataFiles(aligned, partCols, targetSchema)
 
-    Retry.withRetry() {
+    val v = Retry.withRetry() {
       val snap = snapshot() // re-resolve under OCC retry
       val v = snap.version + 1
       val now = System.currentTimeMillis()
@@ -138,7 +138,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       maybeCheckpoint(v)
       v
     }
+    // CDC capture: inserts (and, for overwrite, deletes of the prior rows).
+    // The change DataFrames are lazy and read the pre-commit files, which
+    // remain on disk until vacuum (reference capture: cdc/index.ts:2060-2122).
+    if (cdcConfigured(snap0)) {
+      val inserts = aligned.withColumn(Cdc.ChangeType, lit("insert"))
+      val changes =
+        if (mode == "overwrite")
+          toDF(snap0).withColumn(Cdc.ChangeType, lit("delete"))
+            .unionByName(inserts, allowMissingColumns = true)
+        else inserts
+      Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
+    }
+    v
   }
+
+  private def cdcConfigured(snap: Snapshot): Boolean =
+    snap.configuration.get(Cdc.EnableKey).contains("true")
 
   /** Include a metaData action when schema/partitioning changed (or at v0). */
   private def buildMetadata(snap: Snapshot, schema: StructType,
@@ -284,12 +300,18 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       throw new IllegalArgumentException("delete matched no rows")
 
     val matchedSet = matchedFiles.toSet
-    val keep = candidateDF(snap, candidates)
+    val inMatched = candidateDF(snap, candidates)
       .filter(col("__file").isin(matchedFiles: _*))
+    val keep = inMatched
       .filter(!MongoFilter.translate(filter, snap.schema))
       .drop("__file")
     val adds = writeDataFiles(keep, snap.partitionColumns, snap.schema)
     val v = commitRewrite(snap, matchedSet, adds, "DELETE")
+    if (cdcConfigured(snap)) {
+      val deleted = inMatched.filter(MongoFilter.translate(filter, snap.schema))
+        .drop("__file").withColumn(Cdc.ChangeType, lit("delete"))
+      Cdc.writeChanges(this, v, deleted, System.currentTimeMillis())
+    }
     DmlResult(nMatched, matchedFiles.size.toLong, v)
   }
 
@@ -318,6 +340,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     }.drop("__file")
     val adds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
     val v = commitRewrite(snap, matchedFiles.toSet, adds, "UPDATE")
+    if (cdcConfigured(snap)) {
+      // update_preimage = old matching rows; update_postimage = patched rows
+      // (reference row shapes: cdc/index.ts:2060-2122).
+      val matchedRows = base.filter(pred).drop("__file")
+      val pre = matchedRows.withColumn(Cdc.ChangeType, lit("update_preimage"))
+      val post = updates.foldLeft(matchedRows) { case (acc, (field, value)) =>
+        acc.withColumn(field, jvalueLiteral(value, snap.schema, field))
+      }.withColumn(Cdc.ChangeType, lit("update_postimage"))
+      Cdc.writeChanges(this, v, pre.unionByName(post), System.currentTimeMillis())
+    }
     DmlResult(nMatched, matchedFiles.size.toLong, v)
   }
 
@@ -356,9 +388,25 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     (rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
+  /** Append-only commit of pre-written files (used by merge inserts). */
+  private[delta] def appendCommit(adds: Seq[AddFile], op: String): Long =
+    Retry.withRetry() {
+      val snap = snapshot()
+      val v = snap.version + 1
+      val now = System.currentTimeMillis()
+      log.writeCommit(v, (adds: Seq[Action]) ++ Seq[Action](
+        CommitInfo(now, op, Map("numFiles" -> adds.size.toString))))
+      maybeCheckpoint(v)
+      v
+    }
+
   /** Commit a rewrite: removes for the rewritten files, adds for their
     * replacements. `rewrittenAbs` holds absolute `file:` URIs from
     * `_metadata.file_path`. */
+  private[delta] def commitFileRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
+                                       adds: Seq[AddFile], op: String): Long =
+    commitRewrite(snapAtRead, rewrittenAbs, adds, op)
+
   private def commitRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
                             adds: Seq[AddFile], op: String): Long = {
     val rewrittenRel = snapAtRead.activeFiles.filter { f =>
@@ -379,6 +427,45 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       v
     }
   }
+
+  /** MERGE / upsert — see [[Merge]] for semantics. */
+  def merge(source: DataFrame, keyColumns: Seq[String],
+            matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
+            insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
+    graft.delta.Merge.execute(this, source, keyColumns, matched, insertUnmatched)
+
+  // ---- CDC (change data feed) ----------------------------------------------
+
+  def cdcEnabled: Boolean =
+    snapshot().configuration.get(Cdc.EnableKey).contains("true")
+
+  /** Enable the change feed via table configuration
+    * (reference: src/cdc/index.ts:1726-1752). */
+  def enableCDC(): Long = updateConfiguration(Map(Cdc.EnableKey -> "true"))
+
+  /** Merge configuration entries into metaData
+    * (reference: updateMetadata, src/delta/table.ts:2435-2458). */
+  def updateConfiguration(entries: Map[String, String]): Long = Retry.withRetry() {
+    val snap = snapshot()
+    val m = snap.metadata.getOrElse(
+      throw new IllegalStateException("cannot configure a table before first write"))
+    val v = snap.version + 1
+    val now = System.currentTimeMillis()
+    log.writeCommit(v, Seq[Action](
+      m.copy(configuration = m.configuration ++ entries),
+      CommitInfo(now, "SET-CONFIGURATION", entries)))
+    maybeCheckpoint(v)
+    v
+  }
+
+  def changes(startVersion: Long, endVersion: Long): DataFrame =
+    Cdc.readByVersion(this, startVersion, endVersion)
+
+  def changesByTimestamp(startMs: Long, endMs: Long): DataFrame =
+    Cdc.readByTimestamp(this, startMs, endMs)
+
+  def newConsumer(group: String): CdcConsumer =
+    new CdcConsumer(this, new FileOffsetStorage(log), group)
 
   // ---- checkpoints ---------------------------------------------------------
 

@@ -1,0 +1,108 @@
+package graft.delta
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class MergeCdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): DeltaTable =
+    DeltaTable.forPath(spark, Files.createTempDirectory("graft-merge").toString)
+
+  test("merge upserts: updates matched, inserts unmatched, leaves rest") {
+    val t = tmpTable()
+    t.write(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "s", "x"))
+    val source = Seq((2, "B!", 99.0), (4, "d", 40.0)).toDF("id", "s", "x")
+    val r = t.merge(source, Seq("id"))
+    assert(r.updated == 1 && r.inserted == 1 && r.deleted == 0)
+    val got = t.toDF().orderBy("id").as[(Int, String, Double)].collect().toSeq
+    assert(got == Seq((1, "a", 10.0), (2, "B!", 99.0), (3, "c", 30.0), (4, "d", 40.0)))
+  }
+
+  test("merge first-match semantics: duplicate source keys collapse") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    val source = Seq((1, "first"), (1, "second")).toDF("id", "s")
+    val r = t.merge(source, Seq("id"))
+    assert(r.updated == 1 && r.inserted == 0)
+    assert(t.toDF().count() == 1)
+  }
+
+  test("merge with Delete action removes matched rows") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"))
+    val r = t.merge(Seq((2, "x")).toDF("id", "s"), Seq("id"),
+      matched = Merge.MergeAction.Delete, insertUnmatched = false)
+    assert(r.deleted == 1 && r.inserted == 0)
+    assert(t.toDF().orderBy("id").select("id").as[Int].collect().toSeq == Seq(1, 3))
+  }
+
+  test("merge UpdateSet overwrites only chosen columns") {
+    val t = tmpTable()
+    t.write(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "s", "x"))
+    val r = t.merge(Seq((1, "zzz", 100.0)).toDF("id", "s", "x"), Seq("id"),
+      matched = Merge.MergeAction.UpdateSet(Map("x" -> lit(-1.0))),
+      insertUnmatched = false)
+    assert(r.updated == 1)
+    val got = t.toDF().orderBy("id").as[(Int, String, Double)].collect().toSeq
+    assert(got == Seq((1, "a", -1.0), (2, "b", 2.0))) // s untouched
+  }
+
+  test("CDC: inserts, deletes, update pre/post images captured with versions") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")) // v0, pre-CDC
+    t.enableCDC() // v1
+    t.write(Seq((4, "d")).toDF("id", "s")) // v2: insert
+    t.delete("""{"id":1}""") // v3: delete
+    t.update("""{"id":2}""", """{"s":"B"}""") // v4: pre+post
+    val changes = t.changes(2, 4)
+    val byType = changes.groupBy(Cdc.ChangeType).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // version column present and correct
+    val vIns = changes.filter(col(Cdc.ChangeType) === "insert")
+      .select(Cdc.CommitVersion).as[Long].head()
+    assert(vIns == 2L)
+    // pre/post carry old/new values
+    val pre = changes.filter(col(Cdc.ChangeType) === "update_preimage")
+      .select("s").as[String].head()
+    val post = changes.filter(col(Cdc.ChangeType) === "update_postimage")
+      .select("s").as[String].head()
+    assert(pre == "b" && post == "B")
+    // dual date-partitioned layout exists
+    val dir = Cdc.changeDataDir(t.tablePath)
+    assert(t.log.fs.listStatus(dir).exists(_.getPath.getName.startsWith("date=")))
+  }
+
+  test("CDC consumer: poll + commit offsets, resume") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.enableCDC()
+    t.write(Seq((2, "b")).toDF("id", "s"))
+    val c = t.newConsumer("g1")
+    val first = c.poll()
+    assert(first.isDefined)
+    assert(first.get.filter(col(Cdc.ChangeType) === "insert").count() == 1)
+    c.commit()
+    assert(c.poll().isEmpty) // nothing new
+    t.write(Seq((3, "c")).toDF("id", "s"))
+    val next = c.poll()
+    assert(next.isDefined && next.get.select("id").as[Long].collect().toSeq == Seq(3L))
+    // a second consumer group starts from the beginning
+    val c2 = t.newConsumer("g2")
+    assert(c2.poll().isDefined)
+  }
+
+  test("readByTimestamp filters and sorts ascending") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.enableCDC()
+    t.write(Seq((2, "b")).toDF("id", "s"))
+    t.write(Seq((3, "c")).toDF("id", "s"))
+    val now = System.currentTimeMillis()
+    val df = t.changesByTimestamp(0L, now + 60000)
+    assert(df.count() == 2)
+  }
+}
