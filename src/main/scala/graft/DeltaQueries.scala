@@ -102,6 +102,37 @@ object DeltaQueries {
       .orderBy(col(graft.delta.Cdc.ChangeType), col("event_id"))
   }
 
+  /** Fragment a table over many commits, compact, verify content unchanged. */
+  def compactScan(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val nation = t_(s, dir, "nation")
+    // 5 small commits → fragmented layout, then bin-pack compaction
+    (0 until 5).foreach(i => t.write(nation.filter(col("n_nationkey") % 5 === i)))
+    graft.delta.Maintenance.compact(t)
+    t.toDF().select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Duplicate the data (double append), dedup exact, expect the original. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val sup = t_(s, dir, "supplier")
+    t.write(sup); t.write(sup) // exact duplicates
+    graft.delta.Maintenance.deduplicate(t, graft.delta.Maintenance.DedupStrategy.Exact)
+    t.toDF().select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Z-order rewrite preserves content (clustering is a physical property). */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "customer"))
+    graft.delta.Maintenance.zOrderCluster(t, Seq("c_nationkey", "c_acctbal"), targetFiles = 4)
+    t.toDF().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   // Tables.t is shadowed by method params named t; tiny alias.
   private def t_(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
@@ -113,7 +144,10 @@ object DeltaQueries {
     "d4_delta_timetravel" -> (timeTravel(_, _)),
     "d5_delta_partition_prune" -> (partitionPrune(_, _)),
     "d6_delta_merge" -> (mergeUpsert(_, _)),
-    "d7_delta_cdc" -> (cdcFeed(_, _)))
+    "d7_delta_cdc" -> (cdcFeed(_, _)),
+    "m1_compact_scan" -> (compactScan(_, _)),
+    "m2_dedup_exact" -> (dedupExact(_, _)),
+    "m3_zorder_scan" -> (zorderScan(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "d1_delta_roundtrip" ->
@@ -161,5 +195,16 @@ object DeltaQueries {
         |  UNION ALL
         |  SELECT 'delete', event_id, user_id, event_type, value
         |  FROM events WHERE event_type IN ('view','click') AND value < 5) ch
-        |ORDER BY _change_type, event_id""".stripMargin)
+        |ORDER BY _change_type, event_id""".stripMargin,
+
+    "m1_compact_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "m2_dedup_exact" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "m3_zorder_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin)
 }

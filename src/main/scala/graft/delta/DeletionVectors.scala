@@ -1,0 +1,160 @@
+package graft.delta
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.roaringbitmap.RoaringBitmap
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Deletion-vector READ support (reference: src/delta/deletion-vectors.ts —
+ * Z85 decode 48-101, roaring parse 228-395, application 409-439;
+ * applied at table.ts:1717-1761). Like the reference, writes remain
+ * copy-on-write; DVs exist for interop with tables written by engines that
+ * produce them.
+ *
+ * The bitmap payload is the "RoaringBitmapArray" portable layout used by the
+ * Delta protocol: int32 magic, int64 bitmap count, then per 32-bit key a
+ * standard portable RoaringBitmap. Row masking happens distributed, via a
+ * broadcast map of per-file bitmaps filtered on `_metadata.row_index` — no
+ * driver-side row work.
+ */
+object DeletionVectors {
+
+  val Magic = 1681511377
+
+  // ---- Z85 (ZeroMQ base-85, public spec) -----------------------------------
+
+  private val Z85Chars =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    Z85Chars.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "Z85 encodes 4-byte blocks")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      (0 until 4).foreach(j => v = (v << 8) | (bytes(i + j) & 0xffL))
+      val block = new Array[Char](5)
+      (4 to 0 by -1).foreach { j => block(j) = Z85Chars((v % 85).toInt); v /= 85 }
+      sb.appendAll(block)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, "Z85 decodes 5-char blocks")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      var v = 0L
+      (0 until 5).foreach { j =>
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Decode(c.toInt) else -1
+        require(d >= 0, s"invalid Z85 character '$c'")
+        v = v * 85 + d
+      }
+      (3 to 0 by -1).foreach { j => out(o + j) = (v & 0xff).toByte; v >>= 8 }
+      i += 5; o += 4
+    }
+    out
+  }
+
+  // ---- RoaringBitmapArray (64-bit row indexes over 32-bit bitmaps) ---------
+
+  /** Deserialize little-endian [magic][count][(key,bitmap)*] into a set of
+    * 64-bit row indexes represented as key→RoaringBitmap. */
+  def deserialize(bytes: Array[Byte]): Map[Int, RoaringBitmap] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == Magic, s"bad RoaringBitmapArray magic $magic")
+    val n = buf.getLong
+    (0L until n).map { _ =>
+      val key = buf.getInt
+      val bm = new RoaringBitmap()
+      bm.deserialize(buf)
+      buf.position(buf.position() + bm.serializedSizeInBytes())
+      key -> bm
+    }.toMap
+  }
+
+  def serialize(byKey: Map[Int, RoaringBitmap]): Array[Byte] = {
+    val size = 4 + 8 + byKey.valuesIterator.map(b => 4 + b.serializedSizeInBytes()).sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic)
+    buf.putLong(byKey.size.toLong)
+    byKey.toSeq.sortBy(_._1).foreach { case (k, bm) =>
+      buf.putInt(k)
+      bm.serialize(buf)
+    }
+    buf.array()
+  }
+
+  def contains(byKey: Map[Int, RoaringBitmap], rowIndex: Long): Boolean =
+    byKey.get((rowIndex >>> 32).toInt).exists(_.contains(rowIndex.toInt))
+
+  /** Build a bitmap for a set of row indexes (used by tests/writers). */
+  def fromIndexes(indexes: Seq[Long]): Map[Int, RoaringBitmap] =
+    indexes.groupBy(i => (i >>> 32).toInt).view.mapValues { is =>
+      RoaringBitmap.bitmapOf(is.map(_.toInt): _*)
+    }.toMap
+
+  // ---- descriptor parsing + application ------------------------------------
+
+  /** Load the bitmap for an add-action's `deletionVector` descriptor:
+    * storageType `i` = inline Z85 payload; `p` = absolute path; `u` = UUID
+    * file under the table dir (reference: deletion-vectors.ts:409-439). */
+  def load(log: DeltaLog, dv: JObject): Map[Int, RoaringBitmap] = {
+    val fields = dv.obj.toMap
+    def str(k: String): Option[String] =
+      fields.get(k).collect { case JString(s) => s }
+    val storageType = str("storageType").getOrElse("i")
+    storageType match {
+      case "i" =>
+        deserialize(z85Decode(str("pathOrInlineDv").getOrElse(
+          throw new IllegalArgumentException("inline DV missing payload"))))
+      case "p" | "u" =>
+        val p = new org.apache.hadoop.fs.Path(str("pathOrInlineDv").get)
+        val path = if (storageType == "p") p else new org.apache.hadoop.fs.Path(log.tablePath, p)
+        val in = log.fs.open(path)
+        val bytes =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        val offset = fields.get("offset").collect {
+          case JInt(n) => n.toInt; case JLong(n) => n.toInt
+        }.getOrElse(0)
+        val size = fields.get("sizeInBytes").collect {
+          case JInt(n) => n.toInt; case JLong(n) => n.toInt
+        }.getOrElse(bytes.length - offset)
+        deserialize(bytes.slice(offset, offset + size))
+      case other => throw new IllegalArgumentException(s"unknown DV storageType $other")
+    }
+  }
+
+  /** Filter out DV-masked rows. `df` must come from files listed in `adds`
+    * (with `_metadata` available); rows whose (file, row_index) is in a DV
+    * are dropped. */
+  def applyMask(table: DeltaTable, df: DataFrame, adds: Seq[AddFile]): DataFrame = {
+    val withDv = adds.filter(_.deletionVector.isDefined)
+    if (withDv.isEmpty) return df
+    val masks: Map[String, Map[Int, RoaringBitmap]] = withDv.map { a =>
+      val abs = new org.apache.hadoop.fs.Path(table.tablePath, a.path).toUri.getPath
+      abs -> load(table.log, a.deletionVector.get)
+    }.toMap
+    val bc: Broadcast[Map[String, Map[Int, RoaringBitmap]]] =
+      table.spark.sparkContext.broadcast(masks)
+    val keep = udf { (file: String, idx: Long) =>
+      val path = new java.net.URI(file).getPath
+      bc.value.get(path).forall(bm => !contains(bm, idx))
+    }
+    df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+  }
+}

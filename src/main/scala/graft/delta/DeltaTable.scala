@@ -72,7 +72,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     }
     val files = snap.activeFiles.map(f => new Path(tablePath, f.path).toString)
     val reader = spark.read.option("basePath", path)
-    (if (schema.nonEmpty) reader.schema(schema) else reader).parquet(files: _*)
+    val df = (if (schema.nonEmpty) reader.schema(schema) else reader).parquet(files: _*)
+    // Interop: drop rows masked by deletion vectors (no-op when none exist).
+    DeletionVectors.applyMask(this, df, snap.activeFiles)
   }
 
   def toDF(): DataFrame = toDF(snapshot())

@@ -1,0 +1,288 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Table maintenance: compaction, deduplication, Z-order clustering, vacuum
+ * (reference: src/compaction/index.ts and src/delta/vacuum.ts).
+ *
+ * File selection / bin planning runs on the driver over log metadata (file
+ * sizes — small), while every data movement is a distributed Spark job.
+ */
+object Maintenance {
+
+  // ---- compaction ----------------------------------------------------------
+
+  sealed trait Strategy
+  object Strategy {
+    case object Greedy extends Strategy      // first-come grouping up to target
+    case object SortBySize extends Strategy  // smallest-first grouping
+    case object BinPack extends Strategy     // first-fit-decreasing
+  }
+
+  final case class CompactionConfig(
+      targetFileSize: Long = 128L * 1024 * 1024, // compaction/index.ts:96-99
+      minFilesToCompact: Int = 2,                // compaction/index.ts:573-574
+      strategy: Strategy = Strategy.BinPack,
+      dryRun: Boolean = false)
+
+  final case class CompactionResult(
+      filesCompacted: Long, filesCreated: Long,
+      bytesIn: Long, partitionsTouched: Long, version: Long)
+
+  /**
+   * Merge small files per partition (reference: compact,
+   * src/compaction/index.ts:568-878; FFD packing 1504-1531; grouping
+   * 1408-1465). Bin plans come from log sizes on the driver; each partition
+   * group is rewritten by ONE distributed job into its planned file count.
+   * Commits with `dataChange = false` so streams can skip it.
+   */
+  def compact(table: DeltaTable, cfg: CompactionConfig = CompactionConfig()): CompactionResult = {
+    val snap = table.snapshot()
+    val byPartition = snap.activeFiles.groupBy(_.partitionValues)
+
+    var filesCompacted = 0L; var filesCreated = 0L; var bytesIn = 0L
+    var partitionsTouched = 0L
+    val allRemoves = Seq.newBuilder[AddFile]
+    val allAdds = Seq.newBuilder[AddFile]
+
+    byPartition.foreach { case (_, files) =>
+      val small = files.filter(_.size < cfg.targetFileSize)
+      if (small.size >= cfg.minFilesToCompact) {
+        val bins = planBins(small, cfg)
+        // Only compact bins that actually merge ≥2 files.
+        val merging = bins.filter(_.size >= 2)
+        if (merging.nonEmpty && !cfg.dryRun) {
+          val toRewrite = merging.flatten
+          val df = table.toDF(snap.copy(activeFiles = toRewrite))
+          val rewritten = df.repartition(merging.size)
+          val adds = table.writeDataFiles(rewritten, snap.partitionColumns, snap.schema)
+            .map(_.copy(dataChange = false))
+          allRemoves ++= toRewrite
+          allAdds ++= adds
+          filesCompacted += toRewrite.size
+          filesCreated += adds.size
+          bytesIn += toRewrite.map(_.size).sum
+          partitionsTouched += 1
+        } else if (merging.nonEmpty) {
+          filesCompacted += merging.flatten.size
+          filesCreated += merging.size
+          bytesIn += merging.flatten.map(_.size).sum
+          partitionsTouched += 1
+        }
+      }
+    }
+
+    val removes = allRemoves.result()
+    val v =
+      if (cfg.dryRun || removes.isEmpty) snap.version
+      else Retry.withRetry() {
+        val cur = table.snapshot()
+        val now = System.currentTimeMillis()
+        val removeActions = removes.map(f => RemoveFile(f.path, now, dataChange = false))
+        val vNext = cur.version + 1
+        table.log.writeCommit(vNext,
+          (removeActions: Seq[Action]) ++ (allAdds.result(): Seq[Action]) ++
+            Seq[Action](CommitInfo(now, "COMPACT",
+              Map("filesCompacted" -> filesCompacted.toString))))
+        vNext
+      }
+    CompactionResult(filesCompacted, filesCreated, bytesIn, partitionsTouched, v)
+  }
+
+  /** Bin planning over (path,size) metadata. */
+  private def planBins(files: Seq[AddFile], cfg: CompactionConfig): Seq[Seq[AddFile]] =
+    cfg.strategy match {
+      case Strategy.Greedy => greedyBins(files, cfg.targetFileSize)
+      case Strategy.SortBySize => greedyBins(files.sortBy(_.size), cfg.targetFileSize)
+      case Strategy.BinPack => // first-fit-decreasing (compaction/index.ts:1504-1531)
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[AddFile])]
+        files.sortBy(-_.size).foreach { f =>
+          bins.find(_._1 + f.size <= cfg.targetFileSize) match {
+            case Some(bin) =>
+              val i = bins.indexOf(bin)
+              bins(i) = (bin._1 + f.size, bin._2 += f)
+            case None =>
+              bins += ((f.size, scala.collection.mutable.ArrayBuffer(f)))
+          }
+        }
+        bins.map(_._2.toSeq).toSeq
+    }
+
+  private def greedyBins(files: Seq[AddFile], target: Long): Seq[Seq[AddFile]] = {
+    val bins = Seq.newBuilder[Seq[AddFile]]
+    var cur = Seq.newBuilder[AddFile]; var curSize = 0L; var curN = 0
+    files.foreach { f =>
+      if (curN > 0 && curSize + f.size > target) {
+        bins += cur.result(); cur = Seq.newBuilder[AddFile]; curSize = 0; curN = 0
+      }
+      cur += f; curSize += f.size; curN += 1
+    }
+    if (curN > 0) bins += cur.result()
+    bins.result()
+  }
+
+  // ---- deduplication -------------------------------------------------------
+
+  sealed trait DedupStrategy
+  object DedupStrategy {
+    /** Whole-row identity (reference: exact dedup, compaction/index.ts:930-1086). */
+    case object Exact extends DedupStrategy
+    /** Keep one arbitrary-but-deterministic row per primary key. */
+    final case class ByKey(keys: Seq[String]) extends DedupStrategy
+    /** Keep the row with the max `orderBy` per key
+      * (reference keep-latest, compaction/index.ts:995-1016). */
+    final case class KeepLatest(keys: Seq[String], orderBy: String) extends DedupStrategy
+  }
+
+  final case class DedupResult(rowsBefore: Long, rowsAfter: Long, version: Long)
+
+  /** Full-table rewrite without duplicate rows. */
+  def deduplicate(table: DeltaTable, strategy: DedupStrategy): DedupResult = {
+    val snap = table.snapshot()
+    val df = table.toDF(snap)
+    val before = df.count()
+    val deduped: DataFrame = strategy match {
+      case DedupStrategy.Exact => df.distinct()
+      case DedupStrategy.ByKey(keys) => df.dropDuplicates(keys)
+      case DedupStrategy.KeepLatest(keys, orderCol) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    val after = deduped.count()
+    val v =
+      if (after == before) snap.version
+      else {
+        val adds = table.writeDataFiles(deduped, snap.partitionColumns, snap.schema)
+        Retry.withRetry() {
+          val cur = table.snapshot()
+          val now = System.currentTimeMillis()
+          val removes = cur.activeFiles.map(f => RemoveFile(f.path, now))
+          val vNext = cur.version + 1
+          table.log.writeCommit(vNext,
+            (removes: Seq[Action]) ++ (adds: Seq[Action]) ++ Seq[Action](
+              CommitInfo(now, "DEDUPLICATE", Map("rowsRemoved" -> (before - after).toString))))
+          vNext
+        }
+      }
+    DedupResult(before, after, v)
+  }
+
+  // ---- Z-order clustering --------------------------------------------------
+
+  final case class ZOrderResult(filesBefore: Long, filesAfter: Long, version: Long)
+
+  /**
+   * Rewrite the table clustered by the Morton (Z-order) interleave of the
+   * given columns (reference: zOrderCluster, src/compaction/index.ts:1149-1279;
+   * 21-bit normalize+interleave 360-415). Column normalization bounds come
+   * from ONE aggregation; the interleave itself is a pure Column bit
+   * expression (codegen-friendly, no UDF), and the rewrite is
+   * range-partitioned on the Z-value so each output file covers a tight
+   * Z-range (what makes later min/max skipping effective).
+   */
+  def zOrderCluster(table: DeltaTable, columns: Seq[String],
+                    targetFiles: Int = 0): ZOrderResult = {
+    require(columns.nonEmpty && columns.size <= 3, "z-order on 1-3 columns")
+    val snap = table.snapshot()
+    val df = table.toDF(snap)
+    val bits = 21 // per-column resolution (compaction/index.ts:360-379)
+
+    // Normalization bounds per column (numeric/timestamp → min/max scaling;
+    // strings → deterministic hash, like the reference's DJB2 path).
+    val aggs = columns.flatMap(c => Seq(
+      min(normalizeToLong(df, c)).as(s"__min_$c"),
+      max(normalizeToLong(df, c)).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    val zcol = columns.zipWithIndex.map { case (c, j) =>
+      val lo = bounds.getAs[Long](s"__min_$c")
+      val hi = bounds.getAs[Long](s"__max_$c")
+      val range = math.max(1L, hi - lo)
+      // scale to [0, 2^21-1]
+      val scaled = ((normalizeToLong(df, c) - lit(lo)) * lit((1L << bits) - 1) / lit(range))
+        .cast("long")
+      // spread this column's bits to positions j, j+n, j+2n, ...
+      (0 until bits).map { i =>
+        shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)), i * columns.size + j)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+    val nFiles = if (targetFiles > 0) targetFiles
+      else math.max(1, snap.activeFiles.size / 2)
+    val clustered = df.withColumn("__z", zcol)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val adds = table.writeDataFiles(clustered, snap.partitionColumns, snap.schema)
+      .map(_.copy(dataChange = false))
+    val v = Retry.withRetry() {
+      val cur = table.snapshot()
+      val now = System.currentTimeMillis()
+      val removes = cur.activeFiles.map(f => RemoveFile(f.path, now, dataChange = false))
+      val vNext = cur.version + 1
+      table.log.writeCommit(vNext,
+        (removes: Seq[Action]) ++ (adds: Seq[Action]) ++ Seq[Action](
+          CommitInfo(now, "ZORDER", Map("columns" -> columns.mkString(",")))))
+      vNext
+    }
+    ZOrderResult(snap.activeFiles.size.toLong, adds.size.toLong, v)
+  }
+
+  /** Map a column to an orderable long: numerics/timestamps directly, strings
+    * via a deterministic hash (reference normalizes via DJB2,
+    * compaction/index.ts:396-415 — any stable hash clusters equally well). */
+  private def normalizeToLong(df: DataFrame, c: String) = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case StringType => abs(xxhash64(col(c)))
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case DateType => col(c).cast(IntegerType).cast(LongType)
+      case BooleanType => col(c).cast(LongType)
+      case _: NumericType => col(c).cast(LongType)
+      case other => throw new IllegalArgumentException(s"cannot z-order on $other")
+    }
+  }
+
+  // ---- vacuum --------------------------------------------------------------
+
+  final case class VacuumResult(filesDeleted: Long, bytesFreed: Long, dryRun: Boolean)
+
+  /**
+   * Delete unreferenced data files older than the retention window
+   * (reference: src/delta/vacuum.ts:127-248; candidates 258-288; time-travel
+   * protection 297-355). Files whose tombstone is newer than the window stay,
+   * so recent versions remain queryable. Default 168 h, minimum 1 h.
+   */
+  def vacuum(table: DeltaTable, retentionHours: Double = 168.0,
+             dryRun: Boolean = false, enforceMinimum: Boolean = true): VacuumResult = {
+    val retention = if (enforceMinimum) math.max(retentionHours, 1.0) else retentionHours
+    val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
+    val snap = table.snapshot()
+    val active = snap.activeFiles.map(_.path).toSet
+    val protectedPaths = snap.tombstones
+      .filter(_.deletionTimestamp >= cutoff).map(_.path).toSet
+
+    val fs = table.log.fs
+    val it = fs.listFiles(table.tablePath, true)
+    var deleted = 0L; var freed = 0L
+    val base = fs.makeQualified(table.tablePath).toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val isData = rel.endsWith(".parquet") &&
+        !rel.startsWith("_delta_log") && !rel.startsWith("_change_data") &&
+        !rel.startsWith("_staging") && !rel.startsWith("_cdc_offsets")
+      if (isData && !active.contains(rel) && !protectedPaths.contains(rel) &&
+          st.getModificationTime < cutoff) {
+        deleted += 1; freed += st.getLen
+        if (!dryRun) fs.delete(st.getPath, false)
+      }
+    }
+    VacuumResult(deleted, freed, dryRun)
+  }
+}
