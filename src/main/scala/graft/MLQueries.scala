@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.t
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+
+/**
+ * Training-data pipeline operators on the oracle gate: text analysis,
+ * fingerprint/minhash/simhash dedup, embedding similarity search, and
+ * multimodal binary plumbing. Oracle SQL reproduces each heuristic exactly
+ * in DuckDB (token filters, md5 fingerprints, n-gram jaccard, double-precision
+ * cosine); LSH paths are verified by exact recomputation over the candidate
+ * pairs, with band counts sized so recall failures are ~impossible.
+ */
+object MLQueries {
+
+  private def docsUnion(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000).as("id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+  }
+
+  private def vecsUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val perturbed = e.select(
+      (col("vec_id") + 10000).as("id"),
+      concat(
+        array((element_at(col("embedding"), 1).cast(DoubleType) + lit(0.1)).cast(FloatType)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    e.select(col("vec_id").as("id"), col("embedding")).unionByName(perturbed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- language ID (stopword-marker heuristic, SQL-reproducible) ----
+    "t1_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring features ----
+    "t2_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = TextFunctions.qualityFeatures(col("text"))
+      d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }
+          :+ TextFunctions.qualityScore(col("text")).as("quality"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- md5 fingerprint + exact dedup over a doubled corpus ----
+    "t3_fingerprint_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      doubled
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .filter(col("n") > 1)
+        .orderBy(col("fp"))
+    }),
+
+    // ---- MinHash+LSH near-dup with exact-Jaccard verification ----
+    "t4_minhash_neardup" -> ((s, dir) => {
+      Dedup.minhashNearDups(docsUnion(s, dir), "id", "text",
+          shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- exact n-gram Jaccard pairs (small corpus, no LSH) ----
+    "t5_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id").as("id"), col("text")),
+          "id", "text", n = 2, threshold = 0.05)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- SimHash near-dup (no SQL analog of the hash → rows-only gate) ----
+    "t6_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDups(docsUnion(s, dir), "id", "text", maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- embedding near-dup via hyperplane LSH + exact cosine verify ----
+    "t7_embedding_neardup" -> ((s, dir) => {
+      Similarity.lshNearDupPairs(vecsUnion(s, dir), "id", "embedding",
+          dim = 64, threshold = 0.95, nBits = 64, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- multimodal: binary payload + metadata plumbing ----
+    "t8_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaRecords(
+        t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "image", "png")
+      media.select(
+          col("media_id"),
+          col("meta.size_bytes").as("size_bytes"),
+          substring(hex(col("payload")), 1, 16).as("hex_prefix"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- multimodal feature extraction (stubbed decode; rows-only gate) ----
+    "t9_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaRecords(
+        t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", "image", "png")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), size(col("features")).as("n_features"),
+          round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"))
+        .orderBy(col("media_id"))
+    }))
+
+  private val markerSql: Map[String, String] = TextFunctions.Markers.toMap.map {
+    case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("de")}, t))) AS s_de,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("en")}, t))) AS s_en,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("es")}, t))) AS s_es,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("fr")}, t))) AS s_fr,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         |    length(text) AS n
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN cjk * 2 > n THEN 'zh'
+         |       WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+         |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+         |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" -> {
+      val allMarkers = TextFunctions.Markers.flatMap(_._2).map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+         |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS upper_count,
+         |    CAST(len(list_filter(string_split(text,' '), t -> list_contains($allMarkers, t))) AS DOUBLE)
+         |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_count, upper_count,
+         |  stopword_ratio,
+         |  ((CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END
+         |    + least(stopword_ratio * 2.0, 0.3)) + 0.2)
+         |    - least(CAST(punct_count AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0, 0.2) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_fingerprint_dedup" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n, min(doc_id) AS first_id
+        |FROM doubled GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    "t4_minhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+        |  )) AS sh FROM corpus),
+        |pairs AS (
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
+        |FROM sets a, sets b
+        |WHERE a.id < b.id)
+        |SELECT * FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "t5_ngram_jaccard" ->
+      """WITH sets AS (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |  )) AS sh FROM documents WHERE doc_id < 50),
+        |pairs AS (
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
+        |FROM sets a, sets b
+        |WHERE a.id < b.id)
+        |SELECT * FROM pairs WHERE jaccard >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "t7_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_concat(
+        |      [CAST(CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS FLOAT) AS DOUBLE)],
+        |      CAST(embedding[2:] AS DOUBLE[])) AS DOUBLE[])
+        |  FROM embeddings),
+        |pairs AS (
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos,
+        |  list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS rawcos
+        |FROM corpus a, corpus b
+        |WHERE a.id < b.id)
+        |SELECT id_a, id_b, cos FROM pairs WHERE rawcos >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "t8_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |  substr(hex(encode(text)), 1, 16) AS hex_prefix
+        |FROM documents ORDER BY media_id""".stripMargin)
+  // t6 (simhash) and t9 (stubbed media decode) have no SQL analog → rows-only.
+}

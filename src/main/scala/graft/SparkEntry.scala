@@ -23,10 +23,10 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    base ++ DeltaQueries.queries ++ pipelineQueries
+    base ++ DeltaQueries.queries ++ pipelineQueries ++ MLQueries.queries
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle
+    baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle ++ MLQueries.oracleSql
 
   // ---- §2.4 aggregation pipeline (Mongo stage list → DataFrame plan) ----
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -203,9 +203,10 @@ object Maintenance {
       val lo = bounds.getAs[Long](s"__min_$c")
       val hi = bounds.getAs[Long](s"__max_$c")
       val range = math.max(1L, hi - lo)
-      // scale to [0, 2^21-1]
-      val scaled = ((normalizeToLong(df, c) - lit(lo)) * lit((1L << bits) - 1) / lit(range))
-        .cast("long")
+      // scale to [0, 2^21-1]; double intermediate avoids ANSI long overflow
+      // for wide ranges (clustering precision is unaffected)
+      val scaled = ((normalizeToLong(df, c) - lit(lo)).cast("double") *
+        lit(((1L << bits) - 1).toDouble) / lit(range.toDouble)).cast("long")
       // spread this column's bits to positions j, j+n, j+2n, ...
       (0 until bits).map { i =>
         shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)), i * columns.size + j)
@@ -239,7 +240,9 @@ object Maintenance {
   private def normalizeToLong(df: DataFrame, c: String) = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
-      case StringType => abs(xxhash64(col(c)))
+      // Reduce to 32 bits so downstream scaling math cannot overflow a long
+      // under ANSI arithmetic.
+      case StringType => pmod(xxhash64(col(c)), lit(Int.MaxValue.toLong))
       case TimestampType | TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case DateType => col(c).cast(IntegerType).cast(LongType)
       case BooleanType => col(c).cast(LongType)

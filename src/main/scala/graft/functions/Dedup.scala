@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Near-duplicate detection for training-data pipelines, designed around the
+ * shuffle structure that survives 100 TB:
+ *
+ *  - exact dedup: hash group-by (one shuffle on the fingerprint);
+ *  - MinHash+LSH: shingle → k minhashes → b bands; candidate pairs come from
+ *    a shuffle on (band index, band hash) — never an all-pairs join — then
+ *    exact Jaccard verifies candidates;
+ *  - SimHash: 64-bit signatures, banded the same way for candidate pairs;
+ *  - n-gram Jaccard: exact set similarity used as the verifier (and directly
+ *    for small candidate sets).
+ *
+ * All signature computation is per-row Column expressions (map-side, no
+ * shuffle, codegen'd); only candidate generation shuffles, on keys whose
+ * cardinality grows with corpus size (bands), so buckets stay small.
+ */
+object Dedup {
+
+  private val Prime = 2147483647L // 2^31-1, classic Carter-Wegman modulus
+
+  /** Deterministic (a,b) parameters in [1, Prime) for k permutations — small
+    * enough that `reduced_hash * a + b` never overflows a long (ANSI mode
+    * errors on overflow rather than wrapping). */
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(k)((1L + r.nextInt(Int.MaxValue - 1).toLong, r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-element MinHash signature of a string-array column (shingles).
+    *
+    * The permutation parameters ride as ONE literal array-of-structs and the
+    * signature is a single nested `transform` — building k separate
+    * `array_min` expressions instead would copy the whole shingle-hash
+    * subtree k times (observed: ~100 MB codegen task binaries at k=128). */
+  def minhashSignature(shingles: Column, k: Int = 128, seed: Long = 42L): Column = {
+    // Reduce 64-bit hashes below the modulus first: (h mod P) * a + b stays
+    // under 2^62 for a,b < 2^31, so the expression is ANSI-safe.
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
+    val ab = typedlit(perms(k, seed))
+    transform(ab, p =>
+      array_min(transform(hashes,
+        h => pmod(h * p.getField("_1") + p.getField("_2"), lit(Prime)))))
+  }
+
+  /** Band hashes over a signature: b bands of r rows (k = b*r). */
+  def lshBands(signature: Column, b: Int, r: Int): Column =
+    array((0 until b).map(j => hash(slice(signature, j * r + 1, r), lit(j))): _*)
+
+  /**
+   * Candidate pairs from banded signatures: explode bands, shuffle on
+   * (band index, band hash), pair ids within buckets. `df` must carry
+   * `idCol` and `bandsCol`.
+   */
+  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val buckets = df.select(col(idCol).as("__id"), posexplode(col(bandsCol)))
+      .toDF("__id", "__band", "__bh")
+    buckets.as("a").join(buckets.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bh") === col("b.__bh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /**
+   * MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+   * `docs` must have (idCol, textCol). Returns (id_a, id_b, jaccard) for
+   * verified pairs at or above `threshold`.
+   */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val withSets = docs.select(
+      col(idCol).as("__id"),
+      TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), shingleSize).as("__sh"))
+    val signed = withSets
+      .withColumn("__sig", minhashSignature(col("__sh"), k, seed))
+      .withColumn("__bands", lshBands(col("__sig"), bands, r))
+    val cands = candidatePairs(signed, "__id", "__bands")
+    val sets = withSets.select(col("__id"), col("__sh"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .withColumn("jaccard", jaccard(array_distinct(col("__sa")), array_distinct(col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard (for small candidate sets / verification). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+    sets.as("a").join(sets.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        jaccard(col("a.__sh"), col("b.__sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash of a token array: per-bit vote of token hashes. Static
+    * per-bit shifts keep everything in codegen'd built-ins. */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
+    * within distance ~3 shares a band w.h.p.), bucket-join, verify Hamming. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDistance: Int = 3): DataFrame = {
+    val signed = docs.select(col(idCol).as("__id"),
+      simhash64(TextFunctions.tokens(col(textCol))).as("__sig"))
+    val banded = signed.withColumn("__bands",
+      array((0 until 4).map(j =>
+        shiftright(col("__sig"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+    val cands = candidatePairs(banded, "__id", "__bands")
+    cands
+      .join(signed.select(col("__id").as("id_a"), col("__sig").as("__siga")), "id_a")
+      .join(signed.select(col("__id").as("id_b"), col("__sig").as("__sigb")), "id_b")
+      .withColumn("distance", hamming64(col("__siga"), col("__sigb")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+}

