@@ -87,7 +87,7 @@ object MLQueries {
     // ---- embedding near-dup via hyperplane LSH + exact cosine verify ----
     "t7_embedding_neardup" -> ((s, dir) => {
       Similarity.lshNearDupPairs(vecsUnion(s, dir), "id", "embedding",
-          dim = 64, threshold = 0.95, nBits = 64, bands = 16)
+          dim = 64, threshold = 0.95, nBits = 128, bands = 16)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),

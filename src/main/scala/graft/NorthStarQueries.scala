@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/**
+ * North-star analytics beyond the reference surface (SURVEY §2.4 "absent"
+ * list): variant/JSON field extraction, as-of joins, rollup/cube grouping
+ * sets, lag/lead analytics, set operations, and an event-time streaming
+ * aggregation — each expressed with Spark built-ins and oracle-checked.
+ */
+object NorthStarQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- variant/JSON column: extract + aggregate ----
+    "n1_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- as-of join: latest click at-or-before each purchase, per user ----
+    // Composed from existing ops (union + running last_value over a window):
+    // no custom operator needed, one shuffle on user_id.
+    "n2_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("click_id"), lit(null).cast(LongType).as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast(LongType).as("click_id"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("click_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      clicks.unionByName(purchases)
+        .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("last_click"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- grouping sets: ROLLUP ----
+    "n3_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- grouping sets: CUBE ----
+    "n4_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- analytic lag/lead over event history ----
+    "n5_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir).filter(col("user_id") < 20)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("prev_value"), col("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- set operations: INTERSECT ----
+    "n6_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- event-time streaming: tumbling-window counts (memory sink) ----
+    "n7_stream_window" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // Watermarks require tz-aware TIMESTAMP; the session is UTC so casting
+      // the output back to NTZ matches the oracle's naive timestamps.
+      // The file stream source requires a directory path; select the events
+      // file from the sf directory with a glob filter.
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.Streams.runToMemory(agg, "graft_stream_window", "complete")
+        .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "n1_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "n2_asof_join" ->
+      """SELECT p.event_id, c.event_id AS last_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "n3_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "n4_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "n5_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "n6_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "n7_stream_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+}

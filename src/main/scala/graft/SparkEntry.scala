@@ -23,10 +23,12 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    base ++ DeltaQueries.queries ++ pipelineQueries ++ MLQueries.queries
+    base ++ DeltaQueries.queries ++ pipelineQueries ++ MLQueries.queries ++
+      NorthStarQueries.queries
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle ++ MLQueries.oracleSql
+    baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle ++ MLQueries.oracleSql ++
+      NorthStarQueries.oracleSql
 
   // ---- §2.4 aggregation pipeline (Mongo stage list → DataFrame plan) ----
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

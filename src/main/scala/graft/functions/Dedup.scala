@@ -36,20 +36,32 @@ object Dedup {
     * The permutation parameters ride as ONE literal array-of-structs and the
     * signature is a single nested `transform` — building k separate
     * `array_min` expressions instead would copy the whole shingle-hash
-    * subtree k times (observed: ~100 MB codegen task binaries at k=128). */
-  def minhashSignature(shingles: Column, k: Int = 128, seed: Long = 42L): Column = {
+    * subtree k times (observed: ~100 MB codegen task binaries at k=128).
+    * Prefer [[minhashFromHashes]] over a MATERIALIZED hash column when the
+    * shingle expression is non-trivial (see note in [[minhashNearDups]]). */
+  def minhashSignature(shingles: Column, k: Int = 128, seed: Long = 42L): Column =
     // Reduce 64-bit hashes below the modulus first: (h mod P) * a + b stays
     // under 2^62 for a,b < 2^31, so the expression is ANSI-safe.
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
+    minhashFromHashes(transform(shingles, s => pmod(xxhash64(s), lit(Prime))), k, seed)
+
+  /** Signature over pre-reduced shingle hashes (values in [0, Prime)). */
+  def minhashFromHashes(hashes: Column, k: Int, seed: Long): Column = {
     val ab = typedlit(perms(k, seed))
     transform(ab, p =>
       array_min(transform(hashes,
         h => pmod(h * p.getField("_1") + p.getField("_2"), lit(Prime)))))
   }
 
-  /** Band hashes over a signature: b bands of r rows (k = b*r). */
+  /** Band hashes over a signature: b bands of r rows (k = b*r).
+    *
+    * Built as ONE `transform` over the band indexes so the (expensive)
+    * signature subtree appears exactly once in the expression — an
+    * `array(hash(slice(sig,…)), …)` of b entries would inline the signature
+    * b times after projection collapse and multiply evaluation cost by b
+    * (observed: 6 min instead of ~2 s for the minhash gate query). */
   def lshBands(signature: Column, b: Int, r: Int): Column =
-    array((0 until b).map(j => hash(slice(signature, j * r + 1, r), lit(j))): _*)
+    transform(sequence(lit(0), lit(b - 1)),
+      j => hash(slice(signature, j * r + 1, lit(r)), j))
 
   /**
    * Candidate pairs from banded signatures: explode bands, shuffle on
@@ -84,11 +96,18 @@ object Dedup {
                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // Cache the shingle sets + their hashes: without this barrier projection
+    // collapse inlines the tokenize/ngram subtree into the signature's inner
+    // transform, re-evaluating it once per shingle per permutation —
+    // O(k·shingles·tokens) interpreted work per row (observed 450 s for 200
+    // docs). With the barrier the signature reads a stored array: O(k·shingles).
     val withSets = docs.select(
       col(idCol).as("__id"),
       TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), shingleSize).as("__sh"))
+      .withColumn("__h", transform(col("__sh"), s => pmod(xxhash64(s), lit(Prime))))
+      .cache()
     val signed = withSets
-      .withColumn("__sig", minhashSignature(col("__sh"), k, seed))
+      .withColumn("__sig", minhashFromHashes(col("__h"), k, seed))
       .withColumn("__bands", lshBands(col("__sig"), bands, r))
     val cands = candidatePairs(signed, "__id", "__bands")
     val sets = withSets.select(col("__id"), col("__sh"))
@@ -132,11 +151,14 @@ object Dedup {
     * within distance ~3 shares a band w.h.p.), bucket-join, verify Hamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDistance: Int = 3): DataFrame = {
+    // Cache: the signature is referenced by both sides of the bucket
+    // self-join and its 64 per-bit votes re-evaluate the token expression.
     val signed = docs.select(col(idCol).as("__id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("__sig"))
+      simhash64(TextFunctions.tokens(col(textCol))).as("__sig")).cache()
     val banded = signed.withColumn("__bands",
-      array((0 until 4).map(j =>
-        shiftright(col("__sig"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+      transform(sequence(lit(0), lit(3)), j =>
+        call_function("shiftright", col("__sig"), (j * 16).cast("int"))
+          .bitwiseAND(lit(0xffffL))))
     val cands = candidatePairs(banded, "__id", "__bands")
     cands
       .join(signed.select(col("__id").as("id_a"), col("__sig").as("__siga")), "id_a")

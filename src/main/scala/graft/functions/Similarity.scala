@@ -28,12 +28,17 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(r.nextGaussian()))
   }
 
-  /** Sign-bit signature of an embedding against hyperplanes, as a long. */
-  def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val d = dot(emb, typedlit(p.toArray))
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Sign-bit signature of an embedding against hyperplanes, as an array of
+    * longs (64 bits per word, nBits can exceed 64). */
+  def signature(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val words = planes.zipWithIndex.groupBy(_._2 / 64).toSeq.sortBy(_._1).map {
+      case (_, ps) => ps.map { case (p, i) =>
+        val d = dot(emb, typedlit(p.toArray))
+        when(d >= 0, lit(1L << (i % 64))).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    array(words: _*)
+  }
 
   /**
    * Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -61,13 +66,25 @@ object Similarity {
                       nBits: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0)
     val bitsPerBand = nBits / bands
+    require(64 % bitsPerBand == 0 && nBits % 64 == 0 || nBits <= 64,
+      "band width must pack evenly into 64-bit words")
+    val bandsPerWord = 64 / bitsPerBand
     val planes = hyperplanes(dim, nBits, seed)
+    // Cache: the nBits-dot-product signature feeds both sides of the bucket
+    // self-join; computing it once per row halves the dominant cost.
     val signed = vectors.select(col(idCol).as("__id"), col(embCol).as("__e"))
       .withColumn("__sig", signature(col("__e"), planes))
+      .cache()
     val mask = (1L << bitsPerBand) - 1
+    // One transform over band indexes → the signature subtree (nBits dot
+    // products) is evaluated once per row, not once per band (see
+    // Dedup.lshBands for the collapse pathology this avoids).
     val banded = signed.withColumn("__bands",
-      array((0 until bands).map(j =>
-        shiftright(col("__sig"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
+      transform(sequence(lit(0), lit(bands - 1)), j => {
+        val word = element_at(col("__sig"), (j / lit(bandsPerWord)).cast("int") + 1)
+        val shift = (pmod(j, lit(bandsPerWord)) * bitsPerBand).cast("int")
+        call_function("shiftright", word, shift).bitwiseAND(lit(mask))
+      }))
     val cands = Dedup.candidatePairs(banded, "__id", "__bands")
     cands
       .join(signed.select(col("__id").as("id_a"), col("__e").as("__ea")), "id_a")
