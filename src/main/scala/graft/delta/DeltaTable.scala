@@ -72,10 +72,47 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     }
     val files = snap.activeFiles.map(f => new Path(tablePath, f.path).toString)
     val reader = spark.read.option("basePath", path)
-    val df = (if (schema.nonEmpty) reader.schema(schema) else reader).parquet(files: _*)
+    // Column mapping (reference: src/delta/snapshot.ts:29-83, applied at
+    // table.ts:1753-1756): files store physical names from the schema's
+    // `delta.columnMapping.physicalName` field metadata; read physical,
+    // rename to logical.
+    val physical = physicalSchema(schema)
+    val readSchema = physical.getOrElse(schema)
+    val raw = (if (readSchema.nonEmpty) reader.schema(readSchema) else reader)
+      .parquet(files: _*)
+    val df = physical match {
+      case Some(_) => raw.toDF(schema.fieldNames.toIndexedSeq: _*)
+      case None => raw
+    }
     // Interop: drop rows masked by deletion vectors (no-op when none exist).
     DeletionVectors.applyMask(this, df, snap.activeFiles)
   }
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** Physical-name view of the schema, when any field declares a mapping. */
+  private def physicalSchema(schema: StructType): Option[StructType] = {
+    val mapped = schema.fields.map { f =>
+      if (f.metadata.contains(PhysicalNameKey))
+        f.copy(name = f.metadata.getString(PhysicalNameKey))
+      else f
+    }
+    if (mapped.zip(schema.fields).exists { case (a, b) => a.name != b.name })
+      Some(StructType(mapped))
+    else None
+  }
+
+  /** Lazily iterate rows one at a time (reference: queryIterator,
+    * src/delta/table.ts:1927-1981) — early termination stops fetching
+    * partitions. */
+  def rowIterator(filterJson: String = "{}"): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    query(filterJson).toLocalIterator().asScala
+  }
+
+  /** Batched iteration (reference: queryBatch, src/delta/table.ts:2014-2087). */
+  def batchIterator(filterJson: String = "{}", batchSize: Int = 1000): Iterator[Seq[Row]] =
+    rowIterator(filterJson).grouped(batchSize)
 
   def toDF(): DataFrame = toDF(snapshot())
 
@@ -90,6 +127,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             version: Option[Long] = None): DataFrame = {
     val snap = snapshot(version)
     val filter = JsonMethods.parse(filterJson)
+    MongoFilter.validate(filter)
     val pruned = FilePruner.prune(snap, filter)
     val df0 = toDF(snap.copy(activeFiles = pruned))
     val df1 = df0.filter(MongoFilter.translate(filter, df0.schema))

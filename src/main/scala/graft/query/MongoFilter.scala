@@ -33,6 +33,26 @@ import org.json4s.jackson.JsonMethods
  */
 object MongoFilter {
 
+  /** Operator whitelist enforced at query entry (reference validates before
+    * evaluating, src/delta/table.ts:1847-1893; eval itself skips unknowns). */
+  private val KnownOperators = Set(
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
+    "$exists", "$regex", "$options", "$type", "$and", "$or", "$not", "$nor")
+
+  final class FilterValidationException(op: String)
+    extends IllegalArgumentException(s"unknown filter operator: $op")
+
+  /** Throw on operators outside the whitelist (recursively). */
+  def validate(filter: JValue): Unit = filter match {
+    case JObject(fields) => fields.foreach { case (k, v) =>
+      if (k.startsWith("$") && !KnownOperators.contains(k))
+        throw new FilterValidationException(k)
+      validate(v)
+    }
+    case JArray(items) => items.foreach(validate)
+    case _ => ()
+  }
+
   /** Parse a JSON filter document and translate against `schema`. */
   def column(filterJson: String, schema: StructType): Column =
     translate(JsonMethods.parse(filterJson), schema)

@@ -1,0 +1,56 @@
+package graft.delta
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+
+class ColumnMappingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("physical→logical column mapping applied on read") {
+    val dir = Files.createTempDirectory("graft-cm").toString
+    // Data files carry PHYSICAL names (as an external column-mapping writer would).
+    Seq((1, "a"), (2, "b")).toDF("col-abc123", "col-def456")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/data")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val part = t.log.fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    t.log.fs.rename(part, new org.apache.hadoop.fs.Path(dir, "mapped.parquet"))
+    // Log declares LOGICAL names with physicalName field metadata.
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-abc123").build()),
+      StructField("s", StringType, nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", "col-def456").build())))
+    t.log.writeCommit(0, Seq[Action](
+      Protocol(),
+      TableMetadata(id = "cm-test", schemaString = schema.json,
+        configuration = Map("delta.columnMapping.mode" -> "name")),
+      AddFile("mapped.parquet", size = 1L),
+      CommitInfo(0L, "EXTERNAL-WRITE")))
+    val df = t.toDF()
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.orderBy("id").as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "b")))
+    // Mongo query on logical names works too
+    assert(t.query("""{"id":{"$gte":2}}""").count() == 1)
+  }
+
+  test("row/batch iterators stream lazily") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-it").toString)
+    t.write((1 to 100).map(i => (i, s"r$i")).toDF("id", "s"))
+    val it = t.rowIterator("""{"id":{"$lte":10}}""")
+    assert(it.take(3).size == 3)
+    val batches = t.batchIterator("{}", batchSize = 30).toSeq
+    assert(batches.map(_.size).sum == 100)
+    assert(batches.head.size == 30)
+  }
+
+  test("unknown filter operators are rejected at query entry") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-val").toString)
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    intercept[graft.query.MongoFilter.FilterValidationException] {
+      t.query("""{"id":{"$bogus":1}}""")
+    }
+  }
+}
