@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class NativeExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native dot product is bit-identical to the composed built-in version") {
+    val r = new scala.util.Random(11)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat), Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("id", "a", "b")
+    val both = df.select(
+      NativeExpressions.dotNative($"a", $"b").as("native"),
+      graft.Tables.dotComposed($"a", $"b").as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+    // and against mixed float/double (literal hyperplane)
+    val plane = Array.fill(64)(r.nextGaussian())
+    val mixed = df.select(
+      NativeExpressions.dotNative($"a", typedlit(plane)).as("native"),
+      graft.Tables.dotComposed($"a", typedlit(plane)).as("composed"))
+    assert(mixed.filter($"native" =!= $"composed").count() == 0)
+  }
+
+  test("native dot participates in whole-stage codegen") {
+    val df = spark.range(100).select(
+      array($"id".cast("double"), ($"id" + 1).cast("double")).as("a"),
+      array(($"id" + 2).cast("double"), ($"id" + 3).cast("double")).as("b"))
+    val out = df.select(NativeExpressions.dotNative($"a", $"b").as("d"))
+    assert(out.head().getDouble(0) == 3.0) // 0*2 + 1*3
+    // '*' node prefix marks a WholeStageCodegen stage — the expression did
+    // not force an interpreted fallback.
+    val hasCodegenStage = out.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage)
+  }
+
+  test("cosineNative matches Tables.cosine") {
+    val r = new scala.util.Random(5)
+    val df = (0 until 50).map { i =>
+      (Array.fill(16)(r.nextGaussian().toFloat), Array.fill(16)(r.nextGaussian().toFloat))
+    }.toDF("a", "b")
+    val cmp = df.select(
+      NativeExpressions.cosineNative($"a", $"b").as("n"),
+      graft.Tables.cosine($"a", $"b").as("c"))
+    assert(cmp.filter($"n" =!= $"c").count() == 0)
+  }
+}
