@@ -518,6 +518,32 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   def checkpoint(): Unit = Checkpoints.write(spark, log, snapshot())
 
+  /**
+   * Retention cleanup (reference: checkpoint retention of 10 + log cleanup
+   * below the oldest retained checkpoint, src/delta/checkpoint.ts:476-589):
+   * keep the newest `keepCheckpoints` checkpoints, delete older checkpoint
+   * files and all commit JSONs below the oldest retained checkpoint (those
+   * versions remain reconstructible FROM that checkpoint onward; earlier
+   * time travel is given up, which is the point of retention).
+   */
+  def cleanupLog(keepCheckpoints: Int = 10): (Int, Int) = {
+    val cps = Checkpoints.listCheckpointVersions(log)
+    if (cps.size <= keepCheckpoints) return (0, 0)
+    val retained = cps.takeRight(keepCheckpoints)
+    val oldest = retained.head
+    var cpDeleted = 0; var commitsDeleted = 0
+    cps.dropRight(keepCheckpoints).foreach { v =>
+      if (fs.delete(log.checkpointFile(v), false)) cpDeleted += 1
+      // multi-part pieces, if any
+      fs.globStatus(new Path(log.logPath, f"$v%020d.checkpoint.*.parquet"))
+        .foreach(st => if (fs.delete(st.getPath, false)) cpDeleted += 1)
+    }
+    log.listCommitVersions().filter(_ < oldest).foreach { v =>
+      if (fs.delete(log.commitFile(v), false)) commitsDeleted += 1
+    }
+    (cpDeleted, commitsDeleted)
+  }
+
   /** Commit history, newest first. */
   def history(): Seq[(Long, Seq[Action])] =
     log.listCommitVersions().reverse.map(v => v -> log.readCommit(v))

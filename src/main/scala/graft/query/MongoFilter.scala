@@ -70,8 +70,12 @@ object MongoFilter {
   private def entry(key: String, v: JValue, schema: StructType): Column = key match {
     case "$and" => subFilters(v, schema).reduce(_ && _)
     case "$or"  => subFilters(v, schema).reduce(_ || _)
-    case "$nor" => !subFilters(v, schema).reduce(_ || _)
-    case "$not" => !translate(v, schema)
+    // Negation must be two-valued: an ordered compare / regex on a null field
+    // is SQL-NULL (which correctly "never matches" at the top level), but the
+    // reference's row semantics make `$not` of a non-match TRUE — so coalesce
+    // NULL→false before negating (src/query/index.ts:271-277).
+    case "$nor" => !coalesce(subFilters(v, schema).reduce(_ || _), lit(false))
+    case "$not" => !coalesce(translate(v, schema), lit(false))
     case k if k.startsWith("$") =>
       // Unknown top-level $-operators are skipped by the reference
       // (src/query/index.ts:280-284): treat as match-all.
@@ -108,6 +112,12 @@ object MongoFilter {
       case "$regex" =>
         if (isString(path, schema)) {
           val pattern = v match { case JString(s) => s; case other => other.toString }
+          // ReDoS cap: patterns over 1000 chars are rejected
+          // (src/query/index.ts:43-46; the reference also caps input at 10 KB —
+          // columnar strings make the input side moot here).
+          if (pattern.length > 1000)
+            throw new IllegalArgumentException(
+              s"regex pattern too long (${pattern.length} > 1000)")
           val opts = siblings.get("$options").collect { case JString(s) => s }.getOrElse("")
           val p = if (opts.contains("i")) "(?i)" + pattern else pattern
           f.rlike(p)
