@@ -44,8 +44,15 @@ object Dedup {
     // under 2^62 for a,b < 2^31, so the expression is ANSI-safe.
     minhashFromHashes(transform(shingles, s => pmod(xxhash64(s), lit(Prime))), k, seed)
 
-  /** Signature over pre-reduced shingle hashes (values in [0, Prime)). */
-  def minhashFromHashes(hashes: Column, k: Int, seed: Long): Column = {
+  /** Signature over pre-reduced shingle hashes (values in [0, Prime)).
+    * Codegen'd fused kernel; [[minhashFromHashesHof]] is the reference
+    * composition it must stay bit-identical to (NativeExpressionsSpec). */
+  def minhashFromHashes(hashes: Column, k: Int, seed: Long): Column =
+    NativeExpressions.minhashNative(hashes, k, seed)
+
+  /** HOF composition of the signature (interpreted; kept as the semantic
+    * reference for the native kernel). Uses the same (a,b) sequence. */
+  def minhashFromHashesHof(hashes: Column, k: Int, seed: Long): Column = {
     val ab = typedlit(perms(k, seed))
     transform(ab, p =>
       array_min(transform(hashes,
@@ -132,9 +139,13 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash of a token array: per-bit vote of token hashes. Static
-    * per-bit shifts keep everything in codegen'd built-ins. */
-  def simhash64(toks: Column): Column = {
+  /** 64-bit SimHash of a token array: per-bit vote of token hashes.
+    * Codegen'd fused kernel; [[simhash64Hof]] is the semantic reference. */
+  def simhash64(toks: Column): Column =
+    NativeExpressions.simhashNative(transform(toks, t => xxhash64(t)))
+
+  /** HOF composition (interpreted) the native kernel must agree with. */
+  def simhash64Hof(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0L),

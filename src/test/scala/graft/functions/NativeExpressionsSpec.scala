@@ -36,6 +36,33 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(hasCodegenStage)
   }
 
+  test("native minhash signature is bit-identical to the HOF composition") {
+    val r = new scala.util.Random(7)
+    val df = (0 until 100).map { i =>
+      // variable-length shingle-hash arrays, incl. one empty
+      (i.toLong, Array.fill(if (i == 3) 0 else 1 + r.nextInt(40))(r.nextInt(Int.MaxValue).toLong))
+    }.toDF("id", "h")
+    val cmp = df.select(
+      $"id",
+      NativeExpressions.minhashNative($"h", 128, 42L).as("n"),
+      Dedup.minhashFromHashesHof($"h", 128, 42L).as("c"))
+    assert(cmp.filter(!($"n" <=> $"c")).count() == 0)
+    // empty input → k nulls, like array_min over an empty transform
+    val empties = cmp.filter($"id" === 3).select($"n").head().getSeq[Any](0)
+    assert(empties.size == 128 && empties.forall(_ == null))
+  }
+
+  test("native simhash64 is bit-identical to the HOF composition") {
+    val r = new scala.util.Random(9)
+    val df = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(1 + r.nextInt(30))(s"tok${r.nextInt(50)}"))
+    }.toDF("id", "toks")
+    val cmp = df.select(
+      Dedup.simhash64($"toks").as("n"),
+      Dedup.simhash64Hof($"toks").as("c"))
+    assert(cmp.filter(!($"n" <=> $"c")).count() == 0)
+  }
+
   test("cosineNative matches Tables.cosine") {
     val r = new scala.util.Random(5)
     val df = (0 until 50).map { i =>
