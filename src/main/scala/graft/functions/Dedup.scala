@@ -74,16 +74,26 @@ object Dedup {
    * Candidate pairs from banded signatures: explode bands, shuffle on
    * (band index, band hash), pair ids within buckets. `df` must carry
    * `idCol` and `bandsCol`.
+   *
+   * Pairs sharing several bands are emitted exactly once — from their FIRST
+   * shared band (both sides carry their band arrays, and a pair is kept only
+   * when no earlier band matches). This replaces a `distinct()` over the
+   * full candidate stream: at scale that distinct is a second shuffle of the
+   * largest intermediate in the job, while the first-band filter is a
+   * per-row check on two short arrays.
    */
   def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
-    val buckets = df.select(col(idCol).as("__id"), posexplode(col(bandsCol)))
-      .toDF("__id", "__band", "__bh")
+    val buckets = df.select(col(idCol).as("__id"),
+        col(bandsCol).cast("array<bigint>").as("__bs"),
+        posexplode(col(bandsCol).cast("array<bigint>")))
+      .toDF("__id", "__bs", "__band", "__bh")
     buckets.as("a").join(buckets.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__bh") === col("b.__bh") &&
           col("a.__id") < col("b.__id"))
+      .filter(!NativeExpressions.sharesEarlierBand(
+        col("a.__bs"), col("b.__bs"), col("a.__band")))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -216,6 +216,57 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * True when two band arrays agree at any index below `band` — the dedup
+ * predicate for first-shared-band candidate emission in LSH: a pair found in
+ * bucket `band` is kept only if this is false (no earlier bucket already
+ * produced it). Codegen'd so the check costs a short loop per candidate, not
+ * interpreted `slice`/`zip_with`/`exists` allocations.
+ */
+case class SharesEarlierBand(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"shares_earlier_band expects (array<bigint>, array<bigint>, int), " +
+          s"got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(a: Any, b: Any, band: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = band.asInstanceOf[Int]
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, band) => {
+      val i = ctx.freshName("i")
+      val found = ctx.freshName("found")
+      s"""
+         |boolean $found = false;
+         |for (int $i = 0; $i < $band; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $found = true; break; }
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SharesEarlierBand =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object NativeExpressions {
 
   /** Codegen'd dot product of two float/double array columns. */
@@ -236,4 +287,9 @@ object NativeExpressions {
   /** Codegen'd 64-bit SimHash over token hashes. */
   def simhashNative(tokenHashes: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokenHashes)))
+
+  /** True when the two band arrays agree at any index below `band`. */
+  def sharesEarlierBand(a: Column, b: Column, band: Column): Column =
+    ColumnShim.column(SharesEarlierBand(
+      ColumnShim.expression(a), ColumnShim.expression(b), ColumnShim.expression(band)))
 }

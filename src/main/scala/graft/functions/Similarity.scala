@@ -71,9 +71,13 @@ object Similarity {
     val bandsPerWord = 64 / bitsPerBand
     val planes = hyperplanes(dim, nBits, seed)
     // Cache: the nBits-dot-product signature feeds both sides of the bucket
-    // self-join; computing it once per row halves the dominant cost.
+    // self-join; computing it once per row halves the dominant cost. The
+    // norm rides along so candidate verification is ONE dot product instead
+    // of three (sqrt(dot(a,a))*sqrt(dot(b,b)) is precomputed per row —
+    // same doubles, same product, so cos stays bit-identical to cosine()).
     val signed = vectors.select(col(idCol).as("__id"), col(embCol).as("__e"))
       .withColumn("__sig", signature(col("__e"), planes))
+      .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
       .cache()
     val mask = (1L << bitsPerBand) - 1
     // One transform over band indexes → the signature subtree (nBits dot
@@ -87,9 +91,9 @@ object Similarity {
       }))
     val cands = Dedup.candidatePairs(banded, "__id", "__bands")
     cands
-      .join(signed.select(col("__id").as("id_a"), col("__e").as("__ea")), "id_a")
-      .join(signed.select(col("__id").as("id_b"), col("__e").as("__eb")), "id_b")
-      .withColumn("cos", cosine(col("__ea"), col("__eb")))
+      .join(signed.select(col("__id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na")), "id_a")
+      .join(signed.select(col("__id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb")), "id_b")
+      .withColumn("cos", dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

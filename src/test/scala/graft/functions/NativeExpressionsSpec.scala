@@ -63,6 +63,22 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(cmp.filter(!($"n" <=> $"c")).count() == 0)
   }
 
+  test("candidatePairs first-shared-band emission equals distinct of all bucket pairs") {
+    val r = new scala.util.Random(13)
+    // small band-key space forces heavy multi-band collisions
+    val df = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8)(r.nextInt(4).toLong))
+    }.toDF("id", "bands")
+    val got = Dedup.candidatePairs(df, "id", "bands")
+      .as[(Long, Long)].collect().toSeq
+    val buckets = df.select($"id", posexplode($"bands")).toDF("id", "band", "bh")
+    val expected = buckets.as("a").join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.id" < $"b.id")
+      .select($"a.id", $"b.id").distinct().as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size, "pairs must be emitted exactly once")
+    assert(got.toSet == expected.toSet)
+  }
+
   test("cosineNative matches Tables.cosine") {
     val r = new scala.util.Random(5)
     val df = (0 until 50).map { i =>
