@@ -100,6 +100,14 @@ object NorthStarQueries {
         .select(col("window.start").cast(TimestampNTZType).as("window_start"),
           col("event_type"), col("n"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- variant shredding: parse-once typed materialization of JSON ----
+    "n8_variant_shred" -> ((s, dir) => {
+      graft.functions.Variant.shred(events(s, dir),
+          "props", Seq("k" -> IntegerType))
+        .select(col("event_id"), col("event_type"), col("props_k"))
+        .orderBy(col("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -145,5 +153,10 @@ object NorthStarQueries {
     "n7_stream_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "n8_variant_shred" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
+        |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -429,6 +429,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Append-only commit of pre-written files (used by merge inserts). */
+  /** Remove an uncommitted data file (e.g. a zero-row part the writer made). */
+  private[delta] def deleteDataFile(rel: String): Unit =
+    fs.delete(new Path(tablePath, rel), false)
+
   private[delta] def appendCommit(adds: Seq[AddFile], op: String): Long =
     Retry.withRetry() {
       val snap = snapshot()

@@ -55,16 +55,19 @@ object Merge {
     val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
     val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
 
-    // Which target files contain matches (these are the only ones rewritten).
+    // Which target files contain matches (these are the only ones rewritten)
+    // and how many rows matched — ONE pass over the target⟕source join
+    // instead of a distinct-collect plus a separate count.
     val joined = target.join(packed, joinCond, "left_outer")
-    val matchedFiles = joined.filter(col("__src").isNotNull)
-      .select(col("__file")).distinct().collect().map(_.getString(0)).toSeq
+    val matchAgg = joined.filter(col("__src").isNotNull)
+      .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
+    val nMatched = matchAgg.getLong(0)
+    val matchedFiles = matchAgg.getSeq[String](1)
 
     val (updated, deleted) =
       if (matchedFiles.isEmpty) (0L, 0L)
       else {
         val inFiles = joined.filter(col("__file").isin(matchedFiles: _*))
-        val nMatched = inFiles.filter(col("__src").isNotNull).count()
         val rewritten: DataFrame = matched match {
           case MergeAction.UpdateAll =>
             val cols = dataCols.map { c =>
@@ -90,23 +93,27 @@ object Merge {
         (upds, dels)
       }
 
-    // Inserts: source rows with no key match in the WHOLE target.
+    // Inserts: source rows with no key match in the WHOLE target. Written
+    // directly; the count comes from the files' own numRecords stats, so the
+    // anti-join is evaluated once (no separate count job over the target).
     val inserted =
       if (!insertUnmatched) 0L
       else {
         val targetKeys = table.toDF(snap).select(keyColumns.map(col): _*).distinct()
         val newRows = src.join(targetKeys, keyColumns, "left_anti")
-        val n = newRows.count()
-        if (n > 0) {
-          // Align to table schema: missing columns null, present ones cast.
-          val aligned = newRows.select(schema.fields.map { f =>
-            if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-          val adds = table.writeDataFiles(aligned, snap.partitionColumns, schema)
-          table.appendCommit(adds, "MERGE-INSERT")
-        }
-        n
+        // Align to table schema: missing columns null, present ones cast.
+        val aligned = newRows.select(schema.fields.map { f =>
+          if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        val adds = table.writeDataFiles(aligned, snap.partitionColumns, schema)
+        val counted = adds.map(a =>
+          a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
+        val nonEmpty = counted.filter(_._2 > 0)
+        if (nonEmpty.nonEmpty) table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
+        // drop any zero-row part files the writer produced
+        counted.filterNot(_._2 > 0).foreach(a => table.deleteDataFile(a._1.path))
+        nonEmpty.map(_._2).sum
       }
     MergeResult(updated, deleted, inserted, table.version)
   }
