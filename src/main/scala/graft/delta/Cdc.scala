@@ -49,31 +49,65 @@ object Cdc {
   private def listVersions(table: DeltaTable): Seq[(Long, Path)] = {
     val dir = changeDataDir(table.tablePath)
     if (!table.log.fs.exists(dir)) return Nil
-    val Re = raw"cdc-(\d{20})\.parquet".r
+    val Re = raw"cdc-(\d{20})\.(parquet|json)".r
     table.log.fs.listStatus(dir).iterator.flatMap { st =>
       st.getPath.getName match {
-        case Re(v) => Some(v.toLong -> st.getPath)
+        case Re(v, _) => Some(v.toLong -> st.getPath)
         case _ => None
       }
     }.toSeq.sortBy(_._1)
   }
 
+  /** Content sniffing, like the reference (cdc/index.ts:1462-1558): a CDC
+    * entry is Parquet iff it is a Spark-written directory or starts with the
+    * PAR1 magic; anything else is parsed as (ND)JSON for interop with feeds
+    * written by other tools. */
+  private def isParquet(table: DeltaTable, p: Path): Boolean = {
+    val fs = table.log.fs
+    fs.getFileStatus(p).isDirectory || {
+      val in = fs.open(p)
+      try {
+        val b = new Array[Byte](4)
+        in.readFully(b)
+        java.util.Arrays.equals(b, "PAR1".getBytes("US-ASCII"))
+      } catch { case _: java.io.IOException => false }
+      finally in.close()
+    }
+  }
+
+  private def readFiles(table: DeltaTable, files: Seq[Path]): DataFrame = {
+    val spark = table.spark
+    val (pq, js) = files.partition(isParquet(table, _))
+    val jsonDf = if (js.isEmpty) None else Some {
+      var df = spark.read.json(js.map(_.toString): _*)
+      // JSON carries no types: restore the CDF column types for the union.
+      if (df.columns.contains(CommitVersion))
+        df = df.withColumn(CommitVersion, col(CommitVersion).cast("long"))
+      if (df.columns.contains(CommitTimestamp))
+        df = df.withColumn(CommitTimestamp, to_timestamp(col(CommitTimestamp)))
+      df
+    }
+    val pqDf = if (pq.isEmpty) None else Some(spark.read.parquet(pq.map(_.toString): _*))
+    (pqDf.toSeq ++ jsonDf.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Changes for versions in [start, end] (reference: cdc/index.ts:1244-1254). */
   def readByVersion(table: DeltaTable, start: Long, end: Long): DataFrame = {
     val files = listVersions(table)
-      .filter { case (v, _) => v >= start && v <= end }.map(_._2.toString)
+      .filter { case (v, _) => v >= start && v <= end }.map(_._2)
     if (files.isEmpty)
       throw new IllegalArgumentException(s"no CDC data in version range [$start,$end]")
-    table.spark.read.parquet(files: _*)
+    readFiles(table, files)
   }
 
   /** Changes with commit timestamp in [startMs, endMs], ascending
     * (reference: cdc/index.ts:1259-1270). */
   def readByTimestamp(table: DeltaTable, startMs: Long, endMs: Long): DataFrame = {
-    val files = listVersions(table).map(_._2.toString)
+    val files = listVersions(table).map(_._2)
     if (files.isEmpty)
       throw new IllegalArgumentException("no CDC data")
-    table.spark.read.parquet(files: _*)
+    readFiles(table, files)
       .filter(col(CommitTimestamp) >= timestamp_millis(lit(startMs)) &&
         col(CommitTimestamp) <= timestamp_millis(lit(endMs)))
       .orderBy(col(CommitTimestamp))

@@ -95,6 +95,29 @@ class MergeCdcSpec extends SparkTestBase {
     assert(c2.poll().isDefined)
   }
 
+  test("CDC read sniffs formats: foreign NDJSON files union with parquet") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s")) // v0
+    t.enableCDC() // v1
+    t.write(Seq((2, "b")).toDF("id", "s")) // v2: insert captured as parquet
+    // a JSON CDC file as another tool would write it (reference sniffs
+    // content, cdc/index.ts:1462-1558)
+    val dir = Cdc.changeDataDir(t.tablePath)
+    val jsonFile = new org.apache.hadoop.fs.Path(dir, f"cdc-${3L}%020d.json")
+    val out = t.log.fs.create(jsonFile, true)
+    out.write(
+      """{"id": 9, "s": "z", "_change_type": "insert", "_commit_version": 3, "_commit_timestamp": "2026-01-01T00:00:00Z"}
+        |""".stripMargin.getBytes("UTF-8"))
+    out.close()
+    val changes = Cdc.readByVersion(t, 2, 3)
+    assert(changes.count() == 2)
+    val ids = changes.select("id").as[Long].collect().toSet
+    assert(ids == Set(2L, 9L))
+    val vNine = changes.filter(col("id") === 9)
+      .select(Cdc.CommitVersion).as[Long].head()
+    assert(vNine == 3L)
+  }
+
   test("readByTimestamp filters and sorts ascending") {
     val t = tmpTable()
     t.write(Seq((1, "a")).toDF("id", "s"))
