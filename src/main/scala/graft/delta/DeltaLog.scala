@@ -34,7 +34,15 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
   def lastCheckpointFile: Path = new Path(logPath, "_last_checkpoint")
 
   /** Latest committed version, or -1 for an empty/nonexistent log. */
-  def latestVersion(): Long = listCommitVersions().lastOption.getOrElse(-1L)
+  /** Latest known version: the newest commit file, or — when log cleanup has
+    * removed every commit at/below a checkpoint — the checkpointed version
+    * itself (the checkpoint is complete state, so the version is live even
+    * with no commit JSON present). */
+  def latestVersion(): Long = {
+    val fromCommits = listCommitVersions().lastOption.getOrElse(-1L)
+    val fromCheckpoint = readLastCheckpoint().map(_._1).getOrElse(-1L)
+    math.max(fromCommits, fromCheckpoint)
+  }
 
   def listCommitVersions(): Seq[Long] =
     if (!fs.exists(logPath)) Nil

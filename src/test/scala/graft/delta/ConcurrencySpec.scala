@@ -31,6 +31,26 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.toDF().select("id").as[Int].collect().toSet == (Set(-1) ++ (0 until 6)))
   }
 
+  test("multi-part checkpoint round-robins actions and reconstructs via pointer") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-mp").toString)
+    (0 until 5).foreach(i => t.write(Seq((i, s"r$i")).toDF("id", "s")))
+    val snap = t.snapshot()
+    // Force multi-part: >= 7 actions (metaData + protocol + 5 adds), 2/part.
+    Checkpoints.write(spark, t.log, snap, actionsPerPart = 2L)
+    val Some((cv, nActions, parts)) = t.log.readLastCheckpoint()
+    assert(cv == snap.version && parts.exists(_ >= 3) && nActions >= 7)
+    // direct read of the parts reassembles the full state
+    val cp = Checkpoints.read(spark, t.log, cv, parts)
+    assert(cp.activeFiles.size == 5 && cp.metadata.nonEmpty && cp.protocol.nonEmpty)
+    // and the normal snapshot path resolves through the multi-part pointer
+    // even with the pre-checkpoint commits gone (state only from checkpoint)
+    t.log.listCommitVersions().filter(_ <= cv)
+      .foreach(v => t.log.fs.delete(t.log.commitFile(v), false))
+    val fresh = DeltaTable.forPath(spark, t.path)
+    assert(fresh.toDF().count() == 5)
+    assert(fresh.snapshot().version == cv)
+  }
+
   test("log cleanup keeps recent checkpoints, drops commits below retention") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-clean").toString)
     t.checkpointInterval = 2 // checkpoints at v1, v3, v5, ...
