@@ -112,15 +112,15 @@ object MongoFilter {
       case "$regex" =>
         if (isString(path, schema)) {
           val pattern = v match { case JString(s) => s; case other => other.toString }
-          // ReDoS cap: patterns over 1000 chars are rejected
-          // (src/query/index.ts:43-46; the reference also caps input at 10 KB —
-          // columnar strings make the input side moot here).
+          // ReDoS caps (src/query/index.ts:43-46,474-494): patterns over
+          // 1000 chars are rejected; input strings over 10000 chars NEVER
+          // match (the reference returns false rather than running the regex).
           if (pattern.length > 1000)
             throw new IllegalArgumentException(
               s"regex pattern too long (${pattern.length} > 1000)")
           val opts = siblings.get("$options").collect { case JString(s) => s }.getOrElse("")
           val p = if (opts.contains("i")) "(?i)" + pattern else pattern
-          f.rlike(p)
+          length(f) <= 10000 && f.rlike(p)
         } else lit(false) // non-strings never match (src/query/index.ts:474-477)
       case "$options" => lit(true) // consumed alongside $regex
       case "$type" => lit(true)    // accepted-but-ignored, per reference

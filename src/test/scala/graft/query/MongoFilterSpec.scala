@@ -67,6 +67,20 @@ class MongoFilterSpec extends SparkTestBase {
     assert(ids("""{"n":{"$regex":"1"}}""") == Seq())
   }
 
+  test("$regex ReDoS caps: long patterns rejected, >10k-char inputs never match") {
+    intercept[IllegalArgumentException] {
+      ids(s"""{"s":{"$$regex":"${"a" * 1001}"}}""")
+    }
+    val big = Seq((1, "x" * 10001), (2, "x" * 9999)).toDF("id", "s")
+    val got = big.filter(MongoFilter.column("""{"s":{"$regex":"^x+$"}}""", big.schema))
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(2))
+    // and under $not the capped row MATCHES (two-valued negation)
+    val neg = big.filter(MongoFilter.column("""{"$not":{"s":{"$regex":"^x+$"}}}""", big.schema))
+      .select("id").as[Int].collect().toSeq
+    assert(neg == Seq(1))
+  }
+
   test("$exists on declared vs undeclared fields") {
     assert(ids("""{"zzz":{"$exists":true}}""") == Seq())
     assert(ids("""{"zzz":{"$exists":false}}""") == Seq(1, 2, 3, 4, 5))
