@@ -108,6 +108,21 @@ object NorthStarQueries {
           "props", Seq("k" -> IntegerType))
         .select(col("event_id"), col("event_type"), col("props_k"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- session windows: 30-min-gap sessionization per user ----
+    // Spark's session_window merges events whose gap is strictly under the
+    // duration (next < last+gap); the oracle mirrors that as gaps-and-islands
+    // with a `>= gap` session break. One shuffle on user_id.
+    "n9_session_window" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("tst", col("ts").cast(TimestampType)) // session TZ is UTC
+      ev.groupBy(col("user_id"), session_window(col("tst"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast(TimestampNTZType).as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -158,5 +173,21 @@ object NorthStarQueries {
     "n8_variant_shred" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "n9_session_window" ->
+      s"""WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        |  ${sqlDsum("value")} AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
 }
