@@ -126,9 +126,11 @@ object NorthStarQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // SUM(INTEGER) is HUGEINT (arrow decimal128) in DuckDB but int64 in
+    // Spark — cast to BIGINT so the type-sensitive hash compare agrees.
     "n1_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
         |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -82,6 +82,20 @@ object Checkpoints {
     Snapshot(version, metadata, protocol, adds.result(), removes.result())
   }
 
+  /** Part layout of the checkpoint at `version`, recovered from file names:
+    * `None` = single-file, `Some(n)` = n-part. Used when the `_last_checkpoint`
+    * pointer is missing or lags (the discovery fallback must not assume
+    * single-file — a multi-part checkpoint read through the single-file path
+    * fails on a file that doesn't exist). */
+  def partsFor(log: DeltaLog, version: Long): Option[Int] = {
+    if (log.fs.exists(log.checkpointFile(version))) return None
+    val PartRe = raw"\d{20}\.checkpoint\.\d{10}\.(\d{10})\.parquet".r
+    log.fs.globStatus(new org.apache.hadoop.fs.Path(
+        log.logPath, f"$version%020d.checkpoint.*.parquet"))
+      .iterator.map(_.getPath.getName)
+      .collectFirst { case PartRe(n) => n.toInt }
+  }
+
   /** Versions that have a (single or multi-part) checkpoint on disk. */
   def listCheckpointVersions(log: DeltaLog): Seq[Long] = {
     if (!log.fs.exists(log.logPath)) return Nil

@@ -63,23 +63,53 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
     Actions.fromNdjson(readString(commitFile(version)))
 
   /**
-   * Atomically write commit `version`. Create-if-not-exists is the whole
-   * concurrency story: losing the race throws [[ConcurrencyException]], and
-   * callers retry on a fresh snapshot (reference: src/delta/retry.ts:79-134).
+   * Atomically write commit `version`. Losing the race for a version throws
+   * [[ConcurrencyException]] and callers retry on a fresh snapshot
+   * (reference: src/delta/retry.ts:79-134).
+   *
+   * STORAGE CONTRACT (reference: src/storage/types.ts:81-119): correctness
+   * requires an ATOMIC create-if-not-exists. Hadoop's local filesystem (and
+   * S3A) implement `create(path, overwrite=false)` as check-then-create, so
+   * two drivers racing the same version could both "succeed" and one commit
+   * would be silently overwritten. On `file:` URIs we therefore commit via
+   * write-to-temp + hard-link (POSIX `link(2)` fails with EEXIST atomically),
+   * with a post-link content verify. Other schemes use `create(overwrite
+   * = false)` and require the filesystem to honor it atomically (HDFS does;
+   * plain S3 needs an external log store or if-none-match support).
    */
   def writeCommit(version: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logPath)
     val target = commitFile(version)
     if (fs.exists(target)) throw new ConcurrencyException(version)
-    val out =
-      try fs.create(target, /*overwrite=*/ false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrencyException(version)
-      }
-    try out.write(Actions.toNdjson(actions).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val body = Actions.toNdjson(actions).getBytes(StandardCharsets.UTF_8)
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
+      val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmpNio = targetNio.resolveSibling(
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmpNio, body)
+      try {
+        try java.nio.file.Files.createLink(targetNio, tmpNio)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new ConcurrencyException(version)
+        }
+        // Post-link verify: the link call is the atomic arbiter, but a
+        // filesystem that downgraded it to copy semantics would corrupt the
+        // log silently — fail loudly instead.
+        if (!java.util.Arrays.equals(java.nio.file.Files.readAllBytes(targetNio), body))
+          throw new java.io.IOException(s"commit $version verify failed after link")
+      } finally java.nio.file.Files.deleteIfExists(tmpNio)
+    } else {
+      val out =
+        try fs.create(target, /*overwrite=*/ false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            throw new ConcurrencyException(version)
+        }
+      try out.write(body)
+      finally out.close()
+    }
   }
 
   // ---- _last_checkpoint ----------------------------------------------------

@@ -43,9 +43,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (target < 0) return Snapshot.empty
     val cpFromPointer = log.readLastCheckpoint().filter(_._1 <= target)
     val cp = cpFromPointer.orElse {
-      // Fallback: scan for checkpoint files (pointer may lag or be missing).
+      // Fallback: scan for checkpoint files (pointer may lag or be missing);
+      // recover the part count from the file names, not an assumed layout.
       Checkpoints.listCheckpointVersions(log).filter(_ <= target).lastOption
-        .map(v => (v, 0L, None))
+        .map(v => (v, 0L, Checkpoints.partsFor(log, v)))
     }
     val (base, from) = cp match {
       case Some((cv, _, parts)) =>
@@ -310,11 +311,18 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     case d: Double => Some(JDouble(d))
     case f: Float => Some(JDouble(f.toDouble))
     case b: Boolean => Some(JBool(b))
+    // Timestamps serialize as fixed-precision UTC ISO-8601 (FilePruner's
+    // canonical form): Timestamp.toLocalDateTime would use the JVM-default
+    // zone and LocalDateTime.toString drops trailing ':00' seconds — both
+    // break the pruner's ordered compare against filter literals.
     case t: java.sql.Timestamp =>
-      Some(JString(t.toLocalDateTime.toString))
-    case ldt: java.time.LocalDateTime => Some(JString(ldt.toString))
+      Some(JString(FilePruner.CanonFormat.format(
+        java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC))))
+    case ldt: java.time.LocalDateTime =>
+      Some(JString(FilePruner.CanonFormat.format(ldt)))
     case inst: java.time.Instant =>
-      Some(JString(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC).toString))
+      Some(JString(FilePruner.CanonFormat.format(
+        java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))))
     case d: java.sql.Date => Some(JString(d.toString))
     case ld: java.time.LocalDate => Some(JString(ld.toString))
     case dec: java.math.BigDecimal => Some(JDecimal(BigDecimal(dec)))

@@ -78,17 +78,18 @@ object FilePruner {
     val dt = schema.fields.find(_.name == field).map(_.dataType).getOrElse(return true)
     val lo = stats.minValues.get(field)
     val hi = stats.maxValues.get(field)
-    val nulls = stats.nullCount.getOrElse(field, 0L)
+    val nullsOpt = stats.nullCount.get(field)
+    val nulls = nullsOpt.getOrElse(0L)
     val allNull = stats.numRecords > 0 && nulls == stats.numRecords
 
     def keepOp(op: String, v: JValue): Boolean = op match {
-      case "$eq" => mayContain(lo, hi, v, dt, allNull)
+      case "$eq" => mayContain(lo, hi, v, dt, allNull, nullsOpt)
       case "$gt" => cmpHi(hi, v, dt).forall(_ > 0) && !allNull
       case "$gte" => cmpHi(hi, v, dt).forall(_ >= 0) && !allNull
       case "$lt" => cmpLo(lo, v, dt).forall(_ < 0) && !allNull
       case "$lte" => cmpLo(lo, v, dt).forall(_ <= 0) && !allNull
       case "$in" => v match {
-        case JArray(items) => items.exists(i => mayContain(lo, hi, i, dt, allNull))
+        case JArray(items) => items.exists(i => mayContain(lo, hi, i, dt, allNull, nullsOpt))
         case _ => true
       }
       case _ => true
@@ -103,8 +104,11 @@ object FilePruner {
   }
 
   private def mayContain(lo: Option[JValue], hi: Option[JValue], v: JValue,
-                         dt: DataType, allNull: Boolean): Boolean = v match {
-    case JNull => allNull || lo.isEmpty // null-eq only matches null rows
+                         dt: DataType, allNull: Boolean,
+                         nullsOpt: Option[Long]): Boolean = v match {
+    // null-eq matches null ROWS, not all-null FILES: any file with a nonzero
+    // null count may contain matches; only a known-zero null count prunes.
+    case JNull => nullsOpt.forall(_ > 0)
     case _ =>
       if (allNull) return false
       cmpLo(lo, v, dt).forall(_ <= 0) && cmpHi(hi, v, dt).forall(_ >= 0)
@@ -131,14 +135,45 @@ object FilePruner {
       case (JString(a), JString(b)) => Some(a.compareTo(b).sign)
       case _ => None
     }
-    case TimestampType | TimestampNTZType | DateType => (statVal, lit) match {
-      // Stats store ISO-8601 strings; lexicographic compare is chronological
-      // for same-precision ISO timestamps.
-      case (JString(a), JString(b)) => Some(a.compareTo(b).sign)
+    case TimestampType | TimestampNTZType => (statVal, lit) match {
+      // Canonicalize BOTH sides to fixed-precision UTC before comparing:
+      // older stats came from LocalDateTime.toString (which drops trailing
+      // ':00' seconds, so '…T12:00' < '…T12:00:00' lexicographically even
+      // though they're equal instants) and filter literals may carry 'Z' or
+      // space separators. Parse failure → None → keep the file.
+      case (JString(a), JString(b)) =>
+        for (x <- canonTs(a); y <- canonTs(b)) yield x.compareTo(y).sign
+      case _ => None
+    }
+    case DateType => (statVal, lit) match {
+      case (JString(a), JString(b)) =>
+        (for (x <- parseDate(a); y <- parseDate(b)) yield x.compareTo(y).sign)
       case _ => None
     }
     case _ => None
   }
+
+  /** Fixed-precision (micros) ISO-8601 at UTC — the canonical stat/literal
+    * timestamp form. Mirrors MongoFilter's literal parse rules. */
+  private[delta] val CanonFormat =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  private[delta] def canonTs(s: String): Option[String] = {
+    val ldt: Option[java.time.LocalDateTime] =
+      (try Some(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.parse(s), java.time.ZoneOffset.UTC))
+      catch { case _: java.time.format.DateTimeParseException => None })
+        .orElse(try {
+          if (s.contains("T") || s.contains(" "))
+            Some(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+          else Some(java.time.LocalDate.parse(s).atStartOfDay())
+        } catch { case _: java.time.format.DateTimeParseException => None })
+    ldt.map(CanonFormat.format)
+  }
+
+  private def parseDate(s: String): Option[java.time.LocalDate] =
+    try Some(java.time.LocalDate.parse(s.take(10)))
+    catch { case _: java.time.format.DateTimeParseException => None }
 }
 
 /** Hive-style partition path conventions, as Spark writes them

@@ -12,7 +12,65 @@ import org.apache.spark.sql.expressions.Window
  * File selection / bin planning runs on the driver over log metadata (file
  * sizes — small), while every data movement is a distributed Spark job.
  */
+/** A maintenance rewrite found, at commit time, that a file it had read was
+  * removed by a concurrent commit — committing anyway would resurrect rows a
+  * concurrent DELETE rewrote (or drop rows a concurrent writer added). The
+  * operation re-plans from a fresh snapshot. */
+final class MaintenanceConflictException(missing: Set[String])
+  extends RuntimeException(
+    s"files rewritten concurrently during maintenance: ${missing.mkString(", ")}")
+
 object Maintenance {
+
+  /**
+   * Commit a maintenance rewrite with conflict detection: remove EXACTLY the
+   * files whose rows were read into the rewrite, and fail if any of them is
+   * no longer active at commit time (a concurrent DELETE/UPDATE/compaction
+   * rewrote it — our output would resurrect its removed rows). Concurrent
+   * APPENDS are safe: their files aren't in `read`, stay active, and keep
+   * their rows. Version races on the commit file itself retry in place;
+   * file-set conflicts escape to [[replanOnConflict]] for a fresh rewrite.
+   */
+  private[delta] def commitMaintenance(table: DeltaTable, read: Seq[AddFile],
+                                       adds: Seq[AddFile], op: String,
+                                       info: Map[String, String],
+                                       dataChange: Boolean): Long = {
+    val readPaths = read.map(_.path).toSet
+    Retry.withRetry() {
+      val cur = table.snapshot()
+      val active = cur.activeFiles.map(_.path).toSet
+      val missing = readPaths -- active
+      if (missing.nonEmpty) {
+        // Clean up the rewrite output before re-planning; it was never
+        // committed, so deleting it is safe (vacuum would catch it anyway).
+        adds.foreach(a => table.deleteDataFile(a.path))
+        throw new MaintenanceConflictException(missing)
+      }
+      val now = System.currentTimeMillis()
+      val removes = read.map(f => RemoveFile(f.path, now, dataChange = dataChange))
+      val vNext = cur.version + 1
+      table.log.writeCommit(vNext,
+        (removes: Seq[Action]) ++ (adds: Seq[Action]) ++
+          Seq[Action](CommitInfo(now, op, info)))
+      vNext
+    }
+  }
+
+  /** Re-run the whole plan→rewrite→commit cycle when the file set moved
+    * underneath it (the rewrite output was already deleted by
+    * [[commitMaintenance]] before the conflict escaped). */
+  private def replanOnConflict[A](maxAttempts: Int = 3)(attempt: => A): A = {
+    var tries = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: MaintenanceConflictException =>
+          if (tries >= maxAttempts - 1) throw e
+          tries += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   // ---- compaction ----------------------------------------------------------
 
@@ -40,7 +98,10 @@ object Maintenance {
    * group is rewritten by ONE distributed job into its planned file count.
    * Commits with `dataChange = false` so streams can skip it.
    */
-  def compact(table: DeltaTable, cfg: CompactionConfig = CompactionConfig()): CompactionResult = {
+  def compact(table: DeltaTable, cfg: CompactionConfig = CompactionConfig()): CompactionResult =
+    replanOnConflict() { compactOnce(table, cfg) }
+
+  private def compactOnce(table: DeltaTable, cfg: CompactionConfig): CompactionResult = {
     val snap = table.snapshot()
     val byPartition = snap.activeFiles.groupBy(_.partitionValues)
 
@@ -79,17 +140,8 @@ object Maintenance {
     val removes = allRemoves.result()
     val v =
       if (cfg.dryRun || removes.isEmpty) snap.version
-      else Retry.withRetry() {
-        val cur = table.snapshot()
-        val now = System.currentTimeMillis()
-        val removeActions = removes.map(f => RemoveFile(f.path, now, dataChange = false))
-        val vNext = cur.version + 1
-        table.log.writeCommit(vNext,
-          (removeActions: Seq[Action]) ++ (allAdds.result(): Seq[Action]) ++
-            Seq[Action](CommitInfo(now, "COMPACT",
-              Map("filesCompacted" -> filesCompacted.toString))))
-        vNext
-      }
+      else commitMaintenance(table, removes, allAdds.result(), "COMPACT",
+        Map("filesCompacted" -> filesCompacted.toString), dataChange = false)
     CompactionResult(filesCompacted, filesCreated, bytesIn, partitionsTouched, v)
   }
 
@@ -141,7 +193,10 @@ object Maintenance {
   final case class DedupResult(rowsBefore: Long, rowsAfter: Long, version: Long)
 
   /** Full-table rewrite without duplicate rows. */
-  def deduplicate(table: DeltaTable, strategy: DedupStrategy): DedupResult = {
+  def deduplicate(table: DeltaTable, strategy: DedupStrategy): DedupResult =
+    replanOnConflict() { deduplicateOnce(table, strategy) }
+
+  private def deduplicateOnce(table: DeltaTable, strategy: DedupStrategy): DedupResult = {
     val snap = table.snapshot()
     val df = table.toDF(snap)
     val before = df.count()
@@ -158,16 +213,11 @@ object Maintenance {
       if (after == before) snap.version
       else {
         val adds = table.writeDataFiles(deduped, snap.partitionColumns, snap.schema)
-        Retry.withRetry() {
-          val cur = table.snapshot()
-          val now = System.currentTimeMillis()
-          val removes = cur.activeFiles.map(f => RemoveFile(f.path, now))
-          val vNext = cur.version + 1
-          table.log.writeCommit(vNext,
-            (removes: Seq[Action]) ++ (adds: Seq[Action]) ++ Seq[Action](
-              CommitInfo(now, "DEDUPLICATE", Map("rowsRemoved" -> (before - after).toString))))
-          vNext
-        }
+        // Remove exactly the files the rewrite READ (the planning snapshot's
+        // set) — removing `cur.activeFiles` would silently drop rows a
+        // concurrent append committed between snapshot and commit.
+        commitMaintenance(table, snap.activeFiles, adds, "DEDUPLICATE",
+          Map("rowsRemoved" -> (before - after).toString), dataChange = true)
       }
     DedupResult(before, after, v)
   }
@@ -186,7 +236,11 @@ object Maintenance {
    * Z-range (what makes later min/max skipping effective).
    */
   def zOrderCluster(table: DeltaTable, columns: Seq[String],
-                    targetFiles: Int = 0): ZOrderResult = {
+                    targetFiles: Int = 0): ZOrderResult =
+    replanOnConflict() { zOrderOnce(table, columns, targetFiles) }
+
+  private def zOrderOnce(table: DeltaTable, columns: Seq[String],
+                         targetFiles: Int): ZOrderResult = {
     require(columns.nonEmpty && columns.size <= 3, "z-order on 1-3 columns")
     val snap = table.snapshot()
     val df = table.toDF(snap)
@@ -221,16 +275,8 @@ object Maintenance {
       .drop("__z")
     val adds = table.writeDataFiles(clustered, snap.partitionColumns, snap.schema)
       .map(_.copy(dataChange = false))
-    val v = Retry.withRetry() {
-      val cur = table.snapshot()
-      val now = System.currentTimeMillis()
-      val removes = cur.activeFiles.map(f => RemoveFile(f.path, now, dataChange = false))
-      val vNext = cur.version + 1
-      table.log.writeCommit(vNext,
-        (removes: Seq[Action]) ++ (adds: Seq[Action]) ++ Seq[Action](
-          CommitInfo(now, "ZORDER", Map("columns" -> columns.mkString(",")))))
-      vNext
-    }
+    val v = commitMaintenance(table, snap.activeFiles, adds, "ZORDER",
+      Map("columns" -> columns.mkString(",")), dataChange = false)
     ZOrderResult(snap.activeFiles.size.toLong, adds.size.toLong, v)
   }
 

@@ -67,4 +67,28 @@ class ConcurrencySpec extends SparkTestBase {
     // time travel to the oldest retained checkpoint still works
     assert(t.asOf(cps.head).count() == cps.head + 1)
   }
+
+  test("raw commit race: exactly one of N simultaneous writers of a version wins") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-race").toString)
+    t.write(Seq((0, "seed")).toDF("id", "s"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // All 8 threads write commit 1 at the same instant — the local-FS
+    // hard-link path must admit exactly one (check-then-create would let
+    // several "succeed" and overwrite each other).
+    val racers = (0 until 8).map { i =>
+      Future {
+        gate.await()
+        try { t.log.writeCommit(1, Seq(CommitInfo(0L, s"RACER-$i"))); true }
+        catch { case _: ConcurrencyException => false }
+      }
+    }
+    gate.countDown()
+    val wins = Await.result(Future.sequence(racers), 60.seconds)
+    pool.shutdown()
+    assert(wins.count(identity) == 1, s"winners: ${wins.count(identity)}")
+    // The surviving commit is intact NDJSON from the single winner.
+    assert(t.log.readCommit(1).nonEmpty)
+  }
 }

@@ -89,6 +89,69 @@ class DeltaTableSpec extends SparkTestBase {
     assert(pruned2.isEmpty)
   }
 
+  test("null-eq pruning keeps files with MIXED null/non-null values") {
+    val t = tmpTable()
+    // One file with mixed null/non-null, one with no nulls at all.
+    t.write(Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("id", "s"))
+    t.write(Seq((4, Some("d")), (5, Some("e"))).toDF("id", "s"))
+    val snap = t.snapshot()
+    val f = org.json4s.jackson.JsonMethods.parse("""{"s":{"$eq":null}}""")
+    val pruned = FilePruner.prune(snap, f)
+    // The mixed file (nullCount=1) must survive; the null-free file may prune.
+    assert(pruned.size == 1)
+    assert(pruned.head.parsedStats.exists(_.nullCount.get("s").contains(1L)))
+    // End-to-end: the null row is returned.
+    assert(t.query("""{"s":{"$eq":null}}""").selectExpr("id")
+      .as[Int].collect().toSeq == Seq(2))
+    // $in with null goes through the same path.
+    assert(t.query("""{"s":{"$in":[null,"d"]}}""").selectExpr("id")
+      .orderBy("id").as[Int].collect().toSeq == Seq(2, 4))
+  }
+
+  test("timestamp stats are canonical UTC micros and prune without boundary loss") {
+    val t = tmpTable()
+    val ts = java.time.LocalDateTime.of(2024, 1, 1, 12, 0, 0) // :00 seconds
+    t.write(Seq((1, ts), (2, ts.plusHours(1))).toDF("id", "ts"))
+    val snap = t.snapshot()
+    val stats = snap.activeFiles.flatMap(_.parsedStats)
+    // Fixed-precision serialization: '…T12:00:00.000000', never '…T12:00'.
+    val mins = stats.flatMap(_.minValues.get("ts")).collect {
+      case org.json4s.JString(s) => s }
+    assert(mins.nonEmpty && mins.forall(_.matches(
+      raw"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}")))
+    // A $lte at EXACTLY the max bound must keep the file (old lexicographic
+    // compare of '…T13:00' vs '…T13:00:00' pruned it).
+    val keep = FilePruner.prune(snap, org.json4s.jackson.JsonMethods.parse(
+      """{"ts":{"$gte":"2024-01-01T13:00:00"}}"""))
+    assert(keep.size == 1)
+    assert(t.query("""{"ts":{"$gte":"2024-01-01T13:00:00"}}""")
+      .selectExpr("id").as[Int].collect().toSeq == Seq(2))
+    // Mixed-precision literals canonicalize the same way.
+    assert(FilePruner.canonTs("2024-01-01T13:00") ==
+      FilePruner.canonTs("2024-01-01 13:00:00.000000"))
+    assert(FilePruner.canonTs("2024-01-01T13:00:00Z") ==
+      FilePruner.canonTs("2024-01-01T13:00"))
+    // Out-of-range predicate still prunes everything.
+    assert(FilePruner.prune(snap, org.json4s.jackson.JsonMethods.parse(
+      """{"ts":{"$gt":"2024-01-01T13:00:00"}}""")).isEmpty)
+  }
+
+  test("fallback checkpoint discovery recovers multi-part layout without the pointer") {
+    val t = tmpTable()
+    t.checkpointInterval = 0 // manual
+    (0 until 5).foreach(i => t.write(Seq((i, s"v$i")).toDF("id", "s")))
+    // Multi-part checkpoint at v4 (2 actions per part), then drop the pointer.
+    Checkpoints.write(spark, t.log, t.snapshot(), actionsPerPart = 2L)
+    t.log.fs.delete(t.log.lastCheckpointFile, false)
+    assert(Checkpoints.partsFor(t.log, 4).exists(_ > 1))
+    // Snapshot resolves through the discovered parts (and replays nothing).
+    assert(t.snapshot().activeFiles.size == 5)
+    assert(t.toDF().count() == 5)
+    // Time travel below a pointer that lags also uses discovery: write the
+    // pointer back for v4 then ask for v4 explicitly.
+    assert(t.asOf(4).count() == 5)
+  }
+
   test("delete is copy-on-write and errors when nothing matches") {
     val t = tmpTable()
     t.write((1 to 100).map(i => (i, i % 5)).toDF("id", "g"))

@@ -79,4 +79,42 @@ class MaintenanceSpec extends SparkTestBase {
     t2.write(Seq((2, "b")).toDF("id", "s"), mode = "overwrite")
     assert(Maintenance.vacuum(t2, retentionHours = 0).filesDeleted == 0)
   }
+
+  test("maintenance commit preserves a concurrent append (removes only files it read)") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "s"))
+    val snap0 = t.snapshot() // planning snapshot: 1 commit's files
+    // Concurrent append lands between planning and commit.
+    t.write(Seq((99, "zz")).toDF("id", "s"))
+    // Rewrite computed FROM snap0 (dedup of the old rows only).
+    val deduped = t.toDF(snap0).distinct()
+    val adds = t.writeDataFiles(deduped, Nil, snap0.schema)
+    Maintenance.commitMaintenance(t, snap0.activeFiles, adds,
+      "DEDUPLICATE", Map.empty, dataChange = true)
+    // The appended row must survive; the dup must be gone.
+    val got = t.toDF().orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (99, "zz")))
+  }
+
+  test("maintenance commit conflicts when a file it read was rewritten concurrently") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "s"))
+    val snap0 = t.snapshot()
+    val deduped = t.toDF(snap0).distinct()
+    val adds = t.writeDataFiles(deduped, Nil, snap0.schema)
+    // A concurrent DELETE rewrites the file snap0's rows came from:
+    // committing the stale rewrite would resurrect the deleted row.
+    t.delete("""{"id":2}""")
+    intercept[MaintenanceConflictException] {
+      Maintenance.commitMaintenance(t, snap0.activeFiles, adds,
+        "DEDUPLICATE", Map.empty, dataChange = true)
+    }
+    // Nothing was committed and the orphaned rewrite output was cleaned up.
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (1, "a")))
+    // Public API re-plans and succeeds from the fresh state.
+    val r = Maintenance.deduplicate(t, Maintenance.DedupStrategy.Exact)
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(r.rowsAfter == 1)
+  }
 }
