@@ -78,9 +78,10 @@ object MLQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- SimHash near-dup (no SQL analog of the hash → rows-only gate) ----
+    // ---- SimHash near-dup (md5-based token hash → DuckDB-reproducible) ----
     "t6_simhash_neardup" -> ((s, dir) => {
-      Dedup.simhashNearDups(docsUnion(s, dir), "id", "text", maxDistance = 3)
+      Dedup.simhashNearDups(docsUnion(s, dir), "id", "text", maxDistance = 3,
+          tokenHasher = Dedup.md5Hash64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -104,7 +105,8 @@ object MLQueries {
         .orderBy(col("media_id"))
     }),
 
-    // ---- multimodal feature extraction (stubbed decode; rows-only gate) ----
+    // ---- multimodal feature extraction (deterministic stub decode, the
+    //      byte-sum features are recomputed exactly by the DuckDB oracle) ----
     "t9_media_features" -> ((s, dir) => {
       val media = Multimodal.asMediaRecords(
         t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
@@ -229,6 +231,52 @@ object MLQueries {
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
         |  substr(hex(encode(text)), 1, 16) AS hex_prefix
-        |FROM documents ORDER BY media_id""".stripMargin)
-  // t6 (simhash) and t9 (stubbed media decode) have no SQL analog → rows-only.
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // SimHash recomputed from scratch in SQL: md5-based 64-bit token hashes,
+    // per-bit majority vote, all-pairs Hamming ≤ 3. All-pairs is equivalent to
+    // the engine's 4×16-bit banding: ≤3 differing bits leave ≥1 band intact
+    // (pigeonhole), so banding loses no pair at this distance.
+    "t6_simhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
+        |toks AS (
+        |  SELECT id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+        |h AS (
+        |  SELECT id, (('0x'||substr(md5(tok),1,8))::UBIGINT * 4294967296::UBIGINT +
+        |              ('0x'||substr(md5(tok),9,8))::UBIGINT) AS h64 FROM toks),
+        |votes AS (
+        |  SELECT id, bits.b AS b,
+        |    SUM(CASE WHEN (h64 >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY id, bits.b),
+        |sig AS (
+        |  SELECT id, bit_or(CASE WHEN v > 0 THEN CAST(1::HUGEINT << b AS UBIGINT)
+        |                         ELSE 0::UBIGINT END) AS s
+        |  FROM votes GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.s, b.s)) AS d
+        |  FROM sig a, sig b WHERE a.id < b.id)
+        |SELECT id_a, id_b, CAST(d AS INTEGER) AS distance
+        |FROM pairs WHERE d <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // The stub features are exact integer byte sums over stride-8 positions,
+    // divided once in double precision — recomputed here byte-for-byte from
+    // the hex encoding.
+    "t9_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    list_sum(list_transform(range(0, n, 8),
+        |      i -> ('0x'||substr(h, 2*i+1, 2))::BIGINT)) AS s0,
+        |    n
+        |  FROM b)
+        |SELECT media_id, 8 AS n_features,
+        |  round(CAST(s0 AS DOUBLE) / (255.0 * greatest(1, n // 8)), 4) AS f0
+        |FROM f ORDER BY media_id""".stripMargin)
 }

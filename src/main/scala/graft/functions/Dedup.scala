@@ -149,10 +149,21 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
+  /** Oracle-reproducible 64-bit token hash: the first 8 bytes of md5, as two
+    * 32-bit hex halves — any engine with md5 recomputes it exactly (DuckDB:
+    * `(('0x'||substr(md5(t),1,8))::UBIGINT << 32) | ('0x'||substr(md5(t),9,8))::UBIGINT`).
+    * Slower than xxhash64; use it where cross-engine verification matters. */
+  def md5Hash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+
   /** 64-bit SimHash of a token array: per-bit vote of token hashes.
-    * Codegen'd fused kernel; [[simhash64Hof]] is the semantic reference. */
-  def simhash64(toks: Column): Column =
-    NativeExpressions.simhashNative(transform(toks, t => xxhash64(t)))
+    * Codegen'd fused kernel; [[simhash64Hof]] is the semantic reference.
+    * `tokenHasher` defaults to xxhash64 (fastest); pass [[md5Hash64]] for an
+    * oracle-reproducible signature. */
+  def simhash64(toks: Column,
+                tokenHasher: Column => Column = xxhash64(_)): Column =
+    NativeExpressions.simhashNative(transform(toks, t => tokenHasher(t)))
 
   /** HOF composition (interpreted) the native kernel must agree with. */
   def simhash64Hof(toks: Column): Column = {
@@ -171,11 +182,12 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
     * within distance ~3 shares a band w.h.p.), bucket-join, verify Hamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxDistance: Int = 3): DataFrame = {
+                      maxDistance: Int = 3,
+                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
     // Cache: the signature is referenced by both sides of the bucket
     // self-join and its 64 per-bit votes re-evaluate the token expression.
     val signed = docs.select(col(idCol).as("__id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("__sig")).cache()
+      simhash64(TextFunctions.tokens(col(textCol)), tokenHasher).as("__sig")).cache()
     val banded = signed.withColumn("__bands",
       transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftright", col("__sig"), (j * 16).cast("int"))

@@ -48,23 +48,26 @@ object Multimodal {
         length(col(payloadCol)).cast(LongType).as("size_bytes")).as("meta"))
 
   /** ??? in spirit: a real deployment decodes pixels/samples here. The stub
-    * emits a deterministic 8-float "feature vector" from the payload bytes so
-    * downstream schema/partitioning logic is fully exercisable. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    // Deterministic fake: 8 moments of the byte stream.
-    if (payload == null || payload.isEmpty) return Array.fill(8)(0.0f)
-    val out = new Array[Float](8)
+    * emits a deterministic 8-double "feature vector" from the payload bytes so
+    * downstream schema/partitioning logic is fully exercisable. Each bucket is
+    * an EXACT integer byte sum divided once in double precision, so any engine
+    * recomputes it bit-identically (the t9 oracle does, in DuckDB SQL). */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    // Deterministic fake: 8 strided byte-sum moments of the stream.
+    if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)
+    val sums = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      sums(i % 8) += (payload(i) & 0xff)
       i += 1
     }
-    out.map(v => v / math.max(1, payload.length / 8).toFloat)
+    val denom = 255.0 * math.max(1, payload.length / 8)
+    sums.map(_ / denom)
   }
 
   private val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
-    StructField("features", ArrayType(FloatType)),
+    StructField("features", ArrayType(DoubleType)),
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
