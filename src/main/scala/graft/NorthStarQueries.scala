@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -110,6 +110,99 @@ object NorthStarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- sliding windows: 1-hour windows every 30 min (streaming) ----
+    // Each event lands in exactly duration/slide = 2 overlapping windows;
+    // the oracle materializes both window starts per event and aggregates.
+    "n10_sliding_window" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.Streams.runToMemory(agg, "graft_sliding_window", "complete")
+        .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- streaming dedup: stateful dropDuplicates under a watermark ----
+    // The streaming analog of exact dedup for continuous ingestion; emits
+    // each (user_id, event_type) pair once, state bounded by the watermark.
+    "n11_stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dedup = stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      graft.streaming.Streams.runToMemory(dedup, "graft_stream_dedup", "append")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- custom streaming state: mapGroupsWithState running counts ----
+    // KeyValueGroupedDataset + GroupState is the extension point for state
+    // Spark's built-in operators can't express; here a per-user running
+    // count (single AvailableNow batch → final totals, oracle-checkable).
+    "n12_stateful_counts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val users = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id")).as[Long]
+      val counted = users.groupByKey(identity)
+        .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+          (user, rows, state) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (user, n)
+        }.toDF("user_id", "n")
+      graft.streaming.Streams.runToMemory(counted, "graft_stateful_counts", "update")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- set operations: EXCEPT ----
+    "n13_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- exact multi-quantile per group ----
+    "n14_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          typedlit(Seq(0.25, 0.5, 0.75))).as("price_quartiles"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- time-range join: clicks within 15 min before each purchase ----
+    // NOT an inequality join (O(n·m) per user at scale): both sides key on
+    // 15-min time bins, purchases probe (bin, bin-1), so the join is a pure
+    // equality shuffle on (user_id, bin) and the range check is residual.
+    "n15_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val binUs = 900000000L // 15 min in µs
+      def bin(c: Column) = (unix_micros(c.cast(TimestampType)) / binUs).cast(LongType)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), bin(col("ts")).as("bin"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+          explode(array(bin(col("ts")), bin(col("ts")) - 1)).as("bin"))
+      purchases.join(clicks, Seq("user_id", "bin"), "left")
+        .groupBy(col("event_id"))
+        .agg(count(when(col("cts") >= col("pts") - expr("INTERVAL 15 MINUTES") &&
+          col("cts") <= col("pts"), 1)).as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- session windows: 30-min-gap sessionization per user ----
     // Spark's session_window merges events whose gap is strictly under the
     // duration (next < last+gap); the oracle mirrors that as gaps-and-islands
@@ -176,6 +269,42 @@ object NorthStarQueries {
       """SELECT event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS INTEGER) AS props_k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Sliding windows: every event belongs to the window starting at its
+    // floor-to-30min and the one 30 min before (duration 1 h / slide 30 min).
+    "n10_sliding_window" ->
+      """SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000)
+        |    - j.j) * 1800000000) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "n11_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "n12_stateful_counts" ->
+      """SELECT user_id, COUNT(*) AS n FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "n13_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "n14_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "n15_range_join" ->
+      """SELECT p.event_id, COUNT(c.user_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     "n9_session_window" ->
       s"""WITH e AS (
