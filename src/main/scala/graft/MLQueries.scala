@@ -93,6 +93,26 @@ object MLQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- IVF-Flat ANN: sampled centroids, map-side cell assignment,
+    //      multi-probe equality-join search (the 100 TB similarity path) ----
+    "q16_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // Deterministic sampled centroids (every 100th vector), collected to
+      // the driver — a small set by construction, shipped as literals.
+      val cents = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopK(queries,
+          e.select(col("vec_id"), col("embedding")),
+          "qid", "embedding", "vec_id", "embedding",
+          cents, k = 5, probes = 2)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- multimodal: binary payload + metadata plumbing ----
     "t8_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMediaRecords(
@@ -226,6 +246,48 @@ object MLQueries {
         |WHERE a.id < b.id)
         |SELECT id_a, id_b, cos FROM pairs WHERE rawcos >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full IVF recomputation: same centroid sample, same argmax assignment
+    // (cos DESC, cid ASC tie-break), same 2-probe search, same norm-product
+    // cosine arithmetic — bit-identical doubles end to end.
+    "q16_ivf_ann" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |corpus AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT c.nid, ct.cid,
+        |    list_dot_product(c.e, ct.e) /
+        |      (c.nrm * sqrt(list_dot_product(ct.e, ct.e))) AS cos
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT nid, cid FROM (
+        |    SELECT nid, cid,
+        |      row_number() OVER (PARTITION BY nid ORDER BY cos DESC, cid) AS rn
+        |    FROM scored) a WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT nid AS qid, cid FROM (
+        |    SELECT nid, cid,
+        |      row_number() OVER (PARTITION BY nid ORDER BY cos DESC, cid) AS rn
+        |    FROM scored WHERE nid < 20) a WHERE rn <= 2),
+        |pairs AS (
+        |  SELECT q.qid, a.nid,
+        |    list_dot_product(qc.e, cc.e) / (qc.nrm * cc.nrm) AS cos
+        |  FROM qprobe q
+        |  JOIN assign a ON a.cid = q.cid
+        |  JOIN corpus qc ON qc.nid = q.qid
+        |  JOIN corpus cc ON cc.nid = a.nid
+        |  WHERE a.nid <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |  FROM pairs)
+        |SELECT qid, nid, cos, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "t8_multimodal_meta" ->
       """SELECT doc_id AS media_id,

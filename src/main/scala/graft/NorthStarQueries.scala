@@ -203,6 +203,22 @@ object NorthStarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- native VARIANT type: parse-once semi-structured extraction ----
+    // Spark 4's VariantType (the reference's parquet/variant.ts encodes the
+    // same open format): parse the JSON once into a variant value, extract
+    // typed fields with variant_get — no re-parse per field.
+    "n16_variant_type" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "string").as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(col("m")).as("n_missing"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- session windows: 30-min-gap sessionization per user ----
     // Spark's session_window merges events whose gap is strictly under the
     // duration (next < last+gap); the oracle mirrors that as gaps-and-islands
@@ -282,6 +298,13 @@ object NorthStarQueries {
     "n11_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "n16_variant_type" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+        |        THEN 1 END) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "n12_stateful_counts" ->
       """SELECT user_id, COUNT(*) AS n FROM events

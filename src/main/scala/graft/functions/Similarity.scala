@@ -98,11 +98,71 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // ---- IVF-Flat -------------------------------------------------------------
+
+  /** Per-centroid score structs: (cosine, -id, id) so lexicographic struct
+    * ordering = highest cosine with lowest-id tie-break. The row's norm is
+    * hoisted into `normCol` and each centroid's norm is a precomputed literal,
+    * so scoring a row costs ONE dot product per centroid — and the double
+    * arithmetic (`dot / (norm * centNorm)`) matches the cosine formula
+    * term-for-term, so scores are bit-identical to an oracle recomputation. */
+  private def centroidScores(emb: Column, normCol: Column,
+                             cents: Seq[(Long, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, ce) =>
+      var s = 0.0; var i = 0
+      while (i < ce.length) { s += ce(i) * ce(i); i += 1 }
+      val cNorm = math.sqrt(s)
+      struct(
+        (dot(emb, typedlit(ce)) / (normCol * lit(cNorm))).as("cos"),
+        lit(-cid).as("negid"), lit(cid).as("cid"))
+    }
+
+  /** Nearest-centroid cell id — a pure map-side Column expression (the
+    * centroid matrix rides as literals; no join, no shuffle). */
+  def nearestCell(emb: Column, normCol: Column,
+                  cents: Seq[(Long, Array[Double])]): Column =
+    greatest(centroidScores(emb, normCol, cents): _*).getField("cid")
+
+  /** The `probes` nearest centroid cell ids (for query-side multi-probe). */
+  def nearestCells(emb: Column, normCol: Column,
+                   cents: Seq[(Long, Array[Double])], probes: Int): Column =
+    transform(
+      slice(array_sort(array(centroidScores(emb, normCol, cents): _*)),
+        -probes, probes),
+      s => s.getField("cid"))
+
   /**
-   * IVF-style bucketed ANN top-k: assign every vector to its nearest of
-   * `nCells` sampled centroid cells map-side, search only the query's cell
-   * (plus its band-neighbors via signature prefix). Returns approximate
-   * neighbors; recall grows with `probes`.
+   * IVF-Flat ANN top-k: every corpus vector is assigned map-side to its
+   * nearest centroid (argmax cosine, lowest-id tie-break); each query probes
+   * its `probes` nearest cells; the search is then a plain EQUALITY join on
+   * cell id — the 100 TB path, where the per-query candidate set is the
+   * probed cells' contents, not the corpus. Centroids are a small sampled
+   * set (caller-provided), broadcast in the expression itself as literals.
+   * Recall grows with `probes`; exactness within probed cells.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qEmb: String, cId: String, cEmb: String,
+              cents: Seq[(Long, Array[Double])], k: Int,
+              probes: Int = 2): DataFrame = {
+    require(cents.size >= 2, "need at least 2 centroids")
+    val c = corpus.select(col(cId).as("nid"), col(cEmb).as("__ne"))
+      .withColumn("__nn", sqrt(dot(col("__ne"), col("__ne"))))
+      .withColumn("__cell", nearestCell(col("__ne"), col("__nn"), cents))
+    val q = queries.select(col(qId).as("qid"), col(qEmb).as("__qe"))
+      .withColumn("__qn", sqrt(dot(col("__qe"), col("__qe"))))
+      .withColumn("__cell",
+        explode(nearestCells(col("__qe"), col("__qn"), cents, probes)))
+    val pairs = q.join(c, Seq("__cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        dot(col("__qe"), col("__ne")) / (col("__qn") * col("__nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /**
+   * LSH-quantizer ANN top-k: assign every vector to a signature-prefix cell,
+   * search only the query's cell. Returns approximate neighbors.
    */
   def annTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qEmb: String, cId: String, cEmb: String,

@@ -92,6 +92,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bf.count() == 9)
   }
 
+  test("IVF-Flat ANN: cell assignment is deterministic, multi-probe recovers brute-force top-1") {
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(16)(r.nextGaussian())))
+    val df = vecs.toDF("id", "emb")
+    val cents = vecs.filter(_._1 % 40 == 0).map { case (id, e) => (id, e) } // 5 cells
+    val queries = df.filter($"id" < 5)
+    val ivf = Similarity.ivfTopK(queries, df, "id", "emb", "id", "emb",
+      cents, k = 3, probes = 3).collect()
+    // k results per query at most, ranked 1..k, cos descending within query
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.size))
+      val coss = sorted.map(_.getDouble(2)).toSeq
+      assert(coss == coss.sorted.reverse)
+    }
+    // with 3 of 5 cells probed, the true top-1 is found for most queries —
+    // and the result set is a subset of the brute-force ranking's pairs
+    val bf = Similarity.bruteForceTopK(queries, df, "id", "emb", "id", "emb", 200)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)) -> r0.getDouble(2)).toMap
+    ivf.foreach { r0 =>
+      val key = (r0.getLong(0), r0.getLong(1))
+      assert(math.abs(bf(key) - r0.getDouble(2)) < 1e-12) // same cosine values
+    }
+    // determinism: second run identical
+    val again = Similarity.ivfTopK(queries, df, "id", "emb", "id", "emb",
+      cents, k = 3, probes = 3).collect()
+    assert(ivf.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("multimodal records: schema, batched feature extraction, frame sampling") {
     val media = Multimodal.asMediaRecords(
       docs.withColumn("payload", encode($"text", "UTF-8")), "id", "payload", "image", "png")
