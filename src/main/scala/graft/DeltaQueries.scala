@@ -102,6 +102,30 @@ object DeltaQueries {
       .orderBy(col(graft.delta.Cdc.ChangeType), col("event_id"))
   }
 
+  /** Debezium-style CDC envelope over the events table: per-partition dense
+    * sequences (Kafka-(partition,offset) semantics), op derived from the
+    * event type, before/after as JSON state — every column recomputable in
+    * SQL (reference envelope: src/cdc/index.ts:38-93). */
+  def cdcEnvelope(s: SparkSession, dir: String): DataFrame = {
+    import graft.delta.{CdcEnvelope, CdcSource}
+    val ev = events(s, dir).filter(col("event_id") < 2000)
+    val op = when(col("event_type") === "purchase", "u")
+      .when(col("event_type") === "click", "c").otherwise(lit("r"))
+    val before = when(col("event_type") === "purchase",
+      to_json(struct(col("event_id"), col("user_id"))))
+    val after = to_json(struct(col("event_id"), col("user_id"), col("event_type")))
+    CdcEnvelope.fromOps(ev, col("event_id"), op, before, after,
+        orderBy = Seq(col("event_id")),
+        partitionCol = pmod(col("user_id"), lit(8)).cast("int"),
+        source = CdcSource(system = "graft", collection = Some("events")),
+        tsNanos = lit(1700000000000000000L))
+      .select(col("_id"), col("_seq"), col("_op"), col("_before"), col("_after"),
+        col("_ts"), col("_source.system").as("source_system"),
+        col("_source.collection").as("source_collection"),
+        col("_source.partition").as("source_partition"))
+      .orderBy(col("source_partition"), col("_seq"))
+  }
+
   /** Fragment a table over many commits, compact, verify content unchanged. */
   def compactScan(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -145,6 +169,7 @@ object DeltaQueries {
     "d5_delta_partition_prune" -> (partitionPrune(_, _)),
     "d6_delta_merge" -> (mergeUpsert(_, _)),
     "d7_delta_cdc" -> (cdcFeed(_, _)),
+    "d8_cdc_envelope" -> (cdcEnvelope(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)))
@@ -196,6 +221,22 @@ object DeltaQueries {
         |  SELECT 'delete', event_id, user_id, event_type, value
         |  FROM events WHERE event_type IN ('view','click') AND value < 5) ch
         |ORDER BY _change_type, event_id""".stripMargin,
+
+    "d8_cdc_envelope" ->
+      """SELECT CAST(event_id AS VARCHAR) AS _id,
+        |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS _seq,
+        |  CASE WHEN event_type = 'purchase' THEN 'u'
+        |       WHEN event_type = 'click' THEN 'c' ELSE 'r' END AS _op,
+        |  CASE WHEN event_type = 'purchase'
+        |       THEN CAST(to_json(struct_pack(event_id := event_id, user_id := user_id)) AS VARCHAR)
+        |       END AS _before,
+        |  CAST(to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |                           event_type := event_type)) AS VARCHAR) AS _after,
+        |  CAST(1700000000000000000 AS BIGINT) AS _ts,
+        |  'graft' AS source_system, 'events' AS source_collection,
+        |  CAST(user_id % 8 AS INTEGER) AS source_partition
+        |FROM events WHERE event_id < 2000
+        |ORDER BY source_partition, _seq""".stripMargin,
 
     "m1_compact_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -97,9 +97,14 @@ object MLQueries {
     //      multi-probe equality-join search (the 100 TB similarity path) ----
     "q16_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // Deterministic sampled centroids (every 100th vector), collected to
-      // the driver — a small set by construction, shipped as literals.
-      val cents = e.filter(col("vec_id") % 100 === 0)
+      // Deterministic FIXED-SIZE centroid sample: stride = ceil(n/64) caps
+      // the collected set at ~64 rows no matter the corpus size (the old
+      // `% 100` rule collected n/100 rows — unbounded at scale). 64 keeps
+      // the map-side `greatest(per-centroid score structs)` expression small
+      // enough for whole-stage codegen.
+      val n = e.count()
+      val stride = math.max(1L, (n + 63L) / 64L)
+      val cents = e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -253,7 +258,8 @@ object MLQueries {
     "q16_ivf_ann" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |  FROM embeddings
+        |  WHERE vec_id % greatest(1, (SELECT (count(*) + 63) // 64 FROM embeddings)) = 0),
         |corpus AS (
         |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -175,12 +175,18 @@ object NorthStarQueries {
     }),
 
     // ---- exact multi-quantile per group ----
+    // One scalar row per (group, quantile) — array-valued result columns
+    // can't be sorted/hashed by the oracle harness, so explode positionally.
     "n14_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(percentile(col("l_extendedprice"),
-          typedlit(Seq(0.25, 0.5, 0.75))).as("price_quartiles"))
-        .orderBy(col("l_returnflag"))
+          typedlit(Seq(0.25, 0.5, 0.75))).as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "value")))
+        .select(col("l_returnflag"),
+          element_at(typedlit(Seq(0.25, 0.5, 0.75)), col("pos") + 1).as("q"),
+          col("value"))
+        .orderBy(col("l_returnflag"), col("q"))
     }),
 
     // ---- time-range join: clicks within 15 min before each purchase ----
@@ -317,9 +323,12 @@ object NorthStarQueries {
         |ORDER BY o_custkey""".stripMargin,
 
     "n14_percentile" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, q, value FROM (
+        |  SELECT l_returnflag,
+        |    unnest(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS q,
+        |    unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])) AS value
+        |  FROM lineitem GROUP BY l_returnflag) sub
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "n15_range_join" ->
       """SELECT p.event_id, COUNT(c.user_id) AS n_clicks

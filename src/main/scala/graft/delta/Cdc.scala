@@ -159,8 +159,19 @@ final class CdcConsumer(table: DeltaTable, storage: OffsetStorage, group: String
     val from = position
     val latest = table.version
     if (latest < from) return None
-    lastPolled = Some(latest)
-    scala.util.Try(Cdc.readByVersion(table, from, latest)).toOption
+    try {
+      val df = Cdc.readByVersion(table, from, latest)
+      lastPolled = Some(latest)
+      Some(df)
+    } catch {
+      // ONLY the expected no-data case (commits in range wrote no CDC files,
+      // e.g. metadata-only commits) is "nothing new"; a corrupt or unreadable
+      // CDC file must surface, not masquerade as an empty poll — the round-2
+      // Try(...).toOption made the two indistinguishable.
+      case _: IllegalArgumentException =>
+        lastPolled = Some(latest) // commit() may advance past the empty range
+        None
+    }
   }
 
   def commit(): Unit = lastPolled.foreach(v => storage.write(group, v))

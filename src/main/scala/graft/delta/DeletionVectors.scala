@@ -2,7 +2,13 @@ package graft.delta
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.json4s._
 import org.roaringbitmap.RoaringBitmap
 
@@ -141,7 +147,10 @@ object DeletionVectors {
 
   /** Filter out DV-masked rows. `df` must come from files listed in `adds`
     * (with `_metadata` available); rows whose (file, row_index) is in a DV
-    * are dropped. */
+    * are dropped. The mask is a codegen'd [[DvKeepRow]] expression over the
+    * broadcast bitmaps — no Scala UDF boundary, whole-stage codegen stays
+    * intact, and the bitmap lookup resolves once per file (memoized), not
+    * once per row. */
   def applyMask(table: DeltaTable, df: DataFrame, adds: Seq[AddFile]): DataFrame = {
     val withDv = adds.filter(_.deletionVector.isDefined)
     if (withDv.isEmpty) return df
@@ -151,10 +160,60 @@ object DeletionVectors {
     }.toMap
     val bc: Broadcast[Map[String, Map[Int, RoaringBitmap]]] =
       table.spark.sparkContext.broadcast(masks)
-    val keep = udf { (file: String, idx: Long) =>
-      val path = new java.net.URI(file).getPath
-      bc.value.get(path).forall(bm => !contains(bm, idx))
-    }
-    df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+    df.filter(ColumnShim.column(DvKeepRow(
+      ColumnShim.expression(col("_metadata.file_path")),
+      ColumnShim.expression(col("_metadata.row_index")), bc)))
   }
+}
+
+/**
+ * Codegen'd DV row mask: true iff (file, rowIndex) is NOT in the broadcast
+ * deletion bitmaps. `_metadata.file_path` is constant within a file split, so
+ * the (URI-normalized) map lookup is memoized per file — the per-row work is
+ * one UTF8String equality check plus a roaring `contains`. Replaces the
+ * round-2 Scala UDF that allocated a `java.net.URI` per row and broke
+ * whole-stage codegen (reference semantics: deletion-vectors.ts:409-439).
+ */
+case class DvKeepRow(left: Expression, right: Expression,
+    bc: Broadcast[Map[String, Map[Int, RoaringBitmap]]])
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dv_keep expects (string, bigint), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  @transient private var lastFile: UTF8String = _
+  @transient private var lastMask: Map[Int, RoaringBitmap] = _
+
+  private def masks: Map[String, Map[Int, RoaringBitmap]] = bc.value
+
+  /** Called from generated code; public for codegen access. */
+  def keep(file: UTF8String, idx: Long): Boolean = {
+    if (lastFile == null || !lastFile.equals(file)) {
+      lastFile = file.clone()
+      val f = file.toString
+      lastMask = masks.get(f).orElse {
+        val p = try new java.net.URI(f).getPath catch { case _: Exception => f }
+        masks.get(p)
+      }.orNull
+    }
+    lastMask == null || !DeletionVectors.contains(lastMask, idx)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    keep(a.asInstanceOf[UTF8String], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvKeep", this, classOf[DvKeepRow].getName)
+    nullSafeCodeGen(ctx, ev, (f, i) => s"${ev.value} = $ref.keep($f, $i);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvKeepRow =
+    copy(left = newLeft, right = newRight)
 }

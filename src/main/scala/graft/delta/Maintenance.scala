@@ -188,6 +188,15 @@ object Maintenance {
     /** Keep the row with the max `orderBy` per key
       * (reference keep-latest, compaction/index.ts:995-1016). */
     final case class KeepLatest(keys: Seq[String], orderBy: String) extends DedupStrategy
+    /** Keep the FIRST row per key by `orderBy` ascending (reference
+      * `keepStrategy: 'first'`, compaction/index.ts:892-1016 — there "first"
+      * means encounter order; a distributed engine has no stable encounter
+      * order, so the ordering column is explicit). */
+    final case class KeepFirst(keys: Seq[String], orderBy: String) extends DedupStrategy
+    /** Keep the LAST row per key by `orderBy` ascending (reference
+      * `keepStrategy: 'last'`). Equivalent to [[KeepLatest]] on the same
+      * column; both exist for reference-name parity. */
+    final case class KeepLast(keys: Seq[String], orderBy: String) extends DedupStrategy
   }
 
   final case class DedupResult(rowsBefore: Long, rowsAfter: Long, version: Long)
@@ -199,20 +208,37 @@ object Maintenance {
   private def deduplicateOnce(table: DeltaTable, strategy: DedupStrategy): DedupResult = {
     val snap = table.snapshot()
     val df = table.toDF(snap)
-    val before = df.count()
+    def keepOne(keys: Seq[String], order: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     val deduped: DataFrame = strategy match {
       case DedupStrategy.Exact => df.distinct()
       case DedupStrategy.ByKey(keys) => df.dropDuplicates(keys)
-      case DedupStrategy.KeepLatest(keys, orderCol) =>
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
-        df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+      case DedupStrategy.KeepLatest(keys, orderCol) => keepOne(keys, col(orderCol).desc)
+      case DedupStrategy.KeepFirst(keys, orderCol) => keepOne(keys, col(orderCol).asc)
+      case DedupStrategy.KeepLast(keys, orderCol) => keepOne(keys, col(orderCol).desc)
     }
-    val after = deduped.count()
+    // Metrics come from per-file stats, not table scans: rowsBefore is the
+    // sum of the snapshot's add-action numRecords, rowsAfter the sum over the
+    // files the rewrite just wrote — the old before/after `count()` pair cost
+    // two extra full-table jobs for numbers the log already knows. Fall back
+    // to a scan only when the log can't answer (an external writer omitted
+    // stats, or a deletion vector makes physical numRecords overcount).
+    val statsKnown = snap.activeFiles.forall(a =>
+      a.parsedStats.isDefined && a.deletionVector.isEmpty)
+    val before =
+      if (statsKnown) snap.activeFiles.flatMap(_.parsedStats).map(_.numRecords).sum
+      else df.count()
+    val adds = table.writeDataFiles(deduped, snap.partitionColumns, snap.schema)
+    val after = adds.flatMap(_.parsedStats).map(_.numRecords).sum
     val v =
-      if (after == before) snap.version
-      else {
-        val adds = table.writeDataFiles(deduped, snap.partitionColumns, snap.schema)
+      if (after == before) {
+        // nothing removed — discard the rewrite, keep the current version
+        adds.foreach(a => table.deleteDataFile(a.path))
+        snap.version
+      } else {
         // Remove exactly the files the rewrite READ (the planning snapshot's
         // set) — removing `cur.activeFiles` would silently drop rows a
         // concurrent append committed between snapshot and commit.
@@ -236,8 +262,18 @@ object Maintenance {
    * Z-range (what makes later min/max skipping effective).
    */
   def zOrderCluster(table: DeltaTable, columns: Seq[String],
-                    targetFiles: Int = 0): ZOrderResult =
+                    targetFiles: Int = 0,
+                    curveType: String = "zorder"): ZOrderResult = {
+    // `hilbert` is accepted and computed as z-order, exactly like the
+    // reference (compaction/index.ts:151,1122 — the hilbert branch falls
+    // through to the Morton interleave).
+    curveType.toLowerCase match {
+      case "zorder" | "z-order" | "hilbert" => ()
+      case other => throw new IllegalArgumentException(
+        s"unknown curveType '$other' (expected zorder or hilbert)")
+    }
     replanOnConflict() { zOrderOnce(table, columns, targetFiles) }
+  }
 
   private def zOrderOnce(table: DeltaTable, columns: Seq[String],
                          targetFiles: Int): ZOrderResult = {

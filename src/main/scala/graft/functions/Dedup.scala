@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -82,12 +83,36 @@ object Dedup {
    * largest intermediate in the job, while the first-band filter is a
    * per-row check on two short arrays.
    */
-  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String,
+                     maxBucket: Int = 100000): DataFrame = {
     val buckets = df.select(col(idCol).as("__id"),
         col(bandsCol).cast("array<bigint>").as("__bs"),
         posexplode(col(bandsCol).cast("array<bigint>")))
       .toDF("__id", "__bs", "__band", "__bh")
-    buckets.as("a").join(buckets.as("b"),
+    // Skew guard: a degenerate bucket of m near-identical docs yields m²/2
+    // candidate pairs in ONE task — the classic LSH failure mode at scale.
+    // Oversized buckets are found with a map-side-combined count (tiny
+    // result by construction), removed via broadcast anti-join, and LOGGED —
+    // capping is never silent. Exact duplicates never reach here (callers
+    // pre-collapse them), so a capped bucket means >maxBucket distinct
+    // near-identical docs hashed to one band.
+    val guarded = if (maxBucket == Int.MaxValue) buckets else {
+      val big = buckets.groupBy(col("__band"), col("__bh"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+        .cache()
+      val nBig = big.count()
+      if (nBig > 0) {
+        val worst = big.agg(max(col("__n"))).head.getLong(0)
+        System.err.println(
+          s"[graft.Dedup] capped $nBig LSH bucket(s) over $maxBucket ids " +
+            s"(largest: $worst); pairs whose earliest shared band fell in a " +
+            s"capped bucket are dropped")
+        buckets.join(broadcast(big.select(col("__band"), col("__bh"))),
+          Seq("__band", "__bh"), "left_anti")
+      } else buckets
+    }
+    guarded.as("a").join(guarded.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__bh") === col("b.__bh") &&
           col("a.__id") < col("b.__id"))
@@ -110,7 +135,8 @@ object Dedup {
    */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
-                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+                      threshold: Double = 0.8, seed: Long = 42L,
+                      maxBucket: Int = 100000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // Cache the shingle sets + their hashes: without this barrier projection
@@ -118,22 +144,48 @@ object Dedup {
     // transform, re-evaluating it once per shingle per permutation —
     // O(k·shingles·tokens) interpreted work per row (observed 450 s for 200
     // docs). With the barrier the signature reads a stored array: O(k·shingles).
-    val withSets = docs.select(
+    //
+    // Exact-duplicate pre-collapse: identical shingle-hash arrays form a
+    // group (window min(id) over the structural fingerprint — one shuffle,
+    // no join); LSH sees ONE representative per group, so a million exact
+    // copies cost the bucket join a single row instead of a quadratic
+    // bucket. Verified rep pairs are expanded back to member pairs below.
+    val withGroups = docs.select(
       col(idCol).as("__id"),
       TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), shingleSize).as("__sh"))
       .withColumn("__h", transform(col("__sh"), s => pmod(xxhash64(s), lit(Prime))))
+      .withColumn("__fp", xxhash64(col("__h")))
+      .withColumn("__rid", min(col("__id")).over(Window.partitionBy(col("__fp"))))
       .cache()
-    val signed = withSets
+    val reps = withGroups.filter(col("__id") === col("__rid"))
+    val signed = reps
       .withColumn("__sig", minhashFromHashes(col("__h"), k, seed))
       .withColumn("__bands", lshBands(col("__sig"), bands, r))
-    val cands = candidatePairs(signed, "__id", "__bands")
-    val sets = withSets.select(col("__id"), col("__sh"))
-    cands
+    val cands = candidatePairs(signed, "__id", "__bands", maxBucket)
+    val sets = reps.select(col("__id"), col("__sh"))
+    val repPairs = cands
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
       .withColumn("jaccard", jaccard(array_distinct(col("__sa")), array_distinct(col("__sb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Cross-group expansion: every member pair across two near-dup groups
+    // shares the groups' jaccard (identical sets per group).
+    val members = withGroups.select(col("__id").as("__mid"), col("__rid"))
+    val cross = repPairs
+      .join(members.select(col("__mid").as("__ma"), col("__rid").as("id_a")), "id_a")
+      .join(members.select(col("__mid").as("__mb"), col("__rid").as("id_b")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    // Within-group pairs: identical non-empty sets are jaccard 1.0 (empty
+    // sets are 0.0 by the same convention as [[jaccard]]).
+    val wg = withGroups.select(col("__rid"), col("__id"), (size(col("__sh")) > 0).as("__ne"))
+    val within = wg.as("a").join(wg.as("b"),
+        col("a.__rid") === col("b.__rid") && col("a.__id") < col("b.__id"))
+      .withColumn("jaccard", when(col("a.__ne"), lit(1.0)).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Exact all-pairs n-gram Jaccard (for small candidate sets / verification). */
@@ -183,21 +235,43 @@ object Dedup {
     * within distance ~3 shares a band w.h.p.), bucket-join, verify Hamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDistance: Int = 3,
-                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+                      tokenHasher: Column => Column = xxhash64(_),
+                      maxBucket: Int = 100000): DataFrame = {
     // Cache: the signature is referenced by both sides of the bucket
     // self-join and its 64 per-bit votes re-evaluate the token expression.
+    //
+    // Distance-0 pre-collapse: the verification metric is purely
+    // signature-based, so docs sharing a signature are grouped behind one
+    // representative (window min(id) over __sig — one shuffle) before the
+    // bucket join; member pairs are re-expanded afterwards. A degenerate
+    // corpus of identical docs costs the LSH join one row, not a quadratic
+    // bucket.
     val signed = docs.select(col(idCol).as("__id"),
-      simhash64(TextFunctions.tokens(col(textCol)), tokenHasher).as("__sig")).cache()
-    val banded = signed.withColumn("__bands",
+      simhash64(TextFunctions.tokens(col(textCol)), tokenHasher).as("__sig"))
+      .withColumn("__rid", min(col("__id")).over(Window.partitionBy(col("__sig"))))
+      .cache()
+    val reps = signed.filter(col("__id") === col("__rid"))
+    val banded = reps.withColumn("__bands",
       transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftright", col("__sig"), (j * 16).cast("int"))
           .bitwiseAND(lit(0xffffL))))
-    val cands = candidatePairs(banded, "__id", "__bands")
-    cands
-      .join(signed.select(col("__id").as("id_a"), col("__sig").as("__siga")), "id_a")
-      .join(signed.select(col("__id").as("id_b"), col("__sig").as("__sigb")), "id_b")
+    val cands = candidatePairs(banded, "__id", "__bands", maxBucket)
+    val repPairs = cands
+      .join(reps.select(col("__id").as("id_a"), col("__sig").as("__siga")), "id_a")
+      .join(reps.select(col("__id").as("id_b"), col("__sig").as("__sigb")), "id_b")
       .withColumn("distance", hamming64(col("__siga"), col("__sigb")))
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("distance"))
+    val members = signed.select(col("__id").as("__mid"), col("__rid"))
+    val cross = repPairs
+      .join(members.select(col("__mid").as("__ma"), col("__rid").as("id_a")), "id_a")
+      .join(members.select(col("__mid").as("__mb"), col("__rid").as("id_b")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("distance"))
+    val within = signed.as("a").join(signed.as("b"),
+        col("a.__rid") === col("b.__rid") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        hamming64(col("a.__sig"), col("a.__sig")).as("distance"))
+    cross.unionByName(within)
   }
 }

@@ -39,6 +39,15 @@ class DeletionVectorsSpec extends SparkTestBase {
       Seq[Action](RemoveFile(add.path, 0L), newAdd, CommitInfo(0L, "ADD-DV")))
     val total = t.toDF().count()
     assert(total == 98)
+    // the mask is a codegen'd expression, not a UDF: no ScalaUDF/
+    // BatchEvalPython node, and the masked scan stays in whole-stage codegen
+    val plan = t.toDF().queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"DV mask left a UDF node in the plan:\n$plan")
+    // the `*(n)` prefix marks WholeStageCodegen stages in the plan string
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter dvkeeprow") && l.contains("*(")),
+      s"DV-masked filter fell out of codegen:\n$plan")
   }
 
   private def pad4(b: Array[Byte]): Array[Byte] =

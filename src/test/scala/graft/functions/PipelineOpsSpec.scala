@@ -142,6 +142,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(resized.select("meta.width").distinct().head().getInt(0) == 224)
   }
 
+  test("minhash: 1k identical docs collapse to one LSH representative (no quadratic bucket)") {
+    // Degenerate corpus: every doc identical. Pre-collapse must keep the
+    // bucket join at ONE row; the C(1000,2) output pairs come from the
+    // within-group expansion, each at jaccard 1.0.
+    val many = (1 to 1000).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(many, "id", "text", threshold = 0.8)
+    assert(pairs.count() == 1000L * 999 / 2)
+    assert(pairs.filter($"jaccard" =!= 1.0).isEmpty)
+    // plus one near-dup outsider: cross-group expansion pairs it with EVERY member
+    val withOutsider = many.unionByName(
+      Seq((5000L, "the quick brown fox jumps over the lazy dog extra")).toDF("id", "text"))
+    val crossed = Dedup.minhashNearDups(withOutsider, "id", "text", threshold = 0.5)
+    assert(crossed.filter($"id_b" === 5000L).count() == 1000)
+  }
+
+  test("simhash: identical docs pair at distance 0 via signature pre-collapse") {
+    val many = (1 to 200).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(many, "id", "text", maxDistance = 3)
+    assert(pairs.count() == 200L * 199 / 2)
+    assert(pairs.filter($"distance" =!= 0).isEmpty)
+  }
+
+  test("candidatePairs caps oversized buckets (logged, not silent) and keeps small ones") {
+    // 50 ids share band-0 hash (oversized); ids 1,2 also share band-1 hash.
+    val rows = (1 to 50).map { i =>
+      val b1 = if (i <= 2) 7L else 100L + i
+      (i.toLong, Array(99L, b1))
+    }.toDF("id", "bands")
+    val capped = Dedup.candidatePairs(rows, "id", "bands", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 50-wide band-0 bucket is dropped; band-1 keeps NO pair because
+    // (1,2)'s earliest shared band (0) was capped — documented behavior
+    assert(capped.isEmpty)
+    val uncapped = Dedup.candidatePairs(rows, "id", "bands", maxBucket = 100000)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
   test("quality score stays in a sane band and is deterministic") {
     val q = docs.select(TextFunctions.qualityScore($"text").as("q"))
       .as[Double].collect()
