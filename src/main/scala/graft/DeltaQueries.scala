@@ -126,6 +126,28 @@ object DeltaQueries {
       .orderBy(col("source_partition"), col("_seq"))
   }
 
+  /** Document-row ingestion: untyped JSON docs — sparse fields, a nested
+    * object (→ variant JSON string), an integral column beyond ±2^31
+    * (→ double) and one within it (→ int32) — written through
+    * `writeDocuments` and read back typed (reference inference:
+    * src/delta/table.ts:1289-1388). */
+  def docIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = DeltaTable.forPath(s, freshDir())
+    val docs = events(s, dir).filter(col("event_id") < 1000)
+      .select(to_json(struct(
+        col("event_id"),
+        (col("user_id") * 10000000000L).as("big"),
+        when(col("event_type") === "purchase", col("value")).as("value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("pobj"),
+        col("event_type"))).as("doc"))
+    t.writeDocuments(docs.as[String])
+    t.toDF()
+      .select(col("event_id"), col("big"), col("value"), col("pobj"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fragment a table over many commits, compact, verify content unchanged. */
   def compactScan(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -170,6 +192,7 @@ object DeltaQueries {
     "d6_delta_merge" -> (mergeUpsert(_, _)),
     "d7_delta_cdc" -> (cdcFeed(_, _)),
     "d8_cdc_envelope" -> (cdcEnvelope(_, _)),
+    "d9_doc_ingest" -> (docIngest(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)))
@@ -237,6 +260,15 @@ object DeltaQueries {
         |  CAST(user_id % 8 AS INTEGER) AS source_partition
         |FROM events WHERE event_id < 2000
         |ORDER BY source_partition, _seq""".stripMargin,
+
+    "d9_doc_ingest" ->
+      """SELECT CAST(event_id AS INTEGER) AS event_id,
+        |  CAST(user_id * 10000000000 AS DOUBLE) AS big,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS value,
+        |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS pobj,
+        |  event_type
+        |FROM events WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin,
 
     "m1_compact_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

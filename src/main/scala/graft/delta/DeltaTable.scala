@@ -1,7 +1,7 @@
 package graft.delta
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -192,6 +192,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
     }
     v
+  }
+
+  /** Document-shaped ingestion (reference: DeltaTable.write over
+    * `Record<string, unknown>[]` rows, src/delta/table.ts:694-837 with
+    * inference 1289-1388): untyped JSON rows are typed under the reference's
+    * inference rules ([[DocumentInference]]) and appended, evolving the
+    * schema additively through [[SchemaUtils.merge]] like any other write. */
+  def writeDocuments(docs: Dataset[String], mode: String = "append",
+                     partitionBy: Seq[String] = Nil): Long =
+    write(DocumentInference.typedDocuments(spark, docs), mode, partitionBy)
+
+  /** Convenience for small driver-side batches of JSON documents. */
+  def writeDocuments(jsonRows: Seq[String]): Long = {
+    import spark.implicits._
+    writeDocuments(spark.createDataset(jsonRows))
   }
 
   private def cdcConfigured(snap: Snapshot): Boolean =

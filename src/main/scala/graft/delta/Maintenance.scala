@@ -250,7 +250,44 @@ object Maintenance {
 
   // ---- Z-order clustering --------------------------------------------------
 
-  final case class ZOrderResult(filesBefore: Long, filesAfter: Long, version: Long)
+  /** Per-(file, clustered-column) zone widths over the rewritten files,
+    * numeric-ified like the reference (numbers as-is, strings by first char
+    * code, else 0 — compaction/index.ts:1225-1248), with the reference's
+    * derived skip-rate estimate. Computed from the add-action stats the
+    * rewrite just produced — zero extra scans. */
+  final case class ZoneMapStats(avgZoneWidth: Double, minZoneWidth: Double,
+                                maxZoneWidth: Double, estimatedSkipRate: Double)
+
+  final case class ZOrderResult(filesBefore: Long, filesAfter: Long, version: Long,
+                                zoneMaps: Option[ZoneMapStats] = None)
+
+  private def zoneMapStats(adds: Seq[AddFile], columns: Seq[String]): Option[ZoneMapStats] = {
+    import org.json4s._
+    def num(v: JValue): Double = v match {
+      case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JString(s) => s.headOption.map(_.toInt.toDouble).getOrElse(0.0)
+      case _ => 0.0
+    }
+    val widths = for {
+      a <- adds
+      st <- a.parsedStats.toSeq
+      c <- columns
+      lo <- st.minValues.get(c)
+      hi <- st.maxValues.get(c)
+    } yield num(hi) - num(lo)
+    if (widths.isEmpty) None
+    else {
+      val avg = widths.sum / widths.size
+      // reference skip-rate estimate (compaction/index.ts:1246-1249)
+      val improvement =
+        if (avg > 0) math.min(0.5, 1.0 / math.log10(avg + 10)) else 0.1
+      val skip = math.max(0.31, math.min(0.9, improvement * 2))
+      Some(ZoneMapStats(avg, widths.min, widths.max, skip))
+    }
+  }
 
   /**
    * Rewrite the table clustered by the Morton (Z-order) interleave of the
@@ -313,7 +350,8 @@ object Maintenance {
       .map(_.copy(dataChange = false))
     val v = commitMaintenance(table, snap.activeFiles, adds, "ZORDER",
       Map("columns" -> columns.mkString(",")), dataChange = false)
-    ZOrderResult(snap.activeFiles.size.toLong, adds.size.toLong, v)
+    ZOrderResult(snap.activeFiles.size.toLong, adds.size.toLong, v,
+      zoneMapStats(adds, columns))
   }
 
   /** Map a column to an orderable long: numerics/timestamps directly, strings

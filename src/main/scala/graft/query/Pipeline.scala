@@ -37,6 +37,46 @@ object Pipeline {
       case other => throw new IllegalArgumentException(s"pipeline must be an array: $other")
     }
 
+  /** Execution stats, mirroring the reference's aggregate() stats block
+    * (src/query/index.ts:1137-1149): input docs processed, groups created
+    * (summed over `$group` stages), wall time of the driving action. */
+  final case class PipelineStats(documentsProcessed: Long, groupsCreated: Long,
+                                 executionTimeMs: Long)
+
+  /**
+   * Run the pipeline and collect execution stats. Counters ride the SAME
+   * distributed job via `Dataset.observe` (Spark's observed-metrics channel)
+   * — observability costs zero extra scans, where the reference incremented
+   * driver-side counters per row. `action` drives execution (default: a
+   * foreach-noop full pass).
+   */
+  def runWithStats(df: DataFrame, pipelineJson: String)
+                  (action: DataFrame => Unit = _.foreach(_ => ())): (PipelineStats) = {
+    import org.apache.spark.sql.Observation
+    val stages = JsonMethods.parse(pipelineJson) match {
+      case JArray(ss) => ss
+      case other => throw new IllegalArgumentException(s"pipeline must be an array: $other")
+    }
+    val inObs = Observation()
+    var cur = df.observe(inObs, count(lit(1)).as("n"))
+    val groupObs = Seq.newBuilder[Observation]
+    stages.foreach { st =>
+      cur = applyStage(cur, st)
+      st match {
+        case JObject(List(("$group", _))) =>
+          val o = Observation()
+          cur = cur.observe(o, count(lit(1)).as("n"))
+          groupObs += o
+        case _ => ()
+      }
+    }
+    val t0 = System.nanoTime()
+    action(cur)
+    val ms = (System.nanoTime() - t0) / 1000000L
+    def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
+    PipelineStats(n(inObs), groupObs.result().map(n).sum, ms)
+  }
+
   private def applyStage(df: DataFrame, stage: JValue): DataFrame = stage match {
     case JObject(List((op, body))) => op match {
       case "$match" => df.filter(MongoFilter.translate(body, df.schema))

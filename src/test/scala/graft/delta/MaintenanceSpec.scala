@@ -46,6 +46,38 @@ class MaintenanceSpec extends SparkTestBase {
     assert(got == Seq((1, "a", 10), (2, "c", 9)))
   }
 
+  test("dedup keepFirst / keepLast by explicit order") {
+    val t = tmpTable()
+    t.write(Seq((1, "x", 3), (1, "y", 7), (2, "p", 1), (2, "q", 2)).toDF("id", "s", "ts"))
+    val r = Maintenance.deduplicate(t, Maintenance.DedupStrategy.KeepFirst(Seq("id"), "ts"))
+    assert(r.rowsBefore == 4 && r.rowsAfter == 2)
+    assert(t.toDF().orderBy("id").as[(Int, String, Int)].collect().toSeq ==
+      Seq((1, "x", 3), (2, "p", 1)))
+    val t2 = tmpTable()
+    t2.write(Seq((1, "x", 3), (1, "y", 7)).toDF("id", "s", "ts"))
+    Maintenance.deduplicate(t2, Maintenance.DedupStrategy.KeepLast(Seq("id"), "ts"))
+    assert(t2.toDF().as[(Int, String, Int)].collect().toSeq == Seq((1, "y", 7)))
+    // no-duplicate input: version unchanged, rewrite discarded
+    val t3 = tmpTable()
+    t3.write(Seq((1, "x", 3), (2, "y", 7)).toDF("id", "s", "ts"))
+    val v0 = t3.version
+    val r3 = Maintenance.deduplicate(t3, Maintenance.DedupStrategy.KeepFirst(Seq("id"), "ts"))
+    assert(r3.version == v0 && r3.rowsBefore == 2 && r3.rowsAfter == 2)
+  }
+
+  test("z-order accepts hilbert alias and reports zone-map stats") {
+    val t = tmpTable()
+    t.write((1 to 500).map(i => (i % 50, i, s"r$i")).toDF("x", "y", "s"))
+    val r = Maintenance.zOrderCluster(t, Seq("x"), targetFiles = 4, curveType = "hilbert")
+    assert(r.zoneMaps.isDefined)
+    val zm = r.zoneMaps.get
+    assert(zm.avgZoneWidth >= zm.minZoneWidth && zm.maxZoneWidth >= zm.avgZoneWidth)
+    assert(zm.estimatedSkipRate >= 0.31 && zm.estimatedSkipRate <= 0.9)
+    intercept[IllegalArgumentException] {
+      Maintenance.zOrderCluster(t, Seq("x"), curveType = "peano")
+    }
+  }
+
   test("z-order rewrite preserves content and clusters files by range") {
     val t = tmpTable()
     t.write((1 to 1000).map(i => (i % 97, (i * 31) % 89, s"r$i")).toDF("x", "y", "s"))

@@ -101,4 +101,13 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() == 4)
     assert(out.schema("_id").dataType.typeName == "struct")
   }
+
+  test("runWithStats reports documentsProcessed/groupsCreated in one job") {
+    val stats = Pipeline.runWithStats(sales,
+      """[{"$group":{"_id":"$category","n":{"$sum":1}}}]""")()
+    assert(stats.documentsProcessed == sales.count())
+    assert(stats.groupsCreated ==
+      sales.select("category").distinct().count())
+    assert(stats.executionTimeMs >= 0)
+  }
 }
