@@ -23,6 +23,21 @@ object MLQueries {
         concat(col("text"), lit(" zzz")).as("text")))
   }
 
+  /** Deterministic FIXED-SIZE centroid sample: stride = ceil(n/64) caps the
+    * collected set at ~64 rows no matter the corpus size (an earlier `% 100`
+    * rule collected n/100 rows — unbounded at scale). 64 keeps the map-side
+    * `greatest(per-centroid score structs)` expression small enough for
+    * whole-stage codegen. */
+  private def sampledCentroids(e: DataFrame): Seq[(Long, Array[Double])] = {
+    val n = e.count()
+    val stride = math.max(1L, (n + 63L) / 64L)
+    e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+  }
+
   private def vecsUnion(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val perturbed = e.select(
@@ -97,18 +112,7 @@ object MLQueries {
     //      multi-probe equality-join search (the 100 TB similarity path) ----
     "q16_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // Deterministic FIXED-SIZE centroid sample: stride = ceil(n/64) caps
-      // the collected set at ~64 rows no matter the corpus size (the old
-      // `% 100` rule collected n/100 rows — unbounded at scale). 64 keeps
-      // the map-side `greatest(per-centroid score structs)` expression small
-      // enough for whole-stage codegen.
-      val n = e.count()
-      val stride = math.max(1L, (n + 63L) / 64L)
-      val cents = e.filter(col("vec_id") % stride === 0)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
+      val cents = sampledCentroids(e)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.ivfTopK(queries,
@@ -116,6 +120,24 @@ object MLQueries {
           "qid", "embedding", "vec_id", "embedding",
           cents, k = 5, probes = 2)
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- repetition filtering (Gopher-style): top-token share, distinct
+    //      share, duplicate bigrams — per-row exprs, no shuffle ----
+    "t10_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = TextFunctions.repetitionFeatures(col("text"))
+      d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }
+          :+ TextFunctions.isRepetitive(col("text")).as("repetitive"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- distributed k-means step: map-side assignment + one shuffle on
+    //      (cell, dim) for the mean update — how IVF centroids get trained ----
+    "q17_kmeans_update" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeansUpdate(e, "embedding", sampledCentroids(e))
+        .orderBy(col("cid"), col("dim"))
     }),
 
     // ---- multimodal: binary payload + metadata plumbing ----
@@ -294,6 +316,68 @@ object MLQueries {
         |  FROM pairs)
         |SELECT qid, nid, cos, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "t10_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS topc,
+        |    len(list_distinct(toks)) AS uniq,
+        |    CASE WHEN n >= 2 THEN list_transform(range(n - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS bi
+        |  FROM f)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) END AS top_token_ratio,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(uniq AS DOUBLE) / CAST(n AS DOUBLE) END AS unique_token_ratio,
+        |  CASE WHEN len(bi) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+        |       END AS dup_bigram_ratio,
+        |  (CASE WHEN n = 0 THEN 0.0
+        |        ELSE CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) END) > 0.2
+        |  OR (CASE WHEN len(bi) = 0 THEN 0.0
+        |           ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+        |           END) > 0.3 AS repetitive
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same centroid sample + argmax assignment as q16, then the per-(cell,
+    // dim) mean with a decimal-exact sum — parallel unnest zips each vector
+    // with its dimension indexes.
+    "q17_kmeans_update" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE vec_id % greatest(1, (SELECT (count(*) + 63) // 64 FROM embeddings)) = 0),
+        |corpus AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT c.nid, ct.cid,
+        |    list_dot_product(c.e, ct.e) /
+        |      (c.nrm * sqrt(list_dot_product(ct.e, ct.e))) AS cos
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT nid, cid FROM (
+        |    SELECT nid, cid,
+        |      row_number() OVER (PARTITION BY nid ORDER BY cos DESC, cid) AS rn
+        |    FROM scored) a WHERE rn = 1),
+        |vals AS (
+        |  SELECT a.cid, unnest(c.e) AS v,
+        |    unnest(range(len(c.e))) AS dim
+        |  FROM assign a JOIN corpus c ON a.nid = c.nid)
+        |SELECT cid, CAST(dim AS INTEGER) AS dim,
+        |  CAST(CAST(SUM(CAST(round(v * 1e12) AS BIGINT)) AS DOUBLE)
+        |       / (1e12 * COUNT(*)) AS DOUBLE) AS value,
+        |  COUNT(*) AS n
+        |FROM vals GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
 
     "t8_multimodal_meta" ->
       """SELECT doc_id AS media_id,

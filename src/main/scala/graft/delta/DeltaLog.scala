@@ -100,6 +100,18 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
           throw new java.io.IOException(s"commit $version verify failed after link")
       } finally java.nio.file.Files.deleteIfExists(tmpNio)
     } else {
+      // Object stores whose Hadoop connectors implement create(overwrite =
+      // false) as check-then-create cannot give single-writer-wins OCC by
+      // themselves (S3 needs if-none-match conditional PUT or an external
+      // log store). Warn once per scheme rather than silently voiding the
+      // ACID claim for multi-driver deployments.
+      val scheme = Option(fs.getUri.getScheme).getOrElse("")
+      if (DeltaLog.NonAtomicCreateSchemes(scheme) && DeltaLog.warnedSchemes.add(scheme))
+        System.err.println(
+          s"[graft.DeltaLog] scheme '$scheme' does not guarantee atomic " +
+            "create-if-not-exists: concurrent writers from separate drivers " +
+            "may overwrite commits. Use a coordinating log store or a " +
+            "conditional-write-capable connector for multi-writer safety.")
       val out =
         try fs.create(target, /*overwrite=*/ false)
         catch {
@@ -145,4 +157,12 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+}
+
+object DeltaLog {
+  /** Hadoop schemes whose create(overwrite=false) is check-then-create. */
+  private val NonAtomicCreateSchemes =
+    Set("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

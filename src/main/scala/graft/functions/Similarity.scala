@@ -161,6 +161,37 @@ object Similarity {
   }
 
   /**
+   * One distributed Lloyd (k-means) iteration over an embedding column:
+   * every vector is assigned MAP-SIDE to its nearest centroid (cosine
+   * argmax, lowest-id tie-break — same rule as [[ivfTopK]]), then each
+   * centroid is recomputed as the per-dimension mean of its members with ONE
+   * shuffle on (cell, dimension). No driver materialization beyond the
+   * k×dim result — this is how [[ivfTopK]] centroids get trained at scale
+   * (iterate by feeding the output back in as the next round's centroids).
+   *
+   * Returns (cid, dim, value, n): cluster id, dimension index, new centroid
+   * coordinate, cluster size. Coordinates are quantized to 1e-12 and summed
+   * as exact integers, so the mean is summation-order-independent and
+   * bit-reproducible across engines (double sums are order-dependent, and
+   * decimal casts round ties differently engine to engine); the 1e-12
+   * quantization error is far below any clustering-relevant signal.
+   */
+  def kmeansUpdate(corpus: DataFrame, embCol: String,
+                   cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val assigned = corpus.select(col(embCol).cast("array<double>").as("__e"))
+      .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
+      .withColumn("cid", nearestCell(col("__e"), col("__n"), cents))
+    assigned.select(col("cid"), posexplode(col("__e")))
+      .toDF("cid", "dim", "v")
+      .groupBy(col("cid"), col("dim"))
+      .agg(
+        (sum(round(col("v") * lit(1e12)).cast(LongType)).cast(DoubleType) /
+          (lit(1e12) * count(lit(1)))).as("value"),
+        count(lit(1)).as("n"))
+  }
+
+  /**
    * LSH-quantizer ANN top-k: assign every vector to a signature-prefix cell,
    * search only the query's cell. Returns approximate neighbors.
    */

@@ -97,6 +97,39 @@ object TextFunctions {
     lengthOk + stopOk + lit(0.2) - punctPenalty
   }
 
+  /** Repetition signals (the Gopher/RefinedWeb-style filters for generated or
+    * boilerplate text): most-frequent-token share, distinct-token share, and
+    * duplicate-bigram share. Pure per-row Column expressions — map-side, no
+    * shuffle; cost is O(distinct·tokens) interpreted lambdas per row, fine
+    * for documents, and every term is recomputable in DuckDB for the gate. */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val n = nToks.cast("double")
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val bigrams = ngrams(toks, 2)
+    val nBi = size(bigrams).cast("double")
+    Seq(
+      "n_tokens" -> nToks,
+      "top_token_ratio" ->
+        when(nToks === 0, lit(0.0)).otherwise(topCount.cast("double") / n),
+      "unique_token_ratio" ->
+        when(nToks === 0, lit(0.0))
+          .otherwise(size(array_distinct(toks)).cast("double") / n),
+      "dup_bigram_ratio" ->
+        when(nBi === 0, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / nBi))
+  }
+
+  /** Repetitive-document flag with the usual web-corpus thresholds. */
+  def isRepetitive(text: Column,
+                   topTokenMax: Double = 0.2,
+                   dupBigramMax: Double = 0.3): Column = {
+    val f = repetitionFeatures(text).toMap
+    f("top_token_ratio") > topTokenMax || f("dup_bigram_ratio") > dupBigramMax
+  }
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of the normalized text (lowercased, single

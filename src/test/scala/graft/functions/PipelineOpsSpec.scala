@@ -181,6 +181,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("kmeansUpdate: one Lloyd step moves centroids toward cluster means") {
+    // two tight clusters around (1,0) and (0,1); centroids start at the
+    // cluster seeds, one update lands on the per-dimension member means
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.0f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)), (12L, Array(0.0f, 0.8f)))
+      .toDF("id", "emb")
+    val cents = Seq((0L, Array(1.0, 0.0)), (10L, Array(0.0, 1.0)))
+    val out = Similarity.kmeansUpdate(pts, "emb", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out((0L, 0))._2 == 3 && out((10L, 0))._2 == 3) // 3 members each
+    assert(math.abs(out((0L, 0))._1 - (1.0f.toDouble + 0.9f.toDouble + 0.8f.toDouble) / 3) < 1e-9)
+    assert(math.abs(out((10L, 1))._1 - (1.0f.toDouble + 0.9f.toDouble + 0.8f.toDouble) / 3) < 1e-9)
+    // feeding the result back in converges (fixed point within quantization)
+    val next = out.toSeq.groupBy(_._1._1).map { case (cid, vs) =>
+      (cid, vs.sortBy(_._1._2).map(_._2._1).toArray)
+    }.toSeq.sortBy(_._1)
+    val out2 = Similarity.kmeansUpdate(pts, "emb", next)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    next.foreach { case (cid, e) =>
+      e.zipWithIndex.foreach { case (v, i) =>
+        assert(math.abs(out2((cid, i)) - v) < 1e-9)
+      }
+    }
+  }
+
+  test("repetition features flag degenerate documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a perfectly normal sentence with mostly unique words here")).toDF("id", "text")
+    val feats = TextFunctions.repetitionFeatures($"text")
+    val out = df.select($"id" +: feats.map { case (n, c) => c.as(n) }
+        :+ TextFunctions.isRepetitive($"text").as("rep"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("top_token_ratio") == 1.0)
+    assert(out(1L).getAs[Double]("dup_bigram_ratio") > 0.8)
+    assert(out(1L).getAs[Boolean]("rep"))
+    assert(out(2L).getAs[Double]("unique_token_ratio") > 0.9)
+    assert(!out(2L).getAs[Boolean]("rep"))
+  }
+
   test("quality score stays in a sane band and is deterministic") {
     val q = docs.select(TextFunctions.qualityScore($"text").as("q"))
       .as[Double].collect()
