@@ -140,6 +140,26 @@ object MLQueries {
         .orderBy(col("cid"), col("dim"))
     }),
 
+    // ---- end-to-end corpus curation: exact dedup (keep lowest id) →
+    //      language ID → quality score → repetition filter, composed as one
+    //      declarative plan (one dedup shuffle; every other step map-side) ----
+    "t11_curation_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val deduped = doubled
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("text"), col("doc_id")).as("text"))
+      deduped
+        .withColumn("lang_pred", TextFunctions.languageId(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
+          !TextFunctions.isRepetitive(col("text")))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal: binary payload + metadata plumbing ----
     "t8_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMediaRecords(
@@ -316,6 +336,61 @@ object MLQueries {
         |  FROM pairs)
         |SELECT qid, nid, cos, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // The doubled corpus collapses back to the original rows under exact
+    // dedup (every duplicate keeps its lowest id < 100000), so the oracle
+    // scores the original documents directly — lang/quality/repetition
+    // formulas are the t1/t2/t10 expressions inlined.
+    "t11_curation_pipeline" -> {
+      val allMarkers = TextFunctions.Markers.flatMap(_._2).map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("de")}, t))) AS s_de,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("en")}, t))) AS s_en,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("es")}, t))) AS s_es,
+         |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("fr")}, t))) AS s_fr,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         |    length(text) AS nc
+         |  FROM documents),
+         |lang AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN cjk * 2 > nc THEN 'zh'
+         |         WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+         |         WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM scored),
+         |q AS (
+         |  SELECT doc_id, text, lang_pred,
+         |    ((CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 0.5 ELSE 0.0 END
+         |      + least(CAST(len(list_filter(string_split(text,' '),
+         |          t -> list_contains($allMarkers, t))) AS DOUBLE)
+         |        / CAST(len(string_split(text,' ')) AS DOUBLE) * 2.0, 0.3)) + 0.2)
+         |      - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) * 5.0, 0.2) AS quality
+         |  FROM lang),
+         |rep AS (
+         |  SELECT doc_id, quality, lang_pred,
+         |    string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM q),
+         |flags AS (
+         |  SELECT doc_id, quality, lang_pred,
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+         |      / CAST(n AS DOUBLE) AS topr,
+         |    CASE WHEN n >= 2 THEN 1.0 -
+         |      CAST(len(list_distinct(list_transform(range(n - 1),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+         |      ELSE 0.0 END AS dupb
+         |  FROM rep)
+         |SELECT doc_id, quality FROM flags
+         |WHERE lang_pred = 'en' AND quality >= 0.5
+         |  AND NOT (topr > 0.2 OR dupb > 0.3)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "t10_repetition" ->
       """WITH f AS (

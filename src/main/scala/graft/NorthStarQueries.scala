@@ -209,6 +209,31 @@ object NorthStarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- stream-stream join: purchases ⋈ clicks within 15 min, both sides
+    // unbounded streams with watermarked state (the capability the
+    // reference's commit-feed model cannot express at all). Inner joins with
+    // time bounds emit eagerly; the watermark bounds join state, so state
+    // size follows the time window, not the stream length. ----
+    "n17_stream_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+        .withWatermark("cts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("pts", "1 hour")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND cts >= pts - INTERVAL 15 MINUTES AND cts <= pts"))
+        .select(col("purchase_id"), col("click_id"))
+      graft.streaming.Streams.runToMemory(joined, "graft_stream_join", "append")
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // ---- native VARIANT type: parse-once semi-structured extraction ----
     // Spark 4's VariantType (the reference's parquet/variant.ts encodes the
     // same open format): parse the JSON once into a variant value, extract
@@ -304,6 +329,14 @@ object NorthStarQueries {
     "n11_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "n17_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "n16_variant_type" ->
       """SELECT event_type, COUNT(*) AS n,
