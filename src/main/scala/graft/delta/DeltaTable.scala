@@ -261,12 +261,41 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (adds.isEmpty) Nil else attachStats(adds, partCols, schema)
   }
 
-  /** Per-file column stats (numRecords/min/max/nullCount,
-    * reference: src/delta/table.ts:1110-1147) via one distributed
-    * aggregation over `_metadata.file_path` — scales with executor count,
-    * not file count. */
+  /** Per-file column stats (numRecords/min/max/nullCount, reference:
+    * src/delta/table.ts:1110-1147) from parquet FOOTERS — metadata-only
+    * reads fanned out as one Spark job, instead of re-scanning every
+    * written byte (at 100 TB the re-scan doubled write-path I/O). Falls
+    * back to the distributed re-read aggregation if footers are
+    * unreadable for any reason. */
   private def attachStats(adds: Seq[AddFile], partCols: Seq[String],
                           schema: StructType): Seq[AddFile] = {
+    val statable = schema.fields
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => isStatable(f.dataType))
+    val files = adds.map(f => new Path(tablePath, f.path).toString)
+    try {
+      val byPath = FooterStats.collect(spark, files, schema,
+        statable.toIndexedSeq, log.hadoopConf)
+      adds.zip(files).map { case (add, file) =>
+        byPath.get(file) match {
+          case Some(st) => add.copy(stats = Some(st.toJsonString))
+          case None => add
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[graft.DeltaTable] footer stats failed (${e.getMessage}); " +
+            "falling back to aggregation scan")
+        attachStatsViaAgg(adds, partCols, schema)
+    }
+  }
+
+  /** Fallback stats path: one distributed aggregation over
+    * `_metadata.file_path` (re-reads the written data). Kept private[delta]
+    * so tests can assert footer stats and scan stats agree exactly. */
+  private[delta] def attachStatsViaAgg(adds: Seq[AddFile], partCols: Seq[String],
+                                       schema: StructType): Seq[AddFile] = {
     val statable = schema.fields
       .filterNot(f => partCols.contains(f.name))
       .filter(f => isStatable(f.dataType))

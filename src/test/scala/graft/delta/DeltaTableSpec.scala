@@ -213,4 +213,37 @@ class DeltaTableSpec extends SparkTestBase {
     val projected = t.query("""{}""", Some("""{"id":1,"color":1}"""))
     assert(projected.columns.toSeq == Seq("id", "color"))
   }
+
+  test("footer stats match aggregation-scan stats exactly") {
+    import org.apache.spark.sql.functions._
+    val t = tmpTable()
+    // numeric, string, timestamp, boolean, and an all-null column — every
+    // statable shape the footer path must reproduce bit-for-bit
+    val df = (1 to 500).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"v$i", i * 1.5 - 300.0, i % 2 == 0)
+    }.toDF("id", "s", "d", "b")
+      .withColumn("ts", timestamp_micros(col("id") * 1000000L + 1700000000000000L)
+        .cast("timestamp_ntz"))
+      .withColumn("allnull", lit(null).cast("string"))
+    t.write(df)
+    val snap = t.snapshot()
+    val fromFooters = snap.activeFiles.map(a => a.path -> a.stats.get).toMap
+    val viaAgg = t.attachStatsViaAgg(
+        snap.activeFiles.map(_.copy(stats = None)), Nil, snap.schema)
+      .map(a => a.path -> a.stats.get).toMap
+    assert(fromFooters.keySet == viaAgg.keySet)
+    fromFooters.foreach { case (p, fj) =>
+      val f = FileStats.fromJsonString(fj).get
+      val g = FileStats.fromJsonString(viaAgg(p)).get
+      assert(f.numRecords == g.numRecords, s"numRecords differ for $p")
+      assert(f.minValues == g.minValues, s"minValues differ for $p:\n$f\n$g")
+      assert(f.maxValues == g.maxValues, s"maxValues differ for $p:\n$f\n$g")
+      assert(f.nullCount == g.nullCount, s"nullCount differ for $p:\n$f\n$g")
+    }
+    // pruning still works off the footer stats: selective range query reads
+    // a strict subset of files
+    val pruned = FilePruner.prune(snap,
+      org.json4s.jackson.JsonMethods.parse("""{"id":{"$lte":3}}"""))
+    assert(pruned.size < snap.activeFiles.size)
+  }
 }
