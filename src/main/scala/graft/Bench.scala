@@ -42,7 +42,11 @@ object Bench {
       if (ok) sec else -1.0
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only the named queries (iteration aid)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOne(fn) // per-query warmup, discarded
       val samples = Seq.fill(3)(timeOne(fn))
       val median =

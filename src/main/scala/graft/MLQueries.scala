@@ -151,11 +151,17 @@ object MLQueries {
         .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("text"), col("doc_id")).as("text"))
-      deduped
-        .withColumn("lang_pred", TextFunctions.languageId(col("text")))
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
-          !TextFunctions.isRepetitive(col("text")))
+      // Cache barrier: without it CollapseProject inlines every feature
+      // expression into BOTH the filter and the final projection, so the
+      // interpreted token lambdas run twice per doc (observed 3.1 s vs
+      // ~0.5 s for one evaluation at sf0.1).
+      val feats = deduped.select(col("doc_id"),
+          TextFunctions.languageId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.isRepetitive(col("text")).as("rep"))
+        .cache()
+      feats
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5 && !col("rep"))
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),

@@ -96,7 +96,7 @@ object NorthStarQueries {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      graft.streaming.Streams.runToMemory(agg, "graft_stream_window", "complete")
+      graft.streaming.Streams.runToMemory(agg, "graft_stream_window", "complete", statePartitions = Some(8))
         .select(col("window.start").cast(TimestampNTZType).as("window_start"),
           col("event_type"), col("n"))
         .orderBy(col("window_start"), col("event_type"))
@@ -122,7 +122,7 @@ object NorthStarQueries {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      graft.streaming.Streams.runToMemory(agg, "graft_sliding_window", "complete")
+      graft.streaming.Streams.runToMemory(agg, "graft_sliding_window", "complete", statePartitions = Some(8))
         .select(col("window.start").cast(TimestampNTZType).as("window_start"),
           col("event_type"), col("n"))
         .orderBy(col("window_start"), col("event_type"))
@@ -140,7 +140,7 @@ object NorthStarQueries {
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
-      graft.streaming.Streams.runToMemory(dedup, "graft_stream_dedup", "append")
+      graft.streaming.Streams.runToMemory(dedup, "graft_stream_dedup", "append", statePartitions = Some(8))
         .orderBy(col("user_id"), col("event_type"))
     }),
 
@@ -162,7 +162,7 @@ object NorthStarQueries {
             state.update(n)
             (user, n)
         }.toDF("user_id", "n")
-      graft.streaming.Streams.runToMemory(counted, "graft_stateful_counts", "update")
+      graft.streaming.Streams.runToMemory(counted, "graft_stateful_counts", "update", statePartitions = Some(8))
         .orderBy(col("user_id"))
     }),
 
@@ -230,7 +230,7 @@ object NorthStarQueries {
       val joined = purchases.join(clicks,
         expr("p_user = c_user AND cts >= pts - INTERVAL 15 MINUTES AND cts <= pts"))
         .select(col("purchase_id"), col("click_id"))
-      graft.streaming.Streams.runToMemory(joined, "graft_stream_join", "append")
+      graft.streaming.Streams.runToMemory(joined, "graft_stream_join", "append", statePartitions = Some(8))
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 

@@ -42,16 +42,30 @@ object Streams {
     * the memory sink. `Trigger.AvailableNow` drains all available input in
     * back-to-back micro-batches and stops — no processing-time poll intervals
     * idling between batches (a fixed 1 s trigger spent most of its wall time
-    * waiting). Returns the result table registered under `name`. */
-  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    * waiting). Returns the result table registered under `name`.
+    *
+    * `statePartitions` pins `spark.sql.shuffle.partitions` for the query's
+    * lifetime (state-store layout is fixed at first start): every stateful
+    * operator commits one state store per partition per micro-batch, so
+    * partition count should follow per-batch event volume, not core count —
+    * a 32-partition stream-stream join over a few thousand rows spends more
+    * time in store commits than in the join (observed 6.4 s → 2.7 s). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append",
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q: StreamingQuery = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ => spark.conf.set(key, old))
+    spark.table(name)
   }
 
   /**
