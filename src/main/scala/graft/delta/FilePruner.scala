@@ -132,7 +132,12 @@ object FilePruner {
     case _: NumericType =>
       for (a <- num(statVal); b <- num(lit)) yield a.compare(b)
     case StringType => (statVal, lit) match {
-      case (JString(a), JString(b)) => Some(a.compareTo(b).sign)
+      // UTF-8 unsigned byte order — the ordering Spark's UTF8String filters
+      // use AND the ordering the min/max stats were computed under (both the
+      // aggregation and parquet-footer paths). Java's String.compareTo is
+      // UTF-16 code-unit order, which disagrees for supplementary-plane vs
+      // U+E000..U+FFFF characters and could misprune files.
+      case (JString(a), JString(b)) => Some(utf8Compare(a, b).sign)
       case _ => None
     }
     case TimestampType | TimestampNTZType => (statVal, lit) match {
@@ -174,6 +179,19 @@ object FilePruner {
   private def parseDate(s: String): Option[java.time.LocalDate] =
     try Some(java.time.LocalDate.parse(s.take(10)))
     catch { case _: java.time.format.DateTimeParseException => None }
+
+  private[delta] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
 }
 
 /** Hive-style partition path conventions, as Spark writes them

@@ -214,6 +214,16 @@ class DeltaTableSpec extends SparkTestBase {
     assert(projected.columns.toSeq == Seq("id", "color"))
   }
 
+  test("string pruning uses UTF-8 byte order (supplementary plane vs BMP)") {
+    val t = tmpTable()
+    // "😀" (U+1F600, supplementary) sorts ABOVE "！" (U+FF01) in UTF-8 byte
+    // order (the engine's comparison) but BELOW it in UTF-16 code-unit
+    // order — a UTF-16 pruner would drop the file and lose the row.
+    t.write(Seq((1, "😀")).toDF("id", "s"))
+    val filter = s"""{"s":{"$$gte":"${'！'}"}}"""
+    assert(t.query(filter).count() == 1)
+  }
+
   test("footer stats match aggregation-scan stats exactly") {
     import org.apache.spark.sql.functions._
     val t = tmpTable()
