@@ -267,6 +267,144 @@ case class SharesEarlierBand(first: Expression, second: Expression, third: Expre
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/**
+ * Fused random-hyperplane LSH signature: nBits dot products against the
+ * plane matrix packed into sign bits of `ceil(nBits/64)` long words — one
+ * tight loop instead of nBits separate `DotProduct` expressions OR-ed
+ * together. The unfused composition generated a projection method beyond
+ * HotSpot's JIT size limit, so it ran as INTERPRETED bytecode (~60× slower);
+ * the arithmetic here is term-for-term identical (elements widened to
+ * double, accumulated in array order, bit set when the dot is >= 0), so
+ * signatures are bit-identical to [[Similarity.signatureComposed]].
+ */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Called from generated code; public for codegen access. */
+  def sign(arr: ArrayData): UnsafeArrayData = {
+    val nBits = planes.length
+    val words = new Array[Long]((nBits + 63) / 64)
+    val isFloat = elemIsFloat
+    var b = 0
+    while (b < nBits) {
+      val p = planes(b)
+      val n = math.min(arr.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        s += v * p(i)
+        i += 1
+      }
+      if (s >= 0) words(b / 64) |= (1L << (b % 64))
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(words)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperSig", this, classOf[HyperplaneSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sign($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
+/**
+ * Fused nearest-centroid ranking: cosine of the input embedding against the
+ * whole centroid matrix, returning the top-`k` centroid ids ordered by
+ * (cosine DESC, id ASC). Replaces a `greatest(...)`/`array_sort(...)` over
+ * per-centroid score structs whose generated method exceeded HotSpot's JIT
+ * size limit (interpreted fallback). Arithmetic is term-for-term the
+ * composed version's: `dot(emb, cent) / (norm * centNorm)` in doubles, dot
+ * accumulated in array order — scores are bit-identical, so the argmax and
+ * tie-breaks agree exactly ([[Similarity.nearestCellComposed]] is the
+ * reference).
+ */
+case class TopCentroids(left: Expression, right: Expression,
+    cids: Array[Long], cents: Array[Array[Double]], cNorms: Array[Double], k: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"top_centroids expects (array<float|double>, double), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Called from generated code; public for codegen access. */
+  def rank(arr: ArrayData, norm: Double): UnsafeArrayData = {
+    val isFloat = elemIsFloat
+    val m = cids.length
+    val kk = math.min(k, m)
+    // top-k by (cos desc, cid asc) via insertion into small arrays
+    val topCos = new Array[Double](kk)
+    val topCid = new Array[Long](kk)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val p = cents(c)
+      val n = math.min(arr.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        s += v * p(i)
+        i += 1
+      }
+      val cos = s / (norm * cNorms(c))
+      val cid = cids(c)
+      // find insertion point among current top entries
+      var pos = filled
+      while (pos > 0 && (cos > topCos(pos - 1) ||
+        (cos == topCos(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+      if (pos < kk) {
+        val lastIdx = math.min(filled, kk - 1)
+        var j = lastIdx
+        while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topCos(pos) = cos; topCid(pos) = cid
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(topCid, filled))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    rank(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCentroids", this, classOf[TopCentroids].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.rank($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopCentroids =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
 
   /** Codegen'd dot product of two float/double array columns. */
@@ -279,6 +417,24 @@ object NativeExpressions {
     import org.apache.spark.sql.functions.sqrt
     dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
   }
+
+  /** Top-k centroid ids by (cosine desc, id asc) — fused kernel. */
+  def topCentroids(emb: Column, norm: Column,
+                   cents: Seq[(Long, Array[Double])], k: Int): Column = {
+    val cNorms = cents.map { case (_, e) =>
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i) * e(i); i += 1 }
+      math.sqrt(s)
+    }
+    ColumnShim.column(TopCentroids(
+      ColumnShim.expression(emb), ColumnShim.expression(norm),
+      cents.map(_._1).toArray, cents.map(_._2).toArray, cNorms.toArray, k))
+  }
+
+  /** Fused hyperplane-LSH sign-bit signature (array of 64-bit words). */
+  def hyperplaneSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnShim.column(HyperplaneSignature(
+      ColumnShim.expression(emb), planes.map(_.toArray).toArray))
 
   /** Codegen'd MinHash signature over pre-reduced shingle hashes. */
   def minhashNative(hashes: Column, k: Int, seed: Long): Column =

@@ -29,8 +29,16 @@ object Similarity {
   }
 
   /** Sign-bit signature of an embedding against hyperplanes, as an array of
-    * longs (64 bits per word, nBits can exceed 64). */
-  def signature(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    * longs (64 bits per word, nBits can exceed 64). Fused codegen kernel —
+    * the composed version below generated a method past HotSpot's JIT limit
+    * and ran interpreted. [[signatureComposed]] is the semantic reference it
+    * must stay bit-identical to (NativeExpressionsSpec). */
+  def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    NativeExpressions.hyperplaneSignature(emb, planes)
+
+  /** Built-ins-only composition of [[signature]] (kept for equivalence
+    * tests): one DotProduct per plane, sign bits OR-ed per 64-bit word. */
+  def signatureComposed(emb: Column, planes: Seq[Seq[Double]]): Column = {
     val words = planes.zipWithIndex.groupBy(_._2 / 64).toSeq.sortBy(_._1).map {
       case (_, ps) => ps.map { case (p, i) =>
         val d = dot(emb, typedlit(p.toArray))
@@ -117,15 +125,28 @@ object Similarity {
         lit(-cid).as("negid"), lit(cid).as("cid"))
     }
 
-  /** Nearest-centroid cell id — a pure map-side Column expression (the
-    * centroid matrix rides as literals; no join, no shuffle). */
+  /** Nearest-centroid cell id — a map-side fused kernel (the centroid matrix
+    * rides in the expression; no join, no shuffle). The composed
+    * `greatest(score structs)` version below generated a method past
+    * HotSpot's JIT limit for ≥64 centroids and ran interpreted;
+    * [[nearestCellComposed]] is the bit-identity reference. */
   def nearestCell(emb: Column, normCol: Column,
                   cents: Seq[(Long, Array[Double])]): Column =
-    greatest(centroidScores(emb, normCol, cents): _*).getField("cid")
+    element_at(NativeExpressions.topCentroids(emb, normCol, cents, 1), 1)
 
-  /** The `probes` nearest centroid cell ids (for query-side multi-probe). */
+  /** The `probes` nearest centroid cell ids (for query-side multi-probe),
+    * ordered by (cosine desc, id asc). */
   def nearestCells(emb: Column, normCol: Column,
                    cents: Seq[(Long, Array[Double])], probes: Int): Column =
+    NativeExpressions.topCentroids(emb, normCol, cents, probes)
+
+  /** Built-ins-only compositions (kept for equivalence tests). */
+  def nearestCellComposed(emb: Column, normCol: Column,
+                          cents: Seq[(Long, Array[Double])]): Column =
+    greatest(centroidScores(emb, normCol, cents): _*).getField("cid")
+
+  def nearestCellsComposed(emb: Column, normCol: Column,
+                           cents: Seq[(Long, Array[Double])], probes: Int): Column =
     transform(
       slice(array_sort(array(centroidScores(emb, normCol, cents): _*)),
         -probes, probes),

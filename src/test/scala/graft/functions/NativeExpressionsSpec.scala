@@ -52,6 +52,42 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(empties.size == 128 && empties.forall(_ == null))
   }
 
+  test("fused hyperplane signature is bit-identical to the composed version") {
+    val r = new scala.util.Random(13)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("id", "e")
+    val planes = Similarity.hyperplanes(64, 128, 42L)
+    val both = df.select(
+      Similarity.signature($"e", planes).as("native"),
+      Similarity.signatureComposed($"e", planes).as("composed"))
+    assert(both.filter(!($"native" <=> $"composed")).count() == 0)
+    // double-element inputs too
+    val dd = df.select($"e".cast("array<double>").as("e"))
+    val both2 = dd.select(
+      Similarity.signature($"e", planes).as("native"),
+      Similarity.signatureComposed($"e", planes).as("composed"))
+    assert(both2.filter(!($"native" <=> $"composed")).count() == 0)
+  }
+
+  test("fused centroid ranking matches the composed greatest/array_sort versions") {
+    val r = new scala.util.Random(17)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Array.fill(32)(r.nextGaussian().toFloat))
+    }.toDF("id", "e").withColumn("n", sqrt(graft.Tables.dot($"e", $"e")))
+    val cents = (0 until 64).map(c =>
+      (c.toLong * 3, Array.fill(32)(r.nextGaussian()))) // non-contiguous ids
+    val cell = df.select(
+      Similarity.nearestCell($"e", $"n", cents).as("native"),
+      Similarity.nearestCellComposed($"e", $"n", cents).as("composed"))
+    assert(cell.filter($"native" =!= $"composed").count() == 0)
+    // multi-probe: same SET of probed cells (composed emits ascending order)
+    val probes = df.select(
+      array_sort(Similarity.nearestCells($"e", $"n", cents, 3)).as("native"),
+      array_sort(Similarity.nearestCellsComposed($"e", $"n", cents, 3)).as("composed"))
+    assert(probes.filter(!($"native" <=> $"composed")).count() == 0)
+  }
+
   test("native simhash64 is bit-identical to the HOF composition") {
     val r = new scala.util.Random(9)
     val df = (0 until 100).map { i =>
