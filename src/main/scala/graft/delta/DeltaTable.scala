@@ -24,6 +24,10 @@ import graft.query.{MongoFilter, Projection}
  *    add-action stats) before Spark ever lists anything, so a selective query
  *    on a million-file table touches only its files.
  */
+/** Result of a copy-on-write DML operation (top-level so pattern matches on
+  * it need no outer-instance check). */
+final case class DmlResult(rowsAffected: Long, filesRewritten: Long, version: Long)
+
 final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   val tablePath = new Path(path)
@@ -375,7 +379,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   // ---- DML (copy-on-write) -------------------------------------------------
 
-  final case class DmlResult(rowsAffected: Long, filesRewritten: Long, version: Long)
+  type DmlResult = graft.delta.DmlResult
 
   /**
    * Copy-on-write delete (reference: src/delta/table.ts:2214-2297): find the
