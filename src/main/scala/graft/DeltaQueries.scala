@@ -169,6 +169,26 @@ object DeltaQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** The full maintenance chain on one table: fragmented + duplicated writes,
+    * then compact → exact dedup → z-order (hilbert alias) → vacuum dry-run —
+    * content must come out exactly once per original row. Exercises the
+    * conflict-checked rewrite commit machinery end to end. */
+  def maintenanceChain(s: SparkSession, dir: String): DataFrame = {
+    import graft.delta.Maintenance
+    val t = DeltaTable.forPath(s, freshDir())
+    val sup = t_(s, dir, "supplier")
+    // 3 fragmented commits + a duplicate append
+    (0 until 3).foreach(i => t.write(sup.filter(col("s_suppkey") % 3 === i)))
+    t.write(sup.filter(col("s_suppkey") % 7 === 0)) // duplicates to remove
+    Maintenance.compact(t)
+    Maintenance.deduplicate(t, Maintenance.DedupStrategy.Exact)
+    Maintenance.zOrderCluster(t, Seq("s_nationkey"), targetFiles = 2,
+      curveType = "hilbert")
+    Maintenance.vacuum(t, retentionHours = 0.0, dryRun = true, enforceMinimum = false)
+    t.toDF().select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Z-order rewrite preserves content (clustering is a physical property). */
   def zorderScan(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -195,7 +215,8 @@ object DeltaQueries {
     "d9_doc_ingest" -> (docIngest(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
-    "m3_zorder_scan" -> (zorderScan(_, _)))
+    "m3_zorder_scan" -> (zorderScan(_, _)),
+    "m4_maintenance_chain" -> (maintenanceChain(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "d1_delta_roundtrip" ->
@@ -279,5 +300,9 @@ object DeltaQueries {
 
     "m3_zorder_scan" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "m4_maintenance_chain" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)
 }
