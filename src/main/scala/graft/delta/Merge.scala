@@ -124,4 +124,76 @@ object Merge {
       snap.partitionColumns, snap.schema)
     table.commitFileRewrite(snap, matchedFiles.toSet, adds, "MERGE")
   }
+
+  /**
+   * Closure-based merge, the reference's `whenMatched`/`whenNotMatched`
+   * row functions (src/cdc/index.ts:1937-2005) on a distributed engine:
+   * matching stays a KEY-EQUALITY join (the reference's arbitrary
+   * `matchCondition` closure would force an all-pairs pass — key join is the
+   * scalable subset), but the per-row resolution is an arbitrary Scala
+   * function. `whenMatched(existing, incoming)` returns the replacement row
+   * or None to delete; `whenNotMatched(incoming)` returns the row to insert
+   * (shaped to the TABLE schema) or None to skip. Closures run on executors
+   * over the joined rows — no driver materialization.
+   */
+  def executeWith(table: DeltaTable, source: DataFrame, keyColumns: Seq[String])
+                 (whenMatched: (org.apache.spark.sql.Row, org.apache.spark.sql.Row) =>
+                    Option[org.apache.spark.sql.Row],
+                  whenNotMatched: org.apache.spark.sql.Row =>
+                    Option[org.apache.spark.sql.Row]): MergeResult = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keyColumns.nonEmpty, "merge requires at least one key column")
+    val snap = table.snapshot()
+    val schema = snap.schema
+    val dataCols = schema.fieldNames.toSeq
+    require(keyColumns.forall(dataCols.contains), s"keys must exist in table: $keyColumns")
+
+    val src = source.dropDuplicates(keyColumns)
+    val srcCols = src.columns.toSeq
+    val packed = src.select(
+      struct(srcCols.map(col): _*).as("__src") +: keyColumns.map(k => col(k).as(s"__k_$k")): _*)
+    val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
+    val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val joined = target.join(packed, joinCond, "left_outer")
+    val matchAgg = joined.filter(col("__src").isNotNull)
+      .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
+    val nMatched = matchAgg.getLong(0)
+    val matchedFiles = matchAgg.getSeq[String](1)
+
+    val kept = table.spark.sparkContext.longAccumulator("graft.merge.kept")
+    val (updated, deleted) =
+      if (matchedFiles.isEmpty) (0L, 0L)
+      else {
+        val inFiles = joined.filter(col("__file").isin(matchedFiles: _*))
+        val nData = dataCols.size
+        val srcIdx = inFiles.columns.indexOf("__src")
+        val rewritten = inFiles.flatMap { row =>
+          val existing = Row.fromSeq((0 until nData).map(row.get))
+          if (row.isNullAt(srcIdx)) Some(existing) // unmatched row in the file: keep
+          else {
+            val out = whenMatched(existing, row.getStruct(srcIdx))
+            if (out.isDefined) kept.add(1L)
+            out
+          }
+        }(Encoders.row(schema))
+        val adds = table.writeDataFiles(rewritten.toDF(),
+          snap.partitionColumns, snap.schema)
+        table.commitFileRewrite(snap, matchedFiles.toSet, adds, "MERGE")
+        (kept.value.longValue(), nMatched - kept.value.longValue())
+      }
+
+    val inserts = {
+      val targetKeys = table.toDF(snap).select(keyColumns.map(col): _*).distinct()
+      val newRows = src.join(targetKeys, keyColumns, "left_anti")
+      val shaped = newRows.flatMap(r => whenNotMatched(r))(Encoders.row(schema))
+      val adds = table.writeDataFiles(shaped.toDF(), snap.partitionColumns, schema)
+      val counted = adds.map(a =>
+        a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
+      val nonEmpty = counted.filter(_._2 > 0)
+      if (nonEmpty.nonEmpty) table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
+      counted.filterNot(_._2 > 0).foreach(a => table.deleteDataFile(a._1.path))
+      nonEmpty.map(_._2).sum
+    }
+    MergeResult(updated, deleted, inserts, table.version)
+  }
 }

@@ -49,6 +49,28 @@ class MergeCdcSpec extends SparkTestBase {
     assert(got == Seq((1, "a", -1.0), (2, "b", 2.0))) // s untouched
   }
 
+  test("closure merge: arbitrary whenMatched/whenNotMatched row functions") {
+    import org.apache.spark.sql.Row
+    val t = tmpTable()
+    t.write(Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "s", "x"))
+    val source = Seq((1, 5.0), (2, -1.0), (4, 40.0), (5, -1.0)).toDF("id", "delta")
+    val r = Merge.executeWith(t, source, Seq("id"))(
+      whenMatched = (existing, incoming) => {
+        val d = incoming.getDouble(incoming.fieldIndex("delta"))
+        if (d < 0) None // negative delta = delete, like the reference's null
+        else Some(Row(existing.getInt(0), existing.getString(1),
+          existing.getDouble(2) + d))
+      },
+      whenNotMatched = incoming => {
+        val d = incoming.getDouble(incoming.fieldIndex("delta"))
+        if (d < 0) None // skip
+        else Some(Row(incoming.getInt(incoming.fieldIndex("id")), "new", d))
+      })
+    assert(r.updated == 1 && r.deleted == 1 && r.inserted == 1)
+    val got = t.toDF().orderBy("id").as[(Int, String, Double)].collect().toSeq
+    assert(got == Seq((1, "a", 15.0), (3, "c", 30.0), (4, "new", 40.0)))
+  }
+
   test("CDC: inserts, deletes, update pre/post images captured with versions") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")) // v0, pre-CDC
