@@ -60,6 +60,20 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Timestamp-based time travel: append twice, travel to the first commit's
+    * wall-clock time, expect only v0's rows (the second write's Spark job
+    * guarantees a later-millisecond commit). */
+  def timestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val part = t_(s, dir, "part")
+    t.write(part)
+    t.write(part.filter(col("p_size") > 25))
+    t.asOfTimestamp(t.commitTimestamp(0))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Hive-partitioned write + partition-pruned Mongo query. */
   def partitionPrune(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -213,6 +227,7 @@ object DeltaQueries {
     "d7_delta_cdc" -> (cdcFeed(_, _)),
     "d8_cdc_envelope" -> (cdcEnvelope(_, _)),
     "d9_doc_ingest" -> (docIngest(_, _)),
+    "d10_timestamp_travel" -> (timestampTravel(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -237,6 +252,10 @@ object DeltaQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "d4_delta_timetravel" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d10_timestamp_travel" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
 

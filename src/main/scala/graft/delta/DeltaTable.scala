@@ -65,6 +65,25 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** Time travel (reference: src/delta/table.ts:1546-1556). */
   def asOf(version: Long): DataFrame = toDF(snapshot(Some(version)))
 
+  /** Commit wall-clock time of `version` (its commitInfo timestamp, falling
+    * back to the commit file's mtime when an external writer omitted it). */
+  def commitTimestamp(version: Long): Long =
+    log.readCommit(version).collectFirst { case c: CommitInfo => c.timestamp }
+      .getOrElse(log.fs.getFileStatus(log.commitFile(version)).getModificationTime)
+
+  /** Timestamp-based time travel (north-star extension — the reference
+    * offers it only for the CDC feed, cdc/index.ts:1259-1270): state at the
+    * LAST version committed at or before `tsMs`. Driver-side metadata scan
+    * over commit files only. */
+  def asOfTimestamp(tsMs: Long): DataFrame = {
+    val versions = log.listCommitVersions()
+    val v = versions.filter(commitTimestamp(_) <= tsMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit at or before timestamp $tsMs (earliest: " +
+          s"${versions.headOption.map(commitTimestamp).getOrElse(-1L)})"))
+    asOf(v)
+  }
+
   // ---- read path -----------------------------------------------------------
 
   /** DataFrame over a snapshot's active files: explicit schema from the log's
