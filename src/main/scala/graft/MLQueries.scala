@@ -343,14 +343,19 @@ object MLQueries {
         |SELECT qid, nid, cos, CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
-    // The doubled corpus collapses back to the original rows under exact
-    // dedup (every duplicate keeps its lowest id < 100000), so the oracle
-    // scores the original documents directly — lang/quality/repetition
-    // formulas are the t1/t2/t10 expressions inlined.
+    // The doubled half always loses the min-id race to its original, but
+    // ORGANIC fingerprint collisions (distinct docs equal after lowercase +
+    // whitespace normalization — 7 exist at sf0.1) also collapse, so the
+    // oracle reproduces the dedup itself; lang/quality/repetition formulas
+    // are the t1/t2/t10 expressions inlined.
     "t11_curation_pipeline" -> {
       val allMarkers = TextFunctions.Markers.flatMap(_._2).map(w => s"'$w'")
         .mkString("[", ", ", "]")
-      s"""WITH scored AS (
+      s"""WITH base AS (
+         |  SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+         |  FROM documents
+         |  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+         |scored AS (
          |  SELECT doc_id, text,
          |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("de")}, t))) AS s_de,
          |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("en")}, t))) AS s_en,
@@ -358,7 +363,7 @@ object MLQueries {
          |    len(list_filter(string_split(text,' '), t -> list_contains(${markerSql("fr")}, t))) AS s_fr,
          |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
          |    length(text) AS nc
-         |  FROM documents),
+         |  FROM base),
          |lang AS (
          |  SELECT doc_id, text,
          |    CASE WHEN cjk * 2 > nc THEN 'zh'
