@@ -39,11 +39,42 @@ object Cdc {
     val dir = changeDataDir(table.tablePath)
     val direct = new Path(dir, cdcFileName(version))
     stamped.write.mode("overwrite").parquet(direct.toString)
-    // Dual date-partitioned layout (date=YYYY-MM-DD/cdc-<v>.parquet).
+    // Dual date-partitioned layout (date=YYYY-MM-DD/cdc-<v>.parquet): a
+    // distributed BYTE copy of the files just written — re-running
+    // `stamped.write` would recompute the whole change-derivation plan
+    // (often a join against the pre-image snapshot) a second time.
     val date = java.time.LocalDate.ofInstant(
       java.time.Instant.ofEpochMilli(timestampMs), java.time.ZoneOffset.UTC)
     val dated = new Path(dir, s"date=$date/${cdcFileName(version)}")
-    stamped.write.mode("overwrite").parquet(dated.toString)
+    mirrorDir(table, direct, dated)
+  }
+
+  /** Copy every file under `src` to `dst` as one Spark job (scales with
+    * executors; no driver byte traffic). */
+  private def mirrorDir(table: DeltaTable, src: Path, dst: Path): Unit = {
+    val fs = table.log.fs
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    val files = fs.listStatus(src).filter(_.isFile)
+      .map(st => (st.getPath.toString, new Path(dst, st.getPath.getName).toString))
+    val confItems: Seq[(String, String)] = {
+      val it = table.log.hadoopConf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    table.spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, math.min(files.length, 32)))
+      .foreach { case (from, to) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confItems.foreach { case (k, v) => conf.set(k, v) }
+        val sfs = new Path(from).getFileSystem(conf)
+        val dfs = new Path(to).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, new Path(from), dfs, new Path(to),
+          /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+        ()
+      }
   }
 
   private def listVersions(table: DeltaTable): Seq[(Long, Path)] = {
