@@ -71,6 +71,18 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     log.readCommit(version).collectFirst { case c: CommitInfo => c.timestamp }
       .getOrElse(log.fs.getFileStatus(log.commitFile(version)).getModificationTime)
 
+  /** Commit history, newest first: (version, timestampMs, operation,
+    * operationParameters) from each commit's commitInfo — the DESCRIBE
+    * HISTORY analog (north-star; the reference keeps commitInfo but exposes
+    * no history API; [[history]] returns the raw actions). Driver-side
+    * metadata read over the retained log. */
+  def describeHistory(limit: Int = Int.MaxValue): Seq[(Long, Long, String, Map[String, String])] =
+    log.listCommitVersions().reverse.take(limit).map { v =>
+      log.readCommit(v).collectFirst { case c: CommitInfo =>
+        (v, c.timestamp, c.operation, c.operationParameters)
+      }.getOrElse((v, commitTimestamp(v), "UNKNOWN", Map.empty[String, String]))
+    }
+
   /** Timestamp-based time travel (north-star extension — the reference
     * offers it only for the CDC feed, cdc/index.ts:1259-1270): state at the
     * LAST version committed at or before `tsMs`. Driver-side metadata scan

@@ -214,6 +214,18 @@ class DeltaTableSpec extends SparkTestBase {
     assert(projected.columns.toSeq == Seq("id", "color"))
   }
 
+  test("history lists commits newest-first with operations and timestamps") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.write(Seq((2, "b")).toDF("id", "s"))
+    t.delete("""{"id": 1}""")
+    val h = t.describeHistory()
+    assert(h.map(_._1) == Seq(2L, 1L, 0L))
+    assert(h.head._3 == "DELETE" && h.last._3 == "WRITE")
+    assert(h.map(_._2).reverse == h.map(_._2).reverse.sorted) // non-decreasing in time
+    assert(t.describeHistory(limit = 1).map(_._1) == Seq(2L))
+  }
+
   test("string pruning uses UTF-8 byte order (supplementary plane vs BMP)") {
     val t = tmpTable()
     // "😀" (U+1F600, supplementary) sorts ABOVE "！" (U+FF01) in UTF-8 byte
