@@ -230,6 +230,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- §2.2 $regex through the translator (search semantics, both
+    //      engines; ReDoS caps enforced translator-side) ----
+    "q18_regex_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(MongoFilter.column(
+          """{"text":{"$regex":"hash (join|scan)"},"lang":{"$ne":"zh"}}""", d.schema))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- §2.2 $nor / $not two-valued negation through the translator ----
+    "q19_nor_not" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // $not is a TOP-LEVEL logical operator in the reference (field-level
+      // $not is an unknown operator and skipped, query/index.ts:271-297)
+      o.filter(MongoFilter.column(
+          """{"$nor":[{"o_orderstatus":"F"},{"o_totalprice":{"$lt":50000}}],
+            | "$not":{"o_orderpriority":"1-URGENT"}}""".stripMargin, o.schema))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- similarity search: brute-force cosine top-k ----
     "q15_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -338,6 +362,18 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q18_regex_filter" ->
+      """SELECT lang, COUNT(*) AS n FROM documents
+        |WHERE regexp_matches(text, 'hash (join|scan)') AND lang <> 'zh'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q19_nor_not" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 50000)
+         |  AND NOT (o_orderpriority = '1-URGENT')
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q15_cosine_topk" ->
       """SELECT qid, nid, round(cos, 4) AS cos, rn FROM (
