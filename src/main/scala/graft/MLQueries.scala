@@ -122,6 +122,17 @@ object MLQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- document chunking: overlapping token windows (16 tokens, 8
+    //      overlap) — the long-document prep for training corpora ----
+    "t12_chunking" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkWindows(col("text"), 16, 8)).as("c"))
+        .select(col("doc_id"), col("c.ix").as("chunk_ix"),
+          col("c.text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
     // ---- repetition filtering (Gopher-style): top-token share, distinct
     //      share, duplicate bigrams — per-row exprs, no shuffle ----
     "t10_repetition" -> ((s, dir) => {
@@ -402,6 +413,23 @@ object MLQueries {
          |  AND NOT (topr > 0.2 OR dupb > 0.3)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // stride = 16 - 8 = 8; chunk count = 1 for n <= 16 else
+    // (n - 16 + 7) // 8 + 1; DuckDB list slices clamp like Spark's slice()
+    "t12_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(CASE WHEN n <= 16 THEN 1
+        |                      ELSE (n - 16 + 7) // 8 + 1 END)) AS ix
+        |  FROM t)
+        |SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
+        |  array_to_string(toks[ix*8+1 : ix*8+16], ' ') AS chunk_text,
+        |  CAST(least(16, n - ix*8) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
 
     "t10_repetition" ->
       """WITH f AS (

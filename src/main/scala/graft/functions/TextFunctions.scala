@@ -130,6 +130,29 @@ object TextFunctions {
     f("top_token_ratio") > topTokenMax || f("dup_bigram_ratio") > dupBigramMax
   }
 
+  /** Overlapping token-window chunking, the standard long-document prep for
+    * LLM training corpora: windows of `chunkSize` tokens every
+    * `chunkSize - overlap` tokens (the last window may be short; a document
+    * at or under `chunkSize` yields exactly one chunk). Returns an array of
+    * (ix, text, n_tokens) structs — explode it for one row per chunk. Pure
+    * per-row Column expressions, no shuffle. */
+  def chunkWindows(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // integral chunk count: 1 when n <= chunkSize, else
+    // (n - chunkSize + stride - 1) / stride + 1 more windows
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - chunkSize + stride - 1).cast("double") / stride)
+        .cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1), ix => struct(
+      ix.as("ix"),
+      array_join(slice(toks, ix * stride + 1, lit(chunkSize)), " ").as("text"),
+      least(lit(chunkSize), n - ix * stride).cast("long").as("n_tokens")))
+  }
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of the normalized text (lowercased, single

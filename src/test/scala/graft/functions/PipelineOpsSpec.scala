@@ -222,6 +222,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!out(2L).getAs[Boolean]("rep"))
   }
 
+  test("chunkWindows: overlap, short docs, exact boundaries") {
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 tokens → 2 chunks
+      (2L, "a b c"),                                  // short → 1 chunk
+      (3L, (1 to 16).map(i => s"w$i").mkString(" "))  // exactly chunkSize → 1
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        explode(TextFunctions.chunkWindows($"text", 16, 8)).as("c"))
+      .select($"id", $"c.ix", $"c.text", $"c.n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1(0)._3.startsWith("w1 w2") && c1(0)._4 == 16)
+    assert(c1(1)._3.startsWith("w9 w10")) // stride 8 → second window starts at token 9
+    assert(c1(1)._4 == 12) // 20 - 8 = 12 remaining tokens
+    assert(out.find(_._1 == 2L).get._4 == 3)
+  }
+
   test("quality score stays in a sane band and is deterministic") {
     val q = docs.select(TextFunctions.qualityScore($"text").as("q"))
       .as[Double].collect()
