@@ -122,6 +122,40 @@ object MLQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- benchmark decontamination: flag corpus docs sharing 5-gram
+    //      shingles with a (small, broadcast) probe set — the standard
+    //      eval-set leak check; corpus side stays map-side + one broadcast
+    //      join, never an all-pairs comparison ----
+    "t13_decontamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val probes = d.filter(col("doc_id") < 5)
+        .select(explode(array_distinct(
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5))).as("sh"))
+        .distinct()
+      val corpus = d.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5))).as("sh"))
+      corpus.join(broadcast(probes), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- stratified sampling (data mixing): per-language rates with a
+    //      DETERMINISTIC md5-hash selector — reproducible across engines
+    //      and runs, no RNG state, pure map-side ----
+    "t14_stratified_sample" -> ((s, dir) => {
+      val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 30).otherwise(10)
+      t(s, dir, "documents")
+        .filter(sel < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- document chunking: overlapping token windows (16 tokens, 8
     //      overlap) — the long-document prep for training corpora ----
     "t12_chunking" -> ((s, dir) => {
@@ -413,6 +447,31 @@ object MLQueries {
          |  AND NOT (topr > 0.2 OR dupb > 0.3)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "t13_decontamination" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 4),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' ||
+        |         string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4] || ' ' ||
+        |         string_split(text,' ')[i+5]))) AS sh
+        |  FROM documents WHERE doc_id < 5),
+        |corpus AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 4),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' ||
+        |         string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4] || ' ' ||
+        |         string_split(text,' ')[i+5]))) AS sh
+        |  FROM documents WHERE doc_id >= 5)
+        |SELECT c.doc_id, COUNT(*) AS n_hits
+        |FROM corpus c JOIN probes p ON c.sh = p.sh
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "t14_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // stride = 16 - 8 = 8; chunk count = 1 for n <= 16 else
     // (n - 16 + 7) // 8 + 1; DuckDB list slices clamp like Spark's slice()
