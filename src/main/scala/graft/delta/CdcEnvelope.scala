@@ -165,8 +165,9 @@ final class CdcSubscription(table: DeltaTable, group: String,
     case None => false
     case Some(batch) =>
       val snapshot = entries.synchronized { entries.toSeq }
+      var delivered = 0
       snapshot.foreach { e =>
-        try e.handler(batch)
+        try { e.handler(batch); delivered += 1 }
         catch {
           case err: Throwable =>
             System.err.println(s"[graft.Cdc] subscriber error in group '$group': $err")
@@ -176,8 +177,14 @@ final class CdcSubscription(table: DeltaTable, group: String,
             }
         }
       }
+      // At-least-once: the offset may only advance when the batch actually
+      // reached a handler. When EVERY handler failed, the offset stays put so
+      // the next poll redelivers the batch — committing here would silently
+      // downgrade the documented guarantee to at-most-once.
+      val anyDelivered = snapshot.isEmpty || delivered > 0
       val now = System.currentTimeMillis()
-      if (autoCommitIntervalMs <= 0L || now - lastCommitMs >= autoCommitIntervalMs) {
+      if (anyDelivered &&
+          (autoCommitIntervalMs <= 0L || now - lastCommitMs >= autoCommitIntervalMs)) {
         consumer.commit()
         lastCommitMs = now
       }

@@ -27,6 +27,11 @@ import org.apache.spark.sql.types._
  */
 object DocumentInference {
 
+  /** Column reference by EXACT name (backtick-quoted, `` ` `` escaped by
+    * doubling) — never interpreted as a nested-field path. */
+  private def quoted(name: String) =
+    col(s"`${name.replace("`", "``")}`")
+
   /** Parse JSON document rows into a typed DataFrame per the rules above.
     * Malformed documents fail the job (the reference's ValidationError). */
   def typedDocuments(spark: SparkSession, docs: Dataset[String]): DataFrame = {
@@ -37,8 +42,10 @@ object DocumentInference {
     val fitsInt: Map[String, Boolean] =
       if (longCols.isEmpty) Map.empty
       else {
+        // Backtick-quote: JSON documents may legally contain dots in field
+        // names; bare col("a.b") would resolve as a nested path.
         val aggs = longCols.flatMap(c => Seq(
-          min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+          min(quoted(c)).as(s"__mn_$c"), max(quoted(c)).as(s"__mx_$c")))
         val row = raw.agg(aggs.head, aggs.tail: _*).head()
         longCols.map { c =>
           val mn = Option(row.getAs[Any](s"__mn_$c")).fold(0L)(_.asInstanceOf[Long])
@@ -48,17 +55,17 @@ object DocumentInference {
       }
     val cols = schema.fields.map { f =>
       f.dataType match {
-        case LongType if fitsInt(f.name) => col(f.name).cast(IntegerType).as(f.name)
-        case LongType => col(f.name).cast(DoubleType).as(f.name)
+        case LongType if fitsInt(f.name) => quoted(f.name).cast(IntegerType).as(f.name)
+        case LongType => quoted(f.name).cast(DoubleType).as(f.name)
         // all-null fields parse as NullType or StringType depending on Spark
         // version; both land on the reference's nullable-string default
-        case NullType => col(f.name).cast(StringType).as(f.name)
+        case NullType => quoted(f.name).cast(StringType).as(f.name)
         // arrays/objects → variant: persisted as a JSON string (the
         // reference's storage form, table.ts:1383-1387). Note the string is
         // re-serialized from the parsed value, so key order follows the
         // inferred schema, not the input byte order.
-        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
-        case _ => col(f.name)
+        case _: StructType | _: ArrayType | _: MapType => to_json(quoted(f.name)).as(f.name)
+        case _ => quoted(f.name)
       }
     }
     raw.select(cols.toSeq: _*)

@@ -57,7 +57,10 @@ object Merge {
 
     // Which target files contain matches (these are the only ones rewritten)
     // and how many rows matched — ONE pass over the target⟕source join
-    // instead of a distinct-collect plus a separate count.
+    // instead of a distinct-collect plus a separate count. The file list is
+    // bounded by the table's file count (driver-side metadata by design, like
+    // the snapshot itself), and flows back into the plan as a broadcast
+    // semi-join — never a 50k-element In-expression.
     val joined = target.join(packed, joinCond, "left_outer")
     val matchAgg = joined.filter(col("__src").isNotNull)
       .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
@@ -67,7 +70,7 @@ object Merge {
     val (updated, deleted) =
       if (matchedFiles.isEmpty) (0L, 0L)
       else {
-        val inFiles = joined.filter(col("__file").isin(matchedFiles: _*))
+        val inFiles = semiJoinFiles(joined, matchedFiles)
         val rewritten: DataFrame = matched match {
           case MergeAction.UpdateAll =>
             val cols = dataCols.map { c =>
@@ -96,11 +99,14 @@ object Merge {
     // Inserts: source rows with no key match in the WHOLE target. Written
     // directly; the count comes from the files' own numRecords stats, so the
     // anti-join is evaluated once (no separate count job over the target).
+    // The anti-join uses the SAME null-safe `<=>` conditions as the matched
+    // join above: a plain equality anti-join would let a null-key source row
+    // through (null = null is null), so the row would both UPDATE null-key
+    // target rows via `<=>` and be INSERTED — one row, two effects.
     val inserted =
       if (!insertUnmatched) 0L
       else {
-        val targetKeys = table.toDF(snap).select(keyColumns.map(col): _*).distinct()
-        val newRows = src.join(targetKeys, keyColumns, "left_anti")
+        val newRows = antiJoinUnmatched(table, snap, src, keyColumns)
         // Align to table schema: missing columns null, present ones cast.
         val aligned = newRows.select(schema.fields.map { f =>
           if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -119,10 +125,51 @@ object Merge {
   }
 
   private def rewriteAndTrack(table: DeltaTable, snap: Snapshot,
-                              matchedFiles: Seq[String], rewritten: DataFrame): Unit = {
+                              matchedFiles: Seq[String], rewritten: DataFrame): Seq[AddFile] = {
     val adds = table.writeDataFiles(rewritten.drop("__file"),
       snap.partitionColumns, snap.schema)
     table.commitFileRewrite(snap, matchedFiles.toSet, adds, "MERGE")
+    adds
+  }
+
+  /** Restrict the joined target⟕source rows to the files being rewritten via
+    * a broadcast LEFT SEMI join — a literal `isin(files)` would build an
+    * unbounded In-expression when a merge touches tens of thousands of files. */
+  private def semiJoinFiles(joined: DataFrame, matchedFiles: Seq[String]): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val filesDf = matchedFiles.toDF("__mf")
+    joined.join(broadcast(filesDf), col("__file") === col("__mf"), "left_semi")
+  }
+
+  /** Source rows with no key match in the target, under the SAME null-safe
+    * `<=>` key semantics as the matched-path join (see note in [[execute]]). */
+  private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,
+                                src: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    val targetKeys = table.toDF(snap)
+      .select(keyColumns.map(k => col(k).as(s"__tk_$k")): _*).distinct()
+    val antiCond = keyColumns.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+    src.join(targetKeys, antiCond, "left_anti")
+  }
+
+  /** Pre-rewrite LIVE row count of the matched files, from their AddFile
+    * stats — None when any matched file lacks numRecords or carries a
+    * deletion vector (stats are physical counts; DV-masked files need the
+    * fallback count job). */
+  private def statsRowCount(table: DeltaTable, snap: Snapshot,
+                            matchedFiles: Seq[String]): Option[Long] = {
+    val matchedSet = matchedFiles
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val files = snap.activeFiles.filter { f =>
+      matchedSet.contains(
+        new org.apache.hadoop.fs.Path(table.tablePath, f.path).toUri.getPath)
+    }
+    val counts = files.map { f =>
+      if (f.deletionVector.isDefined) None
+      else f.parsedStats.map(_.numRecords)
+    }
+    if (files.size != matchedSet.size || counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum)
   }
 
   /**
@@ -160,31 +207,38 @@ object Merge {
     val nMatched = matchAgg.getLong(0)
     val matchedFiles = matchAgg.getSeq[String](1)
 
-    val kept = table.spark.sparkContext.longAccumulator("graft.merge.kept")
     val (updated, deleted) =
       if (matchedFiles.isEmpty) (0L, 0L)
       else {
-        val inFiles = joined.filter(col("__file").isin(matchedFiles: _*))
+        val inFiles = semiJoinFiles(joined, matchedFiles)
         val nData = dataCols.size
         val srcIdx = inFiles.columns.indexOf("__src")
+        // Pre-rewrite live row count of the matched files, needed below to
+        // derive the update count FROM DATA. Stats cover it for free; the
+        // fallback count job runs only for stats-less or DV-masked files.
+        val rowsBefore = statsRowCount(table, snap, matchedFiles)
+          .getOrElse(inFiles.count())
         val rewritten = inFiles.flatMap { row =>
           val existing = Row.fromSeq((0 until nData).map(row.get))
           if (row.isNullAt(srcIdx)) Some(existing) // unmatched row in the file: keep
-          else {
-            val out = whenMatched(existing, row.getStruct(srcIdx))
-            if (out.isDefined) kept.add(1L)
-            out
-          }
+          else whenMatched(existing, row.getStruct(srcIdx))
         }(Encoders.row(schema))
         val adds = table.writeDataFiles(rewritten.toDF(),
           snap.partitionColumns, snap.schema)
         table.commitFileRewrite(snap, matchedFiles.toSet, adds, "MERGE")
-        (kept.value.longValue(), nMatched - kept.value.longValue())
+        // Counts derive from written bytes, not a transformation-side
+        // accumulator (Spark only guarantees exactly-once accumulator updates
+        // in actions; task retries/speculation would over-count). Unmatched
+        // rows in the files are kept verbatim, so:
+        //   written = (rowsBefore - nMatched) + kept
+        val written = adds
+          .flatMap(_.parsedStats.map(_.numRecords)).sum
+        val kept = written - (rowsBefore - nMatched)
+        (kept, nMatched - kept)
       }
 
     val inserts = {
-      val targetKeys = table.toDF(snap).select(keyColumns.map(col): _*).distinct()
-      val newRows = src.join(targetKeys, keyColumns, "left_anti")
+      val newRows = antiJoinUnmatched(table, snap, src, keyColumns)
       val shaped = newRows.flatMap(r => whenNotMatched(r))(Encoders.row(schema))
       val adds = table.writeDataFiles(shaped.toDF(), snap.partitionColumns, schema)
       val counted = adds.map(a =>

@@ -376,16 +376,25 @@ case class TopCentroids(left: Expression, right: Expression,
       }
       val cos = s / (norm * cNorms(c))
       val cid = cids(c)
-      // find insertion point among current top entries
-      var pos = filled
-      while (pos > 0 && (cos > topCos(pos - 1) ||
-        (cos == topCos(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
-      if (pos < kk) {
-        val lastIdx = math.min(filled, kk - 1)
-        var j = lastIdx
-        while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
-        topCos(pos) = cos; topCid(pos) = cid
-        if (filled < kk) filled += 1
+      // NaN scores (zero-norm embedding or centroid) are SKIPPED: a
+      // zero-norm vector has no defined cosine to anything, so it ranks
+      // nowhere. Note this intentionally diverges from the composed
+      // reference for that degenerate input — Spark's `greatest`/
+      // `array_sort` order NaN as the LARGEST double, which would rank an
+      // undefined score first. Bit-identity with the composed version holds
+      // for all finite scores.
+      if (!java.lang.Double.isNaN(cos)) {
+        // find insertion point among current top entries
+        var pos = filled
+        while (pos > 0 && (cos > topCos(pos - 1) ||
+          (cos == topCos(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+        if (pos < kk) {
+          val lastIdx = math.min(filled, kk - 1)
+          var j = lastIdx
+          while (j > pos) { topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+          topCos(pos) = cos; topCid(pos) = cid
+          if (filled < kk) filled += 1
+        }
       }
       c += 1
     }

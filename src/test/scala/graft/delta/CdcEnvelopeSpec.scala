@@ -71,6 +71,27 @@ class CdcEnvelopeSpec extends SparkTestBase {
     assert(seen == Seq(3)) // only the new commit, not a replay
   }
 
+  test("subscription: batch is redelivered when EVERY handler failed") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-sub-fail").toString)
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.enableCDC()
+    t.write(Seq((2, "b")).toDF("id", "s"))
+
+    val sub = new CdcSubscription(t, "gfail")
+    var attempts = 0
+    var delivered = 0
+    sub.subscribe { df =>
+      attempts += 1
+      if (attempts == 1) throw new RuntimeException("transient")
+      delivered += df.count().toInt
+    }
+    assert(sub.pollOnce()) // every handler failed → offset must NOT advance
+    assert(attempts == 1 && delivered == 0)
+    assert(sub.pollOnce()) // same batch redelivered (at-least-once)
+    assert(attempts == 2 && delivered == 1)
+    assert(!sub.pollOnce()) // now committed
+  }
+
   test("corrupt CDC file surfaces as an error, not an empty poll") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-corrupt").toString)
     t.write(Seq((1, "a")).toDF("id", "s"))

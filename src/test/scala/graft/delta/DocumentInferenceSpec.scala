@@ -30,6 +30,17 @@ class DocumentInferenceSpec extends SparkTestBase {
     assert(rows(1).getAs[Double]("big") == 9999999999.0)
   }
 
+  test("dotted field names are legal JSON keys, not nested paths") {
+    val docs = Seq(
+      """{"a.b": 1, "x.y.z": "v"}""",
+      """{"a.b": 9999999999}""")
+    val df = DocumentInference.typedDocuments(spark, spark.createDataset(docs))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("a.b") == DoubleType) // beyond ±2^31 in one doc
+    assert(types("x.y.z") == StringType)
+    assert(df.count() == 2)
+  }
+
   test("writeDocuments: append evolves schema additively via merge") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-docs").toString)
     t.writeDocuments(Seq("""{"id": 1, "name": "a"}""", """{"id": 2, "name": "b"}"""))

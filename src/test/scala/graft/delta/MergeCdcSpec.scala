@@ -71,6 +71,51 @@ class MergeCdcSpec extends SparkTestBase {
     assert(got == Seq((1, "a", 15.0), (3, "c", 30.0), (4, "new", 40.0)))
   }
 
+  test("merge null-key source row applies exactly once (update, not insert)") {
+    val t = tmpTable()
+    t.write(Seq[(Option[Int], String)]((Some(1), "a"), (None, "nullrow")).toDF("id", "s"))
+    // The matched join is null-safe (`<=>`), so the null-key source row
+    // matches the null-key target row; the insert anti-join must use the
+    // SAME semantics or the row is ALSO inserted (null = null is null under
+    // plain equality, so it would survive a plain anti-join).
+    val source = Seq[(Option[Int], String)]((None, "UPDATED"), (Some(2), "new")).toDF("id", "s")
+    val r = t.merge(source, Seq("id"))
+    assert(r.updated == 1 && r.inserted == 1 && r.deleted == 0)
+    val got = t.toDF().orderBy(col("id").asc_nulls_first)
+      .as[(Option[Int], String)].collect().toSeq
+    assert(got == Seq((None, "UPDATED"), (Some(1), "a"), (Some(2), "new")))
+  }
+
+  test("merge null-key source row inserts once when no null-key target exists") {
+    val t = tmpTable()
+    t.write(Seq[(Option[Int], String)]((Some(1), "a")).toDF("id", "s"))
+    val r = t.merge(Seq[(Option[Int], String)]((None, "n")).toDF("id", "s"), Seq("id"))
+    assert(r.updated == 0 && r.inserted == 1)
+    assert(t.toDF().count() == 2)
+  }
+
+  test("closure merge null-key source row applies exactly once; counts from data") {
+    import org.apache.spark.sql.Row
+    val t = tmpTable()
+    t.write(Seq[(Option[Int], String)]((Some(1), "a"), (None, "nullrow"), (Some(3), "c"))
+      .toDF("id", "s"))
+    val source = Seq[(Option[Int], String)]((None, "UPD"), (Some(3), "del"), (Some(4), "new"))
+      .toDF("id", "s")
+    val r = Merge.executeWith(t, source, Seq("id"))(
+      whenMatched = (existing, incoming) => {
+        val s = incoming.getString(incoming.fieldIndex("s"))
+        if (s == "del") None else Some(Row(existing.get(0), s))
+      },
+      whenNotMatched = incoming => Some(Row(incoming.get(0), "ins")))
+    // null-key row updated (once), id=3 deleted, id=4 inserted — and the
+    // updated/deleted split is derived from written row counts, not an
+    // accumulator.
+    assert(r.updated == 1 && r.deleted == 1 && r.inserted == 1)
+    val got = t.toDF().orderBy(col("id").asc_nulls_first)
+      .as[(Option[Int], String)].collect().toSeq
+    assert(got == Seq((None, "UPD"), (Some(1), "a"), (Some(4), "ins")))
+  }
+
   test("CDC: inserts, deletes, update pre/post images captured with versions") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")) // v0, pre-CDC
