@@ -22,6 +22,37 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** One listener per session that surfaces capped-bucket counts from the
+    * guard's `observe` metric — logging with NO dedicated census job. The
+    * observed node sits inside a self-join, so the metric may be reported by
+    * either (or, without exchange reuse, both) plan copies; for a log line
+    * that is harmless. */
+  private object SkewLog {
+    val ObservationName = "graft.lsh.skew"
+    private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    def ensureListener(spark: org.apache.spark.sql.SparkSession, maxBucket: Int): Unit =
+      if (registered.add(System.identityHashCode(spark))) {
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            qe.observedMetrics.get(ObservationName).foreach { row =>
+              val i = row.fieldIndex("rows_in_capped_buckets")
+              val dropped = if (row.isNullAt(i)) 0L else row.getLong(i)
+              if (dropped > 0) {
+                val j = row.fieldIndex("largest_bucket")
+                val worst = if (row.isNullAt(j)) 0L else row.getLong(j)
+                System.err.println(
+                  s"[graft.Dedup] dropped $dropped (id,band) entries in oversized " +
+                    s"LSH buckets (largest: $worst ids); pairs whose earliest " +
+                    "shared band fell in a capped bucket are lost")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+        })
+      }
+  }
+
   private val Prime = 2147483647L // 2^31-1, classic Carter-Wegman modulus
 
   /** Deterministic (a,b) parameters in [1, Prime) for k permutations — small
@@ -91,26 +122,24 @@ object Dedup {
       .toDF("__id", "__bs", "__band", "__bh")
     // Skew guard: a degenerate bucket of m near-identical docs yields m²/2
     // candidate pairs in ONE task — the classic LSH failure mode at scale.
-    // Oversized buckets are found with a map-side-combined count (tiny
-    // result by construction), removed via broadcast anti-join, and LOGGED —
-    // capping is never silent. Exact duplicates never reach here (callers
-    // pre-collapse them), so a capped bucket means >maxBucket distinct
-    // near-identical docs hashed to one band.
+    // The bucket census is a window count over (__band, __bh), which
+    // partitions EXACTLY like the self-join keys below — so on healthy data
+    // the guard rides the join's own shuffle and costs zero extra jobs (an
+    // earlier design ran an eager census job before every call). Oversized
+    // buckets are dropped whole and LOGGED through an `observe` metric + a
+    // one-time QueryExecutionListener — capping is never silent. Exact
+    // duplicates never reach here (callers pre-collapse them), so a capped
+    // bucket means >maxBucket distinct near-identical docs in one band.
     val guarded = if (maxBucket == Int.MaxValue) buckets else {
-      val big = buckets.groupBy(col("__band"), col("__bh"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucket)
-        .cache()
-      val nBig = big.count()
-      if (nBig > 0) {
-        val worst = big.agg(max(col("__n"))).head.getLong(0)
-        System.err.println(
-          s"[graft.Dedup] capped $nBig LSH bucket(s) over $maxBucket ids " +
-            s"(largest: $worst); pairs whose earliest shared band fell in a " +
-            s"capped bucket are dropped")
-        buckets.join(broadcast(big.select(col("__band"), col("__bh"))),
-          Seq("__band", "__bh"), "left_anti")
-      } else buckets
+      SkewLog.ensureListener(df.sparkSession, maxBucket)
+      val w = Window.partitionBy(col("__band"), col("__bh"))
+      buckets
+        .withColumn("__n", count(lit(1)).over(w))
+        .observe(SkewLog.ObservationName,
+          sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_capped_buckets"),
+          max(col("__n")).as("largest_bucket"))
+        .filter(col("__n") <= maxBucket)
+        .drop("__n")
     }
     guarded.as("a").join(guarded.as("b"),
         col("a.__band") === col("b.__band") &&
@@ -119,6 +148,40 @@ object Dedup {
       .filter(!NativeExpressions.sharesEarlierBand(
         col("a.__bs"), col("b.__bs"), col("a.__band")))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+  }
+
+  /**
+   * All unordered id pairs within each `__rid` group, with the self-join
+   * salted into bounded cells: members are blocked into runs of `block` ids
+   * (row_number within the group) and every (block p, block q) pair becomes
+   * its OWN join key, so an m-duplicate group emits its C(m,2) pairs across
+   * ~(m/block)²/2 join cells instead of ONE task keyed only by `__rid` — the
+   * quadratic-skew failure the LSH bucket guard prevents upstream must not
+   * be reintroduced downstream. Output volume is inherently quadratic; the
+   * per-cell share is capped at ~block². Input replication is ~m/block per
+   * side (the square root of the output), and block indexes are monotone in
+   * id, so pair (x, y) with x < y is produced exactly once, in cell
+   * (block(x), block(y)). Payload columns (anything beyond __rid/__id) are
+   * carried from the A side.
+   */
+  private def withinGroupPairs(members: DataFrame, block: Int): DataFrame = {
+    require(block > 0, "block must be positive")
+    val payload = members.columns.filterNot(c => c == "__rid" || c == "__id").toSeq
+    val idx = members
+      .withColumn("__ix",
+        row_number().over(Window.partitionBy(col("__rid")).orderBy(col("__id"))) - 1)
+      .withColumn("__nb",
+        ceil(count(lit(1)).over(Window.partitionBy(col("__rid"))) / lit(block)).cast("int"))
+      .withColumn("__bk", (col("__ix") / block).cast("int"))
+    val aSide = idx.select(
+      Seq(col("__rid"), col("__id").as("id_a"), col("__bk").as("__p"),
+        explode(sequence(col("__bk"), col("__nb") - 1)).as("__q")) ++
+        payload.map(col): _*)
+    val bSide = idx.select(col("__rid"), col("__id").as("id_b"),
+      explode(sequence(lit(0), col("__bk"))).as("__p"), col("__bk").as("__q"))
+    aSide.join(bSide, Seq("__rid", "__p", "__q"))
+      .filter(col("id_a") < col("id_b"))
+      .select(Seq(col("id_a"), col("id_b")) ++ payload.map(col): _*)
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */
@@ -136,7 +199,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, k: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8, seed: Long = 42L,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 100000, withinBlock: Int = 4096): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // Cache the shingle sets + their hashes: without this barrier projection
@@ -158,9 +221,15 @@ object Dedup {
       .withColumn("__rid", min(col("__id")).over(Window.partitionBy(col("__fp"))))
       .cache()
     val reps = withGroups.filter(col("__id") === col("__rid"))
+    // Cache the banded signature stream: the bucket self-join consumes it on
+    // BOTH sides (plus the guard's window), so without this barrier the
+    // minhash kernel — the most expensive subtree after the cached shingle
+    // hashes — evaluates 2-3× per call. Only (__id, __bands) is retained.
     val signed = reps
       .withColumn("__sig", minhashFromHashes(col("__h"), k, seed))
       .withColumn("__bands", lshBands(col("__sig"), bands, r))
+      .select(col("__id"), col("__bands"))
+      .cache()
     val cands = candidatePairs(signed, "__id", "__bands", maxBucket)
     val sets = reps.select(col("__id"), col("__sh"))
     val repPairs = cands
@@ -178,13 +247,13 @@ object Dedup {
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
     // Within-group pairs: identical non-empty sets are jaccard 1.0 (empty
-    // sets are 0.0 by the same convention as [[jaccard]]).
+    // sets are 0.0 by the same convention as [[jaccard]]); salted so a huge
+    // duplicate group never funnels its quadratic output through one task.
     val wg = withGroups.select(col("__rid"), col("__id"), (size(col("__sh")) > 0).as("__ne"))
-    val within = wg.as("a").join(wg.as("b"),
-        col("a.__rid") === col("b.__rid") && col("a.__id") < col("b.__id"))
-      .withColumn("jaccard", when(col("a.__ne"), lit(1.0)).otherwise(lit(0.0)))
+    val within = withinGroupPairs(wg, withinBlock)
+      .withColumn("jaccard", when(col("__ne"), lit(1.0)).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
     cross.unionByName(within)
   }
 
@@ -236,7 +305,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDistance: Int = 3,
                       tokenHasher: Column => Column = xxhash64(_),
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 100000, withinBlock: Int = 4096): DataFrame = {
     // Cache: the signature is referenced by both sides of the bucket
     // self-join and its 64 per-bit votes re-evaluate the token expression.
     //
@@ -268,10 +337,10 @@ object Dedup {
       .join(members.select(col("__mid").as("__mb"), col("__rid").as("id_b")), "id_b")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("distance"))
-    val within = signed.as("a").join(signed.as("b"),
-        col("a.__rid") === col("b.__rid") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        hamming64(col("a.__sig"), col("a.__sig")).as("distance"))
+    // Same signature → distance 0 by definition (no self-XOR expression);
+    // salted like the minhash within-group expansion.
+    val within = withinGroupPairs(signed.select(col("__rid"), col("__id")), withinBlock)
+      .withColumn("distance", lit(0))
     cross.unionByName(within)
   }
 }

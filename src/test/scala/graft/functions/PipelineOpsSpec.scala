@@ -166,6 +166,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.filter($"distance" =!= 0).isEmpty)
   }
 
+  test("within-group expansion is salted into bounded cells, pairs stay exact") {
+    // 500 identical docs collapse to one rep; the C(500,2) within-group
+    // pairs must NOT be emitted by a single task keyed on the group id —
+    // with withinBlock=32 the group splits into ceil(500/32)=16 blocks and
+    // 136 (p,q) join cells, each bounded at ~32² pairs.
+    val many = (1 to 500).map(i => (i.toLong, "omega psi chi phi upsilon tau"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(many, "id", "text", maxDistance = 3,
+      withinBlock = 32)
+    assert(pairs.count() == 500L * 499 / 2)
+    assert(pairs.select("id_a", "id_b").distinct().count() == 500L * 499 / 2)
+    assert(pairs.filter($"distance" =!= 0).isEmpty)
+    // same guarantee on the minhash path (non-divisible block size)
+    val mh = Dedup.minhashNearDups(
+      (1 to 300).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+        .toDF("id", "text"),
+      "id", "text", threshold = 0.8, withinBlock = 7)
+    assert(mh.count() == 300L * 299 / 2)
+    assert(mh.select("id_a", "id_b").distinct().count() == 300L * 299 / 2)
+    assert(mh.filter($"jaccard" =!= 1.0).isEmpty)
+  }
+
   test("candidatePairs caps oversized buckets (logged, not silent) and keeps small ones") {
     // 50 ids share band-0 hash (oversized); ids 1,2 also share band-1 hash.
     val rows = (1 to 50).map { i =>
