@@ -196,16 +196,15 @@ object MLQueries {
         .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("text"), col("doc_id")).as("text"))
-      // Cache barrier: without it CollapseProject inlines every feature
-      // expression into BOTH the filter and the final projection, so the
-      // interpreted token lambdas run twice per doc (observed 3.1 s vs
-      // ~0.5 s for one evaluation at sf0.1).
-      val feats = deduped.select(col("doc_id"),
+      // No cache barrier needed: the features derive from the fused one-pass
+      // TokenStats kernel, so even when CollapseProject inlines them into
+      // both the filter and the projection the cost is two tight passes over
+      // the tokens — not two rounds of O(distinct·tokens) interpreted
+      // lambdas, and no full-corpus materialization at scale.
+      deduped.select(col("doc_id"),
           TextFunctions.languageId(col("text")).as("lang_pred"),
           TextFunctions.qualityScore(col("text")).as("quality"),
           TextFunctions.isRepetitive(col("text")).as("rep"))
-        .cache()
-      feats
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5 && !col("rep"))
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))

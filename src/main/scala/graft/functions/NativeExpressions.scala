@@ -414,6 +414,105 @@ case class TopCentroids(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Fused one-pass token statistics for the text-analysis operators: token
+ * count, summed token length, top-token frequency, distinct-token count,
+ * bigram counts, and per-marker-list hit counts — everything the language-ID
+ * / quality / repetition formulas need, in ONE pass over the token array
+ * with two hash maps, instead of the interpreted HOF composition whose
+ * `transform(array_distinct(toks), t -> size(filter(toks, _ == t)))` term is
+ * O(distinct·tokens) lambda invocations per ROW and never enters codegen.
+ *
+ * Field semantics are term-for-term the HOF reference composition in
+ * [[TextFunctions]] (kept as `*Hof` for the equivalence spec):
+ *  - `n_tokens`       = size(toks)
+ *  - `sum_token_len`  = aggregate(toks, 0L, (a,t) -> a + length(t))
+ *  - `top_count`      = array_max(transform(array_distinct(toks),
+ *                         t -> size(filter(toks, x -> x == t)))) — 0 when empty
+ *  - `distinct_count` = size(array_distinct(toks))
+ *  - `n_bigrams`      = size(ngrams(toks, 2))
+ *  - `distinct_bigrams` = size(array_distinct(ngrams(toks, 2))) — bigram
+ *    identity is the adjacent PAIR, which equals the reference's
+ *    space-joined-string identity because tokens come from split(text, " ")
+ *    and cannot contain the separator
+ *  - `marker_hits[i]` = size(filter(toks, t -> t.isin(markerLists(i))))
+ * Null tokens (never produced by split) are counted in `n_tokens` and
+ * ignored elsewhere.
+ */
+case class TokenStats(child: Expression, markerLists: Array[Array[String]])
+  extends UnaryExpression {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_stats expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("distinct_count", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("distinct_bigrams", LongType, nullable = false),
+    StructField("marker_hits", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  @transient private lazy val markerSets: Array[java.util.HashSet[UTF8String]] =
+    markerLists.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.length * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+
+  /** Called from generated code; public for codegen access. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val nLists = markerLists.length
+    val hits = new Array[Long](nLists)
+    val counts = new java.util.HashMap[UTF8String, Integer](math.max(16, n * 2))
+    val biPairs = new java.util.HashSet[(UTF8String, UTF8String)]()
+    var sumLen = 0L
+    var nBi = 0L
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        sumLen += t.numChars()
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c + 1)
+        var j = 0
+        while (j < nLists) {
+          if (markerSets(j).contains(t)) hits(j) += 1
+          j += 1
+        }
+        if (prev != null) { nBi += 1; biPairs.add((prev, t)) }
+        prev = t
+      } else prev = null
+      i += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val v = it.next().intValue(); if (v > top) top = v }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n.toLong, sumLen, top, counts.size.toLong, nBi, biPairs.size.toLong,
+      UnsafeArrayData.fromPrimitiveArray(hits)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
 
   /** Codegen'd dot product of two float/double array columns. */
@@ -452,6 +551,11 @@ object NativeExpressions {
   /** Codegen'd 64-bit SimHash over token hashes. */
   def simhashNative(tokenHashes: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokenHashes)))
+
+  /** Fused one-pass token statistics (see [[TokenStats]]). */
+  def tokenStats(toks: Column, markerLists: Seq[Seq[String]]): Column =
+    ColumnShim.column(TokenStats(
+      ColumnShim.expression(toks), markerLists.map(_.toArray).toArray))
 
   /** True when the two band arrays agree at any index below `band`. */
   def sharesEarlierBand(a: Column, b: Column, band: Column): Column =

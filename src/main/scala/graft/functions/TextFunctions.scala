@@ -46,6 +46,25 @@ object TextFunctions {
   def markerScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit): _*)))
 
+  // ---- fused token statistics ----------------------------------------------
+
+  /** Marker lists in the FIXED order the fused kernel exposes them:
+    * the languages alphabetically, then the combined stopword list. */
+  private val KernelMarkerLists: Seq[Seq[String]] =
+    Markers.sortBy(_._1).map(_._2) :+ Markers.flatMap(_._2)
+
+  /** One-pass token-statistics struct (codegen'd kernel; field semantics and
+    * the HOF bit-identity contract are documented on
+    * [[NativeExpressions.tokenStats]]). The language-ID / quality /
+    * repetition operators below all derive from this ONE expression, so a
+    * full per-document feature set costs a single pass over the tokens
+    * instead of O(distinct·tokens) interpreted lambdas. */
+  def tokenStats(toks: Column): Column =
+    NativeExpressions.tokenStats(toks, KernelMarkerLists)
+
+  private def markerHits(ts: Column, i: Int): Column =
+    element_at(ts.getField("marker_hits"), i + 1)
+
   /** CJK character count (for zh detection). */
   def cjkCount(text: Column): Column =
     length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
@@ -53,12 +72,26 @@ object TextFunctions {
   /**
    * Deterministic language ID: zh when CJK chars dominate, otherwise the
    * marker-language with the highest hit count (ties broken alphabetically),
-   * `und` when nothing matches.
+   * `und` when nothing matches. Marker scores come from the fused kernel;
+   * [[languageIdHof]] is the HOF reference it must agree with.
    */
   def languageId(text: Column): Column = {
-    val toks = tokens(text)
+    val ts = tokenStats(tokens(text))
     // Alphabetical candidate order makes the argmax tiebreak deterministic
     // and reproducible in plain SQL (CASE evaluation order).
+    val ordered = Markers.sortBy(_._1).map(_._1).zipWithIndex.map {
+      case (lang, i) => lang -> markerHits(ts, i)
+    }
+    val best = ordered.map(_._2).reduce(greatest(_, _))
+    val alphaPick = ordered.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    when(cjkCount(text) * 2 > length(text), lit("zh")).otherwise(alphaPick)
+  }
+
+  /** HOF composition of [[languageId]] (interpreted; equivalence reference). */
+  def languageIdHof(text: Column): Column = {
+    val toks = tokens(text)
     val ordered = Markers.sortBy(_._1).map { case (lang, ms) =>
       lang -> markerScore(toks, ms)
     }
@@ -71,8 +104,27 @@ object TextFunctions {
 
   // ---- quality scoring -----------------------------------------------------
 
-  /** Per-document quality features (all exact-arithmetic, oracle-stable). */
+  /** Per-document quality features (all exact-arithmetic, oracle-stable).
+    * Token-derived terms come from the fused kernel; [[qualityFeaturesHof]]
+    * is the HOF reference. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val ts = tokenStats(tokens(text))
+    val nChars = length(text).cast("long")
+    val nToks = ts.getField("n_tokens")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "avg_token_len" -> (ts.getField("sum_token_len").cast("double") /
+        nToks.cast("double")),
+      "punct_count" -> length(regexp_replace(text, "[^.,;:!?]", "")).cast("long"),
+      "upper_count" -> length(regexp_replace(text, "[^A-Z]", "")).cast("long"),
+      "stopword_ratio" -> (markerHits(ts, Markers.size).cast("double") /
+        nToks.cast("double")))
+  }
+
+  /** HOF composition of [[qualityFeatures]] (interpreted; equivalence
+    * reference). */
+  def qualityFeaturesHof(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nChars = length(text).cast("long")
     val nToks = size(toks).cast("long")
@@ -99,10 +151,31 @@ object TextFunctions {
 
   /** Repetition signals (the Gopher/RefinedWeb-style filters for generated or
     * boilerplate text): most-frequent-token share, distinct-token share, and
-    * duplicate-bigram share. Pure per-row Column expressions — map-side, no
-    * shuffle; cost is O(distinct·tokens) interpreted lambdas per row, fine
-    * for documents, and every term is recomputable in DuckDB for the gate. */
+    * duplicate-bigram share. Map-side, no shuffle; all counts come from the
+    * fused one-pass kernel (the HOF reference below recomputes the top-token
+    * count as O(distinct·tokens) interpreted lambdas per row), and every term
+    * is recomputable in DuckDB for the gate. */
   def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val ts = tokenStats(tokens(text))
+    val nToks = ts.getField("n_tokens")
+    val n = nToks.cast("double")
+    val nBi = ts.getField("n_bigrams").cast("double")
+    Seq(
+      "n_tokens" -> nToks,
+      "top_token_ratio" ->
+        when(nToks === 0, lit(0.0))
+          .otherwise(ts.getField("top_count").cast("double") / n),
+      "unique_token_ratio" ->
+        when(nToks === 0, lit(0.0))
+          .otherwise(ts.getField("distinct_count").cast("double") / n),
+      "dup_bigram_ratio" ->
+        when(nBi === 0, lit(0.0))
+          .otherwise(lit(1.0) - ts.getField("distinct_bigrams").cast("double") / nBi))
+  }
+
+  /** HOF composition of [[repetitionFeatures]] (interpreted; equivalence
+    * reference). */
+  def repetitionFeaturesHof(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nToks = size(toks).cast("long")
     val n = nToks.cast("double")

@@ -115,6 +115,51 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(got.toSet == expected.toSet)
   }
 
+  test("fused TokenStats agrees with every HOF-derived text feature") {
+    val r = new scala.util.Random(21)
+    val vocab = Seq("the", "der", "el", "le", "fox", "dog", "und", "est",
+      "alpha", "beta", "x", "..", "A.B", "??!")
+    val random = (0 until 120).map { _ =>
+      Seq.fill(1 + r.nextInt(40))(vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    // adversarial shapes: empty text, single token, all-identical, all-distinct,
+    // punctuation/uppercase noise, CJK
+    val edge = Seq("", "solo", "rep rep rep rep rep", "a b c d e f g",
+      "The, QUICK; brown!? fox.", "中文文本")
+    val df = (random ++ edge).toDF("text")
+
+    val feats = TextFunctions.repetitionFeatures($"text")
+    val featsHof = TextFunctions.repetitionFeaturesHof($"text")
+    val q = TextFunctions.qualityFeatures($"text")
+    val qHof = TextFunctions.qualityFeaturesHof($"text")
+    val cmp = df.select(
+      (feats.map { case (n, c) => c.as(s"k_$n") } ++
+        featsHof.map { case (n, c) => c.as(s"h_$n") } ++
+        q.map { case (n, c) => c.as(s"kq_$n") } ++
+        qHof.map { case (n, c) => c.as(s"hq_$n") } :+
+        TextFunctions.languageId($"text").as("k_lang") :+
+        TextFunctions.languageIdHof($"text").as("h_lang")): _*)
+    for (n <- feats.map(_._1))
+      assert(cmp.filter(!(col(s"k_$n") <=> col(s"h_$n"))).count() == 0, s"repetition $n")
+    for (n <- q.map(_._1))
+      assert(cmp.filter(!(col(s"kq_$n") <=> col(s"hq_$n"))).count() == 0, s"quality $n")
+    assert(cmp.filter(!($"k_lang" <=> $"h_lang")).count() == 0, "languageId")
+  }
+
+  test("TokenStats runs inside whole-stage codegen") {
+    // spark.range keeps the projection out of constant folding so the plan
+    // actually exercises the codegen path.
+    val df = spark.range(100).select(
+      org.apache.spark.sql.functions.split(
+        concat(lit("tok"), ($"id" % 5).cast("string"), lit(" the a tok0")), " ").as("toks"))
+    val out = df.select(TextFunctions.tokenStats($"toks").as("ts"))
+      .select($"ts.n_tokens", $"ts.top_count", $"ts.distinct_count")
+    assert(out.head().getLong(0) == 4L)
+    val hasCodegenStage = out.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage)
+  }
+
   test("cosineNative matches Tables.cosine") {
     val r = new scala.util.Random(5)
     val df = (0 until 50).map { i =>
