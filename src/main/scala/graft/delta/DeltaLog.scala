@@ -7,11 +7,6 @@ import org.json4s.jackson.JsonMethods
 
 import java.nio.charset.StandardCharsets
 
-/** Raised when an optimistic commit loses the race for a version
-  * (reference: ConcurrencyError, src/delta/table.ts:807-814). */
-final class ConcurrencyException(version: Long)
-  extends RuntimeException(s"commit $version already exists (concurrent writer)")
-
 /**
  * The transaction log: 20-digit zero-padded NDJSON commits under
  * `<table>/_delta_log/` (reference: src/utils/index.ts:140-146,170-184),
@@ -62,66 +57,48 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
   def readCommit(version: Long): Seq[Action] =
     Actions.fromNdjson(readString(commitFile(version)))
 
+  /** Test/deployment hook: when set, OCC goes through this store regardless
+    * of scheme (e.g. a [[ConditionalPutCommitStore]] in specs). Prefer
+    * [[DeltaLog.registerCommitStore]] for scheme-wide wiring. */
+  private[delta] var commitStoreOverride: Option[CommitStore] = None
+
+  /** STORAGE CONTRACT (reference: src/storage/types.ts:81-119): correctness
+    * requires an ATOMIC create-if-not-exists; see [[CommitStore]]. Selection:
+    * an explicit override, then a scheme-registered factory (the object-store
+    * path — [[ConditionalPutCommitStore]] over the store's `If-None-Match`
+    * PUT), then `link(2)` for `file:` (local `create(overwrite=false)` is
+    * check-then-create), then plain atomic create (HDFS honors it; known
+    * non-atomic schemes get a one-time warning rather than a silently void
+    * ACID claim). */
+  private def commitStore: CommitStore = commitStoreOverride.getOrElse {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("")
+    Option(DeltaLog.storeFactories.get(scheme)).map(_(fs)).getOrElse {
+      if (scheme == "file") DeltaLog.linkStore
+      else {
+        if (DeltaLog.NonAtomicCreateSchemes(scheme) && DeltaLog.warnedSchemes.add(scheme))
+          System.err.println(
+            s"[graft.DeltaLog] scheme '$scheme' does not guarantee atomic " +
+              "create-if-not-exists: concurrent writers from separate drivers " +
+              "may overwrite commits. Register a conditional-write CommitStore " +
+              "(DeltaLog.registerCommitStore) for multi-writer safety.")
+        new AtomicCreateCommitStore(fs)
+      }
+    }
+  }
+
   /**
    * Atomically write commit `version`. Losing the race for a version throws
    * [[ConcurrencyException]] and callers retry on a fresh snapshot
-   * (reference: src/delta/retry.ts:79-134).
-   *
-   * STORAGE CONTRACT (reference: src/storage/types.ts:81-119): correctness
-   * requires an ATOMIC create-if-not-exists. Hadoop's local filesystem (and
-   * S3A) implement `create(path, overwrite=false)` as check-then-create, so
-   * two drivers racing the same version could both "succeed" and one commit
-   * would be silently overwritten. On `file:` URIs we therefore commit via
-   * write-to-temp + hard-link (POSIX `link(2)` fails with EEXIST atomically),
-   * with a post-link content verify. Other schemes use `create(overwrite
-   * = false)` and require the filesystem to honor it atomically (HDFS does;
-   * plain S3 needs an external log store or if-none-match support).
+   * (reference: src/delta/retry.ts:79-134). Atomicity is delegated to the
+   * scheme-appropriate [[CommitStore]] (see [[commitStore]]).
    */
   def writeCommit(version: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logPath)
     val target = commitFile(version)
     if (fs.exists(target)) throw new ConcurrencyException(version)
     val body = Actions.toNdjson(actions).getBytes(StandardCharsets.UTF_8)
-    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
-      val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
-      val tmpNio = targetNio.resolveSibling(
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      java.nio.file.Files.write(tmpNio, body)
-      try {
-        try java.nio.file.Files.createLink(targetNio, tmpNio)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new ConcurrencyException(version)
-        }
-        // Post-link verify: the link call is the atomic arbiter, but a
-        // filesystem that downgraded it to copy semantics would corrupt the
-        // log silently — fail loudly instead.
-        if (!java.util.Arrays.equals(java.nio.file.Files.readAllBytes(targetNio), body))
-          throw new java.io.IOException(s"commit $version verify failed after link")
-      } finally java.nio.file.Files.deleteIfExists(tmpNio)
-    } else {
-      // Object stores whose Hadoop connectors implement create(overwrite =
-      // false) as check-then-create cannot give single-writer-wins OCC by
-      // themselves (S3 needs if-none-match conditional PUT or an external
-      // log store). Warn once per scheme rather than silently voiding the
-      // ACID claim for multi-driver deployments.
-      val scheme = Option(fs.getUri.getScheme).getOrElse("")
-      if (DeltaLog.NonAtomicCreateSchemes(scheme) && DeltaLog.warnedSchemes.add(scheme))
-        System.err.println(
-          s"[graft.DeltaLog] scheme '$scheme' does not guarantee atomic " +
-            "create-if-not-exists: concurrent writers from separate drivers " +
-            "may overwrite commits. Use a coordinating log store or a " +
-            "conditional-write-capable connector for multi-writer safety.")
-      val out =
-        try fs.create(target, /*overwrite=*/ false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException =>
-            throw new ConcurrencyException(version)
-        }
-      try out.write(body)
-      finally out.close()
-    }
+    if (!commitStore.putIfAbsent(target, body))
+      throw new ConcurrencyException(version)
   }
 
   // ---- _last_checkpoint ----------------------------------------------------
@@ -165,4 +142,18 @@ object DeltaLog {
     Set("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
   private val warnedSchemes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val linkStore = new LinkCommitStore
+  private val storeFactories =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem => CommitStore]()
+
+  /** Wire a [[CommitStore]] factory for a URI scheme — the deployment hook
+    * for object stores: back "s3a"/"gs"/… with a [[ConditionalPutCommitStore]]
+    * over the store's conditional-PUT API and multi-writer OCC holds without
+    * an external log store. Takes precedence over the built-in defaults. */
+  def registerCommitStore(scheme: String, factory: FileSystem => CommitStore): Unit =
+    storeFactories.put(scheme, factory)
+
+  /** Remove a scheme registration (tests). */
+  def unregisterCommitStore(scheme: String): Unit =
+    storeFactories.remove(scheme)
 }

@@ -1,0 +1,49 @@
+package graft.delta
+
+/**
+ * Typed error taxonomy users can program against, mirroring the reference's
+ * error hierarchy (reference: src/errors.ts:46-340 — DeltaLakeError base
+ * with a stable `code` for programmatic handling; StorageError carrying
+ * path/operation; FileNotFoundError; VersionMismatchError for conditional
+ * writes; ConcurrencyError; CDCError; ValidationError). JVM idioms apply:
+ * `code` is a field, the cause rides the Throwable chain, and catching
+ * [[DeltaException]] catches everything this library raises deliberately.
+ */
+abstract class DeltaException(message: String, val code: String,
+                              cause: Throwable = null)
+  extends RuntimeException(message, cause)
+
+/** Storage-layer failure (reference: StorageError, src/errors.ts:82-95). */
+class StorageException(message: String, val path: String, val operation: String,
+                       cause: Throwable = null, code: String = "STORAGE_ERROR")
+  extends DeltaException(message, code, cause)
+
+/** Missing file/object (reference: FileNotFoundError, src/errors.ts:102-107). */
+final class FileMissingException(path: String, operation: String = "read")
+  extends StorageException(s"File not found: $path", path, operation,
+    null, "FILE_NOT_FOUND")
+
+/** A conditional write lost to another writer (reference:
+  * VersionMismatchError, src/errors.ts:128-155). */
+final class VersionMismatchException(path: String,
+    val expectedVersion: Option[String], val actualVersion: Option[String])
+  extends StorageException(
+    s"Version mismatch for $path: expected " +
+      s"${expectedVersion.getOrElse("null (create)")}, got " +
+      s"${actualVersion.getOrElse("null (not found)")}",
+    path, "writeConditional", null, "VERSION_MISMATCH")
+
+/** Raised when an optimistic commit loses the race for a version
+  * (reference: ConcurrencyError, src/errors.ts:210 and
+  * src/delta/table.ts:807-814). [[Retry.withRetry]] retries exactly this. */
+final class ConcurrencyException(version: Long)
+  extends DeltaException(
+    s"commit $version already exists (concurrent writer)", "CONCURRENCY_ERROR")
+
+/** Change-data-capture failure (reference: CDCError, src/errors.ts:291). */
+final class CdcException(message: String, cause: Throwable = null)
+  extends DeltaException(message, "CDC_ERROR", cause)
+
+/** Invalid user input (reference: ValidationError, src/errors.ts:326). */
+final class ValidationException(message: String)
+  extends DeltaException(message, "VALIDATION_ERROR")

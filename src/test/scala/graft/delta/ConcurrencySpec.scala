@@ -68,6 +68,59 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.asOf(cps.head).count() == cps.head + 1)
   }
 
+  test("object-store conditional-put path: racing commits yield exactly one winner") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-s3race").toString)
+    t.write(Seq((0, "seed")).toDF("id", "s"))
+    // Emulated object store: the PUT is conditional on the SERVER
+    // (ConcurrentHashMap.putIfAbsent arbitrates); the winner's object is
+    // mirrored into the table directory so log readers observe it — the
+    // wiring a real s3a/gs deployment gets via DeltaLog.registerCommitStore.
+    val api = new InMemoryObjectApi(materialize = (key, body) => {
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(key))
+      val out = t.log.fs.create(p, false)
+      try out.write(body) finally out.close()
+    })
+    t.log.commitStoreOverride = Some(new ConditionalPutCommitStore(api))
+    try {
+      val pool = Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val racers = (0 until 8).map { i =>
+        Future {
+          gate.await()
+          try { t.log.writeCommit(1, Seq(CommitInfo(0L, s"S3-RACER-$i"))); true }
+          catch { case _: ConcurrencyException => false }
+        }
+      }
+      gate.countDown()
+      val wins = Await.result(Future.sequence(racers), 60.seconds)
+      pool.shutdown()
+      assert(wins.count(identity) == 1, s"winners: ${wins.count(identity)}")
+      assert(api.putAttempts.get() >= 1)
+      assert(t.log.readCommit(1).nonEmpty) // the winner's bytes are intact
+    } finally t.log.commitStoreOverride = None
+  }
+
+  test("typed error taxonomy: stable codes, reference hierarchy") {
+    val ce = new ConcurrencyException(3)
+    assert(ce.code == "CONCURRENCY_ERROR")
+    assert(ce.isInstanceOf[DeltaException])
+    val vm = new VersionMismatchException("p", None, Some("1"))
+    assert(vm.code == "VERSION_MISMATCH")
+    assert(vm.isInstanceOf[StorageException] && vm.operation == "writeConditional")
+    val fm = new FileMissingException("x")
+    assert(fm.code == "FILE_NOT_FOUND" && fm.operation == "read" && fm.path == "x")
+    assert(new ValidationException("bad").code == "VALIDATION_ERROR")
+    assert(new CdcException("c").code == "CDC_ERROR")
+    // the log's real conflict path raises the typed exception
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-errs").toString)
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    val err = intercept[ConcurrencyException] {
+      t.log.writeCommit(0, Seq(CommitInfo(0L, "DUP")))
+    }
+    assert(err.code == "CONCURRENCY_ERROR")
+  }
+
   test("raw commit race: exactly one of N simultaneous writers of a version wins") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-race").toString)
     t.write(Seq((0, "seed")).toDF("id", "s"))
