@@ -102,6 +102,27 @@ object DeltaQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Condition merge (the reference's arbitrary `matchCondition`): key
+    * equality PLUS a non-equi predicate, as a theta-join MERGE. The probe set
+    * is built 1:1 per key so the reference's first-match resolution is
+    * deterministic regardless of file/row order — which is what makes the
+    * result oracle-reproducible in plain SQL. */
+  def mergeCondition(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val cust = t_(s, dir, "customer")
+    t.write(cust)
+    val probes = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit(1000.0).as("cut"))
+    t.mergeWithCondition(probes,
+      col("t.c_custkey") === col("s.k") && col("t.c_acctbal") < col("s.cut"),
+      matched = graft.delta.Merge.MergeAction.UpdateSet(
+        Map("c_mktsegment" -> lit("FLAGGED"))),
+      insertUnmatched = false)
+    t.toDF()
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** CDC: enable the feed, append + delete, read the change rows back. */
   def cdcFeed(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -224,6 +245,7 @@ object DeltaQueries {
     "d4_delta_timetravel" -> (timeTravel(_, _)),
     "d5_delta_partition_prune" -> (partitionPrune(_, _)),
     "d6_delta_merge" -> (mergeUpsert(_, _)),
+    "d11_merge_condition" -> (mergeCondition(_, _)),
     "d7_delta_cdc" -> (cdcFeed(_, _)),
     "d8_cdc_envelope" -> (cdcEnvelope(_, _)),
     "d9_doc_ingest" -> (docIngest(_, _)),
@@ -275,6 +297,12 @@ object DeltaQueries {
         |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
         |  FROM orders WHERE o_orderkey % 100 = 0) merged
         |ORDER BY o_orderkey""".stripMargin,
+
+    "d11_merge_condition" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  CASE WHEN c_custkey % 3 = 0 AND c_acctbal < 1000.0
+        |       THEN 'FLAGGED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "d7_delta_cdc" ->
       """SELECT * FROM (

@@ -565,6 +565,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
     graft.delta.Merge.execute(this, source, keyColumns, matched, insertUnmatched)
 
+  /** MERGE under an arbitrary match condition over aliases `t` (target) and
+    * `s` (source) — see [[Merge.executeCondition]] for the deterministic
+    * first-match semantics and the scale caveat (theta join: broadcast the
+    * source side; key-equality conditions belong in [[merge]]). */
+  def mergeWithCondition(source: DataFrame,
+      matchCondition: org.apache.spark.sql.Column,
+      matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
+      insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
+    graft.delta.Merge.executeCondition(this, source, matchCondition, matched, insertUnmatched)
+
   // ---- CDC (change data feed) ----------------------------------------------
 
   def cdcEnabled: Boolean =

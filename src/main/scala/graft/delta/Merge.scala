@@ -1,6 +1,7 @@
 package graft.delta
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -71,25 +72,7 @@ object Merge {
       if (matchedFiles.isEmpty) (0L, 0L)
       else {
         val inFiles = semiJoinFiles(joined, matchedFiles)
-        val rewritten: DataFrame = matched match {
-          case MergeAction.UpdateAll =>
-            val cols = dataCols.map { c =>
-              if (srcCols.contains(c))
-                when(col("__src").isNotNull, col(s"__src.$c")).otherwise(col(c)).as(c)
-              else col(c)
-            }
-            inFiles.select(cols: _*)
-          case MergeAction.UpdateSet(set) =>
-            val cols = dataCols.map { c =>
-              set.get(c) match {
-                case Some(e) => when(col("__src").isNotNull, e).otherwise(col(c)).as(c)
-                case None => col(c)
-              }
-            }
-            inFiles.select(cols: _*)
-          case MergeAction.Delete =>
-            inFiles.filter(col("__src").isNull).select(dataCols.map(col): _*)
-        }
+        val rewritten = resolveMatched(inFiles, dataCols, srcCols, matched)
         val dels = if (matched == MergeAction.Delete) nMatched else 0L
         val upds = if (matched == MergeAction.Delete) 0L else nMatched
         rewriteAndTrack(table, snap, matchedFiles, rewritten)
@@ -105,21 +88,134 @@ object Merge {
     // target rows via `<=>` and be INSERTED — one row, two effects.
     val inserted =
       if (!insertUnmatched) 0L
+      else writeInserts(table, snap, antiJoinUnmatched(table, snap, src, keyColumns), srcCols)
+    MergeResult(updated, deleted, inserted, table.version)
+  }
+
+  /** The matched-path rewrite: `inFiles` is the target restricted to the
+    * rewritten files, left-joined so matched rows carry their source row as
+    * the `__src` struct (null = no match → keep verbatim). */
+  private def resolveMatched(inFiles: DataFrame, dataCols: Seq[String],
+                             srcCols: Seq[String], matched: MergeAction): DataFrame =
+    matched match {
+      case MergeAction.UpdateAll =>
+        val cols = dataCols.map { c =>
+          if (srcCols.contains(c))
+            when(col("__src").isNotNull, col(s"__src.$c")).otherwise(col(c)).as(c)
+          else col(c)
+        }
+        inFiles.select(cols: _*)
+      case MergeAction.UpdateSet(set) =>
+        val cols = dataCols.map { c =>
+          set.get(c) match {
+            case Some(e) => when(col("__src").isNotNull, e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }
+        inFiles.select(cols: _*)
+      case MergeAction.Delete =>
+        inFiles.filter(col("__src").isNull).select(dataCols.map(col): _*)
+    }
+
+  /** Align `newRows` to the table schema (missing columns null, present ones
+    * cast), write, commit, and count from the written files' own stats. */
+  private def writeInserts(table: DeltaTable, snap: Snapshot,
+                           newRows: DataFrame, srcCols: Seq[String]): Long = {
+    val schema = snap.schema
+    val aligned = newRows.select(schema.fields.map { f =>
+      if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val adds = table.writeDataFiles(aligned, snap.partitionColumns, schema)
+    val counted = adds.map(a =>
+      a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
+    val nonEmpty = counted.filter(_._2 > 0)
+    if (nonEmpty.nonEmpty) table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
+    // drop any zero-row part files the writer produced
+    counted.filterNot(_._2 > 0).foreach(a => table.deleteDataFile(a._1.path))
+    nonEmpty.map(_._2).sum
+  }
+
+  /**
+   * Merge under an ARBITRARY match condition — the reference's
+   * `matchCondition(existing, incoming)` closure (src/cdc/index.ts:1937-2005)
+   * as a Catalyst predicate over aliases `t` (target) and `s` (source), e.g.
+   * {{{ col("t.id") === col("s.id") && col("s.ts") > col("t.ts") }}}.
+   *
+   * The reference resolves sequentially: each incoming row binds to the
+   * FIRST matching existing row. A distributed engine has no scan order, so
+   * resolution is made deterministic instead:
+   *   1. candidate pairs come from a theta join on `matchCondition`;
+   *   2. each source row picks its first matching target in TABLE order
+   *      (file path, row index — the order the reference would scan);
+   *   3. each target row resolves at most ONE source row (smallest by a
+   *      deterministic hash of the source row) — first-occurrence-wins,
+   *      like the key-based merge's dropDuplicates.
+   * A source row whose only matches were claimed by other source rows is
+   * NOT inserted (it matched; the reference would have applied it to the
+   * same row sequentially).
+   *
+   * SCALE: an arbitrary condition cannot hash-partition, so the join is a
+   * broadcast-nested-loop when `source` is small (the intended shape —
+   * Spark broadcasts it automatically) and a cartesian otherwise. For
+   * key-equality conditions use [[execute]], which shuffles on the keys.
+   */
+  def executeCondition(table: DeltaTable, source: DataFrame,
+                       matchCondition: Column, matched: MergeAction,
+                       insertUnmatched: Boolean): MergeResult = {
+    val snap = table.snapshot()
+    val schema = snap.schema
+    val dataCols = schema.fieldNames.toSeq
+    val srcCols = source.columns.toSeq
+
+    val target = table.toDF(snap)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__rix", col("_metadata.row_index"))
+    val src = source.select(
+      struct(srcCols.map(col): _*).as("__srow"))
+      .withColumn("__sid", xxhash64(col("__srow")))
+
+    val pairs = target.as("t")
+      .join(src.select(srcCols.map(c => col(s"__srow.$c").as(c)) :+
+          col("__srow") :+ col("__sid"): _*).as("s"),
+        matchCondition, "inner")
+      .select(col("__file"), col("__rix"), col("__sid"), col("__srow"))
+
+    // Deterministic first-match resolution (scaladoc steps 2 and 3).
+    val bySource = Window.partitionBy(col("__srow")).orderBy(col("__file"), col("__rix"))
+    val byTarget = Window.partitionBy(col("__file"), col("__rix"))
+      .orderBy(col("__sid"), col("__srow"))
+    val chosen = pairs
+      .withColumn("__r1", row_number().over(bySource)).filter(col("__r1") === 1)
+      .withColumn("__r2", row_number().over(byTarget)).filter(col("__r2") === 1)
+      .select(col("__file"), col("__rix"), col("__srow").as("__src"))
+
+    val matchAgg = chosen
+      .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
+    val nMatched = matchAgg.getLong(0)
+    val matchedFiles = matchAgg.getSeq[String](1)
+
+    val (updated, deleted) =
+      if (matchedFiles.isEmpty) (0L, 0L)
       else {
-        val newRows = antiJoinUnmatched(table, snap, src, keyColumns)
-        // Align to table schema: missing columns null, present ones cast.
-        val aligned = newRows.select(schema.fields.map { f =>
-          if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
-        val adds = table.writeDataFiles(aligned, snap.partitionColumns, schema)
-        val counted = adds.map(a =>
-          a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
-        val nonEmpty = counted.filter(_._2 > 0)
-        if (nonEmpty.nonEmpty) table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
-        // drop any zero-row part files the writer produced
-        counted.filterNot(_._2 > 0).foreach(a => table.deleteDataFile(a._1.path))
-        nonEmpty.map(_._2).sum
+        val inFiles = semiJoinFiles(target, matchedFiles)
+          .join(chosen, Seq("__file", "__rix"), "left_outer")
+        val rewritten = resolveMatched(inFiles, dataCols, srcCols, matched)
+        val dels = if (matched == MergeAction.Delete) nMatched else 0L
+        val upds = if (matched == MergeAction.Delete) 0L else nMatched
+        rewriteAndTrack(table, snap, matchedFiles, rewritten)
+        (upds, dels)
+      }
+
+    val inserted =
+      if (!insertUnmatched) 0L
+      else {
+        // Source rows that matched NOTHING (null-safe whole-row identity).
+        val unmatched = src
+          .join(pairs.select(col("__srow").as("__mrow")).distinct(),
+            col("__srow") <=> col("__mrow"), "left_anti")
+          .select(srcCols.map(c => col(s"__srow.$c").as(c)): _*)
+        writeInserts(table, snap, unmatched, srcCols)
       }
     MergeResult(updated, deleted, inserted, table.version)
   }

@@ -116,6 +116,57 @@ class MergeCdcSpec extends SparkTestBase {
     assert(got == Seq((None, "UPD"), (Some(1), "a"), (Some(4), "ins")))
   }
 
+  test("condition merge: arbitrary theta predicate updates, inserts, deletes") {
+    val t = tmpTable()
+    t.write(Seq((1, 10.0, "a"), (2, 50.0, "b"), (3, 90.0, "c")).toDF("id", "x", "s"))
+    // Non-equi condition: a source row matches any target with x below its
+    // threshold AND the same parity — no key equality anywhere.
+    val source = Seq((0, 60.0, "low"), (1, 100.0, "odd")).toDF("par", "threshold", "tag")
+    val cond = col("t.x") < col("s.threshold") &&
+      pmod(col("t.id"), lit(2)) === col("s.par")
+    // UpdateSet: overwrite s with the source tag
+    val r = t.mergeWithCondition(source, cond,
+      matched = Merge.MergeAction.UpdateSet(Map("s" -> col("__src.tag"))),
+      insertUnmatched = false)
+    // Reference semantics: each incoming row binds to its FIRST matching
+    // existing row. "low" (even, th=60) → target 2; "odd" (odd, th=100)
+    // matches targets 1 and 3 but claims only target 1 (first in table
+    // order). Target 3 stays untouched.
+    assert(r.updated == 2 && r.inserted == 0 && r.deleted == 0)
+    val got = t.toDF().orderBy("id").as[(Int, Double, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    assert(got(0)._3 == "odd" && got(1)._3 == "low" && got(2)._3 == "c")
+  }
+
+  test("condition merge: unmatched source inserts; Delete removes matched") {
+    val t = tmpTable()
+    t.write(Seq((1, 10.0, "a"), (2, 50.0, "b")).toDF("id", "x", "s"))
+    // matches nothing (threshold below every x) → insert path only
+    val src = Seq((7, 5.0, "new")).toDF("id", "x", "s")
+    val r = t.mergeWithCondition(src, col("t.x") < col("s.x"))
+    assert(r.updated == 0 && r.inserted == 1)
+    assert(t.toDF().count() == 3)
+    // Delete action: remove every target with x above the source threshold
+    val r2 = t.mergeWithCondition(Seq(40.0).toDF("threshold"),
+      col("t.x") > col("s.threshold"),
+      matched = Merge.MergeAction.Delete, insertUnmatched = false)
+    assert(r2.deleted == 1) // only x=50 exceeds 40
+    assert(t.toDF().orderBy("id").select("id").as[Int].collect().toSeq == Seq(1, 7))
+  }
+
+  test("condition merge: a source row claims only its FIRST matching target") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"))
+    // one source row matching EVERY target: sequential semantics bind it to
+    // the first existing row only; the others stay untouched
+    val r = t.mergeWithCondition(Seq("X").toDF("tag"), lit(true),
+      matched = Merge.MergeAction.UpdateSet(Map("s" -> col("__src.tag"))),
+      insertUnmatched = false)
+    assert(r.updated == 1)
+    val got = t.toDF().orderBy("id").select("s").as[String].collect().toSeq
+    assert(got.count(_ == "X") == 1 && got.size == 3)
+  }
+
   test("CDC: inserts, deletes, update pre/post images captured with versions") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")) // v0, pre-CDC
