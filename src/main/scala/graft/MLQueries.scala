@@ -84,6 +84,17 @@ object MLQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- duplicate clustering: connected components over the minhash
+    //      near-dup pairs — one representative per transitive cluster, the
+    //      form a curation pipeline actually keeps ----
+    "t15_dedup_groups" -> ((s, dir) => {
+      val docs = docsUnion(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "id", "text",
+        shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
+      Dedup.duplicateGroups(docs.select(col("id")), pairs, "id")
+        .orderBy(col("id"))
+    }),
+
     // ---- exact n-gram Jaccard pairs (small corpus, no LSH) ----
     "t5_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
@@ -307,6 +318,35 @@ object MLQueries {
         |WHERE a.id < b.id)
         |SELECT * FROM pairs WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components recomputed from scratch: the t4 pair set (exact
+    // all-pairs jaccard at this SF) symmetrized into an edge list, then a
+    // recursive label walk — min reachable id per node = the cluster rep.
+    "t15_dedup_groups" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+        |  )) AS sh FROM corpus),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sets a, sets b
+        |  WHERE a.id < b.id
+        |    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM corpus
+        |  UNION
+        |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id, min(r) AS rep FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "t5_ngram_jaccard" ->
       """WITH sets AS (

@@ -175,11 +175,15 @@ object Merge {
       struct(srcCols.map(col): _*).as("__srow"))
       .withColumn("__sid", xxhash64(col("__srow")))
 
+    // Cached: the candidate-pair set feeds the match census, the rewrite
+    // join, and the insert anti-join — without the barrier the theta join
+    // (the dominant cost) would evaluate three times.
     val pairs = target.as("t")
       .join(src.select(srcCols.map(c => col(s"__srow.$c").as(c)) :+
           col("__srow") :+ col("__sid"): _*).as("s"),
         matchCondition, "inner")
       .select(col("__file"), col("__rix"), col("__sid"), col("__srow"))
+      .cache()
 
     // Deterministic first-match resolution (scaladoc steps 2 and 3).
     val bySource = Window.partitionBy(col("__srow")).orderBy(col("__file"), col("__rix"))
@@ -217,6 +221,7 @@ object Merge {
           .select(srcCols.map(c => col(s"__srow.$c").as(c)): _*)
         writeInserts(table, snap, unmatched, srcCols)
       }
+    pairs.unpersist(false)
     MergeResult(updated, deleted, inserted, table.version)
   }
 

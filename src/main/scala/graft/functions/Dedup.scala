@@ -257,6 +257,67 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /**
+   * Connected components over a near-duplicate pair set: every id is labeled
+   * with the SMALLEST id reachable through the pairs — the standard
+   * "one representative per duplicate cluster" output a curation pipeline
+   * keeps (drop every row whose rep differs from its id). Pairs are
+   * transitive evidence: a~b and b~c put a, b, c in one cluster even when
+   * a~c was never emitted.
+   *
+   * Distributed min-label propagation WITH path-halving: each round (a) takes
+   * the minimum label across the (symmetrized) edge set and (b) shortcuts
+   * every node to its representative's representative — so convergence is
+   * O(log diameter) rounds, not O(diameter) (a 2^25-long chain fits the
+   * default `maxIter`). Each round is a bounded number of shuffles plus one
+   * count job for the convergence check. No driver materialization of ids
+   * or edges.
+   *
+   * @param ids   one column `idCol` — every node, paired or not
+   * @param pairs two columns `id_a`, `id_b`
+   * @return (idCol, rep) — rep = min id of the component
+   */
+  def duplicateGroups(ids: DataFrame, pairs: DataFrame, idCol: String = "id",
+                      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+      .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint each round: the propagate + path-halving step references
+    // the previous labels THREE times, so without lineage truncation the
+    // logical plan grows ~4× per iteration and the driver OOMs assembling it.
+    var labels = ids.select(col(idCol).as("__id"), col(idCol).as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("__id").as("__src"), col("rep").as("__srcRep")), "__src")
+        .groupBy(col("__dst")).agg(min(col("__srcRep")).as("__nbrRep"))
+      val afterProp = labels
+        .join(nbrMin, labels("__id") === nbrMin("__dst"), "left_outer")
+        .select(col("__id"),
+          least(col("rep"), coalesce(col("__nbrRep"), col("rep"))).as("rep"))
+      // Path halving: rep := rep's rep (min), collapsing chains
+      // logarithmically instead of one hop per round.
+      val repOfRep = afterProp
+        .select(col("__id").as("__rid2"), col("rep").as("__rr"))
+      val next = afterProp
+        .join(repOfRep, afterProp("rep") === repOfRep("__rid2"), "left_outer")
+        .select(col("__id"),
+          least(col("rep"), coalesce(col("__rr"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("__id"), col("rep").as("__old")), "__id")
+        .filter(col("rep") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("__id").as(idCol), col("rep"))
+  }
+
   /** Exact all-pairs n-gram Jaccard (for small candidate sets / verification). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.1): DataFrame = {

@@ -188,6 +188,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mh.filter($"jaccard" =!= 1.0).isEmpty)
   }
 
+  test("duplicateGroups: transitive clusters collapse to min-id representative") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L).toDF("id")
+    // 1~2, 2~3 (transitive: 3 joins 1's cluster without a direct 1~3 pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateGroups(ids, pairs, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L))
+    // a 60-hop chain converges via path halving well inside maxIter
+    val chainIds = (1L to 61L).toDF("id")
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.duplicateGroups(chainIds, chain, "id")
+      .select("rep").distinct().as[Long].collect().toSeq
+    assert(reps == Seq(1L))
+  }
+
   test("candidatePairs caps oversized buckets (logged, not silent) and keeps small ones") {
     // 50 ids share band-0 hash (oversized); ids 1,2 also share band-1 hash.
     val rows = (1 to 50).map { i =>
