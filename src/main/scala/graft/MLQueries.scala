@@ -95,6 +95,25 @@ object MLQueries {
         .orderBy(col("id"))
     }),
 
+    // ---- PII redaction (C4/RefinedWeb-style): mask emails/phones/IPs with
+    //      class tokens + per-class counts — pure regexp chain, map-side;
+    //      synthetic PII is injected deterministically per doc so the oracle
+    //      recomputes byte-identical redactions ----
+    "t16_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            lit(" call 555-123-4567 from 10.0.0."),
+            (col("doc_id") % 256).cast("string")).as("text"))
+      val counts = TextFunctions.piiCounts(col("text"))
+      withPii.select(
+          col("doc_id") +:
+            TextFunctions.redactPii(col("text")).as("redacted") +:
+            counts.map { case (n, c) => c.cast("long").as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact n-gram Jaccard pairs (small corpus, no LSH) ----
     "t5_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
@@ -347,6 +366,24 @@ object MLQueries {
         |  UNION
         |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id, min(r) AS rep FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "t16_pii_redaction" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+        |    ' call 555-123-4567 from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 200),
+        |s1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+        |  FROM withpii),
+        |s2 AS (SELECT *, regexp_replace(r1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS r2 FROM s1),
+        |s3 AS (SELECT *,
+        |  regexp_replace(r2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r3 FROM s2)
+        |SELECT doc_id, r3 AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(r1, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(r2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     "t5_ngram_jaccard" ->
       """WITH sets AS (

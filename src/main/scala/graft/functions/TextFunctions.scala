@@ -226,6 +226,37 @@ object TextFunctions {
       least(lit(chunkSize), n - ix * stride).cast("long").as("n_tokens")))
   }
 
+  // ---- PII redaction -------------------------------------------------------
+
+  /** (name, pattern, replacement) for the standard web-corpus PII classes.
+    * Patterns deliberately use only constructs with identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB), so redaction is oracle-checkable.
+    * Order matters: emails first (an address contains dots a later rule
+    * could half-match), then phones, then bare IPv4s. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Mask every PII match with its class token — pure `regexp_replace`
+    * chain: map-side, codegen'd, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+
+  /** Per-class PII match counts (same patterns as [[redactPii]]), for
+    * corpus-level privacy audits. Counted AFTER earlier classes are
+    * redacted, mirroring the replacement chain exactly. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val staged = PiiPatterns.scanLeft(("", text)) { case ((_, c), (name, re, tok)) =>
+      (name, regexp_replace(c, re, tok))
+    }
+    PiiPatterns.zip(staged).map { case ((name, re, _), (_, before)) =>
+      s"n_$name" -> regexp_count(before, lit(re))
+    }
+  }
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of the normalized text (lowercased, single

@@ -97,7 +97,10 @@ class MaintenanceSpec extends SparkTestBase {
     t.write(Seq((9, "x")).toDF("id", "s"), mode = "overwrite") // v1: v0 file becomes tombstone
     // Dry run with 0 retention (no minimum): v0's file is protected? tombstone
     // is recent → protected only if within retention; with retention 0 nothing
-    // is protected and the old file qualifies.
+    // is protected and the old file qualifies. Sleep past filesystem
+    // mod-time granularity: with cutoff == now, a file stamped in the same
+    // clock tick would (correctly) survive and flake this assertion.
+    Thread.sleep(1100)
     val dry = Maintenance.vacuum(t, retentionHours = 0, dryRun = true, enforceMinimum = false)
     assert(dry.filesDeleted == 1)
     val real = Maintenance.vacuum(t, retentionHours = 0, enforceMinimum = false)

@@ -188,6 +188,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mh.filter($"jaccard" =!= 1.0).isEmpty)
   }
 
+  test("redactPii masks emails/phones/IPs, piiCounts mirrors the chain") {
+    val df = Seq(
+      "mail a.b+c@test.org or x@y.io, dial 555-123-4567, host 192.168.0.1 end",
+      "no pii here").toDF("text")
+    val out = df.select(TextFunctions.redactPii($"text").as("r") +:
+      TextFunctions.piiCounts($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(out(0).getString(0) ==
+      "mail <EMAIL> or <EMAIL>, dial <PHONE>, host <IP> end")
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    assert(out(1).getString(0) == "no pii here")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
+  }
+
   test("duplicateGroups: transitive clusters collapse to min-id representative") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L).toDF("id")
     // 1~2, 2~3 (transitive: 3 joins 1's cluster without a direct 1~3 pair)
