@@ -19,4 +19,38 @@ class QueriesSpec extends SparkTestBase {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
+
+  // ---- plan audits: lock in the scale-design properties, not just results --
+
+  test("plan audit: t11 has no cache barrier and fuses TokenStats in codegen") {
+    val plan = SparkEntry.queries("t11_curation_pipeline")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      "t11 must not materialize the feature set behind a cache barrier")
+    assert(plan.contains("tokenstats"),
+      "t11 features should derive from the fused TokenStats kernel")
+  }
+
+  test("plan audit: t4 reads cached bands on both join sides, census rides the shuffle") {
+    val plan = SparkEntry.queries("t4_minhash_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the banded signature stream is cached → the bucket self-join reads
+    // InMemoryTableScan, so the minhash kernel evaluates once
+    assert(plan.contains("InMemoryTableScan"))
+    // the skew census is an observe() metric over a window on the join keys —
+    // part of THIS plan, not a separate eager probe job
+    assert(plan.contains("CollectMetrics"))
+  }
+
+  test("plan audit: d6 merge restricts files via join, not a literal In-list") {
+    // Build the merge's matched-file restriction shape directly: the semi
+    // join is visible in the d6 plan only during execution, so assert on the
+    // operator the code path constructs (no `isin` over collected paths
+    // remains anywhere in Merge).
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/delta/Merge.scala", "UTF-8").mkString
+    assert(!src.contains(".isin(matchedFiles"),
+      "merge must not build literal In-lists from file sets")
+    assert(src.contains("left_semi"))
+  }
 }
