@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Dedup, Multimodal, Packing, Similarity, TextFunctions}
 
 /**
  * Training-data pipeline operators on the oracle gate: text analysis,
@@ -112,6 +112,26 @@ object MLQueries {
             TextFunctions.redactPii(col("text")).as("redacted") +:
             counts.map { case (n, c) => c.cast("long").as(n) }: _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- sequence packing (training prep): chunk docs into 64-token
+    //      windows, shard deterministically, pack each shard's chunks into
+    //      512-token bins via one windowed cumulative sum — shards pack in
+    //      parallel, no global single-task window ----
+    "t17_sequence_packing" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkWindows(col("text"), 64, 0)).as("c"))
+        .select(col("doc_id"), col("c.ix").as("chunk_ix"),
+          col("c.n_tokens").as("n_tokens"))
+        .withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8).cast("long"))
+      Packing.packSequences(chunks, "n_tokens", "shard",
+          Seq("doc_id", "chunk_ix"), budget = 512)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("shard"), col("bin"))
     }),
 
     // ---- exact n-gram Jaccard pairs (small corpus, no LSH) ----
@@ -384,6 +404,31 @@ object MLQueries {
         |  CAST(len(regexp_extract_all(r1, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(r2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // Same chunking arithmetic as t12 at size 64 / overlap 0, the t14 md5
+    // shard selector, and the windowed running offset — all reproducible.
+    "t17_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(range(CASE WHEN n <= 64 THEN 1
+        |                      ELSE (n - 64 + 63) // 64 + 1 END)) AS ix,
+        |    n
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
+        |    CAST(least(64, n - ix*64) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard
+        |  FROM c),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_ix
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM ch)
+        |SELECT shard, CAST(strt // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     "t5_ngram_jaccard" ->
       """WITH sets AS (

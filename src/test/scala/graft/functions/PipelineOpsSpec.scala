@@ -188,6 +188,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mh.filter($"jaccard" =!= 1.0).isEmpty)
   }
 
+  test("packSequences: offset packing fills fixed-budget bins per shard") {
+    // one shard, chunks of 60 tokens, budget 100: starts 0,60,120,180,240 →
+    // bins 0,0,1,1,2
+    val chunks = (0 until 5).map(i => (0L, i, 60L)).toDF("shard", "ix", "n_tokens")
+    val got = Packing.packSequences(chunks, "n_tokens", "shard", Seq("ix"), 100)
+      .orderBy($"ix").select("bin").as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 1L, 1L, 2L))
+    // shards pack independently: same layout in each
+    val sharded = (0 until 4).flatMap(s => (0 until 3).map(i => (s.toLong, i, 50L)))
+      .toDF("shard", "ix", "n_tokens")
+    val bins = Packing.packSequences(sharded, "n_tokens", "shard", Seq("ix"), 100)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.max($"bin").as("mx"))
+      .select("mx").as[Long].collect().toSeq
+    assert(bins == Seq(1L, 1L, 1L, 1L))
+  }
+
   test("redactPii masks emails/phones/IPs, piiCounts mirrors the chain") {
     val df = Seq(
       "mail a.b+c@test.org or x@y.io, dial 555-123-4567, host 192.168.0.1 end",
