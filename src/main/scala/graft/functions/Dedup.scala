@@ -28,23 +28,30 @@ object Dedup {
     * either (or, without exchange reuse, both) plan copies; for a log line
     * that is harmless. */
   private object SkewLog {
-    val ObservationName = "graft.lsh.skew"
+    private val Prefix = "graft.lsh.skew."
+    private val counter = new java.util.concurrent.atomic.AtomicLong(0)
     private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    /** Unique per candidatePairs call — a fixed name would make any query
+      * composing TWO LSH dedup operators fail analysis with a duplicate
+      * observed-metrics name. */
+    def nextObservationName(): String = Prefix + counter.incrementAndGet()
     def ensureListener(spark: org.apache.spark.sql.SparkSession, maxBucket: Int): Unit =
       if (registered.add(System.identityHashCode(spark))) {
         spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-            qe.observedMetrics.get(ObservationName).foreach { row =>
-              val i = row.fieldIndex("rows_in_capped_buckets")
-              val dropped = if (row.isNullAt(i)) 0L else row.getLong(i)
-              if (dropped > 0) {
-                val j = row.fieldIndex("largest_bucket")
-                val worst = if (row.isNullAt(j)) 0L else row.getLong(j)
-                System.err.println(
-                  s"[graft.Dedup] dropped $dropped (id,band) entries in oversized " +
-                    s"LSH buckets (largest: $worst ids); pairs whose earliest " +
-                    "shared band fell in a capped bucket are lost")
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(Prefix)) {
+                val i = row.fieldIndex("rows_in_capped_buckets")
+                val dropped = if (row.isNullAt(i)) 0L else row.getLong(i)
+                if (dropped > 0) {
+                  val j = row.fieldIndex("largest_bucket")
+                  val worst = if (row.isNullAt(j)) 0L else row.getLong(j)
+                  System.err.println(
+                    s"[graft.Dedup] dropped $dropped (id,band) entries in oversized " +
+                      s"LSH buckets (largest: $worst ids); pairs whose earliest " +
+                      "shared band fell in a capped bucket are lost")
+                }
               }
             }
           override def onFailure(funcName: String,
@@ -135,7 +142,7 @@ object Dedup {
       val w = Window.partitionBy(col("__band"), col("__bh"))
       buckets
         .withColumn("__n", count(lit(1)).over(w))
-        .observe(SkewLog.ObservationName,
+        .observe(SkewLog.nextObservationName(),
           sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_capped_buckets"),
           max(col("__n")).as("largest_bucket"))
         .filter(col("__n") <= maxBucket)

@@ -233,6 +233,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(reps == Seq(1L))
   }
 
+  test("two LSH dedup operators compose in one query (unique observation names)") {
+    // A fixed observe() name would fail analysis with duplicate observed
+    // metrics when two candidatePairs-based operators meet in one plan.
+    val docs = (1 to 30).map(i => (i.toLong, s"alpha beta gamma token$i delta"))
+      .toDF("id", "text")
+    val both = Dedup.minhashNearDups(docs, "id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b")
+      .unionByName(Dedup.simhashNearDups(docs, "id", "text").select($"id_a", $"id_b"))
+    both.count() // must analyze and execute
+  }
+
   test("candidatePairs caps oversized buckets (logged, not silent) and keeps small ones") {
     // 50 ids share band-0 hash (oversized); ids 1,2 also share band-1 hash.
     val rows = (1 to 50).map { i =>
