@@ -50,6 +50,15 @@ object Merge {
     val src = source.dropDuplicates(keyColumns)
     // Source rows carried as one struct column to dodge name collisions.
     val srcCols = src.columns.toSeq
+
+    // Empty active set: `_metadata` cannot resolve on the empty relation
+    // toDF returns, and semantically every source row is an insert.
+    if (snap.activeFiles.isEmpty) {
+      val inserted =
+        if (!insertUnmatched) 0L else writeInserts(table, snap, src, srcCols)
+      return MergeResult(0L, 0L, inserted, table.version)
+    }
+
     val packed = src.select(
       struct(srcCols.map(col): _*).as("__src") +: keyColumns.map(k => col(k).as(s"__k_$k")): _*)
 
@@ -126,7 +135,13 @@ object Merge {
       if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val adds = table.writeDataFiles(aligned, snap.partitionColumns, schema)
+    commitInsertRows(table, snap, aligned)
+  }
+
+  /** Write already-aligned rows, commit, count from written-file stats. */
+  private def commitInsertRows(table: DeltaTable, snap: Snapshot,
+                               aligned: DataFrame): Long = {
+    val adds = table.writeDataFiles(aligned, snap.partitionColumns, snap.schema)
     val counted = adds.map(a =>
       a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
     val nonEmpty = counted.filter(_._2 > 0)
@@ -167,6 +182,13 @@ object Merge {
     val schema = snap.schema
     val dataCols = schema.fieldNames.toSeq
     val srcCols = source.columns.toSeq
+
+    // Empty active set: nothing can match; every source row is an insert.
+    if (snap.activeFiles.isEmpty) {
+      val inserted =
+        if (!insertUnmatched) 0L else writeInserts(table, snap, source, srcCols)
+      return MergeResult(0L, 0L, inserted, table.version)
+    }
 
     val target = table.toDF(snap)
       .withColumn("__file", col("_metadata.file_path"))
@@ -298,6 +320,14 @@ object Merge {
 
     val src = source.dropDuplicates(keyColumns)
     val srcCols = src.columns.toSeq
+
+    // Empty active set: every source row goes through whenNotMatched.
+    if (snap.activeFiles.isEmpty) {
+      val shaped = src.flatMap(r => whenNotMatched(r))(Encoders.row(schema))
+      return MergeResult(0L, 0L,
+        commitInsertRows(table, snap, shaped.toDF()), table.version)
+    }
+
     val packed = src.select(
       struct(srcCols.map(col): _*).as("__src") +: keyColumns.map(k => col(k).as(s"__k_$k")): _*)
     val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
@@ -341,13 +371,7 @@ object Merge {
     val inserts = {
       val newRows = antiJoinUnmatched(table, snap, src, keyColumns)
       val shaped = newRows.flatMap(r => whenNotMatched(r))(Encoders.row(schema))
-      val adds = table.writeDataFiles(shaped.toDF(), snap.partitionColumns, schema)
-      val counted = adds.map(a =>
-        a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
-      val nonEmpty = counted.filter(_._2 > 0)
-      if (nonEmpty.nonEmpty) table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
-      counted.filterNot(_._2 > 0).foreach(a => table.deleteDataFile(a._1.path))
-      nonEmpty.map(_._2).sum
+      commitInsertRows(table, snap, shaped.toDF())
     }
     MergeResult(updated, deleted, inserts, table.version)
   }

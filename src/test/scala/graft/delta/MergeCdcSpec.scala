@@ -116,6 +116,39 @@ class MergeCdcSpec extends SparkTestBase {
     assert(got == Seq((None, "UPD"), (Some(1), "a"), (Some(4), "ins")))
   }
 
+  test("merge into a table with an EMPTY active set inserts everything") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Schema-first table (metaData commit, zero add actions — how another
+    // writer creates a table before its first write): the scan is an empty
+    // local relation where `_metadata` cannot resolve, so the merge paths
+    // must short-circuit to insert-only.
+    def emptyTable(): DeltaTable = {
+      val t = tmpTable()
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("s", StringType)))
+      t.log.writeCommit(0, Seq[Action](Protocol(),
+        TableMetadata(id = "empty", schemaString = schema.json),
+        CommitInfo(0L, "CREATE")))
+      assert(t.snapshot().activeFiles.isEmpty)
+      t
+    }
+    val t = emptyTable()
+    val r = t.merge(Seq((2, "b"), (3, "c")).toDF("id", "s"), Seq("id"))
+    assert(r.updated == 0 && r.deleted == 0 && r.inserted == 2)
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((2, "b"), (3, "c")))
+    // closure and condition variants short-circuit the same way
+    val t2 = emptyTable()
+    val r2 = Merge.executeWith(t2, Seq((5, "e")).toDF("id", "s"), Seq("id"))(
+      whenMatched = (e, _) => Some(e),
+      whenNotMatched = in => Some(Row(in.getInt(0), "ins")))
+    assert(r2.inserted == 1 && t2.toDF().count() == 1)
+    val t3 = emptyTable()
+    val r3 = t3.mergeWithCondition(Seq((7, "g")).toDF("id", "s"), lit(true))
+    assert(r3.inserted == 1 && t3.toDF().count() == 1)
+  }
+
   test("condition merge: arbitrary theta predicate updates, inserts, deletes") {
     val t = tmpTable()
     t.write(Seq((1, 10.0, "a"), (2, 50.0, "b"), (3, 90.0, "c")).toDF("id", "x", "s"))
