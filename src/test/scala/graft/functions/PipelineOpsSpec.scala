@@ -233,6 +233,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(reps == Seq(1L))
   }
 
+  test("salted within-group pairs are exact across random group/block shapes") {
+    val r = new scala.util.Random(31)
+    (1 to 4).foreach { trial =>
+      val nGroups = 1 + r.nextInt(4)
+      val sizes = (0 until nGroups).map(_ => 1 + r.nextInt(25))
+      val docs = sizes.zipWithIndex.flatMap { case (m, g) =>
+        // texts made maximally distinct across groups so no cross-group
+        // simhash matches muddy the expectation
+        val text = (0 until 12).map(k => s"g${g}w$k").mkString(" ")
+        (0 until m).map(i => ((g * 1000 + i).toLong, text))
+      }.toDF("id", "text")
+      val block = 1 + r.nextInt(8)
+      val got = Dedup.simhashNearDups(docs, "id", "text", withinBlock = block)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"trial $trial: duplicate pairs")
+      val expected = sizes.zipWithIndex.flatMap { case (m, g) =>
+        for (i <- 0 until m; j <- i + 1 until m)
+          yield ((g * 1000 + i).toLong, (g * 1000 + j).toLong)
+      }.toSet
+      assert(got.toSet == expected,
+        s"trial $trial (sizes=$sizes block=$block): got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("two LSH dedup operators compose in one query (unique observation names)") {
     // A fixed observe() name would fail analysis with duplicate observed
     // metrics when two candidatePairs-based operators meet in one plan.
