@@ -74,6 +74,22 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** RESTORE: mutate the table twice (delete + update), then restore to v0
+    * — the read back must be byte-identical to the original data. The
+    * restore is a log-only file-diff commit (no data rewrite), so the gate
+    * proves the diff/metadata reinstatement path, not the CoW writers. */
+  def restoreTable(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "part"))                        // v0
+    t.delete("""{"p_size":{"$gte":40}}""")             // v1
+    t.update("""{"p_brand":"Brand#11"}""", """{"p_retailprice": 0}""") // v2
+    t.restore(0)                                       // v3 → back to v0
+    t.toDF()
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Hive-partitioned write + partition-pruned Mongo query. */
   def partitionPrune(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -250,6 +266,7 @@ object DeltaQueries {
     "d8_cdc_envelope" -> (cdcEnvelope(_, _)),
     "d9_doc_ingest" -> (docIngest(_, _)),
     "d10_timestamp_travel" -> (timestampTravel(_, _)),
+    "d12_restore" -> (restoreTable(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -278,6 +295,10 @@ object DeltaQueries {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "d10_timestamp_travel" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d12_restore" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
 

@@ -599,6 +599,71 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     v
   }
 
+  /**
+   * RESTORE the table to its state at `targetVersion` (north-star — Delta
+   * Lake's RESTORE; the reference stops at time-travel READS,
+   * src/delta/snapshot.ts). The restore is itself a new commit — history is
+   * preserved and the restore can be time-traveled past or undone — built
+   * from the FILE DIFF between the current and target snapshots: files
+   * active only in the target are re-added, files active only in the
+   * current state are removed, and the target's metadata (schema +
+   * configuration) is reinstated. Only log actions move; no data is
+   * rewritten, so the commit is O(|diff|) regardless of table size.
+   *
+   * Re-added files must still exist on storage — a file reclaimed by
+   * [[Maintenance.vacuum]] fails the restore up front with
+   * [[FileMissingException]] (same guard as Delta's RESTORE).
+   *
+   * With CDC enabled, change rows follow Delta's CDF semantics for
+   * restore: rows of re-added files surface as inserts, rows of removed
+   * files as deletes — both computed by scanning only the diff files.
+   */
+  def restore(targetVersion: Long): DmlResult = {
+    val target = snapshot(Some(targetVersion))
+    val (v, readds, removes, snapAtRestore) = Retry.withRetry() {
+      val snap = snapshot()
+      if (targetVersion > snap.version)
+        throw new ValidationException(
+          s"cannot restore to version $targetVersion: latest is ${snap.version}")
+      val curPaths = snap.activeFiles.map(_.path).toSet
+      val targetPaths = target.activeFiles.map(_.path).toSet
+      val readds = target.activeFiles.filterNot(f => curPaths(f.path))
+        .map(_.copy(dataChange = true))
+      readds.foreach { f =>
+        if (!fs.exists(new Path(tablePath, f.path)))
+          throw new FileMissingException(f.path, "restore")
+      }
+      val now = System.currentTimeMillis()
+      val removes = snap.activeFiles.filterNot(f => targetPaths(f.path))
+        .map(f => RemoveFile(f.path, now))
+      val meta = target.metadata.getOrElse(
+        throw new ValidationException(s"version $targetVersion has no metadata"))
+      val v = snap.version + 1
+      log.writeCommit(v, (Seq[Action](meta) ++ removes ++ readds) :+
+        CommitInfo(now, "RESTORE", Map(
+          "version" -> targetVersion.toString,
+          "numRestoredFiles" -> readds.size.toString,
+          "numRemovedFiles" -> removes.size.toString)))
+      maybeCheckpoint(v)
+      (v, readds, removes, snap)
+    }
+    if (cdcConfigured(snapAtRestore)) {
+      val removedAdds = snapAtRestore.activeFiles
+        .filter(f => removes.exists(_.path == f.path))
+      val inserts = if (readds.isEmpty) None else Some(
+        toDF(target.copy(activeFiles = readds))
+          .withColumn(Cdc.ChangeType, lit("insert")))
+      val deletes = if (removedAdds.isEmpty) None else Some(
+        toDF(snapAtRestore.copy(activeFiles = removedAdds))
+          .withColumn(Cdc.ChangeType, lit("delete")))
+      (inserts ++ deletes).reduceOption(_.unionByName(_)).foreach { ch =>
+        Cdc.writeChanges(this, v, ch, System.currentTimeMillis())
+      }
+    }
+    DmlResult(rowsAffected = readds.size.toLong + removes.size.toLong,
+      filesRewritten = 0L, version = v)
+  }
+
   def changes(startVersion: Long, endVersion: Long): DataFrame =
     Cdc.readByVersion(this, startVersion, endVersion)
 
