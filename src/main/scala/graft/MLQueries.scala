@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
-import graft.functions.{Dedup, Multimodal, Packing, Similarity, TextFunctions}
+import graft.functions.{Corpus, Dedup, Multimodal, Packing, Similarity, TextFunctions}
 
 /**
  * Training-data pipeline operators on the oracle gate: text analysis,
@@ -189,6 +189,22 @@ object MLQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- TF-IDF keyword extraction: corpus df + per-doc tf, smoothed idf,
+    //      top-5 per document (retrieval/tagging prep) ----
+    "t18_tfidf_topk" -> ((s, dir) => {
+      Corpus.tfidfTopK(t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", k = 5)
+        .orderBy(col("doc"), col("rank"))
+    }),
+
+    // ---- inverted index: token → df + capped sorted posting list (the
+    //      row_number cap bounds aggregation state per token) ----
+    "t19_inverted_index" -> ((s, dir) => {
+      Corpus.invertedIndex(t(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text", maxPostings = 20)
+        .orderBy(col("token"))
     }),
 
     // ---- stratified sampling (data mixing): per-language rates with a
@@ -593,6 +609,30 @@ object MLQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
         |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t18_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc, token, COUNT(*) AS tf FROM toks GROUP BY doc, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 100),
+        |scored AS (
+        |  SELECT tf.doc, tf.token, tf.tf, df.df,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 4) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc, token, tf, df, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, token) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 5 ORDER BY doc, rank""".stripMargin,
+
+    "t19_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc, token FROM (
+        |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 150) u)
+        |SELECT token, COUNT(*) AS n_docs,
+        |  array_to_string(list_slice(list(doc ORDER BY doc), 1, 20), ',') AS postings
+        |FROM p GROUP BY token ORDER BY token""".stripMargin,
 
     // stride = 16 - 8 = 8; chunk count = 1 for n <= 16 else
     // (n - 16 + 7) // 8 + 1; DuckDB list slices clamp like Spark's slice()

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level term statistics for training-data curation and retrieval
+ * prep: term/document frequencies, TF-IDF keyword extraction, and a capped
+ * inverted index. These complement the per-document Column expressions in
+ * [[TextFunctions]] — everything here needs a corpus-wide shuffle, so the
+ * shapes are chosen for the 100 TB case:
+ *
+ *  - term frequencies shuffle once on (doc, token); document frequencies
+ *    ride a second token-keyed aggregation whose input is the (doc, token)
+ *    DISTINCT set, never the raw token stream;
+ *  - TF-IDF derives df with a count window riding a token-keyed exchange
+ *    over the aggregated (doc, token, tf) rows — one corpus scan, no
+ *    tf⋈df self-join (which would scan the corpus twice);
+ *  - the inverted index caps posting lists with a per-token `row_number`
+ *    BEFORE the list is materialized — a stopword's million-document
+ *    posting never sits in one aggregation buffer — and the total document
+ *    count per token rides the same window shuffle as the rank.
+ *
+ * The reference engine has no corpus statistics surface (its `$group` can
+ * express tf but not the two-level tf/df composition); this is a
+ * north-star addition in the SURVEY.md §2 "training-data pipeline" sense.
+ */
+object Corpus {
+
+  /** Long-form term frequencies: one row per (doc, token) with its count.
+    * One shuffle, keyed (doc, token). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per token. Input rows are already distinct per
+    * (doc, token) — [[termFrequencies]] output — so this is a plain count,
+    * not a count-distinct. */
+  def documentFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /**
+   * Top-k keywords per document by smoothed TF-IDF
+   * (`idf = ln((N+1)/(df+1)) + 1`, the sklearn smoothing — never zero,
+   * never divides by zero). Returns (doc, token, tf, df, score, rank).
+   *
+   * Ranking uses the score ROUNDED to `roundDigits` with the token as the
+   * tie-break, so results are reproducible across engines whose `ln` may
+   * differ in the last ulp.
+   *
+   * Scale: tf and df are token-keyed aggregations of the same exploded
+   * stream (the shared subtree's exchange is reused when the planner can);
+   * the join is token-keyed on both sides; the corpus size N is a scalar
+   * aggregate broadcast into the plan — no driver-side collect of data rows.
+   */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                roundDigits: Int = 4): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    // df as a count window over the token partition instead of a tf⋈df
+    // self-join: the join formulation evaluates the tf subtree TWICE (two
+    // full corpus scans — Catalyst can't share branches whose exchanges
+    // differ), while the window rides one token-keyed exchange over the
+    // already-aggregated (doc, token, tf) rows. One scan, three exchanges
+    // total ((doc,token) agg → token window → doc window), no join.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = withDf
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1),
+          roundDigits))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /**
+   * Inverted index: token → (document frequency, capped posting list of the
+   * `maxPostings` SMALLEST doc ids, comma-joined). The cap is applied with
+   * a per-token `row_number` BEFORE any list materializes, so no
+   * aggregation buffer ever holds more than `maxPostings` entries — the
+   * difference between "works" and "one stopword OOMs an executor" on a
+   * web corpus. `n_docs` is the UNCAPPED document count, computed by a
+   * count window riding the same token-keyed shuffle as the rank; the
+   * final groupBy reuses that partitioning, so the whole index costs two
+   * exchanges end to end ((doc,token) distinct, then token).
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 1000): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .distinct()
+    val byToken = Window.partitionBy(col("token"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(byToken.orderBy(col("doc"))))
+      .withColumn("n_docs", count(lit(1)).over(byToken))
+    ranked.filter(col("rn") <= maxPostings)
+      .groupBy(col("token"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        // sort numerically first, stringify after (lexicographic "10"<"2"
+        // would corrupt the order)
+        concat_ws(",", transform(sort_array(collect_list(col("doc"))),
+          _.cast("string"))).as("postings"))
+  }
+
+  /**
+   * Document-frequency vocabulary report: tokens present in at least
+   * `minDocFrac` of documents (the boilerplate/stopword census used to
+   * decide df-based pruning thresholds). Emits (token, df, doc_frac).
+   */
+  def highDfTokens(docs: DataFrame, idCol: String, textCol: String,
+                   minDocFrac: Double, roundDigits: Int = 4): DataFrame = {
+    val df = documentFrequencies(termFrequencies(docs, idCol, textCol))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(n))
+      .withColumn("doc_frac", round(col("df") / col("n_docs"), roundDigits))
+      .filter(col("doc_frac") >= minDocFrac)
+      .select(col("token"), col("df"), col("doc_frac"))
+  }
+}

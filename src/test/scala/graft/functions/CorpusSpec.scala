@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics: tf/df/TF-IDF and the capped inverted
+  * index, including the plan properties that make them 100 TB-shaped. */
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b a c"),
+    (2L, "a b"),
+    (3L, "c d d d"),
+    (4L, "a")).toDF("doc_id", "text")
+
+  test("term and document frequencies") {
+    val tf = Corpus.termFrequencies(docs, "doc_id", "text")
+    assert(tf.filter($"doc" === 1L && $"token" === "a").select("tf")
+      .as[Long].head() == 2L)
+    val df = Corpus.documentFrequencies(tf).as[(String, Long)].collect().toMap
+    assert(df == Map("a" -> 3L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("tfidf ranks rarer tokens above common ones at equal tf") {
+    val top = Corpus.tfidfTopK(docs, "doc_id", "text", k = 2)
+    // doc 3: d has tf=3 df=1 → clearly first; c (tf=1, df=2) second
+    val doc3 = top.filter($"doc" === 3L).orderBy($"rank")
+      .select("token").as[String].collect().toSeq
+    assert(doc3 == Seq("d", "c"))
+    // doc 2: a and b both tf=1, but b is rarer (df 2 < 3) → b outranks a
+    val doc2 = top.filter($"doc" === 2L).orderBy($"rank")
+      .select("token").as[String].collect().toSeq
+    assert(doc2 == Seq("b", "a"))
+    // smoothed idf is never zero → every token scores > 0
+    assert(top.filter($"score" <= 0).isEmpty)
+  }
+
+  test("tfidf plan: one corpus scan, no tf/df self-join") {
+    val plan = Corpus.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      || !plan.contains("token#"), "df must come from a window, not a join")
+    // the rank<=k filter is pushed into the window as a group limit
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("inverted index caps postings but reports the uncapped df") {
+    val many = (1 to 50).map(i => (i.toLong, "x common")).toDF("doc_id", "text")
+    val idx = Corpus.invertedIndex(many, "doc_id", "text", maxPostings = 5)
+      .as[(String, Long, String)].collect().toMap2
+    assert(idx("x") == (50L, "1,2,3,4,5"))
+    assert(idx("common") == (50L, "1,2,3,4,5"))
+  }
+
+  test("inverted index postings sort numerically, not lexicographically") {
+    val d = Seq((2L, "t"), (10L, "t"), (1L, "t")).toDF("doc_id", "text")
+    val row = Corpus.invertedIndex(d, "doc_id", "text", maxPostings = 10)
+      .as[(String, Long, String)].head()
+    assert(row == (("t", 3L, "1,2,10")))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
