@@ -293,7 +293,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       AddFile(rel, PartitionPaths.parse(rel), st.getLen, now)
     }
     fs.delete(staging, true)
-    if (adds.isEmpty) Nil else attachStats(adds, partCols, schema)
+    val withStats = if (adds.isEmpty) Nil else attachStats(adds, partCols, schema)
+    // Zero-row parts carry no data; keeping them would grow the active set
+    // forever (e.g. a delete that empties a file re-adding an empty shell
+    // on every rewrite). Stats make them identifiable — drop add + file.
+    val (empty, keep) = withStats.partition(_.parsedStats.exists(_.numRecords == 0))
+    empty.foreach(f => deleteDataFile(f.path))
+    keep
   }
 
   /** Per-file column stats (numRecords/min/max/nullCount, reference:
@@ -546,6 +552,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     }.map(_.path).toSet
     Retry.withRetry() {
       val snap = snapshot()
+      // DML rewrites change data (dataChange=true removes) — illegal on an
+      // append-only table. Maintenance's layout-only path stays legal.
+      DeltaTable.assertNotAppendOnly(snap, op)
       val now = System.currentTimeMillis()
       val removes = snap.activeFiles.filter(f => rewrittenRel.contains(f.path))
         .map(f => RemoveFile(f.path, now))
@@ -636,6 +645,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       val now = System.currentTimeMillis()
       val removes = snap.activeFiles.filterNot(f => targetPaths(f.path))
         .map(f => RemoveFile(f.path, now))
+      if (removes.nonEmpty) DeltaTable.assertNotAppendOnly(snap, "RESTORE")
       val meta = target.metadata.getOrElse(
         throw new ValidationException(s"version $targetVersion has no metadata"))
       val v = snap.version + 1
@@ -734,4 +744,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 object DeltaTable {
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
+
+  /** `delta.appendOnly=true` protocol enforcement (the reference documents
+    * the key in its updateMetadata example, src/delta/table.ts:2431, but
+    * never enforces it; Delta's protocol blocks any dataChange=true file
+    * removal on such tables). Layout-only rewrites are exempt. */
+  private[delta] def assertNotAppendOnly(snap: Snapshot, op: String): Unit =
+    if (snap.configuration.get("delta.appendOnly").contains("true"))
+      throw new ValidationException(
+        s"table is append-only (delta.appendOnly=true): $op is not allowed")
 }

@@ -38,6 +38,9 @@ object Maintenance {
     val readPaths = read.map(_.path).toSet
     Retry.withRetry() {
       val cur = table.snapshot()
+      // Layout-only rewrites (compact/z-order, dataChange=false) are legal
+      // on append-only tables; row-removing ones (dedup) are not.
+      if (dataChange) DeltaTable.assertNotAppendOnly(cur, op)
       val active = cur.activeFiles.map(_.path).toSet
       val missing = readPaths -- active
       if (missing.nonEmpty) {
