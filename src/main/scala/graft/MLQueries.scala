@@ -191,6 +191,15 @@ object MLQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicated-span census: share of each doc's trigram occurrences
+    //      that repeat corpus-wide (exact-substring dedup signal) ----
+    "t20_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpanStats(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc"))
+    }),
+
     // ---- TF-IDF keyword extraction: corpus df + per-doc tf, smoothed idf,
     //      top-5 per document (retrieval/tagging prep) ----
     "t18_tfidf_topk" -> ((s, dir) => {
@@ -609,6 +618,21 @@ object MLQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
         |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t20_dup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id AS doc,
+        |    tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+        |          unnest(range(len(string_split(text, ' ')) - 2)) AS i
+        |        FROM documents WHERE doc_id < 200) u),
+        |cnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram)
+        |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS dup_share
+        |FROM g JOIN cnt USING (gram)
+        |GROUP BY doc ORDER BY doc""".stripMargin,
 
     "t18_tfidf_topk" ->
       """WITH toks AS (

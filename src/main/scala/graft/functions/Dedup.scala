@@ -191,6 +191,41 @@ object Dedup {
       .select(Seq(col("id_a"), col("id_b")) ++ payload.map(col): _*)
   }
 
+  /**
+   * Duplicated-span census (the exact-substring duplication signal from
+   * "Deduplicating Training Data Makes Language Models Better", Lee et al.
+   * 2022 — suffix-array substring dedup approximated at n-gram
+   * granularity): for each document, the share of its token n-gram
+   * OCCURRENCES whose n-gram appears more than once corpus-wide (including
+   * within the same document). High shares mark boilerplate and
+   * template-generated text that document-level near-dup misses.
+   *
+   * Returns (doc, n_ngrams, n_dup, dup_share); documents shorter than `n`
+   * tokens emit no n-grams and are absent from the output.
+   *
+   * Scale shape: occurrences aggregate to (doc, gram, tf) first (map-side
+   * combine, one shuffle), then the corpus count is a sum window over the
+   * gram partition of those aggregated rows — the window input is bounded
+   * by distinct (doc, gram) pairs, not raw occurrences, so a gram repeated
+   * 1000× inside one template document costs one row, not a thousand. The
+   * final per-doc rollup reuses the doc-keyed shuffle.
+   */
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, roundDigits: Int = 4): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), n))
+          .as("gram"))
+      .groupBy(col("doc"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    val corpusN = sum(col("tf")).over(Window.partitionBy(col("gram")))
+    grams.withColumn("corpus_n", corpusN)
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_ngrams"),
+        sum(when(col("corpus_n") > 1, col("tf")).otherwise(lit(0L))).as("n_dup"))
+      .withColumn("dup_share",
+        round(col("n_dup") / col("n_ngrams"), roundDigits))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -60,6 +60,22 @@ class CorpusSpec extends SparkTestBase {
     assert(row == (("t", 3L, "1,2,10")))
   }
 
+  test("duplicated-span census counts occurrences, including within-doc repeats") {
+    val d = Seq(
+      (1L, "a b c a b c"),   // trigrams: abc, bca, cab, abc → "a b c" ×2
+      (2L, "a b c x y z"),   // shares "a b c" with doc 1
+      (3L, "p q r s")).toDF("doc_id", "text") // all unique
+    val got = Dedup.duplicatedSpanStats(d, "doc_id", "text", n = 3)
+      .orderBy("doc").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: 4 trigram occurrences, "a b c" appears 3× corpus-wide → its 2
+    // occurrences are dup; others unique → 2/4
+    assert(got == Seq((1L, 4L, 2L, 0.5), (2L, 4L, 1L, 0.25), (3L, 2L, 0L, 0.0)))
+    // a doc shorter than n emits nothing
+    val short = Dedup.duplicatedSpanStats(
+      Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    assert(short.isEmpty)
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
