@@ -90,6 +90,21 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Column rename via column mapping: rename, append THROUGH the new name
+    * (new file stores the physical name), filter on the renamed column —
+    * the oracle sees one aliased column over the union of both writes. */
+  def renameRead(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val cust = t_(s, dir, "customer")
+    t.write(cust.filter(col("c_custkey") % 2 === 0))
+    t.renameColumn("c_acctbal", "balance")
+    t.write(cust.filter(col("c_custkey") % 2 === 1)
+      .withColumnRenamed("c_acctbal", "balance"))
+    t.query("""{"balance":{"$gte":0}}""")
+      .select(col("c_custkey"), col("c_name"), col("balance"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Hive-partitioned write + partition-pruned Mongo query. */
   def partitionPrune(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -267,6 +282,7 @@ object DeltaQueries {
     "d9_doc_ingest" -> (docIngest(_, _)),
     "d10_timestamp_travel" -> (timestampTravel(_, _)),
     "d12_restore" -> (restoreTable(_, _)),
+    "d13_rename_column" -> (renameRead(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -301,6 +317,11 @@ object DeltaQueries {
     "d12_restore" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d13_rename_column" ->
+      """SELECT c_custkey, c_name, c_acctbal AS balance
+        |FROM customer WHERE c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "d5_delta_partition_prune" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props

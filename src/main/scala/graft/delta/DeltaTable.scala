@@ -277,8 +277,18 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * with stats attached. */
   private[delta] def writeDataFiles(df: DataFrame, partCols: Seq[String],
                                     schema: StructType): Seq[AddFile] = {
+    // Column mapping: data files always store PHYSICAL names. Incoming
+    // frames carry logical names (every caller reads through toDF's
+    // physical→logical rename), so convert here — by name, not position,
+    // so a column-order drift fails loudly instead of mislabeling data.
+    val physOpt = physicalSchema(schema)
+    val outDf = physOpt.fold(df) { ps =>
+      df.select(schema.fields.zip(ps.fields).map { case (lf, pf) =>
+        col(s"`${lf.name.replace("`", "``")}`").as(pf.name)
+      }.toIndexedSeq: _*)
+    }
     val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
+    val writer = outDf.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(staging.toString)
 
@@ -293,7 +303,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       AddFile(rel, PartitionPaths.parse(rel), st.getLen, now)
     }
     fs.delete(staging, true)
-    val withStats = if (adds.isEmpty) Nil else attachStats(adds, partCols, schema)
+    // Stats collect against footer (= physical) names, then re-key to
+    // logical so FilePruner and readers keep one name space.
+    val statsSchema = physOpt.getOrElse(schema)
+    val withStats = if (adds.isEmpty) Nil
+      else physOpt match {
+        case Some(ps) =>
+          val p2l = ps.fieldNames.zip(schema.fieldNames).toMap
+          remapStatKeys(attachStats(adds, partCols, statsSchema), p2l)
+        case None => attachStats(adds, partCols, schema)
+      }
     // Zero-row parts carry no data; keeping them would grow the active set
     // forever (e.g. a delete that empties a file re-adding an empty shell
     // on every rewrite). Stats make them identifiable — drop add + file.
@@ -301,6 +320,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     empty.foreach(f => deleteDataFile(f.path))
     keep
   }
+
+  private def remapStatKeys(adds: Seq[AddFile],
+                            p2l: Map[String, String]): Seq[AddFile] =
+    adds.map { a =>
+      a.parsedStats match {
+        case Some(st) => a.copy(stats = Some(FileStats(st.numRecords,
+          st.minValues.map { case (k, v) => p2l.getOrElse(k, k) -> v },
+          st.maxValues.map { case (k, v) => p2l.getOrElse(k, k) -> v },
+          st.nullCount.map { case (k, v) => p2l.getOrElse(k, k) -> v })
+          .toJsonString))
+        case None => a
+      }
+    }
 
   /** Per-file column stats (numRecords/min/max/nullCount, reference:
     * src/delta/table.ts:1110-1147) from parquet FOOTERS — metadata-only
@@ -604,6 +636,49 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     log.writeCommit(v, Seq[Action](
       m.copy(configuration = m.configuration ++ entries),
       CommitInfo(now, "SET-CONFIGURATION", entries)))
+    maybeCheckpoint(v)
+    v
+  }
+
+  /**
+   * Metadata-only column rename via column mapping (north-star — Delta's
+   * `delta.columnMapping.mode=name`; the repo already READS mapped tables,
+   * this adds the write side). The renamed field keeps its physical name
+   * (the name its existing data files store), gains
+   * `delta.columnMapping.physicalName` metadata, and all future writes
+   * store physical names with stats re-keyed to logical — no data file is
+   * touched, ever. Partition columns are rejected: their values are
+   * path-encoded under the physical name and Hive-layout readers resolve
+   * by directory name.
+   */
+  def renameColumn(oldName: String, newName: String): Long = Retry.withRetry() {
+    val snap = snapshot()
+    val schema = snap.schema
+    if (!schema.fieldNames.contains(oldName))
+      throw new ValidationException(s"no such column: $oldName")
+    if (schema.fieldNames.contains(newName))
+      throw new ValidationException(s"column already exists: $newName")
+    if (snap.partitionColumns.contains(oldName))
+      throw new ValidationException(
+        s"cannot rename partition column $oldName (values are path-encoded)")
+    val newFields = schema.fields.map { f =>
+      if (f.name != oldName) f
+      else {
+        val physical = if (f.metadata.contains(PhysicalNameKey))
+          f.metadata.getString(PhysicalNameKey) else f.name
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysicalNameKey, physical).build()
+        f.copy(name = newName, metadata = md)
+      }
+    }
+    val m = snap.metadata.getOrElse(
+      throw new ValidationException("cannot rename a column before first write"))
+    val v = snap.version + 1
+    val now = System.currentTimeMillis()
+    log.writeCommit(v, Seq[Action](
+      m.copy(schemaString = StructType(newFields).json,
+        configuration = m.configuration + ("delta.columnMapping.mode" -> "name")),
+      CommitInfo(now, "RENAME-COLUMN", Map("from" -> oldName, "to" -> newName))))
     maybeCheckpoint(v)
     v
   }

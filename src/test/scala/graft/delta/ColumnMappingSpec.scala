@@ -36,6 +36,46 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t.query("""{"id":{"$gte":2}}""").count() == 1)
   }
 
+  test("renameColumn is metadata-only; reads, writes and DML use the new name") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-rn").toString)
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    val filesBefore = t.snapshot().activeFiles.map(_.path).toSet
+    t.renameColumn("s", "label")
+    // no data rewritten, logical name changed, mapping mode recorded
+    assert(t.snapshot().activeFiles.map(_.path).toSet == filesBefore)
+    assert(t.toDF().columns.toSeq == Seq("id", "label"))
+    assert(t.snapshot().configuration("delta.columnMapping.mode") == "name")
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // post-rename APPEND: file stores the physical name, stats re-key to
+    // logical, and reads merge old + new files under the logical name
+    t.write(Seq((3, "c")).toDF("id", "label"))
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    val newAdd = t.snapshot().activeFiles
+      .filterNot(f => filesBefore(f.path)).head
+    assert(newAdd.parsedStats.get.minValues.contains("label"))
+    // Mongo filter + CoW DML through the logical name
+    assert(t.query("""{"label":"c"}""").count() == 1)
+    t.delete("""{"label":"a"}""")
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((2, "b"), (3, "c")))
+    // double rename keeps the ORIGINAL physical name stable
+    t.renameColumn("label", "tag")
+    assert(t.toDF().columns.toSeq == Seq("id", "tag"))
+    assert(t.query("""{"tag":"b"}""").count() == 1)
+    val f = t.snapshot().schema.fields.find(_.name == "tag").get
+    assert(f.metadata.getString("delta.columnMapping.physicalName") == "s")
+  }
+
+  test("renameColumn rejects partition columns, collisions and unknowns") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-rn2").toString)
+    t.write(Seq((1, "a", "x")).toDF("id", "s", "p"), partitionBy = Seq("p"))
+    intercept[ValidationException](t.renameColumn("p", "q"))
+    intercept[ValidationException](t.renameColumn("s", "id"))
+    intercept[ValidationException](t.renameColumn("nope", "x"))
+  }
+
   test("row/batch iterators stream lazily") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-it").toString)
     t.write((1 to 100).map(i => (i, s"r$i")).toDF("id", "s"))
