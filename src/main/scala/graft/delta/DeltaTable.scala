@@ -125,6 +125,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val MappingModeKey = "delta.columnMapping.mode"
 
   /** Physical-name view of the schema, when any field declares a mapping. */
   private def physicalSchema(schema: StructType): Option[StructType] = {
@@ -190,9 +191,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           snap0.partitionColumns.mkString(","))
       snap0.partitionColumns
     }
-    val targetSchema =
+    val merged =
       if (isFirst) df.schema
       else SchemaUtils.merge(snap0.schema, df.schema)
+    // Once column mapping is on, NEW columns get fresh UUID physical names:
+    // a column re-added after dropColumn must NOT resurrect the dropped
+    // physical column still sitting in old data files.
+    val targetSchema =
+      if (!snap0.configuration.get(MappingModeKey).contains("name")) merged
+      else StructType(merged.fields.map { f =>
+        if (snap0.schema.fieldNames.contains(f.name) ||
+            f.metadata.contains(PhysicalNameKey)) f
+        else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysicalNameKey,
+            s"col-${java.util.UUID.randomUUID()}").build())
+      })
     val aligned = alignTo(df, targetSchema)
     val adds = writeDataFiles(aligned, partCols, targetSchema)
 
@@ -283,8 +296,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // so a column-order drift fails loudly instead of mislabeling data.
     val physOpt = physicalSchema(schema)
     val outDf = physOpt.fold(df) { ps =>
-      df.select(schema.fields.zip(ps.fields).map { case (lf, pf) =>
-        col(s"`${lf.name.replace("`", "``")}`").as(pf.name)
+      // only rename columns the frame actually has — sparse appends under
+      // an evolved schema legally omit trailing columns
+      val present = df.columns.toSet
+      df.select(schema.fields.zip(ps.fields).collect {
+        case (lf, pf) if present(lf.name) =>
+          col(s"`${lf.name.replace("`", "``")}`").as(pf.name)
       }.toIndexedSeq: _*)
     }
     val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID()}")
@@ -677,8 +694,38 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val now = System.currentTimeMillis()
     log.writeCommit(v, Seq[Action](
       m.copy(schemaString = StructType(newFields).json,
-        configuration = m.configuration + ("delta.columnMapping.mode" -> "name")),
+        configuration = m.configuration + (MappingModeKey -> "name")),
       CommitInfo(now, "RENAME-COLUMN", Map("from" -> oldName, "to" -> newName))))
+    maybeCheckpoint(v)
+    v
+  }
+
+  /**
+   * Metadata-only column drop via column mapping (Delta's DROP COLUMN):
+   * the field leaves the logical schema; its physical column stays in the
+   * old data files, unreferenced — readers simply never select it. Turning
+   * mapping mode on here makes a later re-add of the same logical name
+   * SAFE: new columns then get fresh UUID physical names (see [[write]]),
+   * so old files' dropped values read as null for the re-added column
+   * instead of resurfacing.
+   */
+  def dropColumn(name: String): Long = Retry.withRetry() {
+    val snap = snapshot()
+    val schema = snap.schema
+    if (!schema.fieldNames.contains(name))
+      throw new ValidationException(s"no such column: $name")
+    if (snap.partitionColumns.contains(name))
+      throw new ValidationException(s"cannot drop partition column $name")
+    if (schema.fields.length == 1)
+      throw new ValidationException("cannot drop the last column")
+    val m = snap.metadata.getOrElse(
+      throw new ValidationException("cannot drop a column before first write"))
+    val v = snap.version + 1
+    val now = System.currentTimeMillis()
+    log.writeCommit(v, Seq[Action](
+      m.copy(schemaString = StructType(schema.fields.filterNot(_.name == name)).json,
+        configuration = m.configuration + (MappingModeKey -> "name")),
+      CommitInfo(now, "DROP-COLUMN", Map("column" -> name))))
     maybeCheckpoint(v)
     v
   }

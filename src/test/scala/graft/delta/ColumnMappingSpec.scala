@@ -68,12 +68,39 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(f.metadata.getString("delta.columnMapping.physicalName") == "s")
   }
 
+  test("dropColumn is metadata-only; re-added name does not resurrect old values") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-dc").toString)
+    t.write(Seq((1, "old1"), (2, "old2")).toDF("id", "s"))
+    val filesBefore = t.snapshot().activeFiles.map(_.path).toSet
+    t.dropColumn("s")
+    assert(t.snapshot().activeFiles.map(_.path).toSet == filesBefore) // no rewrite
+    assert(t.toDF().columns.toSeq == Seq("id"))
+    // re-add the same logical name: it gets a fresh physical name, so the
+    // dropped values in old files must read as NULL, not "old1"/"old2"
+    t.write(Seq((3, "new3")).toDF("id", "s"))
+    val rows = t.toDF().orderBy("id").as[(Int, Option[String])].collect().toSeq
+    assert(rows == Seq((1, None), (2, None), (3, Some("new3"))))
+    val f = t.snapshot().schema.fields.find(_.name == "s").get
+    assert(f.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    // the re-added column filters and aggregates like any other
+    assert(t.query("""{"s":"new3"}""").count() == 1)
+  }
+
   test("renameColumn rejects partition columns, collisions and unknowns") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-rn2").toString)
     t.write(Seq((1, "a", "x")).toDF("id", "s", "p"), partitionBy = Seq("p"))
     intercept[ValidationException](t.renameColumn("p", "q"))
     intercept[ValidationException](t.renameColumn("s", "id"))
     intercept[ValidationException](t.renameColumn("nope", "x"))
+    intercept[ValidationException](t.dropColumn("p"))
+    intercept[ValidationException](t.dropColumn("nope"))
+  }
+
+  test("dropColumn refuses to drop the last column") {
+    val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-dc2").toString)
+    t.write(Seq(Tuple1(1)).toDF("id"))
+    intercept[ValidationException](t.dropColumn("id"))
   }
 
   test("row/batch iterators stream lazily") {
