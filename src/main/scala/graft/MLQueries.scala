@@ -200,6 +200,15 @@ object MLQueries {
         .orderBy(col("doc"))
     }),
 
+    // ---- corpus-self-trained bigram surprisal (perplexity-style quality
+    //      filter; the corpus is its own LM, Laplace-smoothed) ----
+    "t21_bigram_surprisal" -> ((s, dir) => {
+      Corpus.bigramSurprisal(
+          t(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text")
+        .orderBy(col("doc"))
+    }),
+
     // ---- TF-IDF keyword extraction: corpus df + per-doc tf, smoothed idf,
     //      top-5 per document (retrieval/tagging prep) ----
     "t18_tfidf_topk" -> ((s, dir) => {
@@ -632,6 +641,24 @@ object MLQueries {
         |  round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 4) AS dup_share
         |FROM g JOIN cnt USING (gram)
+        |GROUP BY doc ORDER BY doc""".stripMargin,
+
+    "t21_bigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS doc, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |bg AS (
+        |  SELECT doc, t[i+1] AS w1, t[i+2] AS w2
+        |  FROM (SELECT doc, t, unnest(range(len(t) - 1)) AS i FROM tk) u),
+        |agg AS (SELECT doc, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc, w1, w2),
+        |cb AS (SELECT w1, w2, SUM(tf) AS cb FROM agg GROUP BY w1, w2),
+        |cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM tk) x)
+        |SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  round(-SUM(tf * ln((cb.cb + 1.0) / (cu.cu + v.v))) / SUM(tf), 4)
+        |    AS avg_surprisal
+        |FROM agg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc ORDER BY doc""".stripMargin,
 
     "t18_tfidf_topk" ->

@@ -111,6 +111,48 @@ object Corpus {
   }
 
   /**
+   * Corpus-self-trained bigram surprisal — the perplexity-style quality
+   * filter of CCNet/RefinedWeb, with the corpus itself as the language
+   * model (no external model artifact): for every document, the average
+   * negative log Laplace-smoothed bigram probability
+   * `-1/n · Σ tf·ln((c(w1,w2)+1)/(c(w1·)+V))`, where `c(w1·)` is the count
+   * of w1 as a bigram head (so probabilities normalize per head) and V the
+   * corpus vocabulary size. Garbled, shuffled, or out-of-domain text
+   * scores high; templated text scores low. `exp(avg_surprisal)` is the
+   * usual perplexity if a familiar unit is wanted.
+   *
+   * Scale shape: bigram occurrences aggregate to (doc, w1, w2, tf) with
+   * map-side combine (one shuffle); the corpus counts c(w1,w2) and c(w1·)
+   * are sum windows over those aggregated rows ((w1,w2)- and w1-keyed
+   * exchanges — never a join back to a re-scanned corpus); V is a scalar
+   * count-distinct broadcast into the plan (the one extra corpus pass).
+   * Scores round to `roundDigits` for cross-engine ln()/sum-order
+   * reproducibility. Documents with fewer than two tokens emit no bigrams
+   * and are absent from the output.
+   */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      roundDigits: Int = 4): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), 2))
+          .as("gram"))
+      .select(col("doc"),
+        split(col("gram"), " ").getItem(0).as("w1"),
+        split(col("gram"), " ").getItem(1).as("w2"))
+      .groupBy(col("doc"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = sum(col("tf")).over(Window.partitionBy(col("w1"), col("w2")))
+    val cu = sum(col("tf")).over(Window.partitionBy(col("w1")))
+    val v = docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.withColumn("cb", cb).withColumn("cu", cu)
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(-sum(col("tf") * log((col("cb") + 1) / (col("cu") + col("v"))))
+          / sum(col("tf")), roundDigits).as("avg_surprisal"))
+  }
+
+  /**
    * Document-frequency vocabulary report: tokens present in at least
    * `minDocFrac` of documents (the boilerplate/stopword census used to
    * decide df-based pruning thresholds). Emits (token, df, doc_frac).

@@ -76,6 +76,25 @@ class CorpusSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("bigram surprisal: repeated corpus patterns score lower than novel ones") {
+    val d = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "zqx wvb kjm")).toDF("doc_id", "text") // one-off bigrams
+    val got = Corpus.bigramSurprisal(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 == 2L) // "the cat", "cat sat"
+    assert(got(1L) == got(2L)) // identical docs, identical scores
+    assert(got(4L)._2 > got(1L)._2) // novel bigrams are more surprising
+    // hand-check doc 1: V=6, c(the cat)=c(cat sat)=3, c(the ·)=c(cat ·)=3
+    // → each term -ln((3+1)/(3+6)); avg = ln(9/4)
+    assert(math.abs(got(1L)._2 - math.log(9.0 / 4)) < 1e-3)
+    // sub-bigram docs are absent
+    val short = Corpus.bigramSurprisal(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.isEmpty)
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
