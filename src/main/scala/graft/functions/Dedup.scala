@@ -325,10 +325,14 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
       .distinct()
       .cache()
+    // Only nodes that appear in an edge can ever change label — iterate over
+    // those alone (usually a small fraction of the corpus) and union the
+    // isolated nodes back as their own representatives at the end.
+    val connected = edges.select(col("__src").as("__id")).distinct()
     // localCheckpoint each round: the propagate + path-halving step references
     // the previous labels THREE times, so without lineage truncation the
     // logical plan grows ~4× per iteration and the driver OOMs assembling it.
-    var labels = ids.select(col(idCol).as("__id"), col(idCol).as("rep"))
+    var labels = connected.select(col("__id"), col("__id").as("rep"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -338,26 +342,33 @@ object Dedup {
         .groupBy(col("__dst")).agg(min(col("__srcRep")).as("__nbrRep"))
       val afterProp = labels
         .join(nbrMin, labels("__id") === nbrMin("__dst"), "left_outer")
-        .select(col("__id"),
+        .select(col("__id"), col("rep").as("__old"),
           least(col("rep"), coalesce(col("__nbrRep"), col("rep"))).as("rep"))
       // Path halving: rep := rep's rep (min), collapsing chains
       // logarithmically instead of one hop per round.
       val repOfRep = afterProp
         .select(col("__id").as("__rid2"), col("rep").as("__rr"))
+      // The convergence census rides the SAME job that materializes the
+      // checkpoint (an Observation over the changed-row count) — the old
+      // separate join+count action doubled the jobs per iteration.
+      val obs = org.apache.spark.sql.Observation()
       val next = afterProp
         .join(repOfRep, afterProp("rep") === repOfRep("__rid2"), "left_outer")
-        .select(col("__id"),
+        .select(col("__id"), col("__old"),
           least(col("rep"), coalesce(col("__rr"), col("rep"))).as("rep"))
+        .observe(obs, sum(when(col("rep") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("__id"), col("rep"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("__id"), col("rep").as("__old")), "__id")
-        .filter(col("rep") =!= col("__old")).count()
       labels = next
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
     }
     edges.unpersist(false)
     labels.select(col("__id").as(idCol), col("rep"))
+      .unionByName(ids.select(col(idCol))
+        .join(connected.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), col(idCol).as("rep")))
   }
 
   /** Exact all-pairs n-gram Jaccard (for small candidate sets / verification). */
