@@ -395,7 +395,8 @@ object Maintenance {
 
     val fs = table.log.fs
     val it = fs.listFiles(table.tablePath, true)
-    var deleted = 0L; var freed = 0L
+    var freed = 0L
+    val doomed = Seq.newBuilder[String]
     val base = fs.makeQualified(table.tablePath).toUri.getPath
     while (it.hasNext) {
       val st = it.next()
@@ -405,10 +406,38 @@ object Maintenance {
         !rel.startsWith("_staging") && !rel.startsWith("_cdc_offsets")
       if (isData && !active.contains(rel) && !protectedPaths.contains(rel) &&
           st.getModificationTime < cutoff) {
-        deleted += 1; freed += st.getLen
-        if (!dryRun) fs.delete(st.getPath, false)
+        freed += st.getLen
+        doomed += st.getPath.toString
       }
     }
-    VacuumResult(deleted, freed, dryRun)
+    val paths = doomed.result()
+    if (!dryRun && paths.nonEmpty) {
+      if (paths.size <= 64) paths.foreach(p => fs.delete(new Path(p), false))
+      else {
+        // Millions of reclaimable files are the norm after heavy compaction
+        // at scale; a serial driver loop is hours of wall clock on an
+        // object store. Fan the deletes out as one Spark job (Hadoop conf
+        // entries shipped and rebuilt per task, the FooterStats pattern).
+        val confItems: Seq[(String, String)] = {
+          val ci = table.log.hadoopConf.iterator()
+          val b = Seq.newBuilder[(String, String)]
+          while (ci.hasNext) { val e = ci.next(); b += (e.getKey -> e.getValue) }
+          b.result()
+        }
+        val parallelism = math.max(1, math.min(paths.size / 64, 64))
+        table.spark.sparkContext.parallelize(paths, parallelism)
+          .foreachPartition { ps =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confItems.foreach { case (k, v) => conf.set(k, v) }
+            var pfs: org.apache.hadoop.fs.FileSystem = null
+            ps.foreach { p =>
+              val hp = new Path(p)
+              if (pfs == null) pfs = hp.getFileSystem(conf)
+              pfs.delete(hp, false)
+            }
+          }
+      }
+    }
+    VacuumResult(paths.size.toLong, freed, dryRun)
   }
 }

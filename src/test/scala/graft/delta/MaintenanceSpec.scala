@@ -115,6 +115,27 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Maintenance.vacuum(t2, retentionHours = 0).filesDeleted == 0)
   }
 
+  test("vacuum fans large delete sets out as a Spark job (>64 files)") {
+    val t = tmpTable()
+    // one write of 80 parts → 80 files, then overwrite them all away
+    t.write((1 to 160).toDF("id").repartition(80))
+    val nOld = t.snapshot().activeFiles.size
+    assert(nOld > 64)
+    t.write(Seq(0).toDF("id"), mode = "overwrite")
+    Thread.sleep(1100)
+    val res = Maintenance.vacuum(t, retentionHours = 0, enforceMinimum = false)
+    assert(res.filesDeleted == nOld)
+    // everything unreferenced is actually gone from storage
+    val left = t.log.fs.listFiles(t.tablePath, true)
+    var dataFiles = 0
+    while (left.hasNext) {
+      val p = left.next().getPath.toString
+      if (p.endsWith(".parquet") && !p.contains("_delta_log")) dataFiles += 1
+    }
+    assert(dataFiles == t.snapshot().activeFiles.size)
+    assert(t.toDF().as[Int].collect().toSeq == Seq(0))
+  }
+
   test("maintenance commit preserves a concurrent append (removes only files it read)") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "s"))
