@@ -234,6 +234,50 @@ object NorthStarQueries {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // ---- streaming upsert: readStream → foreachBatch MERGE into the
+    //      Delta table (the canonical CDC-apply pattern). Each micro-batch
+    //      reduces to per-key latest, drops rows older than the table's
+    //      current row (anti-join guard), then key-merges — so the final
+    //      state is per-user latest by (ts, event_id) REGARDLESS of batch
+    //      arrival order, which is what makes it oracle-checkable. ----
+    "n18_stream_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-sm-src").toString
+      ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val t = graft.delta.DeltaTable.forPath(s,
+        java.nio.file.Files.createTempDirectory("graft-sm").toString)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val w = Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val latest = batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+            if (t.version < 0) { t.write(latest); () } // first batch seeds the table
+            else {
+              val cur = t.toDF().select(col("user_id").as("__u"),
+                col("ts").as("__t"), col("event_id").as("__e"))
+              val fresh = latest.join(cur, latest("user_id") === col("__u") &&
+                (col("__t") > latest("ts") ||
+                  (col("__t") === latest("ts") && col("__e") >= latest("event_id"))),
+                "left_anti")
+              if (!fresh.isEmpty) { t.merge(fresh, Seq("user_id")); () }
+            }
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      t.toDF()
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- native VARIANT type: parse-once semi-structured extraction ----
     // Spark 4's VariantType (the reference's parquet/variant.ts encodes the
     // same open format): parse the JSON once into a variant value, extract
@@ -337,6 +381,13 @@ object NorthStarQueries {
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "n18_stream_merge" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE event_id < 2000) sub
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "n16_variant_type" ->
       """SELECT event_type, COUNT(*) AS n,
