@@ -90,6 +90,21 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Shallow CLONE, then CoW DML on the clone: the delete rewrites only
+    * the touched source-referenced file into the clone's own directory —
+    * the gate proves absolute-path reads, clone-isolated DML, and that the
+    * final content matches plain SQL over the original data. */
+  def cloneDml(s: SparkSession, dir: String): DataFrame = {
+    val src = DeltaTable.forPath(s, freshDir())
+    src.write(t_(s, dir, "part"))
+    val clone = src.cloneTo(freshDir())
+    clone.delete("""{"p_size":{"$gte":40}}""")
+    clone.toDF()
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Column rename via column mapping: rename, append THROUGH the new name
     * (new file stores the physical name), filter on the renamed column —
     * the oracle sees one aliased column over the union of both writes. */
@@ -283,6 +298,7 @@ object DeltaQueries {
     "d10_timestamp_travel" -> (timestampTravel(_, _)),
     "d12_restore" -> (restoreTable(_, _)),
     "d13_rename_column" -> (renameRead(_, _)),
+    "d14_clone_dml" -> (cloneDml(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -322,6 +338,11 @@ object DeltaQueries {
       """SELECT c_custkey, c_name, c_acctbal AS balance
         |FROM customer WHERE c_acctbal >= 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "d14_clone_dml" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_size < 40
+        |ORDER BY p_partkey""".stripMargin,
 
     "d5_delta_partition_prune" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props

@@ -107,7 +107,15 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     }
     val files = snap.activeFiles.map(f => new Path(tablePath, f.path).toString)
-    val reader = spark.read.option("basePath", path)
+    // Shallow-clone tables reference files OUTSIDE the table root by
+    // absolute path; Spark rejects a basePath that doesn't prefix every
+    // file. Only set it when all files are root-relative (basePath exists
+    // to recover hive-partition columns, and shallow clones are restricted
+    // to unpartitioned tables for exactly this reason).
+    val allRelative = snap.activeFiles.forall(f =>
+      !f.path.startsWith("/") && !f.path.contains(":/"))
+    val reader0 = spark.read
+    val reader = if (allRelative) reader0.option("basePath", path) else reader0
     // Column mapping (reference: src/delta/snapshot.ts:29-83, applied at
     // table.ts:1753-1756): files store physical names from the schema's
     // `delta.columnMapping.physicalName` field metadata; read physical,
@@ -655,6 +663,66 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       CommitInfo(now, "SET-CONFIGURATION", entries)))
     maybeCheckpoint(v)
     v
+  }
+
+  /**
+   * CLONE the table (north-star — Delta's CLONE; the reference has no
+   * clone). Shallow (default): ONE metadata commit in the target whose add
+   * actions reference the source's active files by ABSOLUTE path —
+   * O(files) metadata, zero data moved. Subsequent copy-on-write DML on
+   * the clone rewrites only touched files into the clone's own directory;
+   * vacuum on the clone never reclaims source-owned files (they live
+   * outside its root, exactly Delta's contract — reclaiming them is the
+   * SOURCE's vacuum's job). Deep: the active files are copied into the
+   * clone by one distributed Spark job and referenced relatively — a fully
+   * independent table.
+   */
+  def cloneTo(targetPath: String, deep: Boolean = false): DeltaTable = {
+    val snap = snapshot()
+    val m = snap.metadata.getOrElse(
+      throw new ValidationException("cannot clone a table before first write"))
+    val target = DeltaTable.forPath(spark, targetPath)
+    if (target.version >= 0)
+      throw new ValidationException(s"clone target not empty: $targetPath")
+    if (!deep && snap.partitionColumns.nonEmpty)
+      throw new ValidationException(
+        "shallow clone of a partitioned table is not supported (partition " +
+          "columns are recovered from paths under the table root); use deep = true")
+    val adds =
+      if (!deep) snap.activeFiles.map { f =>
+        f.copy(path = fs.makeQualified(new Path(tablePath, f.path)).toString)
+      } else {
+        val confItems: Seq[(String, String)] = {
+          val ci = log.hadoopConf.iterator()
+          val b = Seq.newBuilder[(String, String)]
+          while (ci.hasNext) { val e = ci.next(); b += (e.getKey -> e.getValue) }
+          b.result()
+        }
+        val src = fs.makeQualified(tablePath).toString
+        val dst = target.fs.makeQualified(target.tablePath).toString
+        val rels = snap.activeFiles.map(_.path)
+        val parallelism = math.max(1, math.min(rels.size, 64))
+        spark.sparkContext.parallelize(rels, parallelism).foreachPartition { ps =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confItems.foreach { case (k, v) => conf.set(k, v) }
+          ps.foreach { rel =>
+            val from = new Path(s"$src/$rel"); val to = new Path(s"$dst/$rel")
+            val ffs = from.getFileSystem(conf); val tfs = to.getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to, false, conf)
+          }
+        }
+        snap.activeFiles
+      }
+    val now = System.currentTimeMillis()
+    target.log.writeCommit(0,
+      Seq[Action](Protocol(),
+        m.copy(id = java.util.UUID.randomUUID().toString, createdTime = now)) ++
+        (adds: Seq[Action]) :+
+        CommitInfo(now, "CLONE", Map(
+          "source" -> path, "sourceVersion" -> snap.version.toString,
+          "mode" -> (if (deep) "deep" else "shallow"),
+          "numFiles" -> adds.size.toString)))
+    target
   }
 
   /**
