@@ -90,6 +90,20 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Merge-on-read delete: deletion-vector write path. Same survivors as
+    * d2's CoW delete, but zero files rewritten — the matched rows are
+    * masked by an inline roaring bitmap the scan applies; the oracle
+    * proves the mask is row-exact. */
+  def dvDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "orders"))
+    t.deleteWithDV("""{"o_orderstatus":"F"}""")
+    t.toDF()
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Shallow CLONE, then CoW DML on the clone: the delete rewrites only
     * the touched source-referenced file into the clone's own directory —
     * the gate proves absolute-path reads, clone-isolated DML, and that the
@@ -299,6 +313,7 @@ object DeltaQueries {
     "d12_restore" -> (restoreTable(_, _)),
     "d13_rename_column" -> (renameRead(_, _)),
     "d14_clone_dml" -> (cloneDml(_, _)),
+    "d15_dv_delete" -> (dvDelete(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -343,6 +358,12 @@ object DeltaQueries {
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part WHERE p_size < 40
         |ORDER BY p_partkey""".stripMargin,
+
+    "d15_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d5_delta_partition_prune" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props

@@ -113,6 +113,35 @@ object DeletionVectors {
       RoaringBitmap.bitmapOf(is.map(_.toInt): _*)
     }.toMap
 
+  // ---- descriptor construction (write side) --------------------------------
+
+  /** Z85 needs 4-byte blocks; the roaring payload is read length-prefixed,
+    * so trailing zero padding is ignored on decode. */
+  def pad4(b: Array[Byte]): Array[Byte] =
+    if (b.length % 4 == 0) b else b ++ new Array[Byte](4 - b.length % 4)
+
+  def union(a: Map[Int, RoaringBitmap],
+            b: Map[Int, RoaringBitmap]): Map[Int, RoaringBitmap] =
+    (a.keySet ++ b.keySet).map { k =>
+      val bm = new RoaringBitmap()
+      a.get(k).foreach(bm.or); b.get(k).foreach(bm.or)
+      k -> bm
+    }.toMap
+
+  def cardinality(m: Map[Int, RoaringBitmap]): Long =
+    m.valuesIterator.map(_.getLongCardinality).sum
+
+  /** Inline (`storageType=i`) descriptor for a bitmap set — the format
+    * [[load]] reads back. */
+  def inlineDescriptor(m: Map[Int, RoaringBitmap]): JObject = {
+    val payload = z85Encode(pad4(serialize(m)))
+    JObject(List(
+      "storageType" -> JString("i"),
+      "pathOrInlineDv" -> JString(payload),
+      "sizeInBytes" -> JInt(BigInt(payload.length / 5 * 4)),
+      "cardinality" -> JInt(BigInt(cardinality(m)))))
+  }
+
   // ---- descriptor parsing + application ------------------------------------
 
   /** Load the bitmap for an add-action's `deletionVector` descriptor:

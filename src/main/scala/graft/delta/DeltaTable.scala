@@ -506,6 +506,73 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /**
+   * Merge-on-read DELETE via deletion vectors (north-star — Delta's
+   * DV-backed delete; the reference READS DVs, deletion-vectors.ts, but
+   * always deletes copy-on-write). Instead of rewriting every matched
+   * file, the matched ROW INDEXES per file (from `_metadata.row_index`,
+   * the same coordinate the read mask uses) become a roaring bitmap merged
+   * into any existing DV and committed as remove+re-add of the SAME file
+   * with an inline descriptor — zero data rewritten, O(deleted rows)
+   * metadata. This is the right delete for small-fraction deletes of huge
+   * files; for mass deletes prefer [[delete]] (CoW), which this method is
+   * NOT a replacement for: the inline bitmap travels through the log and
+   * the driver, so callers deleting a large fraction of a table should
+   * rewrite instead (Delta's own guidance).
+   */
+  def deleteWithDV(filterJson: String): DmlResult = {
+    val snap = snapshot()
+    val filter = JsonMethods.parse(filterJson)
+    val candidates = FilePruner.prune(snap, filter)
+    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    if (nMatched == 0)
+      throw new IllegalArgumentException("delete matched no rows")
+    val pred = MongoFilter.translate(filter, snap.schema)
+    val matchedRows = candidateDF(snap, candidates)
+      .filter(col("__file").isin(matchedFiles: _*))
+      .filter(pred)
+    val idxByPath: Map[String, Seq[Long]] = matchedRows
+      .select(col("__file"), col("_metadata.row_index").as("__ri"))
+      .groupBy(col("__file")).agg(collect_list(col("__ri")).as("__is"))
+      .collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath ->
+        (r.getSeq[Long](1): Seq[Long]))
+      .toMap
+    val v = Retry.withRetry() {
+      val cur = snapshot()
+      DeltaTable.assertNotAppendOnly(cur, "DELETE")
+      val now = System.currentTimeMillis()
+      val touched = cur.activeFiles.filter(f =>
+        idxByPath.contains(new Path(tablePath, f.path).toUri.getPath))
+      if (touched.size != idxByPath.size)
+        throw new ConcurrencyException(cur.version + 1) // a matched file was rewritten under us
+      val removes = touched.map(f => RemoveFile(f.path, now))
+      val newAdds = touched.map { f =>
+        val fresh = DeletionVectors.fromIndexes(
+          idxByPath(new Path(tablePath, f.path).toUri.getPath))
+        val merged = f.deletionVector match {
+          case Some(dv) => DeletionVectors.union(DeletionVectors.load(log, dv), fresh)
+          case None => fresh
+        }
+        f.copy(deletionVector = Some(DeletionVectors.inlineDescriptor(merged)),
+          dataChange = true)
+      }
+      val vN = cur.version + 1
+      log.writeCommit(vN, (removes: Seq[Action]) ++ (newAdds: Seq[Action]) :+
+        CommitInfo(now, "DELETE", Map("mode" -> "deletion-vectors",
+          "numDeletedRows" -> nMatched.toString,
+          "numDvFiles" -> touched.size.toString)))
+      maybeCheckpoint(vN)
+      vN
+    }
+    if (cdcConfigured(snap)) {
+      val deleted = matchedRows.drop("__file")
+        .withColumn(Cdc.ChangeType, lit("delete"))
+      Cdc.writeChanges(this, v, deleted, System.currentTimeMillis())
+    }
+    DmlResult(nMatched, 0L, v)
+  }
+
+  /**
    * Copy-on-write update (reference: src/delta/table.ts:2321-2414): shallow
    * field patch on matching rows; files with matches are rewritten whole.
    */

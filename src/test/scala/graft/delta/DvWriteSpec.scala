@@ -1,0 +1,66 @@
+package graft.delta
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read delete: deletion-vector WRITE path. */
+class DvWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): DeltaTable =
+    DeltaTable.forPath(spark, Files.createTempDirectory("graft-dvw").toString)
+
+  test("deleteWithDV masks rows without rewriting any data file") {
+    val t = tmpTable()
+    t.write((0 until 100).map(i => (i, s"r$i")).toDF("id", "s"))
+    val filesBefore = t.snapshot().activeFiles.map(_.path).toSet
+    val res = t.deleteWithDV("""{"id":{"$lt":10}}""")
+    assert(res.rowsAffected == 10 && res.filesRewritten == 0)
+    assert(t.snapshot().activeFiles.map(_.path).toSet == filesBefore)
+    assert(t.snapshot().activeFiles.exists(_.deletionVector.isDefined))
+    assert(t.toDF().count() == 90)
+    assert(t.toDF().filter($"id" < 10).isEmpty)
+    // time travel: pre-DV version still sees every row
+    assert(t.asOf(0).count() == 100)
+  }
+
+  test("a second DV delete merges into the existing bitmap") {
+    val t = tmpTable()
+    t.write((0 until 50).map(i => (i, i % 5)).toDF("id", "k"))
+    t.deleteWithDV("""{"k":0}""")
+    t.deleteWithDV("""{"k":1}""")
+    assert(t.toDF().count() == 30)
+    assert(t.toDF().filter($"k" < 2).isEmpty)
+    // re-deleting already-masked rows finds nothing (masks apply to scans)
+    intercept[IllegalArgumentException](t.deleteWithDV("""{"k":0}"""))
+  }
+
+  test("CoW operations after a DV delete resolve the mask") {
+    val t = tmpTable()
+    t.write((0 until 40).map(i => (i, s"r$i")).toDF("id", "s"))
+    t.deleteWithDV("""{"id":{"$lt":5}}""")
+    // compaction reads through the mask and rewrites clean files
+    Maintenance.compact(t, Maintenance.CompactionConfig(minFilesToCompact = 1))
+    assert(t.snapshot().activeFiles.forall(_.deletionVector.isEmpty))
+    assert(t.toDF().count() == 35)
+    // CoW delete over a DV'd table (fresh table) sees only live rows
+    val t2 = tmpTable()
+    t2.write((0 until 20).map(i => (i, i % 2)).toDF("id", "k"))
+    t2.deleteWithDV("""{"id":{"$lt":4}}""")
+    t2.delete("""{"k":1}""")
+    assert(t2.toDF().select("id").as[Int].collect().sorted.toSeq ==
+      (4 until 20).filter(_ % 2 == 0))
+  }
+
+  test("append-only tables reject DV deletes; CDC captures deleted rows") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    t.enableCDC()
+    val v = t.deleteWithDV("""{"id":1}""").version
+    val ch = t.changes(v, v)
+    assert(ch.filter(col(Cdc.ChangeType) === "delete").count() == 1)
+    t.updateConfiguration(Map("delta.appendOnly" -> "true"))
+    intercept[ValidationException](t.deleteWithDV("""{"id":2}"""))
+  }
+}
