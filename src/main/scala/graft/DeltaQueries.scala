@@ -104,6 +104,19 @@ object DeltaQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Merge-on-read update: DV-mask the matched rows, append patched
+    * images — unmatched rows in matched files never rewritten. Same
+    * oracle as d3's CoW update. */
+  def dvUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "customer"))
+    t.updateWithDV("""{"c_mktsegment":"BUILDING"}""", """{"c_acctbal": 0}""")
+    t.toDF()
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Shallow CLONE, then CoW DML on the clone: the delete rewrites only
     * the touched source-referenced file into the clone's own directory —
     * the gate proves absolute-path reads, clone-isolated DML, and that the
@@ -314,6 +327,7 @@ object DeltaQueries {
     "d13_rename_column" -> (renameRead(_, _)),
     "d14_clone_dml" -> (cloneDml(_, _)),
     "d15_dv_delete" -> (dvDelete(_, _)),
+    "d16_dv_update" -> (dvUpdate(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -364,6 +378,12 @@ object DeltaQueries {
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "d16_dv_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "d5_delta_partition_prune" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props

@@ -537,37 +537,88 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .map(r => new Path(r.getString(0)).toUri.getPath ->
         (r.getSeq[Long](1): Seq[Long]))
       .toMap
-    val v = Retry.withRetry() {
-      val cur = snapshot()
-      DeltaTable.assertNotAppendOnly(cur, "DELETE")
-      val now = System.currentTimeMillis()
-      val touched = cur.activeFiles.filter(f =>
-        idxByPath.contains(new Path(tablePath, f.path).toUri.getPath))
-      if (touched.size != idxByPath.size)
-        throw new ConcurrencyException(cur.version + 1) // a matched file was rewritten under us
-      val removes = touched.map(f => RemoveFile(f.path, now))
-      val newAdds = touched.map { f =>
-        val fresh = DeletionVectors.fromIndexes(
-          idxByPath(new Path(tablePath, f.path).toUri.getPath))
-        val merged = f.deletionVector match {
-          case Some(dv) => DeletionVectors.union(DeletionVectors.load(log, dv), fresh)
-          case None => fresh
-        }
-        f.copy(deletionVector = Some(DeletionVectors.inlineDescriptor(merged)),
-          dataChange = true)
-      }
-      val vN = cur.version + 1
-      log.writeCommit(vN, (removes: Seq[Action]) ++ (newAdds: Seq[Action]) :+
-        CommitInfo(now, "DELETE", Map("mode" -> "deletion-vectors",
-          "numDeletedRows" -> nMatched.toString,
-          "numDvFiles" -> touched.size.toString)))
-      maybeCheckpoint(vN)
-      vN
-    }
+    val v = commitDvMask(idxByPath, Nil, "DELETE", nMatched)
     if (cdcConfigured(snap)) {
       val deleted = matchedRows.drop("__file")
         .withColumn(Cdc.ChangeType, lit("delete"))
       Cdc.writeChanges(this, v, deleted, System.currentTimeMillis())
+    }
+    DmlResult(nMatched, 0L, v)
+  }
+
+  /** Commit a merge-on-read mask: DV re-adds for the masked files plus any
+    * `extraAdds` (MoR update's patched-row files), all in one commit. */
+  private def commitDvMask(idxByPath: Map[String, Seq[Long]],
+                           extraAdds: Seq[AddFile], op: String,
+                           nMatched: Long): Long = Retry.withRetry() {
+    val cur = snapshot()
+    DeltaTable.assertNotAppendOnly(cur, op)
+    val now = System.currentTimeMillis()
+    val touched = cur.activeFiles.filter(f =>
+      idxByPath.contains(new Path(tablePath, f.path).toUri.getPath))
+    if (touched.size != idxByPath.size)
+      throw new ConcurrencyException(cur.version + 1) // a matched file was rewritten under us
+    val removes = touched.map(f => RemoveFile(f.path, now))
+    val dvAdds = touched.map { f =>
+      val fresh = DeletionVectors.fromIndexes(
+        idxByPath(new Path(tablePath, f.path).toUri.getPath))
+      val merged = f.deletionVector match {
+        case Some(dv) => DeletionVectors.union(DeletionVectors.load(log, dv), fresh)
+        case None => fresh
+      }
+      f.copy(deletionVector = Some(DeletionVectors.inlineDescriptor(merged)),
+        dataChange = true)
+    }
+    val vN = cur.version + 1
+    log.writeCommit(vN,
+      (removes: Seq[Action]) ++ (dvAdds: Seq[Action]) ++ (extraAdds: Seq[Action]) :+
+        CommitInfo(now, op, Map("mode" -> "deletion-vectors",
+          "numMatchedRows" -> nMatched.toString,
+          "numDvFiles" -> touched.size.toString,
+          "numAddedFiles" -> extraAdds.size.toString)))
+    maybeCheckpoint(vN)
+    vN
+  }
+
+  /**
+   * Merge-on-read UPDATE: matched rows are DV-masked in place and their
+   * patched images appended as new files — unmatched rows in matched files
+   * are never rewritten (the Photon/Delta MoR update shape; the CoW
+   * [[update]] remains the mass-update path). Same semantics as [[update]].
+   */
+  def updateWithDV(filterJson: String, updatesJson: String): DmlResult = {
+    val snap = snapshot()
+    val filter = JsonMethods.parse(filterJson)
+    val updates = JsonMethods.parse(updatesJson) match {
+      case JObject(fs) => fs
+      case other => throw new IllegalArgumentException(s"updates must be an object: $other")
+    }
+    val candidates = FilePruner.prune(snap, filter)
+    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    if (nMatched == 0)
+      throw new IllegalArgumentException("update matched no rows")
+    val pred = MongoFilter.translate(filter, snap.schema)
+    val matchedRows = candidateDF(snap, candidates)
+      .filter(col("__file").isin(matchedFiles: _*))
+      .filter(pred)
+    val idxByPath: Map[String, Seq[Long]] = matchedRows
+      .select(col("__file"), col("_metadata.row_index").as("__ri"))
+      .groupBy(col("__file")).agg(collect_list(col("__ri")).as("__is"))
+      .collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath ->
+        (r.getSeq[Long](1): Seq[Long]))
+      .toMap
+    val patched = updates.foldLeft(matchedRows.drop("__file")) {
+      case (acc, (field, value)) =>
+        acc.withColumn(field, jvalueLiteral(value, snap.schema, field))
+    }
+    val newAdds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
+    val v = commitDvMask(idxByPath, newAdds, "UPDATE", nMatched)
+    if (cdcConfigured(snap)) {
+      val pre = matchedRows.drop("__file")
+        .withColumn(Cdc.ChangeType, lit("update_preimage"))
+      val post = patched.withColumn(Cdc.ChangeType, lit("update_postimage"))
+      Cdc.writeChanges(this, v, pre.unionByName(post), System.currentTimeMillis())
     }
     DmlResult(nMatched, 0L, v)
   }

@@ -53,6 +53,23 @@ class DvWriteSpec extends SparkTestBase {
       (4 until 20).filter(_ % 2 == 0))
   }
 
+  test("updateWithDV masks matched rows and appends patched images") {
+    val t = tmpTable()
+    t.write((0 until 50).map(i => (i, i % 5, "orig")).toDF("id", "k", "s"))
+    val filesBefore = t.snapshot().activeFiles.map(_.path).toSet
+    val res = t.updateWithDV("""{"k":0}""", """{"s":"patched"}""")
+    assert(res.rowsAffected == 10 && res.filesRewritten == 0)
+    // original files all still active (now DV-masked), plus new patch files
+    assert(filesBefore.subsetOf(t.snapshot().activeFiles.map(_.path).toSet))
+    assert(t.toDF().count() == 50)
+    assert(t.toDF().filter($"s" === "patched").count() == 10)
+    assert(t.toDF().filter($"k" === 0 && $"s" === "orig").isEmpty)
+    // a second MoR update composes (patch files carry no DV, originals merge)
+    t.updateWithDV("""{"k":1}""", """{"s":"patched2"}""")
+    assert(t.toDF().count() == 50)
+    assert(t.toDF().filter($"s" === "patched2").count() == 10)
+  }
+
   test("append-only tables reject DV deletes; CDC captures deleted rows") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
