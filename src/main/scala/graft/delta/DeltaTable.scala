@@ -937,22 +937,29 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def restore(targetVersion: Long): DmlResult = {
     val target = snapshot(Some(targetVersion))
-    val (v, readds, removes, snapAtRestore) = Retry.withRetry() {
+    val (v, readds, removedAdds, snapAtRestore) = Retry.withRetry() {
       val snap = snapshot()
       if (targetVersion > snap.version)
         throw new ValidationException(
           s"cannot restore to version $targetVersion: latest is ${snap.version}")
-      val curPaths = snap.activeFiles.map(_.path).toSet
-      val targetPaths = target.activeFiles.map(_.path).toSet
-      val readds = target.activeFiles.filterNot(f => curPaths(f.path))
-        .map(_.copy(dataChange = true))
-      readds.foreach { f =>
+      // A file's state is (path, deletionVector): a path whose DV changed
+      // since the target (merge-on-read DML) must be remove+re-added with
+      // the TARGET's descriptor, or the restored table would still mask
+      // rows it is supposed to resurrect.
+      val curByPath = snap.activeFiles.map(f => f.path -> f).toMap
+      val targetByPath = target.activeFiles.map(f => f.path -> f).toMap
+      val readds = target.activeFiles.filter { f =>
+        curByPath.get(f.path).forall(_.deletionVector != f.deletionVector)
+      }.map(_.copy(dataChange = true))
+      readds.filterNot(f => curByPath.contains(f.path)).foreach { f =>
         if (!fs.exists(new Path(tablePath, f.path)))
           throw new FileMissingException(f.path, "restore")
       }
       val now = System.currentTimeMillis()
-      val removes = snap.activeFiles.filterNot(f => targetPaths(f.path))
-        .map(f => RemoveFile(f.path, now))
+      val removedAdds = snap.activeFiles.filter { f =>
+        targetByPath.get(f.path).forall(_.deletionVector != f.deletionVector)
+      }
+      val removes = removedAdds.map(f => RemoveFile(f.path, now))
       if (removes.nonEmpty) DeltaTable.assertNotAppendOnly(snap, "RESTORE")
       val meta = target.metadata.getOrElse(
         throw new ValidationException(s"version $targetVersion has no metadata"))
@@ -963,11 +970,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           "numRestoredFiles" -> readds.size.toString,
           "numRemovedFiles" -> removes.size.toString)))
       maybeCheckpoint(v)
-      (v, readds, removes, snap)
+      (v, readds, removedAdds, snap)
     }
     if (cdcConfigured(snapAtRestore)) {
-      val removedAdds = snapAtRestore.activeFiles
-        .filter(f => removes.exists(_.path == f.path))
+      // For a DV-changed path both frames include the file: the change feed
+      // reads as delete-all-currently-visible + insert-all-target-visible
+      // for that file (toDF applies each side's own mask).
       val inserts = if (readds.isEmpty) None else Some(
         toDF(target.copy(activeFiles = readds))
           .withColumn(Cdc.ChangeType, lit("insert")))
@@ -978,7 +986,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         Cdc.writeChanges(this, v, ch, System.currentTimeMillis())
       }
     }
-    DmlResult(rowsAffected = readds.size.toLong + removes.size.toLong,
+    DmlResult(rowsAffected = readds.size.toLong + removedAdds.size.toLong,
       filesRewritten = 0L, version = v)
   }
 
