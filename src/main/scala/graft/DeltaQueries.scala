@@ -90,6 +90,25 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Merge-on-read MERGE: DV-mask matched rows, append merged images and
+    * inserts in one commit, zero target files rewritten. Same oracle as
+    * d6's CoW merge — two merge paths, one answer. */
+  def dvMerge(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val orders = t_(s, dir, "orders")
+    t.write(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", lit(0.0))
+    val inserts = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_totalprice", lit(-1.0))
+    t.mergeWithDV(updates.unionByName(inserts), Seq("o_orderkey"))
+    t.toDF()
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Merge-on-read delete: deletion-vector write path. Same survivors as
     * d2's CoW delete, but zero files rewritten — the matched rows are
     * masked by an inline roaring bitmap the scan applies; the oracle
@@ -328,6 +347,7 @@ object DeltaQueries {
     "d14_clone_dml" -> (cloneDml(_, _)),
     "d15_dv_delete" -> (dvDelete(_, _)),
     "d16_dv_update" -> (dvUpdate(_, _)),
+    "d17_dv_merge" -> (dvMerge(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -384,6 +404,18 @@ object DeltaQueries {
         |  CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "d17_dv_merge" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST(0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,
+        |    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0) merged
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d5_delta_partition_prune" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props

@@ -547,10 +547,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Commit a merge-on-read mask: DV re-adds for the masked files plus any
-    * `extraAdds` (MoR update's patched-row files), all in one commit. */
-  private def commitDvMask(idxByPath: Map[String, Seq[Long]],
-                           extraAdds: Seq[AddFile], op: String,
-                           nMatched: Long): Long = Retry.withRetry() {
+    * `extraAdds` (MoR update/merge's new-image files), all in one commit. */
+  private[delta] def commitDvMask(idxByPath: Map[String, Seq[Long]],
+                                  extraAdds: Seq[AddFile], op: String,
+                                  nMatched: Long): Long = Retry.withRetry() {
     val cur = snapshot()
     DeltaTable.assertNotAppendOnly(cur, op)
     val now = System.currentTimeMillis()
@@ -748,6 +748,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
             insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
     graft.delta.Merge.execute(this, source, keyColumns, matched, insertUnmatched)
+
+  /** Merge-on-read MERGE — DV-mask matched rows, append merged images and
+    * inserts in one commit; see [[Merge.executeMoR]]. */
+  def mergeWithDV(source: DataFrame, keyColumns: Seq[String],
+      matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
+      insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
+    graft.delta.Merge.executeMoR(this, source, keyColumns, matched, insertUnmatched)
 
   /** MERGE under an arbitrary match condition over aliases `t` (target) and
     * `s` (source) — see [[Merge.executeCondition]] for the deterministic

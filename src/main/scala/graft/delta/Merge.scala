@@ -267,6 +267,85 @@ object Merge {
 
   /** Source rows with no key match in the target, under the SAME null-safe
     * `<=>` key semantics as the matched-path join (see note in [[execute]]). */
+  /**
+   * Merge-on-read MERGE: matched target rows are DV-masked in their files
+   * and their merged images (plus unmatched-source inserts) appended as
+   * new files — ONE commit, zero target files rewritten. Same semantics as
+   * [[execute]] (null-safe key equality, first-match source dedup,
+   * Delete/UpdateAll/UpdateSet actions); the right merge when a trickle of
+   * updates lands on huge files. Mass merges should prefer [[execute]]
+   * (CoW): the row-index bitmaps travel through the log and driver.
+   */
+  def executeMoR(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
+                 matched: MergeAction = MergeAction.UpdateAll,
+                 insertUnmatched: Boolean = true): MergeResult = {
+    require(keyColumns.nonEmpty, "merge requires at least one key column")
+    val snap = table.snapshot()
+    val schema = snap.schema
+    val dataCols = schema.fieldNames.toSeq
+    require(keyColumns.forall(dataCols.contains), s"keys must exist in table: $keyColumns")
+    val src = source.dropDuplicates(keyColumns)
+    val srcCols = src.columns.toSeq
+    if (snap.activeFiles.isEmpty) {
+      val inserted =
+        if (!insertUnmatched) 0L else writeInserts(table, snap, src, srcCols)
+      return MergeResult(0L, 0L, inserted, table.version)
+    }
+    val packed = src.select(
+      struct(srcCols.map(col): _*).as("__src") +: keyColumns.map(k => col(k).as(s"__k_$k")): _*)
+    val target = table.toDF(snap)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val matchedRows = target.join(packed, joinCond, "inner")
+    val idxRows = matchedRows
+      .groupBy(col("__file"))
+      .agg(collect_list(col("__ri")).as("__is"), count(lit(1)).as("__n"))
+      .collect()
+    val nMatched = idxRows.map(_.getLong(2)).sum
+    val idxByPath: Map[String, Seq[Long]] = idxRows.map(r =>
+      new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
+        (r.getSeq[Long](1): Seq[Long])).toMap
+    val images: Option[DataFrame] = matched match {
+      case MergeAction.Delete => None
+      case MergeAction.UpdateAll => Some(matchedRows.select(dataCols.map { c =>
+        if (srcCols.contains(c)) col(s"__src.$c").as(c) else col(c)
+      }: _*))
+      case MergeAction.UpdateSet(set) => Some(matchedRows.select(dataCols.map { c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*))
+    }
+    val imageAdds =
+      if (nMatched == 0) Nil
+      else images.toSeq.flatMap(df =>
+        table.writeDataFiles(df, snap.partitionColumns, snap.schema))
+    val insertsAligned =
+      if (!insertUnmatched) None
+      else Some(alignToSchema(antiJoinUnmatched(table, snap, src, keyColumns),
+        schema, srcCols))
+    val insertAdds = insertsAligned.toSeq.flatMap(df =>
+      table.writeDataFiles(df, snap.partitionColumns, snap.schema))
+    val inserted = insertAdds
+      .flatMap(_.stats.flatMap(FileStats.fromJsonString)).map(_.numRecords).sum
+    if (nMatched == 0 && insertAdds.isEmpty)
+      return MergeResult(0L, 0L, 0L, table.version)
+    val v =
+      if (nMatched == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
+      else table.commitDvMask(idxByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
+    val (upd, del) = matched match {
+      case MergeAction.Delete => (0L, nMatched)
+      case _ => (nMatched, 0L)
+    }
+    MergeResult(upd, del, inserted, v)
+  }
+
+  private def alignToSchema(newRows: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                            srcCols: Seq[String]): DataFrame =
+    newRows.select(schema.fields.map { f =>
+      if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
   private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,
                                 src: DataFrame, keyColumns: Seq[String]): DataFrame = {
     val targetKeys = table.toDF(snap)

@@ -70,6 +70,33 @@ class DvWriteSpec extends SparkTestBase {
     assert(t.toDF().filter($"s" === "patched2").count() == 10)
   }
 
+  test("mergeWithDV: one commit, matched rows masked, images + inserts appended") {
+    val t = tmpTable()
+    t.write((0 until 30).map(i => (i, s"v$i")).toDF("id", "s"))
+    val filesBefore = t.snapshot().activeFiles.map(_.path).toSet
+    val vBefore = t.version
+    val src = Seq((5, "patched"), (15, "patched"), (99, "new")).toDF("id", "s")
+    val res = t.mergeWithDV(src, Seq("id"))
+    assert(res.updated == 2 && res.inserted == 1)
+    assert(t.version == vBefore + 1) // ONE commit for mask + images + inserts
+    assert(filesBefore.subsetOf(t.snapshot().activeFiles.map(_.path).toSet))
+    assert(t.toDF().count() == 31)
+    assert(t.toDF().filter($"s" === "patched").select("id").as[Int]
+      .collect().sorted.toSeq == Seq(5, 15))
+    assert(t.toDF().filter($"id" === 99).count() == 1)
+    // Delete action: matched keys vanish without a rewrite
+    val res2 = t.mergeWithDV(Seq((99, "x")).toDF("id", "s"), Seq("id"),
+      matched = Merge.MergeAction.Delete, insertUnmatched = false)
+    assert(res2.deleted == 1)
+    assert(t.toDF().filter($"id" === 99).isEmpty)
+    // null-key source row applies exactly once (insert only, like CoW merge)
+    val withNull = Seq((Some(7), "seven"), (None, "nullkey"))
+      .toDF("id", "s")
+    val res3 = t.mergeWithDV(withNull, Seq("id"))
+    assert(res3.updated == 1 && res3.inserted == 1)
+    assert(t.toDF().filter($"id".isNull).count() == 1)
+  }
+
   test("append-only tables reject DV deletes; CDC captures deleted rows") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
