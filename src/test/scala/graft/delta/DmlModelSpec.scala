@@ -40,9 +40,20 @@ class DmlModelSpec extends SparkTestBase {
         history += (t.version -> model)
       }
 
+      def mergeBatch(mor: Boolean): Unit = {
+        // update a random existing id and insert a fresh one
+        val existing = model.keys.toSeq.sorted
+        val upId = existing(rng.nextInt(existing.size))
+        nextId += 1
+        val rows = Seq((upId, model(upId)._1, "merged"), (nextId, rng.nextInt(4), s"v$nextId"))
+        val src = rows.toDF("id", "k", "s")
+        if (mor) t.mergeWithDV(src, Seq("id")) else t.merge(src, Seq("id"))
+        model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+      }
+
       writeBatch(); check("seed")
       (1 to 8).foreach { step =>
-        rng.nextInt(7) match {
+        rng.nextInt(8) match {
           case 0 => writeBatch(); check(s"$step write")
           case 1 | 2 =>
             val k = rng.nextInt(4)
@@ -72,6 +83,10 @@ class DmlModelSpec extends SparkTestBase {
             t.restore(v)
             model = history(v)
             check(s"$step restore v=$v")
+          case 7 =>
+            val mor = rng.nextBoolean()
+            mergeBatch(mor)
+            check(s"$step merge mor=$mor")
         }
       }
     }
