@@ -90,6 +90,24 @@ object DeltaQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** CHECK constraint: valid write accepted, violating write rejected
+    * BEFORE commit — the surviving content is exactly the valid rows,
+    * which is what the oracle sees. */
+  def constraintGate(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val part = t_(s, dir, "part")
+    t.write(part) // p_size in [1, 50] — satisfies the constraint
+    t.addCheckConstraint("size_pos", "p_size >= 1")
+    val rejected =
+      try { t.write(part.withColumn("p_size", -col("p_size"))); false }
+      catch { case _: graft.delta.ValidationException => true }
+    require(rejected, "violating write must be rejected")
+    t.toDF()
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Merge-on-read MERGE: DV-mask matched rows, append merged images and
     * inserts in one commit, zero target files rewritten. Same oracle as
     * d6's CoW merge — two merge paths, one answer. */
@@ -348,6 +366,7 @@ object DeltaQueries {
     "d15_dv_delete" -> (dvDelete(_, _)),
     "d16_dv_update" -> (dvUpdate(_, _)),
     "d17_dv_merge" -> (dvMerge(_, _)),
+    "d18_check_constraint" -> (constraintGate(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -380,6 +399,10 @@ object DeltaQueries {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "d12_restore" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d18_check_constraint" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
 

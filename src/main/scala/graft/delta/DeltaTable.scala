@@ -295,9 +295,45 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Write `df` as new data files in the table layout; returns add actions
-    * with stats attached. */
+    * with stats attached. Enforces the table's CHECK constraints on every
+    * written row: the violation counts ride the write job itself as an
+    * `Observation` (zero extra scans); on violation the staged files are
+    * deleted and the write fails BEFORE anything commits. */
   private[delta] def writeDataFiles(df: DataFrame, partCols: Seq[String],
                                     schema: StructType): Seq[AddFile] = {
+    // Constraints evaluate over LOGICAL names — observe before any
+    // physical-name conversion below.
+    val constraints = checkConstraints(snapshot())
+    val (obsOpt, dfC) =
+      if (constraints.isEmpty) (None, df)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val counters = constraints.toSeq.map { case (n, e) =>
+          sum(when(!expr(e), 1L).otherwise(0L)).as(n)
+        }
+        (Some(obs), df.observe(obs, counters.head, counters.tail: _*))
+      }
+    val adds = writeDataFilesRaw(dfC, partCols, schema)
+    obsOpt.foreach { obs =>
+      val counts = obs.get
+      constraints.keys.find(n => counts(n).asInstanceOf[Long] > 0L).foreach { n =>
+        adds.foreach(a => deleteDataFile(a.path))
+        throw new ValidationException(
+          s"CHECK constraint '$n' (${constraints(n)}) violated by " +
+            s"${counts(n)} written row(s)")
+      }
+    }
+    adds
+  }
+
+  private[delta] def checkConstraints(snap: Snapshot): Map[String, String] =
+    snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+
+  private def writeDataFilesRaw(df: DataFrame, partCols: Seq[String],
+                                schema: StructType): Seq[AddFile] = {
     // Column mapping: data files always store PHYSICAL names. Incoming
     // frames carry logical names (every caller reads through toDF's
     // physical→logical rename), so convert here — by name, not position,
@@ -774,6 +810,40 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** Enable the change feed via table configuration
     * (reference: src/cdc/index.ts:1726-1752). */
   def enableCDC(): Long = updateConfiguration(Map(Cdc.EnableKey -> "true"))
+
+  /**
+   * Add a CHECK constraint (Delta's `delta.constraints.<name>` table
+   * property; north-star — the reference has no constraints). Existing
+   * data must already satisfy it (one validation scan, Delta parity);
+   * afterwards EVERY write path — append, CoW and MoR DML images, merge
+   * inserts, document ingestion — enforces it with a violation counter
+   * riding the write job (no extra scans) and fails before committing.
+   */
+  def addCheckConstraint(name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be alphanumeric: $name")
+    if (!toDF().filter(!expr(sqlExpr)).isEmpty)
+      throw new ValidationException(
+        s"cannot add CHECK constraint '$name': existing rows violate ($sqlExpr)")
+    updateConfiguration(Map(s"delta.constraints.$name" -> sqlExpr))
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropCheckConstraint(name: String): Long = Retry.withRetry() {
+    val snap = snapshot()
+    val key = s"delta.constraints.$name"
+    val m = snap.metadata.getOrElse(
+      throw new ValidationException("table has no metadata"))
+    if (!m.configuration.contains(key))
+      throw new ValidationException(s"no such constraint: $name")
+    val v = snap.version + 1
+    val now = System.currentTimeMillis()
+    log.writeCommit(v, Seq[Action](
+      m.copy(configuration = m.configuration - key),
+      CommitInfo(now, "DROP-CONSTRAINT", Map("name" -> name))))
+    maybeCheckpoint(v)
+    v
+  }
 
   /** Merge configuration entries into metaData
     * (reference: updateMetadata, src/delta/table.ts:2435-2458). */
