@@ -53,4 +53,21 @@ class QueriesSpec extends SparkTestBase {
       "merge must not build literal In-lists from file sets")
     assert(src.contains("left_semi"))
   }
+
+  test("plan audit: t18/t20/t21 corpus stats are single-scan window plans, no self-join") {
+    Seq("t18_tfidf_topk", "t20_dup_spans", "t21_bigram_surprisal").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // corpus counts ride windows over aggregated rows — a tf⋈df-style
+      // self-join would scan the corpus twice
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name must not self-join the corpus stream")
+      assert(plan.contains("Window"), s"$name should derive counts via windows")
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      // t20: exactly one corpus scan; t18 adds a scalar doc-count scan and
+      // t21 a scalar vocabulary-count scan (both column-pruned, documented)
+      val maxScans = if (name == "t20_dup_spans") 1 else 2
+      assert(scans <= maxScans, s"$name scans the corpus $scans times")
+    }
+  }
 }
