@@ -1,10 +1,11 @@
 package graft.delta
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
@@ -13,6 +14,7 @@ import org.json4s._
 import org.roaringbitmap.RoaringBitmap
 
 import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable
 
 /**
  * Deletion-vector READ support (reference: src/delta/deletion-vectors.ts —
@@ -112,6 +114,20 @@ object DeletionVectors {
     indexes.groupBy(i => (i >>> 32).toInt).view.mapValues { is =>
       RoaringBitmap.bitmapOf(is.map(_.toInt): _*)
     }.toMap
+
+  // ---- distributed DV build (write side) -----------------------------------
+
+  /**
+   * Per-file DV build as a Spark aggregation:
+   * `groupBy(file).agg(bitmapAgg(rowIndex))` emits one serialized
+   * RoaringBitmapArray (KBs, run-optimized) per file. The bitmaps are built
+   * ON THE EXECUTORS — partial aggregates cross the shuffle as compressed
+   * roaring bytes, and the driver collects only (path, bitmapBytes)
+   * descriptors. A MoR delete matching 1% of a 100-TB table (~10⁹ rows)
+   * therefore collects ~KB/file instead of 8 B/row of raw indexes
+   * (reference bitmap semantics: src/delta/deletion-vectors.ts:228-395).
+   */
+  def bitmapAgg: UserDefinedFunction = udaf(new DvBitmapAggregator, Encoders.scalaLong)
 
   // ---- descriptor construction (write side) --------------------------------
 
@@ -245,4 +261,51 @@ case class DvKeepRow(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DvKeepRow =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Executor-side accumulation buffer for [[DvBitmapAggregator]]: 64-bit row
+ * indexes bucketed into 32-bit roaring bitmaps (the RoaringBitmapArray
+ * model). Java-serializable end to end — `RoaringBitmap` is
+ * `Externalizable` — so partial aggregates ship between executors as
+ * compressed bitmaps, never as raw index lists.
+ */
+final class DvAggBuffer extends Serializable {
+  val bitmaps: mutable.HashMap[Int, RoaringBitmap] = mutable.HashMap.empty
+
+  def add(rowIndex: Long): DvAggBuffer = {
+    bitmaps.getOrElseUpdate((rowIndex >>> 32).toInt, new RoaringBitmap())
+      .add(rowIndex.toInt)
+    this
+  }
+
+  def mergeIn(other: DvAggBuffer): DvAggBuffer = {
+    other.bitmaps.foreach { case (k, bm) =>
+      bitmaps.get(k) match {
+        case Some(mine) => mine.or(bm)
+        case None => bitmaps.put(k, bm)
+      }
+    }
+    this
+  }
+}
+
+/**
+ * Typed aggregate producing a serialized RoaringBitmapArray from a column of
+ * row indexes. Runs as a standard partial-then-final hash aggregation: each
+ * task reduces its rows into an in-memory bitmap, bitmaps merge across the
+ * exchange, and only the finished compressed bytes reach the collecting
+ * driver. `finish` run-optimizes before serializing so contiguous deletes
+ * (the common MoR shape) compress to run containers.
+ */
+class DvBitmapAggregator extends Aggregator[Long, DvAggBuffer, Array[Byte]] {
+  override def zero: DvAggBuffer = new DvAggBuffer
+  override def reduce(b: DvAggBuffer, rowIndex: Long): DvAggBuffer = b.add(rowIndex)
+  override def merge(a: DvAggBuffer, b: DvAggBuffer): DvAggBuffer = a.mergeIn(b)
+  override def finish(b: DvAggBuffer): Array[Byte] = {
+    b.bitmaps.valuesIterator.foreach(_.runOptimize())
+    DeletionVectors.serialize(b.bitmaps.toMap)
+  }
+  override def bufferEncoder: Encoder[DvAggBuffer] = Encoders.javaSerialization[DvAggBuffer]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

@@ -549,11 +549,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * the same coordinate the read mask uses) become a roaring bitmap merged
    * into any existing DV and committed as remove+re-add of the SAME file
    * with an inline descriptor — zero data rewritten, O(deleted rows)
-   * metadata. This is the right delete for small-fraction deletes of huge
-   * files; for mass deletes prefer [[delete]] (CoW), which this method is
-   * NOT a replacement for: the inline bitmap travels through the log and
-   * the driver, so callers deleting a large fraction of a table should
-   * rewrite instead (Delta's own guidance).
+   * metadata. The per-file bitmaps are built on the EXECUTORS
+   * ([[DeletionVectors.bitmapAgg]]): the driver collects only
+   * (path, compressed-bitmap) descriptors, KBs per file, never raw row
+   * indexes — so the matched fraction is bounded by log/descriptor size,
+   * not driver heap. For mass deletes prefer [[delete]] (CoW), which
+   * reclaims the storage instead of masking it (Delta's own guidance).
    */
   def deleteWithDV(filterJson: String): DmlResult = {
     val snap = snapshot()
@@ -566,14 +567,15 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val matchedRows = candidateDF(snap, candidates)
       .filter(col("__file").isin(matchedFiles: _*))
       .filter(pred)
-    val idxByPath: Map[String, Seq[Long]] = matchedRows
+    val dvByPath: Map[String, Array[Byte]] = matchedRows
       .select(col("__file"), col("_metadata.row_index").as("__ri"))
-      .groupBy(col("__file")).agg(collect_list(col("__ri")).as("__is"))
+      .groupBy(col("__file"))
+      .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"))
       .collect()
       .map(r => new Path(r.getString(0)).toUri.getPath ->
-        (r.getSeq[Long](1): Seq[Long]))
+        r.getAs[Array[Byte]](1))
       .toMap
-    val v = commitDvMask(idxByPath, Nil, "DELETE", nMatched)
+    val v = commitDvMask(dvByPath, Nil, "DELETE", nMatched)
     if (cdcConfigured(snap)) {
       val deleted = matchedRows.drop("__file")
         .withColumn(Cdc.ChangeType, lit("delete"))
@@ -583,21 +585,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Commit a merge-on-read mask: DV re-adds for the masked files plus any
-    * `extraAdds` (MoR update/merge's new-image files), all in one commit. */
-  private[delta] def commitDvMask(idxByPath: Map[String, Seq[Long]],
+    * `extraAdds` (MoR update/merge's new-image files), all in one commit.
+    * `dvByPath` carries executor-built serialized bitmaps (KBs per file),
+    * not row indexes — see [[DeletionVectors.bitmapAgg]]. */
+  private[delta] def commitDvMask(dvByPath: Map[String, Array[Byte]],
                                   extraAdds: Seq[AddFile], op: String,
                                   nMatched: Long): Long = Retry.withRetry() {
     val cur = snapshot()
     DeltaTable.assertNotAppendOnly(cur, op)
     val now = System.currentTimeMillis()
     val touched = cur.activeFiles.filter(f =>
-      idxByPath.contains(new Path(tablePath, f.path).toUri.getPath))
-    if (touched.size != idxByPath.size)
+      dvByPath.contains(new Path(tablePath, f.path).toUri.getPath))
+    if (touched.size != dvByPath.size)
       throw new ConcurrencyException(cur.version + 1) // a matched file was rewritten under us
     val removes = touched.map(f => RemoveFile(f.path, now))
     val dvAdds = touched.map { f =>
-      val fresh = DeletionVectors.fromIndexes(
-        idxByPath(new Path(tablePath, f.path).toUri.getPath))
+      val fresh = DeletionVectors.deserialize(
+        dvByPath(new Path(tablePath, f.path).toUri.getPath))
       val merged = f.deletionVector match {
         case Some(dv) => DeletionVectors.union(DeletionVectors.load(log, dv), fresh)
         case None => fresh
@@ -637,19 +641,20 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val matchedRows = candidateDF(snap, candidates)
       .filter(col("__file").isin(matchedFiles: _*))
       .filter(pred)
-    val idxByPath: Map[String, Seq[Long]] = matchedRows
+    val dvByPath: Map[String, Array[Byte]] = matchedRows
       .select(col("__file"), col("_metadata.row_index").as("__ri"))
-      .groupBy(col("__file")).agg(collect_list(col("__ri")).as("__is"))
+      .groupBy(col("__file"))
+      .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"))
       .collect()
       .map(r => new Path(r.getString(0)).toUri.getPath ->
-        (r.getSeq[Long](1): Seq[Long]))
+        r.getAs[Array[Byte]](1))
       .toMap
     val patched = updates.foldLeft(matchedRows.drop("__file")) {
       case (acc, (field, value)) =>
         acc.withColumn(field, jvalueLiteral(value, snap.schema, field))
     }
     val newAdds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
-    val v = commitDvMask(idxByPath, newAdds, "UPDATE", nMatched)
+    val v = commitDvMask(dvByPath, newAdds, "UPDATE", nMatched)
     if (cdcConfigured(snap)) {
       val pre = matchedRows.drop("__file")
         .withColumn(Cdc.ChangeType, lit("update_preimage"))

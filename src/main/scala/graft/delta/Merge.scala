@@ -273,8 +273,10 @@ object Merge {
    * new files — ONE commit, zero target files rewritten. Same semantics as
    * [[execute]] (null-safe key equality, first-match source dedup,
    * Delete/UpdateAll/UpdateSet actions); the right merge when a trickle of
-   * updates lands on huge files. Mass merges should prefer [[execute]]
-   * (CoW): the row-index bitmaps travel through the log and driver.
+   * updates lands on huge files. The per-file mask bitmaps are built on the
+   * executors ([[DeletionVectors.bitmapAgg]]); the driver sees only
+   * compressed descriptors. Mass merges should still prefer [[execute]]
+   * (CoW), which reclaims masked storage.
    */
   def executeMoR(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
                  matched: MergeAction = MergeAction.UpdateAll,
@@ -298,14 +300,15 @@ object Merge {
       .withColumn("__ri", col("_metadata.row_index"))
     val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
     val matchedRows = target.join(packed, joinCond, "inner")
-    val idxRows = matchedRows
+    val dvRows = matchedRows
       .groupBy(col("__file"))
-      .agg(collect_list(col("__ri")).as("__is"), count(lit(1)).as("__n"))
+      .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"),
+        count(lit(1)).as("__n"))
       .collect()
-    val nMatched = idxRows.map(_.getLong(2)).sum
-    val idxByPath: Map[String, Seq[Long]] = idxRows.map(r =>
+    val nMatched = dvRows.map(_.getLong(2)).sum
+    val dvByPath: Map[String, Array[Byte]] = dvRows.map(r =>
       new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
-        (r.getSeq[Long](1): Seq[Long])).toMap
+        r.getAs[Array[Byte]](1)).toMap
     val images: Option[DataFrame] = matched match {
       case MergeAction.Delete => None
       case MergeAction.UpdateAll => Some(matchedRows.select(dataCols.map { c =>
@@ -331,7 +334,7 @@ object Merge {
       return MergeResult(0L, 0L, 0L, table.version)
     val v =
       if (nMatched == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
-      else table.commitDvMask(idxByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
+      else table.commitDvMask(dvByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
     val (upd, del) = matched match {
       case MergeAction.Delete => (0L, nMatched)
       case _ => (nMatched, 0L)

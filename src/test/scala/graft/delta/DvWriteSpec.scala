@@ -97,6 +97,30 @@ class DvWriteSpec extends SparkTestBase {
     assert(t.toDF().filter($"id".isNull).count() == 1)
   }
 
+  test("DV build is distributed: driver payload is compressed bitmaps, not row indexes") {
+    // 200k matched rows would be 1.6 MB of raw Seq[Long] per the old
+    // collect_list path; the executor-side DvBitmapAggregator must hand the
+    // driver a run-compressed RoaringBitmapArray orders of magnitude smaller.
+    val t = tmpTable()
+    t.write((0 until 250000).map(i => (i, i % 5)).toDF("id", "k"))
+    val res = t.deleteWithDV("""{"id":{"$lt":200000}}""")
+    assert(res.rowsAffected == 200000 && res.filesRewritten == 0)
+    assert(t.toDF().count() == 50000)
+    // every descriptor that reached the log (and hence the driver) is tiny
+    val dvs = t.snapshot().activeFiles.flatMap(_.deletionVector)
+    assert(dvs.nonEmpty)
+    val totalMasked = dvs.map(dv => DeletionVectors.cardinality(
+      DeletionVectors.load(t.log, dv))).sum
+    assert(totalMasked == 200000)
+    val totalBytes = dvs.map { dv =>
+      dv.obj.collectFirst {
+        case ("pathOrInlineDv", org.json4s.JString(s)) => s.length.toLong
+      }.getOrElse(fail("expected inline payload"))
+    }.sum
+    assert(totalBytes < 64 * 1024,
+      s"driver-side DV payload should be KBs for 200k contiguous deletes, was $totalBytes")
+  }
+
   test("append-only tables reject DV deletes; CDC captures deleted rows") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
