@@ -148,16 +148,22 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Lazily iterate rows one at a time (reference: queryIterator,
-    * src/delta/table.ts:1927-1981) — early termination stops fetching
-    * partitions. */
-  def rowIterator(filterJson: String = "{}"): Iterator[Row] = {
+    * src/delta/table.ts:1927-1981, with the same projection/version
+    * options) — early termination stops fetching partitions. */
+  def rowIterator(filterJson: String = "{}",
+                  projectionJson: Option[String] = None,
+                  version: Option[Long] = None): Iterator[Row] = {
     import scala.jdk.CollectionConverters._
-    query(filterJson).toLocalIterator().asScala
+    query(filterJson, projectionJson, version).toLocalIterator().asScala
   }
 
   /** Batched iteration (reference: queryBatch, src/delta/table.ts:2014-2087). */
-  def batchIterator(filterJson: String = "{}", batchSize: Int = 1000): Iterator[Seq[Row]] =
-    rowIterator(filterJson).grouped(batchSize)
+  def batchIterator(filterJson: String = "{}", batchSize: Int = 1000,
+                    projectionJson: Option[String] = None,
+                    version: Option[Long] = None): Iterator[Seq[Row]] = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    rowIterator(filterJson, projectionJson, version).grouped(batchSize)
+  }
 
   def toDF(): DataFrame = toDF(snapshot())
 
@@ -307,11 +313,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val (obsOpt, dfC) =
       if (constraints.isEmpty) (None, df)
       else {
+        // Sparse appends legally omit evolved columns (they read back as
+        // null), so a constraint referencing an omitted column must
+        // evaluate over NULL — which passes CHECK per SQL — instead of
+        // failing analysis. Backfill for the observation only, then drop:
+        // the written frame stays sparse.
+        val present = df.columns.toSet
+        val missing = schema.fields.filter(f => !present(f.name))
+        val widened = missing.foldLeft(df)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
         val obs = org.apache.spark.sql.Observation()
         val counters = constraints.toSeq.map { case (n, e) =>
           sum(when(!expr(e), 1L).otherwise(0L)).as(n)
         }
-        (Some(obs), df.observe(obs, counters.head, counters.tail: _*))
+        (Some(obs), widened.observe(obs, counters.head, counters.tail: _*)
+          .drop(missing.map(_.name).toIndexedSeq: _*))
       }
     val adds = writeDataFilesRaw(dfC, partCols, schema)
     obsOpt.foreach { obs =>
@@ -827,10 +843,27 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def addCheckConstraint(name: String, sqlExpr: String): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be alphanumeric: $name")
-    if (!toDF().filter(!expr(sqlExpr)).isEmpty)
-      throw new ValidationException(
-        s"cannot add CHECK constraint '$name': existing rows violate ($sqlExpr)")
-    updateConfiguration(Map(s"delta.constraints.$name" -> sqlExpr))
+    // Validation and the config commit share one snapshot: the commit is
+    // conditional on snap.version+1, so a concurrent write landing between
+    // the scan and the commit forces a re-validation of the NEW snapshot
+    // instead of recording a constraint the data may already violate.
+    Retry.withRetry() {
+      val snap = snapshot()
+      val m = snap.metadata.getOrElse(
+        throw new IllegalStateException("cannot configure a table before first write"))
+      if (!toDF(snap).filter(!expr(sqlExpr)).isEmpty)
+        throw new ValidationException(
+          s"cannot add CHECK constraint '$name': existing rows violate ($sqlExpr)")
+      val v = snap.version + 1
+      val now = System.currentTimeMillis()
+      log.writeCommit(v, Seq[Action](
+        m.copy(configuration =
+          m.configuration + (s"delta.constraints.$name" -> sqlExpr)),
+        CommitInfo(now, "SET-CONFIGURATION",
+          Map(s"delta.constraints.$name" -> sqlExpr))))
+      maybeCheckpoint(v)
+      v
+    }
   }
 
   /** Drop a CHECK constraint by name. */
@@ -877,6 +910,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * clone by one distributed Spark job and referenced relatively — a fully
    * independent table.
    */
+  /** Rewrite a table-relative ('u') DV descriptor to an absolute ('p') one
+    * rooted at THIS table, for metadata that will be read from another
+    * table's root (shallow clones). */
+  private def rebaseDvDescriptor(dv: JObject): JObject = {
+    val isRelative = dv.obj.exists {
+      case ("storageType", JString("u")) => true; case _ => false
+    }
+    if (!isRelative) dv
+    else JObject(dv.obj.map {
+      case ("storageType", _) => "storageType" -> JString("p")
+      case ("pathOrInlineDv", JString(rel)) =>
+        "pathOrInlineDv" ->
+          JString(fs.makeQualified(new Path(tablePath, rel)).toString)
+      case kv => kv
+    })
+  }
+
   def cloneTo(targetPath: String, deep: Boolean = false): DeltaTable = {
     val snap = snapshot()
     val m = snap.metadata.getOrElse(
@@ -890,7 +940,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           "columns are recovered from paths under the table root); use deep = true")
     val adds =
       if (!deep) snap.activeFiles.map { f =>
-        f.copy(path = fs.makeQualified(new Path(tablePath, f.path)).toString)
+        // File-based 'u' DV descriptors resolve relative to the READER's
+        // table root — wrong directory on a clone. Pin them to the source
+        // as absolute 'p' descriptors ('i' inline and 'p' absolute pass
+        // through untouched).
+        f.copy(
+          path = fs.makeQualified(new Path(tablePath, f.path)).toString,
+          deletionVector = f.deletionVector.map(rebaseDvDescriptor))
       } else {
         val confItems: Seq[(String, String)] = {
           val ci = log.hadoopConf.iterator()
@@ -900,7 +956,18 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         }
         val src = fs.makeQualified(tablePath).toString
         val dst = target.fs.makeQualified(target.tablePath).toString
-        val rels = snap.activeFiles.map(_.path)
+        // Relative ('u') DV files travel WITH their data files so the deep
+        // clone stays self-contained; 'p' absolute descriptors keep
+        // pointing at their original (outside-root) location, same
+        // contract as shallow data references.
+        val dvRels = snap.activeFiles.flatMap(_.deletionVector).flatMap { d =>
+          d.obj.collectFirst {
+            case ("storageType", org.json4s.JString("u")) => ()
+          }.flatMap(_ => d.obj.collectFirst {
+            case ("pathOrInlineDv", org.json4s.JString(rel)) => rel
+          })
+        }.distinct
+        val rels = snap.activeFiles.map(_.path) ++ dvRels
         val parallelism = math.max(1, math.min(rels.size, 64))
         spark.sparkContext.parallelize(rels, parallelism).foreachPartition { ps =>
           val conf = new org.apache.hadoop.conf.Configuration(false)

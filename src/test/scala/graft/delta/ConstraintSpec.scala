@@ -39,6 +39,23 @@ class ConstraintSpec extends SparkTestBase {
     intercept[ValidationException](t.dropCheckConstraint("nope"))
   }
 
+  test("sparse appends omitting a constrained column evaluate CHECK over NULL") {
+    val t = tmpTable()
+    t.write(Seq((1, 10.0)).toDF("id", "price"))
+    t.addCheckConstraint("price_pos", "price > 0")
+    // omitted column → NULL → CHECK passes per SQL semantics (Delta parity):
+    // this is a legal schema-evolution write and must not fail analysis
+    t.write(Seq(2, 3).toDF("id"))
+    assert(t.toDF().count() == 3)
+    assert(t.toDF().filter($"price".isNull).count() == 2)
+    // a null-REJECTING constraint over the omitted column still fails
+    val t2 = tmpTable()
+    t2.write(Seq((1, 10.0)).toDF("id", "price"))
+    t2.addCheckConstraint("price_set", "price IS NOT NULL")
+    intercept[ValidationException](t2.write(Seq(9).toDF("id")))
+    assert(t2.toDF().count() == 1)
+  }
+
   test("CoW and MoR updates cannot write rows that violate a constraint") {
     val t = tmpTable()
     t.write(Seq((1, 10.0), (2, 20.0)).toDF("id", "price"))
