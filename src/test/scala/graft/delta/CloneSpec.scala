@@ -63,6 +63,39 @@ class CloneSpec extends SparkTestBase {
       Seq((1, "a", "x"), (2, "b", "y")))
   }
 
+  test("clones of tables with file-based ('u') deletion vectors stay readable") {
+    import org.json4s.JsonAST.{JInt, JObject, JString}
+    val dir = freshDir()
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((0 until 10).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    // a foreign engine re-adds the file with an on-disk DV masking rows 0,1
+    val f = t.snapshot().activeFiles.head
+    val bytes = DeletionVectors.serialize(DeletionVectors.fromIndexes(Seq(0L, 1L)))
+    Files.write(java.nio.file.Paths.get(dir, "dv1.bin"), bytes)
+    val dv = JObject(List(
+      "storageType" -> JString("u"), "pathOrInlineDv" -> JString("dv1.bin"),
+      "offset" -> JInt(0), "sizeInBytes" -> JInt(bytes.length),
+      "cardinality" -> JInt(2)))
+    val now = System.currentTimeMillis()
+    t.log.writeCommit(1, Seq[Action](
+      RemoveFile(f.path, now), f.copy(deletionVector = Some(dv)),
+      CommitInfo(now, "FOREIGN-DV", Map.empty)))
+    assert(t.toDF().count() == 8)
+    // shallow: the 'u' descriptor is rebased to an absolute 'p' path so the
+    // clone's reader doesn't look for dv1.bin under the CLONE's root
+    val shallow = t.cloneTo(freshDir())
+    assert(shallow.toDF().count() == 8)
+    assert(shallow.snapshot().activeFiles.flatMap(_.deletionVector).forall(
+      _.obj.contains("storageType" -> JString("p"))))
+    // deep: the DV file is copied alongside the data files — the clone
+    // survives the source being deleted outright
+    val deep = t.cloneTo(freshDir(), deep = true)
+    assert(deep.toDF().count() == 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    assert(deep.toDF().count() == 8)
+    assert(deep.toDF().select("id").as[Int].collect().sorted.toSeq == (2 until 10))
+  }
+
   test("clone rejects a non-empty target and an unwritten source") {
     val src = DeltaTable.forPath(spark, freshDir())
     intercept[ValidationException](src.cloneTo(freshDir())) // nothing to clone

@@ -111,6 +111,15 @@ class ColumnMappingSpec extends SparkTestBase {
     val batches = t.batchIterator("{}", batchSize = 30).toSeq
     assert(batches.map(_.size).sum == 100)
     assert(batches.head.size == 30)
+    // projection + version options (reference queryIterator QueryOptions)
+    val v0 = t.version
+    t.write(Seq((101, "r101")).toDF("id", "s"))
+    val projected = t.rowIterator("""{"id":{"$lte":2}}""",
+      projectionJson = Some("""{"id":1}"""), version = Some(v0)).toSeq
+    assert(projected.map(_.schema.fieldNames.toSeq).forall(_ == Seq("id")))
+    assert(projected.map(_.getInt(0)).sorted == Seq(1, 2))
+    assert(t.rowIterator(version = Some(v0)).size == 100)
+    intercept[IllegalArgumentException](t.batchIterator("{}", batchSize = 0))
   }
 
   test("unknown filter operators are rejected at query entry") {
