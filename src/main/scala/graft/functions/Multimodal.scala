@@ -47,11 +47,28 @@ object Multimodal {
         pmod(xxhash64(col(payloadCol), lit(2L)), lit(600000L)).as("duration_ms"),
         length(col(payloadCol)).cast(LongType).as("size_bytes")).as("meta"))
 
+  /**
+   * Decoder seam: a real deployment plugs a codec/model here (javacv,
+   * ONNX runtime, ...) and nothing else changes — the batching, schema,
+   * and partitioning contracts in [[extractFeatures]] are decoder-agnostic.
+   * `open()` is invoked once per batch so implementations can amortize
+   * expensive codec/session setup across `batchSize` rows.
+   */
+  trait MediaDecoder extends Serializable {
+    /** Per-batch setup hook (decoder/model init); default no-op. */
+    def open(): Unit = {}
+    def decode(payload: Array[Byte]): Array[Double]
+  }
+
   /** ??? in spirit: a real deployment decodes pixels/samples here. The stub
     * emits a deterministic 8-double "feature vector" from the payload bytes so
     * downstream schema/partitioning logic is fully exercisable. Each bucket is
     * an EXACT integer byte sum divided once in double precision, so any engine
     * recomputes it bit-identically (the t9 oracle does, in DuckDB SQL). */
+  object StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): Array[Double] = decodeStub(payload)
+  }
+
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     // Deterministic fake: 8 strided byte-sum moments of the stream.
     if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)
@@ -65,33 +82,40 @@ object Multimodal {
     sums.map(_ / denom)
   }
 
-  private val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("features", ArrayType(DoubleType)),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+  /** Narrow typed rows in/out of the decode boundary — the binary payload
+    * enters, only features leave, so no shuffle ever carries media bytes.
+    * (Public: encoder-generated deserializers instantiate these from
+    * outside this object's scope.) */
+  case class MediaIn(media_id: Long, payload: Array[Byte],
+                     width: Int, height: Int)
+  case class MediaFeatures(media_id: Long, features: Seq[Double],
+                           width: Int, height: Int)
 
   /**
    * Batched per-partition feature extraction — the Scala analog of
    * `mapInPandas`: each partition's rows stream through in `batchSize`
-   * groups (a real decoder would amortize codec/model setup per batch).
+   * groups and `decoder.open()` runs once per batch (amortizing codec/model
+   * setup). Runs as `Dataset.mapPartitions` over Tungsten rows — a
+   * DeserializeToObject/SerializeFromObject pair in the plan, NOT an RDD
+   * scan, so the surrounding stages keep columnar input and codegen.
    * Output schema is fixed and narrow (features only, no payload), so the
    * expensive binary column is dropped before any shuffle.
    */
-  def extractFeatures(records: DataFrame, batchSize: Int = 64): DataFrame = {
+  def extractFeatures(records: DataFrame, batchSize: Int = 64,
+                      decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = records.sparkSession
-    val rdd = records.select("media_id", "payload", "meta.width", "meta.height")
-      .rdd.mapPartitions { rows =>
+    import spark.implicits._
+    records.select(col("media_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaIn]
+      .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // per-batch setup would live here (decoder/model init)
-          batch.iterator.map { r =>
-            val feats = decodeStub(r.getAs[Array[Byte]]("payload"))
-            Row(r.getAs[Long]("media_id"), feats.toSeq,
-              r.getAs[Int]("width"), r.getAs[Int]("height"))
-          }
+          decoder.open()
+          batch.iterator.map(r => MediaFeatures(
+            r.media_id, decoder.decode(r.payload).toSeq, r.width, r.height))
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** Resize stub: recomputes metadata only (a real impl transforms pixels). */

@@ -140,6 +140,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(frames.count() >= 5)
     val resized = Multimodal.resize(media, 224, 224)
     assert(resized.select("meta.width").distinct().head().getInt(0) == 224)
+    // plan audit: decode runs as Dataset.mapPartitions over Tungsten rows —
+    // an object map inside the SQL plan, never an RDD scan boundary
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("ExistingRDD"), "decode must not drop to the RDD API")
+    // decoder trait is a drop-in seam: a custom impl flows through unchanged
+    val custom = new Multimodal.MediaDecoder {
+      override def decode(p: Array[Byte]): Array[Double] =
+        Array(if (p == null) 0.0 else p.length.toDouble)
+    }
+    val customFeats = Multimodal.extractFeatures(media, batchSize = 2, decoder = custom)
+    assert(customFeats.filter($"media_id" === 1).head().getSeq[Double](1).head > 0)
   }
 
   test("minhash: 1k identical docs collapse to one LSH representative (no quadratic bucket)") {
