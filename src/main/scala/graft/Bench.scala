@@ -42,22 +42,29 @@ object Bench {
       if (ok) sec else -1.0
     }
 
-    // optional args: run only the named queries (iteration aid)
+    // optional args: run only the named queries (iteration aid).
+    // Order is PINNED (name-sorted) so runs are comparable across rounds.
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timeOne(fn) // per-query warmup, discarded
+      // First run is reported separately: it pays codegen/janino compile,
+      // file listing, and JIT — pure per-query overhead at small SF that
+      // amortizes to zero at scale. Splitting it from the median makes
+      // compile-cost regressions distinguishable from execution ones.
+      val first = timeOne(fn)
       val samples = Seq.fill(3)(timeOne(fn))
       val median =
         if (samples.contains(-1.0)) -1.0
         else samples.sorted.apply(1)
-      name -> median
+      (name, median, first)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val firsts = results.map { case (k, _, f) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
