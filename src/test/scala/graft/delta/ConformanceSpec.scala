@@ -16,7 +16,10 @@ import org.json4s.jackson.JsonMethods
  * do not. Scenario matrix follows the reference's DAT-style conformance
  * coverage (reference: tests/conformance/dat-runner.test.ts:1-44): basic
  * replay, time travel, partitioned-with-null, schema change, column
- * mapping, checkpointed log with pruned commits, deletion vectors.
+ * mapping, checkpointed log with pruned commits, deletion vectors,
+ * all-primitive-types, timestamp_ntz, nested types, typed partition values
+ * (boolean/timestamp/decimal), no-stats, checkpoint-only with stats,
+ * generated columns, iceberg_compat_v1.
  */
 class ConformanceSpec extends SparkTestBase {
   import spark.implicits._
@@ -174,6 +177,202 @@ class ConformanceSpec extends SparkTestBase {
     assert(t.version == 2)
     assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
       Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("foreign table with every primitive type round-trips (all_primitive_types)") {
+    val dir = Files.createTempDirectory("graft-conf7").toString
+    val df = spark.sql(
+      """SELECT true AS b, CAST(1 AS TINYINT) AS i8, CAST(2 AS SMALLINT) AS i16,
+        |  3 AS i32, CAST(4 AS BIGINT) AS i64, CAST(1.5 AS FLOAT) AS f32,
+        |  2.5D AS f64, 'text' AS s, CAST('bin' AS BINARY) AS bin,
+        |  DATE'2021-09-09' AS d, TIMESTAMP'2021-09-09 12:34:56' AS ts,
+        |  CAST(12.34 AS DECIMAL(10,2)) AS dec""".stripMargin)
+    writeParquet(df, dir, "prim.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(df.schema) :+ addJson("prim.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val r = t.toDF().head()
+    assert(r.getBoolean(0) && r.getByte(1) == 1 && r.getShort(2) == 2 &&
+      r.getInt(3) == 3 && r.getLong(4) == 4L && r.getFloat(5) == 1.5f &&
+      r.getDouble(6) == 2.5 && r.getString(7) == "text")
+    assert(new String(r.getAs[Array[Byte]](8), "UTF-8") == "bin")
+    assert(r.getDate(9).toString == "2021-09-09")
+    assert(r.getDecimal(11).toPlainString == "12.34")
+    // filters over non-string primitives flow through the Mongo layer
+    assert(t.query("""{"i32":{"$gte":3}}""").count() == 1)
+  }
+
+  test("foreign table with TIMESTAMP_NTZ column (timestamp_ntz)") {
+    val dir = Files.createTempDirectory("graft-conf8").toString
+    val df = spark.sql(
+      """SELECT 1 AS id, TIMESTAMP_NTZ'2021-12-31 23:59:59' AS tntz
+        |UNION ALL SELECT 2, TIMESTAMP_NTZ'2022-01-01 00:00:01'""".stripMargin)
+    writeParquet(df, dir, "ntz.parquet")
+    // schemaString uses Delta's "timestamp_ntz" type name — same JSON
+    // vocabulary Spark's StructType speaks
+    assert(df.schema.json.contains("timestamp_ntz"))
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(df.schema) :+ addJson("ntz.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().schema("tntz").dataType == TimestampNTZType)
+    assert(t.toDF().orderBy("id").select("tntz").as[java.time.LocalDateTime]
+      .collect().head == java.time.LocalDateTime.of(2021, 12, 31, 23, 59, 59))
+  }
+
+  test("foreign table with nested struct/array/map columns (nested_types)") {
+    val dir = Files.createTempDirectory("graft-conf9").toString
+    val df = spark.sql(
+      """SELECT 1 AS id, named_struct('a', 10, 'b', 'x') AS st,
+        |  array(1, 2, 3) AS ar, map('k1', 1.5D, 'k2', 2.5D) AS mp""".stripMargin)
+    writeParquet(df, dir, "nested.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(df.schema) :+ addJson("nested.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().schema.map(f => (f.name, f.dataType.simpleString)) ==
+      df.schema.map(f => (f.name, f.dataType.simpleString)))
+    val r = t.toDF().head()
+    assert(r.getStruct(1).getInt(0) == 10 && r.getStruct(1).getString(1) == "x")
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getMap[String, Double](3)("k2") == 2.5)
+    // nested dot-path filter reaches into the struct
+    assert(t.query("""{"st.a":{"$gte":10}}""").count() == 1)
+  }
+
+  test("foreign multi-partitioned table with typed partition values (multi_partitioned_2)") {
+    val dir = Files.createTempDirectory("graft-confA").toString
+    val schema = StructType(Seq(
+      StructField("v", IntegerType),
+      StructField("pb", BooleanType),
+      StructField("pd", DecimalType(5, 2)),
+      StructField("pt", TimestampType)))
+    // Hive layout with URL-encoded timestamp values, exactly as Spark/Delta
+    // writers lay them down (DAT multi_partitioned_2 shape).
+    writeParquet(Seq(1).toDF("v"),
+      dir, "pb=true/pd=12.30/pt=2021-09-09 12%3A00%3A00/a.parquet")
+    writeParquet(Seq(2).toDF("v"),
+      dir, "pb=false/pd=0.10/pt=2021-09-09 12%3A00%3A00/b.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema, partitionColumns = Seq("pb", "pd", "pt")) :+
+        addJson("pb=true/pd=12.30/pt=2021-09-09 12%3A00%3A00/a.parquet",
+          """{"pb":"true","pd":"12.30","pt":"2021-09-09 12:00:00"}""") :+
+        addJson("pb=false/pd=0.10/pt=2021-09-09 12%3A00%3A00/b.parquet",
+          """{"pb":"false","pd":"0.10","pt":"2021-09-09 12:00:00"}""")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    val got = t.toDF().orderBy("v").collect()
+    assert(got(0).getBoolean(1) && !got(1).getBoolean(1))
+    assert(got(0).getDecimal(2).toPlainString == "12.30")
+    assert(got(1).getDecimal(2).toPlainString == "0.10")
+    assert(got(0).getTimestamp(3).toString.startsWith("2021-09-09 12:00:00"))
+    // boolean partition filter prunes to one file's rows
+    assert(t.query("""{"pb":true}""").count() == 1)
+    assert(t.query("""{"pb":true}""").head().getInt(0) == 1)
+  }
+
+  test("foreign table without file statistics still filters correctly (no_stats)") {
+    val dir = Files.createTempDirectory("graft-confB").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType)))
+    writeParquet((0 until 100).map(i => (i, s"r$i")).toDF("id", "s"),
+      dir, "ns.parquet")
+    // add action carries NO stats field: zone-map pruning must degrade to
+    // "keep the file", never to "skip it"
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema) :+ addJson("ns.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot().activeFiles.forall(_.stats.isEmpty))
+    assert(t.query("""{"id":{"$gte":90}}""").count() == 10)
+    assert(t.query("""{"id":{"$lt":0}}""").count() == 0)
+  }
+
+  test("foreign checkpoint-only table whose adds carry stats (no_replay + stats)") {
+    val dir = Files.createTempDirectory("graft-confC").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType)))
+    writeParquet((1 to 5).map(i => (i, s"r$i")).toDF("id", "s"), dir, "lo.parquet")
+    writeParquet((100 to 105).map(i => (i, s"r$i")).toDF("id", "s"), dir, "hi.parquet")
+    val cpSchema = StructType(Seq(
+      StructField("add", StringType), StructField("remove", StringType),
+      StructField("metaData", StringType), StructField("protocol", StringType)))
+    val metaJson =
+      s"""{"id":"conf","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(schema.json)},"partitionColumns":[],""" +
+        """"configuration":{},"createdTime":0}"""
+    def addWithStats(path: String, lo: Int, hi: Int, n: Int): String =
+      s"""{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"id\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"id\\":$hi},\\"nullCount\\":{\\"id\\":0}}"}"""
+    val cpRows = Seq(
+      Row(null, null, metaJson, null),
+      Row(null, null, null, """{"minReaderVersion":1,"minWriterVersion":2}"""),
+      Row(addWithStats("lo.parquet", 1, 5, 5), null, null, null),
+      Row(addWithStats("hi.parquet", 100, 105, 6), null, null, null))
+    val cpDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(cpRows).asJava), cpSchema)
+    writeParquet(cpDf, dir, "_delta_log/00000000000000000000.checkpoint.parquet")
+    writeText(dir, "_delta_log/_last_checkpoint", """{"version":0,"size":4}""")
+    // NO json commits at all: the snapshot comes entirely from the checkpoint
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.version == 0)
+    assert(t.toDF().count() == 11)
+    // stats survived the checkpoint: zone-map pruning keeps only hi.parquet
+    val pruned = FilePruner.prune(t.snapshot(),
+      JsonMethods.parse("""{"id":{"$gte":100}}"""))
+    assert(pruned.map(_.path) == Seq("hi.parquet"))
+    assert(t.query("""{"id":{"$gte":100}}""").count() == 6)
+  }
+
+  test("foreign table with generated columns reads materialized values (generated_columns)") {
+    val dir = Files.createTempDirectory("graft-confD").toString
+    // generation expression lives in column METADATA; the values are already
+    // materialized in the data files — a reader uses them as-is
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("id_plus", IntegerType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "id + 1").build())))
+    writeParquet(Seq((1, 2), (5, 6)).toDF("id", "id_plus"), dir, "gen.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema) :+ addJson("gen.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().orderBy("id").as[(Int, Int)].collect().toSeq ==
+      Seq((1, 2), (5, 6)))
+    // the generation expression survives in the schema for writer-side use
+    assert(t.snapshot().schema("id_plus").metadata
+      .getString("delta.generationExpression") == "id + 1")
+    assert(t.query("""{"id_plus":{"$gt":2}}""").count() == 1)
+  }
+
+  test("foreign iceberg-compat table (column mapping + compat flag) reads clean") {
+    val dir = Files.createTempDirectory("graft-confE").toString
+    writeParquet(Seq((7, "z")).toDF("col-1", "col-2"), dir, "ice.parquet")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-1")
+          .putLong("delta.columnMapping.id", 1).build()),
+      StructField("s", StringType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-2")
+          .putLong("delta.columnMapping.id", 2).build())))
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema,
+        configuration = """{"delta.columnMapping.mode":"id",""" +
+          """"delta.enableIcebergCompatV1":"true"}""") :+
+        addJson("ice.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().columns.toSeq == Seq("id", "s"))
+    assert(t.toDF().as[(Int, String)].collect().toSeq == Seq((7, "z")))
   }
 
   test("foreign add with an inline deletion vector masks rows") {
