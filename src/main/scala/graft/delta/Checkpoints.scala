@@ -61,7 +61,16 @@ object Checkpoints {
     log.fs.delete(tmp, true)
   }
 
-  /** Load the checkpointed snapshot at `version`. */
+  /** Load the checkpointed snapshot at `version`.
+    *
+    * Driver-memory model: like the reference (and Delta OSS's driver-side
+    * snapshot state), the full action list materializes on the driver —
+    * `collect()` below is O(active files + tombstones), ~200 bytes per
+    * action. That bounds the table at roughly 10⁷–10⁸ files per driver-heap
+    * GB: a 100-TB table of 128-MB files is ~10⁶ adds (~200 MB) — fine; the
+    * ceiling is hit only by pathological small-file tables, whose fix is
+    * compaction, not a streaming snapshot. If that ever changes, this is
+    * the one seam to make lazy (keep the DataFrame, prune before collect). */
   def read(spark: SparkSession, log: DeltaLog, version: Long,
            parts: Option[Int]): Snapshot = {
     val files: Seq[String] = parts match {

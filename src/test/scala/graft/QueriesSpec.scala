@@ -54,6 +54,49 @@ class QueriesSpec extends SparkTestBase {
     assert(src.contains("left_semi"))
   }
 
+  test("plan audit: MoR DV builds aggregate bitmaps on executors, never raw row indexes") {
+    // Source tripwire: the three merge-on-read paths (deleteWithDV,
+    // updateWithDV, executeMoR) must keep the typed bitmap aggregator — a
+    // collect_list of row indexes is the driver-OOM shape (8 B/row on the
+    // driver vs KBs/file).
+    Seq("src/main/scala/graft/delta/DeltaTable.scala",
+        "src/main/scala/graft/delta/Merge.scala").foreach { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8").mkString
+      assert(!src.contains("collect_list(col(\"__ri\")"),
+        s"$f must not collect raw row indexes to the driver")
+    }
+    // Behavioral: the DV-build aggregation runs as a partial-then-final
+    // object hash aggregate over DvBitmapAggregator — bitmaps reduce on the
+    // map side and cross the exchange compressed.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .select(concat(lit("f"), col("id") % 7).as("__file"), col("id").as("__ri"))
+      .groupBy("__file")
+      .agg(graft.delta.DeletionVectors.bitmapAgg(col("__ri")).as("__dv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("dvbitmapaggregator"), plan)
+    assert(plan.contains("partial_"), "map-side partial aggregation expected")
+  }
+
+  test("plan audit: streaming state is watermark-bounded (n17) or table-resident (n18)") {
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/NorthStarQueries.scala", "UTF-8").mkString
+    // n17 stream-stream join: BOTH sides must be watermarked or join state
+    // grows without bound on a real stream
+    val n17 = src.substring(src.indexOf("n17_stream_join"))
+      .takeWhile(_ != '}' | true).take(2000)
+    assert("withWatermark".r.findAllIn(n17).size >= 2,
+      "n17 must watermark both join sides to bound state")
+    // n18 stream-merge: stateless by design — AvailableNow + foreachBatch,
+    // per-key latest state lives IN the Delta table, not a state store;
+    // nothing in the batch closure may collect to the driver
+    val n18 = src.substring(src.indexOf("n18_stream_merge")).take(2500)
+    assert(n18.contains("foreachBatch") && n18.contains("Trigger.AvailableNow"))
+    assert(!n18.contains(".collect()"),
+      "n18's batch closure must stay distributed")
+  }
+
   test("plan audit: t18/t20/t21 corpus stats are single-scan window plans, no self-join") {
     Seq("t18_tfidf_topk", "t20_dup_spans", "t21_bigram_surprisal").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
