@@ -170,10 +170,10 @@ final class CdcSubscription(table: DeltaTable, group: String,
         try { e.handler(batch); delivered += 1 }
         catch {
           case err: Throwable =>
-            System.err.println(s"[graft.Cdc] subscriber error in group '$group': $err")
+            Logging.logger.error(s"[graft.Cdc] subscriber error in group '$group': $err")
             try e.onError(err, batch)
             catch { case cb: Throwable =>
-              System.err.println(s"[graft.Cdc] onError callback threw: $cb")
+              Logging.logger.error(s"[graft.Cdc] onError callback threw: $cb")
             }
         }
       }

@@ -76,7 +76,7 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
       if (scheme == "file") DeltaLog.linkStore
       else {
         if (DeltaLog.NonAtomicCreateSchemes(scheme) && DeltaLog.warnedSchemes.add(scheme))
-          System.err.println(
+          Logging.logger.warn(
             s"[graft.DeltaLog] scheme '$scheme' does not guarantee atomic " +
               "create-if-not-exists: concurrent writers from separate drivers " +
               "may overwrite commits. Register a conditional-write CommitStore " +

@@ -434,7 +434,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
     } catch {
       case e: Throwable =>
-        System.err.println(
+        Logging.logger.warn(
           s"[graft.DeltaTable] footer stats failed (${e.getMessage}); " +
             "falling back to aggregation scan")
         attachStatsViaAgg(adds, partCols, schema)

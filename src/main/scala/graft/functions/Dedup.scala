@@ -47,7 +47,7 @@ object Dedup {
                 if (dropped > 0) {
                   val j = row.fieldIndex("largest_bucket")
                   val worst = if (row.isNullAt(j)) 0L else row.getLong(j)
-                  System.err.println(
+                  graft.delta.Logging.logger.warn(
                     s"[graft.Dedup] dropped $dropped (id,band) entries in oversized " +
                       s"LSH buckets (largest: $worst ids); pairs whose earliest " +
                       "shared band fell in a capped bucket are lost")
@@ -376,8 +376,9 @@ object Dedup {
       it += 1
       // Per-iteration attribution (bench-regression forensics): one stderr
       // line per round — round count × per-round cost explains total cost.
-      Console.err.println(f"[graft] duplicateGroups iter=$it changed=$changed " +
-        f"sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      graft.delta.Logging.logger.info(
+        f"[graft] duplicateGroups iter=$it changed=$changed " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     edges.unpersist(false)
     labels.select(col("__id").as(idCol), col("rep"))
