@@ -175,8 +175,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def query(filterJson: String = "{}",
             projectionJson: Option[String] = None,
-            version: Option[Long] = None): DataFrame = {
-    val snap = snapshot(version)
+            version: Option[Long] = None): DataFrame =
+    query(filterJson, projectionJson, snapshot(version))
+
+  /** Query against a pre-fetched snapshot — consistent reads across several
+    * queries while concurrent writers advance the table (the reference's
+    * `QueryOptions.snapshot`, src/delta/types.ts:184-188). */
+  def query(filterJson: String, projectionJson: Option[String],
+            snap: Snapshot): DataFrame = {
     val filter = JsonMethods.parse(filterJson)
     MongoFilter.validate(filter)
     val pruned = FilePruner.prune(snap, filter)

@@ -47,3 +47,31 @@ final class CdcException(message: String, cause: Throwable = null)
 /** Invalid user input (reference: ValidationError, src/errors.ts:326). */
 final class ValidationException(message: String)
   extends DeltaException(message, "VALIDATION_ERROR")
+
+object Errors {
+
+  /** Whether retrying the failed operation can succeed — true exactly for
+    * optimistic-commit losses (reference: isRetryableError,
+    * src/errors.ts:407-414; [[Retry.withRetry]] applies this policy). */
+  def isRetryable(t: Throwable): Boolean = t.isInstanceOf[ConcurrencyException]
+
+  /** Human-readable byte count (reference: formatBytes,
+    * src/delta/vacuum.ts:360-368 — same 1024 steps and 2-decimal trim). */
+  def formatBytes(bytes: Long): String = {
+    if (bytes == 0) return "0 Bytes"
+    val sizes = Array("Bytes", "KB", "MB", "GB", "TB")
+    val i = math.min(sizes.length - 1,
+      (math.log(bytes.toDouble) / math.log(1024)).toInt)
+    val v = bytes / math.pow(1024, i)
+    val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+    s"$s ${sizes(i)}"
+  }
+
+  /** Human-readable duration (reference: formatDuration,
+    * src/delta/vacuum.ts:373-377). */
+  def formatDuration(ms: Long): String =
+    if (ms < 1000) s"${ms}ms"
+    else if (ms < 60000) f"${ms / 1000.0}%.1fs"
+    else f"${ms / 60000.0}%.1fm"
+}

@@ -120,6 +120,13 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(projected.map(_.getInt(0)).sorted == Seq(1, 2))
     assert(t.rowIterator(version = Some(v0)).size == 100)
     intercept[IllegalArgumentException](t.batchIterator("{}", batchSize = 0))
+    // pre-fetched snapshot = consistent reads while the table advances
+    val snap = t.snapshot()
+    t.write(Seq((500, "r500")).toDF("id", "s"))
+    assert(t.query("{}", None, snap).count() == 101)
+    assert(t.query("""{"id":{"$gte":100}}""", Some("""{"id":1}"""), snap)
+      .count() == 2)
+    assert(t.query().count() == 102)
   }
 
   test("unknown filter operators are rejected at query entry") {

@@ -119,6 +119,17 @@ class ConcurrencySpec extends SparkTestBase {
       t.log.writeCommit(0, Seq(CommitInfo(0L, "DUP")))
     }
     assert(err.code == "CONCURRENCY_ERROR")
+    // retryability classification + formatting utils (reference:
+    // isRetryableError errors.ts:407, formatBytes/formatDuration vacuum.ts)
+    assert(Errors.isRetryable(err))
+    assert(!Errors.isRetryable(new ValidationException("v")))
+    assert(!Errors.isRetryable(new RuntimeException("x")))
+    assert(Errors.formatBytes(0) == "0 Bytes")
+    assert(Errors.formatBytes(1536) == "1.5 KB")
+    assert(Errors.formatBytes(128L * 1024 * 1024) == "128 MB")
+    assert(Errors.formatDuration(250) == "250ms")
+    assert(Errors.formatDuration(2500) == "2.5s")
+    assert(Errors.formatDuration(150000) == "2.5m")
   }
 
   test("raw commit race: exactly one of N simultaneous writers of a version wins") {

@@ -25,6 +25,27 @@ class DeletionVectorsSpec extends SparkTestBase {
     assert(!DeletionVectors.contains(round, (1L << 33) + 8))
   }
 
+  test("bitmapAgg distributed build agrees with fromIndexes incl. >2^32 indexes") {
+    import org.apache.spark.sql.functions._
+    // indexes spanning three 32-bit keys, spread over 8 partitions so the
+    // aggregator's merge path (partial buffers crossing the exchange) runs
+    val idxs: Seq[Long] = Seq(0L, 1L, 7L, 4094L, Int.MaxValue.toLong,
+      (1L << 32) + 3, (1L << 33) + 7, (1L << 33) + 8)
+    val df = idxs.toDF("__ri").repartition(8)
+      .withColumn("__file", lit("f1"))
+      .groupBy("__file")
+      .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"))
+    val bytes = df.collect().head.getAs[Array[Byte]](1)
+    val fromAgg = DeletionVectors.deserialize(bytes)
+    val expected = DeletionVectors.fromIndexes(idxs)
+    assert(DeletionVectors.cardinality(fromAgg) == idxs.size)
+    idxs.foreach(i => assert(DeletionVectors.contains(fromAgg, i), s"missing $i"))
+    assert(!DeletionVectors.contains(fromAgg, 2L))
+    assert(!DeletionVectors.contains(fromAgg, (1L << 32) + 4))
+    // byte-identical to the driver-side constructor (same sorted-key layout)
+    assert(bytes.toSeq == DeletionVectors.serialize(expected).toSeq)
+  }
+
   test("reading a table applies inline deletion vectors") {
     val t = DeltaTable.forPath(spark, Files.createTempDirectory("graft-dv").toString)
     t.write((0 until 100).map(i => (i, s"r$i")).toDF("id", "s"))
