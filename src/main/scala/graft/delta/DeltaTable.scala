@@ -1195,6 +1195,40 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def history(): Seq[(Long, Seq[Action])] =
     log.listCommitVersions().reverse.map(v => v -> log.readCommit(v))
 
+  /** Current table configuration from the latest metaData action
+    * (reference: getTableConfiguration, src/delta/table.ts:369-371). Empty
+    * before the first write. */
+  def configuration: Map[String, String] =
+    snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
+
+  /** Checkpoint versions present on disk, ascending (reference:
+    * discoverCheckpoints, src/delta/table.ts:2137-2139). */
+  def discoverCheckpoints(): Seq[Long] = Checkpoints.listCheckpointVersions(log)
+
+  /** Latest checkpoint version, if any (reference: findLatestCheckpoint,
+    * src/delta/table.ts:2147-2149). */
+  def findLatestCheckpoint(): Option[Long] = discoverCheckpoints().lastOption
+
+  /** Whether the checkpoint at `version` exists and replays cleanly
+    * (reference: validateCheckpoint, src/delta/checkpoint.ts — existence +
+    * readability, never throws). */
+  def validateCheckpoint(version: Long): Boolean =
+    try {
+      val snap = Checkpoints.read(spark, log, version,
+        Checkpoints.partsFor(log, version))
+      snap.version == version
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Commit versions [[cleanupLog]] would delete with the same retention —
+    * a dry run (reference: getCleanableLogVersions,
+    * src/delta/table.ts:2189-2191). */
+  def getCleanableLogVersions(keepCheckpoints: Int = 10): Seq[Long] = {
+    val cps = Checkpoints.listCheckpointVersions(log)
+    if (cps.size <= keepCheckpoints) return Seq.empty
+    val oldest = cps.takeRight(keepCheckpoints).head
+    log.listCommitVersions().filter(_ < oldest)
+  }
+
   // ---- fs helpers ----------------------------------------------------------
 
   private def listRecursive(dir: Path): Seq[FileStatus] = {

@@ -376,7 +376,13 @@ object Maintenance {
 
   // ---- vacuum --------------------------------------------------------------
 
-  final case class VacuumResult(filesDeleted: Long, bytesFreed: Long, dryRun: Boolean)
+  /** Vacuum metrics (reference: VacuumMetrics, src/delta/vacuum.ts:63-87).
+    * `filesToDelete` is the doomed list — relative paths, populated in dry
+    * runs so callers can preview; `filesScanned`/`filesRetained` count every
+    * data file visited and those kept. */
+  final case class VacuumResult(filesDeleted: Long, bytesFreed: Long,
+      dryRun: Boolean, filesScanned: Long = 0L, filesRetained: Long = 0L,
+      filesToDelete: Seq[String] = Seq.empty, durationMs: Long = 0L)
 
   /**
    * Delete unreferenced data files older than the retention window
@@ -386,8 +392,9 @@ object Maintenance {
    */
   def vacuum(table: DeltaTable, retentionHours: Double = 168.0,
              dryRun: Boolean = false, enforceMinimum: Boolean = true): VacuumResult = {
+    val t0 = System.currentTimeMillis()
     val retention = if (enforceMinimum) math.max(retentionHours, 1.0) else retentionHours
-    val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
+    val cutoff = t0 - (retention * 3600 * 1000).toLong
     val snap = table.snapshot()
     val active = snap.activeFiles.map(_.path).toSet
     val protectedPaths = snap.tombstones
@@ -396,7 +403,9 @@ object Maintenance {
     val fs = table.log.fs
     val it = fs.listFiles(table.tablePath, true)
     var freed = 0L
+    var scanned = 0L
     val doomed = Seq.newBuilder[String]
+    val doomedRel = Seq.newBuilder[String]
     val base = fs.makeQualified(table.tablePath).toUri.getPath
     while (it.hasNext) {
       val st = it.next()
@@ -404,10 +413,14 @@ object Maintenance {
       val isData = rel.endsWith(".parquet") &&
         !rel.startsWith("_delta_log") && !rel.startsWith("_change_data") &&
         !rel.startsWith("_staging") && !rel.startsWith("_cdc_offsets")
-      if (isData && !active.contains(rel) && !protectedPaths.contains(rel) &&
-          st.getModificationTime < cutoff) {
-        freed += st.getLen
-        doomed += st.getPath.toString
+      if (isData) {
+        scanned += 1
+        if (!active.contains(rel) && !protectedPaths.contains(rel) &&
+            st.getModificationTime < cutoff) {
+          freed += st.getLen
+          doomed += st.getPath.toString
+          doomedRel += rel
+        }
       }
     }
     val paths = doomed.result()
@@ -438,6 +451,9 @@ object Maintenance {
           }
       }
     }
-    VacuumResult(paths.size.toLong, freed, dryRun)
+    VacuumResult(paths.size.toLong, freed, dryRun,
+      filesScanned = scanned, filesRetained = scanned - paths.size,
+      filesToDelete = if (dryRun) doomedRel.result() else Seq.empty,
+      durationMs = System.currentTimeMillis() - t0)
   }
 }

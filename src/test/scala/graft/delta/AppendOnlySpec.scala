@@ -19,6 +19,9 @@ class AppendOnlySpec extends SparkTestBase {
 
   test("appends and layout-only compaction remain legal") {
     val t = appendOnlyTable()
+    // configuration getter reflects committed metaData (reference:
+    // getTableConfiguration, table.ts:369)
+    assert(t.configuration.get("delta.appendOnly").contains("true"))
     t.write(Seq((3, "c")).toDF("id", "s"))
     t.write(Seq((4, "d")).toDF("id", "s"))
     Maintenance.compact(t) // dataChange=false rewrite — allowed

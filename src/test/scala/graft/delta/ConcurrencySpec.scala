@@ -57,7 +57,16 @@ class ConcurrencySpec extends SparkTestBase {
     (0 until 10).foreach(i => t.write(Seq((i, "x")).toDF("id", "s")))
     val cpsBefore = Checkpoints.listCheckpointVersions(t.log)
     assert(cpsBefore.size >= 4)
+    // discovery/validation wrappers (reference: discoverCheckpoints,
+    // findLatestCheckpoint, validateCheckpoint, getCleanableLogVersions)
+    assert(t.discoverCheckpoints() == cpsBefore)
+    assert(t.findLatestCheckpoint().contains(cpsBefore.last))
+    assert(t.validateCheckpoint(cpsBefore.last))
+    assert(!t.validateCheckpoint(999L))
+    val cleanable = t.getCleanableLogVersions(keepCheckpoints = 2)
+    assert(cleanable.nonEmpty && cleanable.forall(_ < cpsBefore.takeRight(2).head))
     val (cpDel, cDel) = t.cleanupLog(keepCheckpoints = 2)
+    assert(cDel == cleanable.size)
     assert(cpDel > 0 && cDel > 0)
     val cps = Checkpoints.listCheckpointVersions(t.log)
     assert(cps.size == 2)

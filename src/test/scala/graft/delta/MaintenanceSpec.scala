@@ -103,8 +103,13 @@ class MaintenanceSpec extends SparkTestBase {
     Thread.sleep(1100)
     val dry = Maintenance.vacuum(t, retentionHours = 0, dryRun = true, enforceMinimum = false)
     assert(dry.filesDeleted == 1)
+    // metric parity with the reference's VacuumMetrics: the dry run names
+    // the doomed file, counts scanned = retained + deleted
+    assert(dry.filesToDelete.size == 1 && dry.filesToDelete.head.endsWith(".parquet"))
+    assert(dry.filesScanned == dry.filesRetained + dry.filesDeleted)
     val real = Maintenance.vacuum(t, retentionHours = 0, enforceMinimum = false)
     assert(real.filesDeleted == 1)
+    assert(real.filesToDelete.isEmpty && real.filesScanned >= 1)
     // current state unaffected; time travel to v0 is now gone
     assert(t.toDF().as[(Int, String)].collect().toSeq == Seq((9, "x")))
     intercept[Exception] { t.asOf(0).collect() }
