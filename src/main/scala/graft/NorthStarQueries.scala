@@ -278,6 +278,33 @@ object NorthStarQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ---- streaming SOURCE over the Delta log (stream-FROM, pairing n18's
+    // stream-INTO): `readStream.format("graft-delta")` tails commits as
+    // version offsets (graft.streaming.DeltaStreamSource). Three append
+    // commits drain as rate-capped tail batches under AvailableNow; the
+    // streamed rows must aggregate exactly like a batch read (the oracle
+    // proves no row lost or duplicated across batch boundaries).
+    "n19_stream_source" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+      val tbl = graft.delta.DeltaTable.forPath(s,
+        java.nio.file.Files.createTempDirectory("graft-ss").toString)
+      (0 until 3).foreach(k =>
+        tbl.write(o.filter(col("o_orderkey") % 30 === k * 10)))
+      val name = "n19_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "8")
+        .load(tbl.path)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- native VARIANT type: parse-once semi-structured extraction ----
     // Spark 4's VariantType (the reference's parquet/variant.ts encodes the
     // same open format): parse the JSON once into a variant value, extract
@@ -388,6 +415,12 @@ object NorthStarQueries {
         |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events WHERE event_id < 2000) sub
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "n19_stream_source" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 10 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "n16_variant_type" ->
       """SELECT event_type, COUNT(*) AS n,

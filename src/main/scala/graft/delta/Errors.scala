@@ -48,6 +48,12 @@ final class CdcException(message: String, cause: Throwable = null)
 final class ValidationException(message: String)
   extends DeltaException(message, "VALIDATION_ERROR")
 
+/** A streaming read hit a commit that deletes or rewrites live rows
+  * (north-star — Delta's streaming source raises the same condition;
+  * the reference surfaces row-level changes only via its CDC feed). */
+final class StreamChangeException(message: String)
+  extends DeltaException(message, "STREAM_CHANGED_DATA")
+
 object Errors {
 
   /** Whether retrying the failed operation can succeed — true exactly for

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.delta.{DeltaTable, Maintenance, StreamChangeException}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import java.nio.file.Files
+
+/** The graft-delta streaming SOURCE: snapshot-then-tail offsets over the
+  * commit log (Delta's streaming-source contract; the reference consumes
+  * changes via its CDC envelope, src/cdc/index.ts:1500-1763). */
+class DeltaSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("fresh stream = snapshot batch, then tail of later appends via checkpoint resume") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s")) // v0
+    t.write(Seq((3, "c")).toDF("id", "s"))           // v1
+
+    val ckpt = Files.createTempDirectory("graft-src-ck").toString
+    def run(): Set[(Int, String)] = {
+      val got = scala.collection.mutable.Set.empty[(Int, String)]
+      val q = spark.readStream.format("graft-delta").load(dir)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.as[(Int, String)].collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    // first run: initial snapshot covers v0+v1
+    assert(run() == Set((1, "a"), (2, "b"), (3, "c")))
+    // appends land while the stream is down; resume tails ONLY the new commits
+    t.write(Seq((4, "d")).toDF("id", "s")) // v2
+    t.write(Seq((5, "e")).toDF("id", "s")) // v3
+    assert(run() == Set((4, "d"), (5, "e")))
+  }
+
+  test("startingVersion tails from that version; layout-only compaction never re-emits") {
+    val dir = Files.createTempDirectory("graft-src-sv").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "s")) // v0
+    t.write(Seq((2, "b")).toDF("id", "s")) // v1
+    t.write(Seq((3, "c")).toDF("id", "s")) // v2
+    Maintenance.compact(t)                 // v3: dataChange=false rewrite
+    t.write(Seq((4, "d")).toDF("id", "s")) // v4
+
+    val out = drain(spark.readStream.format("graft-delta")
+      .option("startingVersion", "1").load(dir), "src_sv")
+    // v1, v2, v4 adds; v3's compacted file (which contains rows 1-3) skipped
+    assert(out.as[(Int, String)].collect().toSet ==
+      Set((2, "b"), (3, "c"), (4, "d")))
+  }
+
+  test("maxFilesPerTrigger splits the tail into whole-version batches") {
+    val dir = Files.createTempDirectory("graft-src-cap").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((0, "z")).toDF("id", "s")) // v0
+    (1 to 4).foreach(i => t.write(Seq((i, s"r$i")).toDF("id", "s"))) // v1..v4
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "1")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 4 single-file versions, cap 2 → two batches of 2 rows
+    assert(batchSizes.filter(_ > 0).toSeq == Seq(2L, 2L))
+  }
+
+  test("a delete breaks the append-only contract; skipChangeCommits drops it") {
+    val dir = Files.createTempDirectory("graft-src-del").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s")) // v0
+    t.write(Seq((3, "c")).toDF("id", "s"))           // v1
+    t.delete("""{"id": 1}""")                        // v2: CoW rewrite
+    t.write(Seq((4, "d")).toDF("id", "s"))           // v3
+
+    val err = intercept[StreamingQueryException] {
+      drain(spark.readStream.format("graft-delta")
+        .option("startingVersion", "1").load(dir), "src_fail")
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(_.isInstanceOf[StreamChangeException]))
+
+    val out = drain(spark.readStream.format("graft-delta")
+      .option("startingVersion", "1")
+      .option("skipChangeCommits", "true").load(dir), "src_skip")
+    assert(out.as[(Int, String)].collect().toSet == Set((3, "c"), (4, "d")))
+  }
+
+  test("initial snapshot applies deletion vectors; MoR delete afterwards is a change commit") {
+    val dir = Files.createTempDirectory("graft-src-dv").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write((1 to 10).map(i => (i, s"r$i")).toDF("id", "s")) // v0
+    t.deleteWithDV("""{"id": {"$lte": 3}}""")                // v1: DV on v0's file
+    // fresh stream: snapshot at latest version masks rows 1-3
+    val out = drain(spark.readStream.format("graft-delta").load(dir), "src_dv")
+    assert(out.as[(Int, String)].collect().map(_._1).sorted.toSeq == (4 to 10).toSeq)
+    // tailing across the DV commit is a change commit
+    t.write(Seq((11, "r11")).toDF("id", "s")) // v2
+    val err = intercept[StreamingQueryException] {
+      drain(spark.readStream.format("graft-delta")
+        .option("startingVersion", "1").load(dir), "src_dv_fail")
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(_.isInstanceOf[StreamChangeException]))
+  }
+
+  test("streamed aggregation matches the batch result (composability)") {
+    val dir = Files.createTempDirectory("graft-src-agg").toString
+    val t = DeltaTable.forPath(spark, dir)
+    (0 until 3).foreach { k =>
+      t.write((0 until 100).map(i => (k * 100 + i, i % 7)).toDF("id", "grp"))
+    }
+    val streamed = drain(spark.readStream.format("graft-delta").load(dir), "src_agg")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    val batch = t.toDF()
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    assert(streamed.orderBy("grp").collect().toSeq ==
+      batch.orderBy("grp").collect().toSeq)
+  }
+}
