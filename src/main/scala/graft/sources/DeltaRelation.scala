@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.delta.{DeltaTable, ValidationException}
+
+/**
+ * Batch DataSource relation for graft Delta tables:
+ * `spark.read.format("graft-delta").load(path)` and
+ * `df.write.format("graft-delta").mode(...).save(path)` — the reader/writer
+ * API a Spark user expects next to the table object API (north-star; the
+ * reference's entry points are its TypeScript classes,
+ * src/delta/table.ts:694,1482).
+ *
+ * Read options: `versionAsOf` (version time travel), `timestampAsOf`
+ * (epoch millis — state at the last commit at or before it). Column
+ * pruning and translatable filters are pushed into the inner scan, so the
+ * parquet reader sees them (`PushedFilters` in the plan); Spark re-applies
+ * every filter on top, so partially-translated predicates stay correct.
+ *
+ * Write options: `partitionBy` (comma-separated, first write only).
+ * SaveMode mapping: Append/Overwrite → the table's transactional write;
+ * ErrorIfExists fails on a non-empty table; Ignore is a no-op then.
+ */
+final class DeltaRelation(
+    val sqlContext: SQLContext,
+    table: DeltaTable,
+    version: Option[Long],
+    timestampMs: Option[Long])
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` (and `df.write.insertInto`)
+    * land as transactional table writes. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    table.write(data, if (overwrite) "overwrite" else "append")
+    ()
+  }
+
+  private def frame(): DataFrame = timestampMs match {
+    case Some(ts) => table.asOfTimestamp(ts)
+    case None => table.toDF(table.snapshot(version))
+  }
+
+  override val schema: StructType = frame().schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    var df = frame()
+    filters.flatMap(DeltaRelation.toColumn).foreach(c => df = df.filter(c))
+    // an empty projection (COUNT(*)) still needs the row stream
+    df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  override def toString: String = s"DeltaRelation[${table.path}]"
+}
+
+object DeltaRelation {
+
+  /** Best-effort `sources.Filter` → `Column` translation; `None` leaves the
+    * predicate to Spark's mandatory re-evaluation (correct either way —
+    * translation only adds parquet-level pushdown). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(not)
+    case _ => None
+  }
+
+  def forParameters(sqlContext: SQLContext,
+                    parameters: Map[String, String]): DeltaRelation = {
+    val path = parameters.getOrElse("path",
+      throw new ValidationException("graft-delta requires a path"))
+    val version = parameters.get("versionasof")
+      .orElse(parameters.get("versionAsOf")).map(_.toLong)
+    val ts = parameters.get("timestampasof")
+      .orElse(parameters.get("timestampAsOf")).map(_.toLong)
+    if (version.nonEmpty && ts.nonEmpty) throw new ValidationException(
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val table = DeltaTable.forPath(sqlContext.sparkSession, path)
+    if (table.version < 0) throw new ValidationException(
+      s"$path is not a Delta table (no commits)")
+    new DeltaRelation(sqlContext, table, version, ts)
+  }
+
+  def write(sqlContext: SQLContext, mode: SaveMode,
+            parameters: Map[String, String], data: DataFrame): DeltaRelation = {
+    val path = parameters.getOrElse("path",
+      throw new ValidationException("graft-delta requires a path"))
+    val table = DeltaTable.forPath(sqlContext.sparkSession, path)
+    val exists = table.version >= 0
+    val partitionBy = parameters.get("partitionby")
+      .orElse(parameters.get("partitionBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    mode match {
+      case SaveMode.Append => table.write(data, "append", partitionBy)
+      case SaveMode.Overwrite => table.write(data, "overwrite", partitionBy)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new ValidationException(
+          s"$path already exists (SaveMode.ErrorIfExists)")
+        table.write(data, "append", partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) table.write(data, "append", partitionBy)
+    }
+    new DeltaRelation(sqlContext, table, None, None)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim.StreamShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.delta.{AddFile, DeltaTable, RemoveFile, Snapshot, StreamChangeException, ValidationException}
@@ -198,10 +198,25 @@ final class DeltaStreamSource(
 }
 
 /** `format("graft-delta")` registration (ServiceLoader via
-  * META-INF/services, like any Spark connector). */
-final class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  * META-INF/services, like any Spark connector): streaming source plus the
+  * batch read/write relations ([[graft.sources.DeltaRelation]]), so one
+  * format name covers `read`, `write`, and `readStream`. */
+final class DeltaSourceProvider extends StreamSourceProvider
+  with RelationProvider with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    graft.sources.DeltaRelation.forParameters(sqlContext, parameters)
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation =
+    graft.sources.DeltaRelation.write(sqlContext, mode, parameters, data)
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.delta.{DeltaTable, ValidationException}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Batch DataFrame reader/writer over the graft-delta format. */
+class DeltaRelationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("write then read round-trips through format(graft-delta)") {
+    val dir = Files.createTempDirectory("graft-rel").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .write.format("graft-delta").mode(SaveMode.Append).save(dir)
+    Seq((3, "c")).toDF("id", "s")
+      .write.format("graft-delta").mode(SaveMode.Append).save(dir)
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // the writes are real log commits, visible to the table API
+    assert(DeltaTable.forPath(spark, dir).version == 1)
+  }
+
+  test("versionAsOf / timestampAsOf read options time-travel") {
+    val dir = Files.createTempDirectory("graft-rel-tt").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "s")) // v0
+    val tsV0 = t.commitTimestamp(0)
+    Thread.sleep(20)
+    t.write(Seq((2, "b")).toDF("id", "s")) // v1
+    assert(spark.read.format("graft-delta").option("versionAsOf", "0")
+      .load(dir).count() == 1)
+    assert(spark.read.format("graft-delta").option("timestampAsOf", tsV0.toString)
+      .load(dir).count() == 1)
+    assert(spark.read.format("graft-delta").load(dir).count() == 2)
+    intercept[ValidationException] {
+      spark.read.format("graft-delta")
+        .option("versionAsOf", "0").option("timestampAsOf", "1").load(dir)
+    }
+  }
+
+  test("filters and projection push into the scan; overwrite and ErrorIfExists modes") {
+    val dir = Files.createTempDirectory("graft-rel-f").toString
+    (1 to 100).map(i => (i, s"r$i", i % 5)).toDF("id", "s", "k")
+      .write.format("graft-delta").save(dir) // default ErrorIfExists on empty → append
+    val df = spark.read.format("graft-delta").load(dir)
+      .filter(col("id") > 90 && col("s").startsWith("r9"))
+      .select("id", "k")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == (91 to 99).toSeq)
+    // second ErrorIfExists write fails; Ignore is a no-op; Overwrite replaces
+    intercept[ValidationException] {
+      Seq((0, "x", 0)).toDF("id", "s", "k")
+        .write.format("graft-delta").mode(SaveMode.ErrorIfExists).save(dir)
+    }
+    Seq((0, "x", 0)).toDF("id", "s", "k")
+      .write.format("graft-delta").mode(SaveMode.Ignore).save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 100)
+    Seq((0, "x", 0)).toDF("id", "s", "k")
+      .write.format("graft-delta").mode(SaveMode.Overwrite).save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 1)
+  }
+
+  test("SQL DDL + INSERT INTO work through the format (CREATE TABLE USING graft-delta)") {
+    val dir = Files.createTempDirectory("graft-rel-sql").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    val tn = "graft_sql_" + System.nanoTime()
+    spark.sql(s"CREATE TABLE $tn USING `graft-delta` OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql(s"SELECT * FROM $tn").count() == 1)
+      spark.sql(s"INSERT INTO $tn VALUES (2, 'b')")
+      assert(spark.sql(s"SELECT count(*) FROM $tn").head().getLong(0) == 2)
+      // the INSERT was a real log commit
+      assert(t.version == 1)
+      assert(spark.sql(s"SELECT s FROM $tn WHERE id = 2").head().getString(0) == "b")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tn")
+  }
+
+  test("partitionBy option partitions the first write (hive layout + pruning)") {
+    val dir = Files.createTempDirectory("graft-rel-p").toString
+    (1 to 40).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "par")
+      .write.format("graft-delta").option("partitionBy", "par").save(dir)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.snapshot().partitionColumns == Seq("par"))
+    assert(t.snapshot().activeFiles.forall(_.path.contains("par=")))
+    val evens = spark.read.format("graft-delta").load(dir)
+      .filter(col("par") === "even")
+    assert(evens.count() == 20)
+  }
+}
