@@ -104,9 +104,17 @@ final case class TableMetadata(
   }
 }
 
-final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action {
-  def wrap: JObject = "protocol" ->
-    (("minReaderVersion" -> minReaderVersion) ~ ("minWriterVersion" -> minWriterVersion))
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None) extends Action {
+  def wrap: JObject = "protocol" -> {
+    val base: JObject =
+      ("minReaderVersion" -> minReaderVersion) ~ ("minWriterVersion" -> minWriterVersion)
+    val withR = readerFeatures.fold(base)(fs => base ~ ("readerFeatures" -> fs))
+    writerFeatures.fold(withR)(fs => withR ~ ("writerFeatures" -> fs))
+  }
 }
 
 final case class CommitInfo(
@@ -180,9 +188,17 @@ object Actions {
     createdTime = long(j \ "createdTime"),
     name = (j \ "name") match { case JString(s) => Some(s); case _ => None })
 
-  def parseProtocol(j: JValue): Protocol = Protocol(
-    minReaderVersion = long(j \ "minReaderVersion").toInt.max(1),
-    minWriterVersion = long(j \ "minWriterVersion").toInt.max(1))
+  def parseProtocol(j: JValue): Protocol = {
+    def strSeq(v: JValue): Option[Seq[String]] = v match {
+      case JArray(xs) => Some(xs.collect { case JString(s) => s })
+      case _ => None
+    }
+    Protocol(
+      minReaderVersion = long(j \ "minReaderVersion").toInt.max(1),
+      minWriterVersion = long(j \ "minWriterVersion").toInt.max(1),
+      readerFeatures = strSeq(j \ "readerFeatures"),
+      writerFeatures = strSeq(j \ "writerFeatures"))
+  }
 
   def parseCommitInfo(j: JValue): CommitInfo = CommitInfo(
     timestamp = long(j \ "timestamp"),

@@ -102,6 +102,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * metadata (so dropped/added columns resolve and old files backfill null),
     * basePath so Hive-style partition directories surface as columns. */
   def toDF(snap: Snapshot): DataFrame = {
+    ProtocolSupport.assertReadable(snap.protocol, path)
     val schema = snap.schema
     if (snap.activeFiles.isEmpty) {
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
@@ -204,6 +205,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             partitionBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     val snap0 = snapshot()
+    ProtocolSupport.assertWritable(snap0, path)
     val isFirst = snap0.metadata.isEmpty
     val partCols = if (isFirst) partitionBy else {
       require(partitionBy.isEmpty || partitionBy == snap0.partitionColumns,
@@ -541,6 +543,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def delete(filterJson: String): DmlResult = {
     val snap = snapshot()
+    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
     val candidates = FilePruner.prune(snap, filter)
     val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
@@ -580,6 +583,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def deleteWithDV(filterJson: String): DmlResult = {
     val snap = snapshot()
+    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
     val candidates = FilePruner.prune(snap, filter)
     val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
@@ -650,6 +654,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def updateWithDV(filterJson: String, updatesJson: String): DmlResult = {
     val snap = snapshot()
+    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
     val updates = JsonMethods.parse(updatesJson) match {
       case JObject(fs) => fs
@@ -692,6 +697,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def update(filterJson: String, updatesJson: String): DmlResult = {
     val snap = snapshot()
+    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
     val updates = JsonMethods.parse(updatesJson) match {
       case JObject(fs) => fs
@@ -809,15 +815,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** MERGE / upsert — see [[Merge]] for semantics. */
   def merge(source: DataFrame, keyColumns: Seq[String],
             matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
-            insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
+            insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult = {
+    ProtocolSupport.assertWritable(snapshot(), path)
     graft.delta.Merge.execute(this, source, keyColumns, matched, insertUnmatched)
+  }
 
   /** Merge-on-read MERGE — DV-mask matched rows, append merged images and
     * inserts in one commit; see [[Merge.executeMoR]]. */
   def mergeWithDV(source: DataFrame, keyColumns: Seq[String],
       matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
-      insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
+      insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult = {
+    ProtocolSupport.assertWritable(snapshot(), path)
     graft.delta.Merge.executeMoR(this, source, keyColumns, matched, insertUnmatched)
+  }
 
   /** MERGE under an arbitrary match condition over aliases `t` (target) and
     * `s` (source) — see [[Merge.executeCondition]] for the deterministic
@@ -826,8 +836,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def mergeWithCondition(source: DataFrame,
       matchCondition: org.apache.spark.sql.Column,
       matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
-      insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult =
+      insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult = {
+    ProtocolSupport.assertWritable(snapshot(), path)
     graft.delta.Merge.executeCondition(this, source, matchCondition, matched, insertUnmatched)
+  }
 
   // ---- CDC (change data feed) ----------------------------------------------
 
@@ -1091,6 +1103,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * files as deletes — both computed by scanning only the diff files.
    */
   def restore(targetVersion: Long): DmlResult = {
+    ProtocolSupport.assertWritable(snapshot(), path)
     val target = snapshot(Some(targetVersion))
     val (v, readds, removedAdds, snapAtRestore) = Retry.withRetry() {
       val snap = snapshot()

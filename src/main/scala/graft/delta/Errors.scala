@@ -48,6 +48,12 @@ final class CdcException(message: String, cause: Throwable = null)
 final class ValidationException(message: String)
   extends DeltaException(message, "VALIDATION_ERROR")
 
+/** The table's protocol demands reader/writer features this engine does
+  * not implement (north-star — Delta's InvalidProtocolVersionException;
+  * refusing beats silently-wrong reads or contract-breaking writes). */
+final class UnsupportedProtocolException(message: String)
+  extends DeltaException(message, "UNSUPPORTED_PROTOCOL")
+
 /** A streaming read hit a commit that deletes or rewrites live rows
   * (north-star — Delta's streaming source raises the same condition;
   * the reference surfaces row-level changes only via its CDC feed). */
