@@ -117,6 +117,19 @@ final case class Protocol(
   }
 }
 
+/** Streaming-transaction marker (Delta's `txn` action — north-star; the
+  * reference has no streaming sink): records that application `appId` has
+  * durably committed its batch `version`, so an at-least-once engine
+  * replaying a batch after a crash can detect the duplicate and skip it
+  * (exactly-once sink semantics). */
+final case class Txn(
+    appId: String,
+    version: Long,
+    lastUpdated: Long = 0L) extends Action {
+  def wrap: JObject = "txn" ->
+    (("appId" -> appId) ~ ("version" -> version) ~ ("lastUpdated" -> lastUpdated))
+}
+
 final case class CommitInfo(
     timestamp: Long,
     operation: String,
@@ -144,9 +157,15 @@ object Actions {
       case ("metaData", body)   => parseMetadata(body)
       case ("protocol", body)   => parseProtocol(body)
       case ("commitInfo", body) => parseCommitInfo(body)
+      case ("txn", body)        => parseTxn(body)
     }
     case _ => None
   }
+
+  def parseTxn(j: JValue): Txn = Txn(
+    appId = str(j \ "appId"),
+    version = long(j \ "version"),
+    lastUpdated = long(j \ "lastUpdated"))
 
   private def str(j: JValue): String = j match {
     case JString(s) => s

@@ -20,7 +20,8 @@ object Checkpoints {
     StructField("add", StringType, nullable = true),
     StructField("remove", StringType, nullable = true),
     StructField("metaData", StringType, nullable = true),
-    StructField("protocol", StringType, nullable = true)))
+    StructField("protocol", StringType, nullable = true),
+    StructField("txn", StringType, nullable = true)))
 
   private def render(a: Action): String =
     JsonMethods.compact(JsonMethods.render(a.wrap.obj.head._2))
@@ -28,10 +29,13 @@ object Checkpoints {
   def write(spark: SparkSession, log: DeltaLog, snap: Snapshot,
             actionsPerPart: Long = DefaultActionsPerPart): Unit = {
     val rows: Seq[Row] =
-      snap.metadata.map(m => Row(null, null, render(m), null)).toSeq ++
-        snap.protocol.map(p => Row(null, null, null, render(p))).toSeq ++
-        snap.activeFiles.map(a => Row(render(a), null, null, null)) ++
-        snap.tombstones.map(r => Row(null, render(r), null, null))
+      snap.metadata.map(m => Row(null, null, render(m), null, null)).toSeq ++
+        snap.protocol.map(p => Row(null, null, null, render(p), null)).toSeq ++
+        snap.activeFiles.map(a => Row(render(a), null, null, null, null)) ++
+        snap.tombstones.map(r => Row(null, render(r), null, null, null)) ++
+        snap.transactions.toSeq.map { case (app, v) =>
+          Row(null, null, null, null, render(Txn(app, v)))
+        }
     val nParts = math.max(1, math.ceil(rows.size.toDouble / actionsPerPart).toInt)
 
     if (nParts == 1) {
@@ -82,13 +86,19 @@ object Checkpoints {
     var protocol: Option[Protocol] = None
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[RemoveFile]
+    val txns = Map.newBuilder[String, Long]
     rows.foreach { r =>
       if (r.getString(0) != null) adds += Actions.parseAdd(JsonMethods.parse(r.getString(0)))
       else if (r.getString(1) != null) removes += Actions.parseRemove(JsonMethods.parse(r.getString(1)))
       else if (r.getString(2) != null) metadata = Some(Actions.parseMetadata(JsonMethods.parse(r.getString(2))))
       else if (r.getString(3) != null) protocol = Some(Actions.parseProtocol(JsonMethods.parse(r.getString(3))))
+      else if (r.getString(4) != null) {
+        val t = Actions.parseTxn(JsonMethods.parse(r.getString(4)))
+        txns += t.appId -> t.version
+      }
     }
-    Snapshot(version, metadata, protocol, adds.result(), removes.result())
+    Snapshot(version, metadata, protocol, adds.result(), removes.result(),
+      txns.result())
   }
 
   /** Part layout of the checkpoint at `version`, recovered from file names:

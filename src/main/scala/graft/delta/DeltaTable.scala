@@ -202,7 +202,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * (src/delta/table.ts:1239-1280).
    */
   def write(df: DataFrame, mode: String = "append",
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            txn: Option[Txn] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     val snap0 = snapshot()
     ProtocolSupport.assertWritable(snap0, path)
@@ -229,7 +230,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             s"col-${java.util.UUID.randomUUID()}").build())
       })
     val aligned = alignTo(df, targetSchema)
-    val adds = writeDataFiles(aligned, partCols, targetSchema)
+    // `delta.autoOptimize.optimizeWrite`: shuffle rows to their partition
+    // before writing so each partition directory gets few, full files
+    // instead of one shard per input task — at scale the difference between
+    // a healthy table and one that needs constant compaction.
+    val optimized =
+      if (partCols.nonEmpty &&
+          snap0.configuration.get(OptimizeWriteKey).contains("true"))
+        aligned.repartition(partCols.map(col): _*)
+      else aligned
+    val adds = writeDataFiles(optimized, partCols, targetSchema)
 
     val v = Retry.withRetry() {
       val snap = snapshot() // re-resolve under OCC retry
@@ -242,7 +252,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         else Nil
       val actions: Seq[Action] =
         (if (v == 0) Seq[Action](Protocol()) else Nil) ++
-          (meta.toSeq: Seq[Action]) ++ removes ++ (adds: Seq[Action]) ++ Seq[Action](
+          (meta.toSeq: Seq[Action]) ++ (txn.toSeq: Seq[Action]) ++
+          removes ++ (adds: Seq[Action]) ++ Seq[Action](
           CommitInfo(now, if (mode == "overwrite") "WRITE-OVERWRITE" else "WRITE",
             Map("numFiles" -> adds.size.toString)))
       log.writeCommit(v, actions)
@@ -261,8 +272,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         else inserts
       Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
     }
+    // `delta.autoOptimize.autoCompact`: piggyback a layout-only
+    // (dataChange=false) compaction when small files accumulate, so
+    // frequent small appends can't degrade the table. Threshold via
+    // `delta.autoOptimize.autoCompact.minNumFiles` (default 50).
+    val cfgNow = snap0.metadata.map(_.configuration).getOrElse(Map.empty)
+    if (cfgNow.get(AutoCompactKey).contains("true")) {
+      val minN = cfgNow.get(AutoCompactMinFilesKey).map(_.toInt).getOrElse(50)
+      val cc = Maintenance.CompactionConfig()
+      val small = snapshot(Some(v)).activeFiles.count(_.size < cc.targetFileSize)
+      if (small >= minN) Maintenance.compact(this, cc)
+    }
     v
   }
+
+  private val OptimizeWriteKey = "delta.autoOptimize.optimizeWrite"
+  private val AutoCompactKey = "delta.autoOptimize.autoCompact"
+  private val AutoCompactMinFilesKey = "delta.autoOptimize.autoCompact.minNumFiles"
 
   /** Document-shaped ingestion (reference: DeltaTable.write over
     * `Record<string, unknown>[]` rows, src/delta/table.ts:694-837 with
@@ -1207,6 +1233,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** Commit history, newest first. */
   def history(): Seq[(Long, Seq[Action])] =
     log.listCommitVersions().reverse.map(v => v -> log.readCommit(v))
+
+  /** Last streaming-transaction version committed by `appId` (Delta's
+    * `txnVersion`; set by [[write]]'s `txn` parameter, replayed through
+    * checkpoints) — the idempotence query an exactly-once sink needs. */
+  def lastTransactionVersion(appId: String): Option[Long] =
+    snapshot().transactions.get(appId)
 
   /** Current table configuration from the latest metaData action
     * (reference: getTableConfiguration, src/delta/table.ts:369-371). Empty

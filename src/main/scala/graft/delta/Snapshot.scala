@@ -12,7 +12,8 @@ final case class Snapshot(
     metadata: Option[TableMetadata],
     protocol: Option[Protocol],
     activeFiles: Seq[AddFile],
-    tombstones: Seq[RemoveFile]) {
+    tombstones: Seq[RemoveFile],
+    transactions: Map[String, Long] = Map.empty) {
 
   def schema: StructType = metadata
     .map(m => DataType.fromJson(m.schemaString).asInstanceOf[StructType])
@@ -42,6 +43,7 @@ object Snapshot {
       base.activeFiles.map(f => f.path -> f))
     val tombstones = scala.collection.mutable.LinkedHashMap.from(
       base.tombstones.map(r => r.path -> r))
+    val txns = scala.collection.mutable.LinkedHashMap.from(base.transactions)
 
     commits.foreach { case (v, actions) =>
       version = v
@@ -54,9 +56,11 @@ object Snapshot {
           tombstones.put(r.path, r)
         case m: TableMetadata => metadata = Some(m)
         case p: Protocol => protocol = Some(p)
+        case t: Txn => txns.put(t.appId, t.version)
         case _: CommitInfo => ()
       }
     }
-    Snapshot(version, metadata, protocol, files.values.toSeq, tombstones.values.toSeq)
+    Snapshot(version, metadata, protocol, files.values.toSeq,
+      tombstones.values.toSeq, txns.toMap)
   }
 }

@@ -2,14 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim.StreamShim
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.{AddFile, DeltaTable, RemoveFile, Snapshot, StreamChangeException, ValidationException}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+
+import graft.delta.{AddFile, Cdc, DeltaTable, Logging, RemoveFile, Snapshot, StreamChangeException, Txn, ValidationException}
 
 /**
  * Structured Streaming SOURCE over a graft Delta table — `spark.readStream
@@ -57,6 +60,15 @@ final class DeltaStreamSource(
     options.get("maxfilespertrigger").orElse(options.get("maxFilesPerTrigger"))
       .map(_.toInt)
 
+  /** CDF mode (Delta's `readChangeFeed`): batches are the table's change
+    * feed rows (`_change_type`/`_commit_version`/`_commit_timestamp`)
+    * instead of table rows — deletes and updates ARE the data, so the
+    * append-only contract doesn't apply. No snapshot batch: the stream
+    * tails from `startingVersion` (default: versions after stream start). */
+  private val readChangeFeed: Boolean =
+    options.get("readchangefeed").orElse(options.get("readChangeFeed"))
+      .exists(_.toBoolean)
+
   /** Version whose snapshot seeds a fresh (no `startingVersion`) stream,
     * fixed at source creation so the first batch is stable. */
   private val initialVersion: Long = {
@@ -66,7 +78,8 @@ final class DeltaStreamSource(
     v
   }
 
-  override val schema: StructType = table.toDF(table.snapshot()).schema
+  override val schema: StructType =
+    DeltaStreamSource.schemaFor(table, readChangeFeed)
 
   /** dataChange add-file count per version (driver-side metadata cache). */
   private val addCounts = scala.collection.mutable.Map.empty[Long, Int]
@@ -99,10 +112,11 @@ final class DeltaStreamSource(
     if (target < 0) return null
     val floor: Long = Option(startOffset).map(versionOf) match {
       case Some(v) => v
-      case None if startingVersion.isEmpty =>
+      case None if startingVersion.isEmpty && !readChangeFeed =>
         // first batch = the snapshot at initialVersion, one offset step
         // (a cap never splits it; Delta's initial snapshot is one batch too)
         return LongOffset(math.max(initialVersion, 0L))
+      case None if startingVersion.isEmpty => initialVersion // CDF: tail only
       case None => startingVersion.get - 1L
     }
     if (floor >= target) return LongOffset(floor)
@@ -134,17 +148,27 @@ final class DeltaStreamSource(
     case other => other.json.trim.toLong
   }
 
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
     val df = start.map(versionOf(_)) match {
+      case s if readChangeFeed =>
+        val from = s.map(_ + 1)
+          .orElse(startingVersion)
+          .getOrElse(initialVersion + 1)
+        if (from > endV) emptyBatch
+        else
+          try Cdc.readByVersion(table, math.max(from, 0L), endV)
+          catch { case _: IllegalArgumentException => emptyBatch } // no CDC files in range
       case None if startingVersion.isEmpty =>
         // initial batch: full snapshot (DV masks + column mapping applied)
         table.toDF(table.snapshot(Some(endV)))
       case s =>
         val from = s.map(_ + 1).getOrElse(startingVersion.get)
         val adds = tailAdds(from, endV)
-        if (adds.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        if (adds.isEmpty) emptyBatch
         else {
           val snapEnd = table.snapshot(Some(endV))
           table.toDF(Snapshot(endV, snapEnd.metadata, snapEnd.protocol, adds, Nil))
@@ -197,14 +221,82 @@ final class DeltaStreamSource(
   override def toString: String = s"DeltaStreamSource[$path]"
 }
 
+object DeltaStreamSource {
+
+  /** Stream schema: table columns, plus Delta's three CDF columns in
+    * change-feed mode. */
+  def schemaFor(table: DeltaTable, readChangeFeed: Boolean): StructType = {
+    val base = table.toDF(table.snapshot()).schema
+    if (!readChangeFeed) base
+    else StructType(base.fields ++ Seq(
+      StructField(Cdc.ChangeType, StringType),
+      StructField(Cdc.CommitVersion, LongType),
+      StructField(Cdc.CommitTimestamp, TimestampType)))
+  }
+}
+
+/**
+ * Structured Streaming SINK: `writeStream.format("graft-delta")
+ * .option("checkpointLocation", ...).start(path)` — exactly-once via the
+ * Delta `txn` action (north-star; Delta's own sink uses the same
+ * mechanism): every batch commit carries `Txn(appId, batchId)` in the SAME
+ * commit as its add actions, so when the at-least-once engine replays a
+ * batch after a crash the sink sees `batchId <= lastTransactionVersion`
+ * and skips it — duplicates are impossible, not just unlikely. `appId`
+ * defaults to the query's checkpoint location (stable across restarts);
+ * override with `txnAppId`. Append mode appends; Complete overwrites the
+ * table each batch.
+ */
+final class DeltaStreamSink(
+    spark: SparkSession,
+    path: String,
+    options: Map[String, String],
+    partitionColumns: Seq[String],
+    outputMode: OutputMode) extends Sink {
+
+  private val appId: String =
+    options.get("txnappid").orElse(options.get("txnAppId"))
+      .orElse(options.get("checkpointlocation"))
+      .orElse(options.get("checkpointLocation"))
+      .getOrElse(path)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val table = DeltaTable.forPath(spark, path)
+    val last = table.snapshot().transactions.getOrElse(appId, -1L)
+    if (batchId <= last) {
+      Logging.logger.info(
+        s"[graft-delta sink] skipping replayed batch $batchId (committed: $last)")
+      return
+    }
+    val mode =
+      if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+    // per-batch frames arrive streaming-tagged; rewrap for the batch writer
+    val batchDf = if (data.isStreaming) StreamShim.asBatch(data) else data
+    table.write(batchDf, mode, partitionColumns,
+      txn = Some(Txn(appId, batchId, System.currentTimeMillis())))
+    ()
+  }
+
+  override def toString: String = s"DeltaStreamSink[$path]"
+}
+
 /** `format("graft-delta")` registration (ServiceLoader via
   * META-INF/services, like any Spark connector): streaming source plus the
   * batch read/write relations ([[graft.sources.DeltaRelation]]), so one
   * format name covers `read`, `write`, and `readStream`. */
 final class DeltaSourceProvider extends StreamSourceProvider
-  with RelationProvider with CreatableRelationProvider with DataSourceRegister {
+  with StreamSinkProvider with RelationProvider with CreatableRelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new DeltaStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters, partitionColumns, outputMode)
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -230,7 +322,9 @@ final class DeltaSourceProvider extends StreamSourceProvider
     val table = DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters))
     if (table.version < 0) throw new ValidationException(
       s"cannot stream from ${pathOf(parameters)} before its first commit")
-    (shortName(), table.toDF(table.snapshot()).schema)
+    val cdf = parameters.get("readchangefeed")
+      .orElse(parameters.get("readChangeFeed")).exists(_.toBoolean)
+    (shortName(), DeltaStreamSource.schemaFor(table, cdf))
   }
 
   override def createSource(

@@ -17,4 +17,12 @@ object StreamShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** Inverse: re-wrap a sink's per-batch streaming DataFrame as a batch one
+    * so ordinary writers accept it (the `ForeachBatchSink` trick). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

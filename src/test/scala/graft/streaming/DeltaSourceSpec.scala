@@ -121,6 +121,28 @@ class DeltaSourceSpec extends SparkTestBase {
     assert(chain(err).exists(_.isInstanceOf[StreamChangeException]))
   }
 
+  test("readChangeFeed streams CDF rows: inserts, update pre/post images, deletes") {
+    val dir = Files.createTempDirectory("graft-src-cdf").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s")) // v0 (pre-CDC)
+    t.enableCDC()                                    // v1
+    t.write(Seq((3, "c")).toDF("id", "s"))           // v2: insert captured
+    t.update("""{"id": 1}""", """{"s": "a2"}""")     // v3: pre+post images
+    t.delete("""{"id": 2}""")                        // v4: delete captured
+
+    val out = drain(spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(dir), "src_cdf")
+    val rows = out.select("id", "s", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(rows == Set(
+      (3, "c", "insert", 2L),
+      (1, "a", "update_preimage", 3L),
+      (1, "a2", "update_postimage", 3L),
+      (2, "b", "delete", 4L)))
+    // a change feed includes deletes as DATA — no StreamChangeException
+  }
+
   test("streamed aggregation matches the batch result (composability)") {
     val dir = Files.createTempDirectory("graft-src-agg").toString
     val t = DeltaTable.forPath(spark, dir)
