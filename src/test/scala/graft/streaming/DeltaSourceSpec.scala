@@ -143,6 +143,60 @@ class DeltaSourceSpec extends SparkTestBase {
     // a change feed includes deletes as DATA — no StreamChangeException
   }
 
+  test("property: random append/compact history streams to exactly the batch state") {
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("graft-src-prop").toString
+    val t = DeltaTable.forPath(spark, dir)
+    var next = 0
+    t.write(Seq((next, "r")).toDF("id", "s")); next += 1
+    (0 until 12).foreach { _ =>
+      if (rnd.nextDouble() < 0.3 && t.snapshot().activeFiles.size >= 2)
+        Maintenance.compact(t) // layout-only: must not re-emit
+      else {
+        val n = 1 + rnd.nextInt(3)
+        t.write((next until next + n).map(i => (i, "r")).toDF("id", "s"))
+        next += n
+      }
+    }
+    val cap = 1 + rnd.nextInt(3)
+    val out = drain(spark.readStream.format("graft-delta")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", cap.toString).load(dir), "src_prop")
+    assert(out.select("id").as[Int].collect().sorted.toSeq == (0 until next).toSeq)
+    assert(out.count() == t.toDF().count())
+  }
+
+  test("schema is pinned per run; a restart picks up additive evolution (Delta contract)") {
+    val dir = Files.createTempDirectory("graft-src-evo").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "s")) // v0
+    val ckpt = Files.createTempDirectory("graft-src-evo-ck").toString
+    val seenCols = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def run(): Set[(Int, String)] = {
+      val got = scala.collection.mutable.Set.empty[(Int, String)]
+      val q = spark.readStream.format("graft-delta").load(dir)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            seenCols += b.columns.toSeq
+            got ++= b.select("id", "s").as[(Int, String)].collect()
+          }; ()
+        }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    assert(run() == Set((1, "a")))
+    assert(seenCols.last == Seq("id", "s"))
+    // additive evolution while the stream is down: new column k. The
+    // RESUMED stream re-resolves the source schema (same as Delta, which
+    // requires a restart to pick up evolution) and emits the new column;
+    // old rows were already consumed, new rows carry it.
+    t.write(Seq((2, "b", 7)).toDF("id", "s", "k"))
+    assert(run() == Set((2, "b")))
+    assert(seenCols.last == Seq("id", "s", "k"))
+    assert(t.toDF().columns.toSeq == Seq("id", "s", "k"))
+  }
+
   test("streamed aggregation matches the batch result (composability)") {
     val dir = Files.createTempDirectory("graft-src-agg").toString
     val t = DeltaTable.forPath(spark, dir)
