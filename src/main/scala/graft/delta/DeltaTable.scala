@@ -1246,6 +1246,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def configuration: Map[String, String] =
     snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
 
+  /** Table-level summary (Delta's DESCRIBE DETAIL; north-star — driver-side
+    * log metadata only, no data scan). */
+  def detail(): Map[String, Any] = {
+    val snap = snapshot()
+    Map(
+      "format" -> "graft-delta",
+      "location" -> path,
+      "version" -> snap.version,
+      "numFiles" -> snap.activeFiles.size.toLong,
+      "sizeInBytes" -> snap.activeFiles.map(_.size).sum,
+      "partitionColumns" -> snap.partitionColumns,
+      "properties" -> snap.configuration,
+      "createdAt" -> snap.metadata.map(_.createdTime).getOrElse(0L),
+      "minReaderVersion" -> snap.protocol.map(_.minReaderVersion).getOrElse(1),
+      "minWriterVersion" -> snap.protocol.map(_.minWriterVersion).getOrElse(2))
+  }
+
   /** Checkpoint versions present on disk, ascending (reference:
     * discoverCheckpoints, src/delta/table.ts:2137-2139). */
   def discoverCheckpoints(): Seq[Long] = Checkpoints.listCheckpointVersions(log)
@@ -1294,6 +1311,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 object DeltaTable {
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
+
+  /** Whether `path` holds a Delta table (a `_delta_log` with ≥1 commit). */
+  def isDeltaTable(spark: SparkSession, path: String): Boolean =
+    try forPath(spark, path).version >= 0
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** `delta.appendOnly=true` protocol enforcement (the reference documents
     * the key in its updateMetadata example, src/delta/table.ts:2431, but

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.{DeltaTable, ValidationException}
+import graft.delta.{DeltaTable, Txn, ValidationException}
 
 /**
  * Batch DataSource relation for graft Delta tables:
@@ -109,15 +109,25 @@ object DeltaRelation {
       .orElse(parameters.get("partitionBy"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    mode match {
-      case SaveMode.Append => table.write(data, "append", partitionBy)
-      case SaveMode.Overwrite => table.write(data, "overwrite", partitionBy)
+    // Idempotent batch writes (Delta's txnAppId/txnVersion options): a
+    // retried job re-running the same (appId, version) is skipped, so an
+    // orchestrator can safely re-submit a failed-but-actually-committed
+    // write.
+    val txn = for {
+      app <- parameters.get("txnappid").orElse(parameters.get("txnAppId"))
+      v <- parameters.get("txnversion").orElse(parameters.get("txnVersion"))
+    } yield Txn(app, v.toLong, System.currentTimeMillis())
+    val alreadyApplied = txn.exists(t =>
+      exists && table.snapshot().transactions.getOrElse(t.appId, -1L) >= t.version)
+    def put(m: String): Unit = { table.write(data, m, partitionBy, txn); () }
+    if (!alreadyApplied) mode match {
+      case SaveMode.Append => put("append")
+      case SaveMode.Overwrite => put("overwrite")
       case SaveMode.ErrorIfExists =>
         if (exists) throw new ValidationException(
           s"$path already exists (SaveMode.ErrorIfExists)")
-        table.write(data, "append", partitionBy)
-      case SaveMode.Ignore =>
-        if (!exists) table.write(data, "append", partitionBy)
+        put("append")
+      case SaveMode.Ignore => if (!exists) put("append")
     }
     new DeltaRelation(sqlContext, table, None, None)
   }

@@ -62,6 +62,26 @@ class DeltaRelationSpec extends SparkTestBase {
     assert(spark.read.format("graft-delta").load(dir).count() == 1)
   }
 
+  test("txnAppId/txnVersion write options make batch writes idempotent") {
+    val dir = Files.createTempDirectory("graft-rel-txn").toString
+    def put(v: Int, rows: Seq[(Int, String)]): Unit =
+      rows.toDF("id", "s").write.format("graft-delta")
+        .option("txnAppId", "job42").option("txnVersion", v.toString)
+        .mode(SaveMode.Append).save(dir)
+    put(1, Seq((1, "a")))
+    put(1, Seq((99, "dup"))) // orchestrator retry of the same version: skipped
+    put(2, Seq((2, "b")))
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(t.lastTransactionVersion("job42").contains(2L))
+    // detail() and isDeltaTable round out the inspection surface
+    val d = t.detail()
+    assert(d("numFiles").asInstanceOf[Long] == 2L && d("version") == 1L)
+    assert(DeltaTable.isDeltaTable(spark, dir))
+    assert(!DeltaTable.isDeltaTable(spark,
+      Files.createTempDirectory("graft-rel-not").toString))
+  }
+
   test("SQL DDL + INSERT INTO work through the format (CREATE TABLE USING graft-delta)") {
     val dir = Files.createTempDirectory("graft-rel-sql").toString
     val t = DeltaTable.forPath(spark, dir)
