@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -59,6 +59,9 @@ final class DeltaStreamSource(
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxfilespertrigger").orElse(options.get("maxFilesPerTrigger"))
       .map(_.toInt)
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxbytespertrigger").orElse(options.get("maxBytesPerTrigger"))
+      .map(_.toLong)
 
   /** CDF mode (Delta's `readChangeFeed`): batches are the table's change
     * feed rows (`_change_type`/`_commit_version`/`_commit_timestamp`)
@@ -81,13 +84,15 @@ final class DeltaStreamSource(
   override val schema: StructType =
     DeltaStreamSource.schemaFor(table, readChangeFeed)
 
-  /** dataChange add-file count per version (driver-side metadata cache). */
-  private val addCounts = scala.collection.mutable.Map.empty[Long, Int]
-  private def addsIn(v: Long): Int = addCounts.getOrElseUpdate(v,
-    table.log.readCommit(v).count {
-      case a: AddFile => a.dataChange
-      case _ => false
-    })
+  /** dataChange add-file (count, bytes) per version (driver-side metadata
+    * cache). */
+  private val addStats = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+  private def addsIn(v: Long): (Int, Long) = addStats.getOrElseUpdate(v, {
+    val adds = table.log.readCommit(v).collect {
+      case a: AddFile if a.dataChange => a.size
+    }
+    (adds.size, adds.sum)
+  })
 
   /** `Trigger.AvailableNow` pins the end of the run at query start so the
     * drain is finite even while writers keep committing. */
@@ -96,7 +101,13 @@ final class DeltaStreamSource(
     availableNowTarget = Some(table.version)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case _ => ReadLimit.allAvailable()
+    }
 
   override def reportLatestOffset(): OffsetV2 = {
     val v = table.version
@@ -120,19 +131,30 @@ final class DeltaStreamSource(
       case None => startingVersion.get - 1L
     }
     if (floor >= target) return LongOffset(floor)
-    limit match {
-      case m: ReadMaxFiles =>
-        var v = floor
-        var files = 0
-        var go = true
-        while (go && v < target) {
-          val n = addsIn(v + 1)
-          if (files > 0 && files + n > m.maxFiles()) go = false
-          else { v += 1; files += n }
-        }
-        LongOffset(v)
-      case _ => LongOffset(target)
+    // Flatten composite limits; walk whole versions until any cap would be
+    // exceeded (always admitting at least one version so progress is
+    // guaranteed).
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
     }
+    val limits = flatten(limit)
+    val fileCap = limits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+    val byteCap = limits.collectFirst { case m: ReadMaxBytes => m.maxBytes() }
+    if (fileCap.isEmpty && byteCap.isEmpty) return LongOffset(target)
+    var v = floor
+    var files = 0
+    var bytes = 0L
+    var go = true
+    while (go && v < target) {
+      val (n, b) = addsIn(v + 1)
+      val over = files > 0 &&
+        (fileCap.exists(files + n > _) || byteCap.exists(bytes + b > _))
+      if (over) go = false
+      else { v += 1; files += n; bytes += b }
+    }
+    LongOffset(v)
   }
 
   /** Legacy V1 pacing entry — the engine prefers [[latestOffset]] for

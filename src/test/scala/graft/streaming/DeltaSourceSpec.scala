@@ -80,6 +80,24 @@ class DeltaSourceSpec extends SparkTestBase {
     assert(batchSizes.filter(_ > 0).toSeq == Seq(2L, 2L))
   }
 
+  test("maxBytesPerTrigger splits the tail by version byte volume") {
+    val dir = Files.createTempDirectory("graft-src-bcap").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((0, "z")).toDF("id", "s")) // v0
+    (1 to 4).foreach(i => t.write(Seq((i, s"r$i")).toDF("id", "s"))) // v1..v4
+    val oneFile = t.snapshot().activeFiles.map(_.size).max
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "1")
+      .option("maxBytesPerTrigger", (2 * oneFile + 1).toString) // ~2 versions/batch
+      .load(dir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batchSizes.filter(_ > 0).toSeq == Seq(2L, 2L))
+  }
+
   test("a delete breaks the append-only contract; skipChangeCommits drops it") {
     val dir = Files.createTempDirectory("graft-src-del").toString
     val t = DeltaTable.forPath(spark, dir)
