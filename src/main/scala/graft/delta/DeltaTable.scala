@@ -87,13 +87,15 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * offers it only for the CDC feed, cdc/index.ts:1259-1270): state at the
     * LAST version committed at or before `tsMs`. Driver-side metadata scan
     * over commit files only. */
-  def asOfTimestamp(tsMs: Long): DataFrame = {
+  def asOfTimestamp(tsMs: Long): DataFrame = asOf(versionAt(tsMs))
+
+  /** Last version committed at or before `tsMs` (driver-side metadata). */
+  def versionAt(tsMs: Long): Long = {
     val versions = log.listCommitVersions()
-    val v = versions.filter(commitTimestamp(_) <= tsMs).lastOption.getOrElse(
+    versions.filter(commitTimestamp(_) <= tsMs).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no commit at or before timestamp $tsMs (earliest: " +
           s"${versions.headOption.map(commitTimestamp).getOrElse(-1L)})"))
-    asOf(v)
   }
 
   // ---- read path -----------------------------------------------------------

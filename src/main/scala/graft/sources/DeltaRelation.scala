@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.{DeltaTable, Txn, ValidationException}
+import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JValue}
+
+import graft.delta.{DeltaTable, FilePruner, Snapshot, Txn, ValidationException}
 
 /**
  * Batch DataSource relation for graft Delta tables:
@@ -40,15 +42,22 @@ final class DeltaRelation(
     ()
   }
 
-  private def frame(): DataFrame = timestampMs match {
-    case Some(ts) => table.asOfTimestamp(ts)
-    case None => table.toDF(table.snapshot(version))
+  private def resolvedSnapshot(): Snapshot = timestampMs match {
+    case Some(ts) => table.snapshot(Some(table.versionAt(ts)))
+    case None => table.snapshot(version)
   }
 
-  override val schema: StructType = frame().schema
+  override val schema: StructType = table.toDF(resolvedSnapshot()).schema
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    var df = frame()
+    val snap = resolvedSnapshot()
+    // Driver-side FILE pruning first (partition values + zone-map stats via
+    // FilePruner — whole files skipped before Spark plans the scan), then
+    // the same predicates again as Columns for row-group pushdown inside
+    // surviving files. Untranslatable filters prune nothing and Spark
+    // re-evaluates everything, so partial translation stays correct.
+    val pruned = FilePruner.prune(snap, DeltaRelation.pruneJson(filters))
+    var df = table.toDF(snap.copy(activeFiles = pruned))
     filters.flatMap(DeltaRelation.toColumn).foreach(c => df = df.filter(c))
     // an empty projection (COUNT(*)) still needs the row stream
     df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
@@ -81,6 +90,44 @@ object DeltaRelation {
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case Not(c) => toColumn(c).map(not)
     case _ => None
+  }
+
+  /** Conjunctive Mongo-style prune filter from translatable source
+    * predicates — ONLY used for conservative file skipping
+    * ([[FilePruner]] keeps files on any operator/value it can't reason
+    * about), never for row filtering. Timestamps/decimals are skipped:
+    * their stats forms are the pruner's untrusted cases anyway. */
+  def pruneJson(filters: Array[Filter]): JValue = {
+    def jlit(v: Any): Option[JValue] = v match {
+      case i: Int => Some(JLong(i.toLong))
+      case l: Long => Some(JLong(l))
+      case s: Short => Some(JLong(s.toLong))
+      case b: Byte => Some(JLong(b.toLong))
+      case d: Double => Some(JDouble(d))
+      case f: Float => Some(JDouble(f.toDouble))
+      case s: String => Some(JString(s))
+      case b: Boolean => Some(JBool(b))
+      case _ => None
+    }
+    def op(field: String, o: String, v: Any): Seq[JObject] =
+      jlit(v).map(jv => JObject(List(field -> JObject(List(o -> jv))))).toSeq
+    def conv(f: Filter): Seq[JObject] = f match {
+      case EqualTo(a, v) => op(a, "$eq", v)
+      case GreaterThan(a, v) => op(a, "$gt", v)
+      case GreaterThanOrEqual(a, v) => op(a, "$gte", v)
+      case LessThan(a, v) => op(a, "$lt", v)
+      case LessThanOrEqual(a, v) => op(a, "$lte", v)
+      case In(a, vs) =>
+        val lits = vs.toSeq.map(jlit)
+        if (lits.nonEmpty && lits.forall(_.isDefined))
+          Seq(JObject(List(a -> JObject(List("$in" -> JArray(lits.flatten.toList))))))
+        else Nil
+      case And(l, r) => conv(l) ++ conv(r)
+      case _ => Nil // Or/Not/null/string ops: no file skipping, still exact
+    }
+    val conjuncts = filters.toSeq.flatMap(conv)
+    if (conjuncts.isEmpty) JNothing
+    else JObject(List("$and" -> JArray(conjuncts.toList)))
   }
 
   def forParameters(sqlContext: SQLContext,

@@ -108,5 +108,21 @@ class DeltaRelationSpec extends SparkTestBase {
     val evens = spark.read.format("graft-delta").load(dir)
       .filter(col("par") === "even")
     assert(evens.count() == 20)
+    // the relation's source filters become a conservative FilePruner query:
+    // the par=odd files are skipped BEFORE Spark plans the scan
+    import graft.delta.FilePruner
+    import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEq, GreaterThan => SGt}
+    val snap = t.snapshot()
+    val prunedEq = FilePruner.prune(snap,
+      DeltaRelation.pruneJson(Array(SEq("par", "even"))))
+    assert(prunedEq.nonEmpty && prunedEq.forall(_.path.contains("par=even")))
+    // zone maps prune on stats too: id > 1000 matches nothing
+    val prunedZone = FilePruner.prune(snap,
+      DeltaRelation.pruneJson(Array(SAnd(SEq("par", "even"), SGt("id", 1000)))))
+    assert(prunedZone.isEmpty)
+    // untranslatable filters prune nothing (conservative)
+    assert(FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(org.apache.spark.sql.sources.StringStartsWith("par", "e")))).size ==
+      snap.activeFiles.size)
   }
 }
