@@ -243,8 +243,17 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       else aligned
     val adds = writeDataFiles(optimized, partCols, targetSchema)
 
-    val v = Retry.withRetry() {
+    // Idempotence must hold under RACES, not just sequential retries: the
+    // (appId, version) check re-runs inside the OCC loop against the
+    // re-resolved snapshot, so of two writers racing the same transaction
+    // exactly one commits and the loser discards its staged files.
+    case class TxnApplied(existing: Long) extends Exception
+    val v = try Retry.withRetry() {
       val snap = snapshot() // re-resolve under OCC retry
+      txn.foreach { t =>
+        if (snap.transactions.getOrElse(t.appId, -1L) >= t.version)
+          throw TxnApplied(snap.version)
+      }
       val v = snap.version + 1
       val now = System.currentTimeMillis()
       val meta = buildMetadata(snap, targetSchema, partCols, now)
@@ -261,6 +270,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       log.writeCommit(v, actions)
       maybeCheckpoint(v)
       v
+    } catch {
+      case TxnApplied(existing) =>
+        adds.foreach(a => deleteDataFile(a.path))
+        return existing // the racing twin committed; nothing more to do
     }
     // CDC capture: inserts (and, for overwrite, deletes of the prior rows).
     // The change DataFrames are lazy and read the pre-commit files, which

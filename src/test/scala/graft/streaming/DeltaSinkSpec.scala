@@ -63,6 +63,37 @@ class DeltaSinkSpec extends SparkTestBase {
       Set(("click", 25L), ("view", 3L)))
   }
 
+  test("racing writers of the same (appId, version) commit exactly once") {
+    val dir = Files.createTempDirectory("graft-sink-race").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((0, "seed")).toDF("id", "s")) // v0: table exists
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 4
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val results = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          start.await()
+          // each thread tries to commit ITS OWN rows as transaction 1
+          t.write(Seq((100 + i, s"w$i")).toDF("id", "s"),
+            txn = Some(Txn("race-app", 1L)))
+        }
+      })
+    }
+    start.countDown()
+    val versions = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // exactly one thread's row landed; the rest returned the winner's version
+    val rows = t.toDF().as[(Int, String)].collect().toSet
+    assert(rows.size == 2, s"expected seed + exactly one winner row, got $rows")
+    assert(rows.contains((0, "seed")))
+    assert(t.lastTransactionVersion("race-app").contains(1L))
+    assert(versions.toSet.size <= 2) // winner's commit version, losers echo it
+    // losers' staged files were cleaned up: active files == 2
+    assert(t.snapshot().activeFiles.size == 2)
+  }
+
   test("txn state survives checkpoints and log cleanup") {
     val dir = Files.createTempDirectory("graft-sink-txn").toString
     val t = DeltaTable.forPath(spark, dir)
