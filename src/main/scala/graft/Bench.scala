@@ -64,7 +64,14 @@ object Bench {
     val firsts = results.map { case (k, _, f) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"sf":"$sfDir"}""")
+    // Environment attribution: round-5/6 showed byte-identical code varying
+    // 1.03-1.28x run-to-run under VM contention. Recording the 1-minute
+    // load average and core count IN the result makes a noisy run
+    // self-identifying instead of a forensic exercise.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load = os.getSystemLoadAverage
+    val cores = os.getAvailableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"loadavg":$load,"cores":$cores,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
