@@ -29,9 +29,14 @@ object MLQueries {
     * `greatest(per-centroid score structs)` expression small enough for
     * whole-stage codegen. */
   private def sampledCentroids(e: DataFrame): Seq[(Long, Array[Double])] = {
-    val n = e.count()
-    val stride = math.max(1L, (n + 63L) / 64L)
-    e.filter(col("vec_id") % stride === 0)
+    // Single job: the corpus count rides in as a broadcast 1-row aggregate
+    // (its subtree prunes to zero data columns), so the embedding column is
+    // read exactly once — the earlier count()-then-collect() shape scanned
+    // the corpus twice. Selection rule unchanged (oracle SQL reproduces it).
+    val cnt = broadcast(e.groupBy().agg(count(lit(1)).as("__n")))
+    e.crossJoin(cnt)
+      .filter(col("vec_id") %
+        greatest(lit(1L), floor((col("__n") + 63L) / 64L).cast("long")) === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -134,9 +139,10 @@ object MLQueries {
         .orderBy(col("shard"), col("bin"))
     }),
 
-    // ---- exact n-gram Jaccard pairs (small corpus, no LSH) ----
+    // ---- exact n-gram Jaccard pairs via prefix filtering (no cartesian;
+    //      identical answer to the all-pairs verifier, equi-joins only) ----
     "t5_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(
+      Dedup.ngramJaccardNearDups(
           t(s, dir, "documents").filter(col("doc_id") < 50)
             .select(col("doc_id").as("id"), col("text")),
           "id", "text", n = 2, threshold = 0.05)

@@ -387,7 +387,11 @@ object Dedup {
         .select(col(idCol), col(idCol).as("rep")))
   }
 
-  /** Exact all-pairs n-gram Jaccard (for small candidate sets / verification). */
+  /** Exact all-pairs n-gram Jaccard — VERIFIER ONLY. The self-join has no
+    * equality key (O(n²) through a nested-loop join), so it is only safe on
+    * small, already-banded candidate sets. For a whole corpus use
+    * [[ngramJaccardNearDups]], which returns the identical answer through
+    * equi-joins. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.1): DataFrame = {
     val sets = docs.select(col(idCol).as("__id"),
@@ -395,6 +399,49 @@ object Dedup {
     sets.as("a").join(sets.as("b"), col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         jaccard(col("a.__sh"), col("b.__sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs WITHOUT a cartesian: AllPairs /
+    * PPJoin-style prefix filtering (Bayardo et al. WWW'07; Xiao et al.
+    * WWW'08). Shingles get a global canonical order (document frequency
+    * ascending, then value), each document indexes only its first
+    * `|s| − ⌈t·|s|⌉ + 1` shingles, and candidate pairs are documents sharing
+    * an indexed shingle — a plain equi-join on the shingle key. The prefix
+    * lemma guarantees every pair with Jaccard ≥ t shares a prefix shingle,
+    * so recall is exactly 1.0 and the exact-Jaccard verification join makes
+    * the result identical to [[ngramJaccardPairs]]. Rare-first ordering
+    * keeps high-frequency shingles OUT of prefixes, which is what bounds
+    * the candidate blow-up (and the skew) at corpus scale. Every shuffle is
+    * keyed (shingle or id) — no CartesianProduct / BroadcastNestedLoopJoin
+    * node anywhere in the plan. */
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Cache barrier for the same reason as minhashNearDups: the shingle
+    // subtree feeds prefix generation AND both sides of the verify join.
+    val sets = docs.select(col(idCol).as("__id"),
+        array_distinct(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0)
+      .cache()
+    val tok = sets.select(col("__id"), col("__sz"), explode(col("__sh")).as("__g"))
+    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val ranked = tok.join(dfreq, Seq("__g"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__g"))))
+    val prefix = ranked
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__g"), col("__id"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.__g") === col("pb.__g") && col("pa.__id") < col("pb.__id"))
+      .select(col("pa.__id").as("id_a"), col("pb.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

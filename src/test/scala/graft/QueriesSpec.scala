@@ -113,4 +113,22 @@ class QueriesSpec extends SparkTestBase {
       assert(scans <= maxScans, s"$name scans the corpus $scans times")
     }
   }
+
+  test("plan audit: t5 prefix-filtered jaccard has no cartesian / nested-loop join") {
+    val df = SparkEntry.queries("t5_ngram_jaccard")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "t5 must generate candidates via the shingle equi-join, not all pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "t5 must generate candidates via the shingle equi-join, not all pairs")
+    // and the prefix-filtered composition returns the all-pairs answer
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id").as("id"), col("text"))
+    val exact = graft.functions.Dedup
+      .ngramJaccardPairs(docs, "id", "text", n = 2, threshold = 0.05)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val banded = df.collect().toSeq
+    assert(banded == exact, "prefix filtering must be lossless (recall 1.0)")
+  }
 }
