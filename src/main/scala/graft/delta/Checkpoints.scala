@@ -65,23 +65,31 @@ object Checkpoints {
     log.fs.delete(tmp, true)
   }
 
-  /** Load the checkpointed snapshot at `version`.
-    *
-    * Driver-memory model: like the reference (and Delta OSS's driver-side
-    * snapshot state), the full action list materializes on the driver —
-    * `collect()` below is O(active files + tombstones), ~200 bytes per
-    * action. That bounds the table at roughly 10⁷–10⁸ files per driver-heap
-    * GB: a 100-TB table of 128-MB files is ~10⁶ adds (~200 MB) — fine; the
-    * ceiling is hit only by pathological small-file tables, whose fix is
-    * compaction, not a streaming snapshot. If that ever changes, this is
-    * the one seam to make lazy (keep the DataFrame, prune before collect). */
-  def read(spark: SparkSession, log: DeltaLog, version: Long,
-           parts: Option[Int]): Snapshot = {
+  /** The checkpoint at `version` as a DataFrame of raw action rows — the
+    * distributed entry point: nothing is collected. [[DistributedSnapshot]]
+    * reconciles + prunes this on executors for large tables; [[read]]
+    * collects it for the small-table driver fast-path. */
+  def readStateDf(spark: SparkSession, log: DeltaLog, version: Long,
+                  parts: Option[Int]): org.apache.spark.sql.DataFrame = {
     val files: Seq[String] = parts match {
       case None => Seq(log.checkpointFile(version).toString)
       case Some(n) => (1 to n).map(p => log.checkpointPart(version, p, n).toString)
     }
-    val rows = spark.read.schema(schema).parquet(files: _*).collect()
+    spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** Load the checkpointed snapshot at `version` — the DRIVER FAST-PATH.
+    *
+    * Driver-memory model: the full action list materializes on the driver,
+    * ~200 bytes per action — appropriate below
+    * [[DistributedSnapshot.DefaultThreshold]] actions, where a Spark job
+    * per snapshot would cost more than it saves. Above the threshold the
+    * scan path goes through [[DistributedSnapshot]], which keeps the
+    * [[readStateDf]] DataFrame on executors and collects only the files
+    * that survive pruning. */
+  def read(spark: SparkSession, log: DeltaLog, version: Long,
+           parts: Option[Int]): Snapshot = {
+    val rows = readStateDf(spark, log, version, parts).collect()
     var metadata: Option[TableMetadata] = None
     var protocol: Option[Protocol] = None
     val adds = Seq.newBuilder[AddFile]

@@ -176,10 +176,57 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * declarative filter/projection so pushdown and column pruning still apply
    * within the surviving files.
    */
+  /** Action-count threshold at which scans switch from driver-side snapshot
+    * replay to [[DistributedSnapshot]] (executor-side reconcile + prune).
+    * The `_last_checkpoint` size field supplies the count without reading
+    * the checkpoint. */
+  var distributedSnapshotThreshold: Long = DistributedSnapshot.DefaultThreshold
+
+  /** Which path the last `query(...)` snapshot took (plan-audit hook). */
+  private[delta] var lastQueryDistributed: Boolean = false
+
+  /** Pruned scan state at `versionOpt` via the size-appropriate path: a
+    * SCAN-ONLY snapshot whose `activeFiles` already passed `filter` (and
+    * whose tombstones are empty on the distributed path). */
+  private[graft] def scanState(versionOpt: Option[Long],
+                               filter: org.json4s.JValue): Snapshot = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    log.readLastCheckpoint().filter(_._1 <= target) match {
+      case Some((cv, size, parts)) if size >= distributedSnapshotThreshold =>
+        // Large table: never materialize the full add set on the driver.
+        lastQueryDistributed = true
+        DistributedSnapshot.prunedState(spark, log, cv, parts, target, filter)
+      case _ =>
+        lastQueryDistributed = false
+        val snap = snapshot(Some(target))
+        snap.copy(activeFiles = FilePruner.prune(snap, filter))
+    }
+  }
+
+  /** Metadata/protocol/txn-only snapshot (empty file list): cheap at any
+    * table size — schema resolution and txn-idempotence checks should use
+    * this instead of a full [[snapshot]]. */
+  private[graft] def metaSnapshot(versionOpt: Option[Long] = None): Snapshot = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    log.readLastCheckpoint().filter(_._1 <= target) match {
+      case Some((cv, size, parts)) if size >= distributedSnapshotThreshold =>
+        DistributedSnapshot.metaState(spark, log, cv, parts, target)
+      case _ =>
+        val snap = snapshot(Some(target))
+        snap.copy(activeFiles = Nil, tombstones = Nil)
+    }
+  }
+
   def query(filterJson: String = "{}",
             projectionJson: Option[String] = None,
-            version: Option[Long] = None): DataFrame =
-    query(filterJson, projectionJson, snapshot(version))
+            version: Option[Long] = None): DataFrame = {
+    val filter = JsonMethods.parse(filterJson)
+    MongoFilter.validate(filter)
+    val snap = scanState(version, filter)
+    val df0 = toDF(snap) // activeFiles already pruned
+    val df1 = df0.filter(MongoFilter.translate(filter, df0.schema))
+    projectionJson.fold(df1)(p => Projection(df1, p))
+  }
 
   /** Query against a pre-fetched snapshot — consistent reads across several
     * queries while concurrent writers advance the table (the reference's

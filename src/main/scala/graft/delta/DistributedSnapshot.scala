@@ -1,0 +1,120 @@
+package graft.delta
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{broadcast, col, get_json_object}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Snapshot reconstruction for LARGE tables: the checkpoint's add-file set
+ * never materializes on the driver. The reference (src/delta/table.ts:557-642)
+ * and the [[Snapshot.replay]] fast-path hold every active file in driver
+ * memory — correct up to ~10⁶ files, but the one remaining O(files) driver
+ * structure at 100-TB scale (10⁶–10⁷ files). Here the checkpoint stays a
+ * DataFrame ([[Checkpoints.readStateDf]]); the commit tail since the
+ * checkpoint (bounded by the checkpoint interval) is replayed driver-side
+ * and reconciled against the checkpoint via a broadcast anti-join on path;
+ * [[FilePruner.compile]]'s per-file predicate — the exact driver pruning
+ * semantics — runs in executors; and only the files that SURVIVE pruning
+ * are collected. Driver memory is O(tail actions + surviving files), the
+ * same order as the file list Spark's own scan needs anyway.
+ *
+ * [[DeltaTable.query]] routes here when the `_last_checkpoint` action count
+ * is at or above the table's `distributedSnapshotThreshold`; below it the
+ * driver fast-path costs less than a Spark job per snapshot.
+ */
+object DistributedSnapshot {
+
+  /** Action-count threshold above which scans reconstruct state on
+    * executors. 100k actions ≈ 20 MB of driver JSON parse per snapshot —
+    * around where a metadata Spark job starts paying for itself. */
+  val DefaultThreshold = 100000L
+
+  /** Metadata/protocol/txn state at `target` WITHOUT touching the add set:
+    * reads only the checkpoint's handful of non-file rows plus the commit
+    * tail. O(tail) driver memory regardless of table size — the right
+    * snapshot for schema resolution and txn-idempotence checks, where the
+    * file list is irrelevant. `activeFiles`/`tombstones` are empty. */
+  def metaState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                parts: Option[Int], target: Long): Snapshot =
+    prunedState(spark, log, cpVersion, parts, target, JNothing,
+      skipFiles = true)
+
+  /**
+   * State at `target` with `filter` pre-applied to the file set, replayed
+   * from the checkpoint at `cpVersion` without collecting it.
+   *
+   * SCAN-ONLY snapshot: `tombstones` is intentionally empty (vacuum and
+   * checkpoint writing must use the full driver path), and `activeFiles`
+   * holds only the files that survive pruning — callers must not treat it
+   * as the complete active set.
+   */
+  def prunedState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                  parts: Option[Int], target: Long, filter: JValue,
+                  skipFiles: Boolean = false): Snapshot = {
+    import spark.implicits._
+    val state = Checkpoints.readStateDf(spark, log, cpVersion, parts)
+
+    // Non-file actions (metadata/protocol/txn): a handful of rows.
+    var metadata: Option[TableMetadata] = None
+    var protocol: Option[Protocol] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    state.where(col("add").isNull && col("remove").isNull).collect().foreach { r =>
+      if (r.getString(2) != null)
+        metadata = Some(Actions.parseMetadata(JsonMethods.parse(r.getString(2))))
+      else if (r.getString(3) != null)
+        protocol = Some(Actions.parseProtocol(JsonMethods.parse(r.getString(3))))
+      else if (r.getString(4) != null) {
+        val t = Actions.parseTxn(JsonMethods.parse(r.getString(4)))
+        txns.put(t.appId, t.version)
+      }
+    }
+
+    // Commit tail: sequential driver replay, bounded by the checkpoint
+    // interval. `touched` paths override the checkpoint regardless of the
+    // action kind (the LAST action for a path wins, and it lives in
+    // `tailFiles` iff it was an add).
+    val tailVersions = log.listCommitVersions().filter(v => v > cpVersion && v <= target)
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    val tailFiles = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    tailVersions.foreach { v =>
+      log.readCommit(v).foreach {
+        case a: AddFile => touched += a.path; tailFiles.put(a.path, a)
+        case r: RemoveFile => touched += r.path; tailFiles.remove(r.path)
+        case m: TableMetadata => metadata = Some(m)
+        case p: Protocol => protocol = Some(p)
+        case t: Txn => txns.put(t.appId, t.version)
+        case _ => ()
+      }
+    }
+
+    if (skipFiles)
+      return Snapshot(target, metadata, protocol, Nil, Nil, txns.toMap)
+
+    val schema = metadata
+      .map(m => DataType.fromJson(m.schemaString).asInstanceOf[StructType])
+      .getOrElse(StructType(Nil))
+    val partCols = metadata.map(_.partitionColumns).getOrElse(Nil).toSet
+    val keep = FilePruner.compile(filter, partCols, schema)
+
+    // Reconcile + prune on executors. Path extraction for the anti-join is
+    // get_json_object (codegen'd) — the full AddFile parse happens once per
+    // row inside the prune filter, distributed.
+    val addJson = state.where(col("add").isNotNull).select(col("add")).as[String]
+    val base =
+      if (touched.isEmpty) addJson
+      else addJson.join(broadcast(touched.toSeq.toDF("__p")),
+          get_json_object(col("add"), "$.path") === col("__p"), "left_anti")
+        .select(col("add")).as[String]
+    val cpSurvivors = base
+      .filter { js: String => keep(Actions.parseAdd(JsonMethods.parse(js))) }
+      .collect()
+      .map(js => Actions.parseAdd(JsonMethods.parse(js)))
+      .toSeq
+
+    val tailSurvivors = tailFiles.values.filter(keep).toSeq
+    Snapshot(target, metadata, protocol, cpSurvivors ++ tailSurvivors,
+      Nil, txns.toMap)
+  }
+}

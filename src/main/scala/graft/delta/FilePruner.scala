@@ -21,22 +21,30 @@ import org.json4s._
  */
 object FilePruner {
 
-  def prune(snap: Snapshot, filter: JValue): Seq[AddFile] = filter match {
+  def prune(snap: Snapshot, filter: JValue): Seq[AddFile] = {
+    val keep = compile(filter, snap.partitionColumns.toSet, snap.schema)
+    snap.activeFiles.filter(keep)
+  }
+
+  /** Compile `filter` into a per-file keep predicate. The returned closure
+    * captures only serializable state (the conjunct list, partition-column
+    * set and schema), so [[DistributedSnapshot]] can ship it to executors
+    * and prune a billion-file checkpoint without ever materializing the
+    * add actions on the driver — bit-identical semantics to [[prune]],
+    * which now routes through it. */
+  def compile(filter: JValue, partCols: Set[String],
+              schema: StructType): AddFile => Boolean = filter match {
     case JObject(entries) =>
-      val partCols = snap.partitionColumns.toSet
-      val schema = snap.schema
       // Conjunctive top-level entries only; flatten top-level $and.
       val conj: Seq[(String, JValue)] = entries.flatMap {
         case ("$and", JArray(subs)) => subs.collect { case JObject(fs) => fs }.flatten
         case other => Seq(other)
       }
-      snap.activeFiles.filter { f =>
-        conj.forall { case (field, cond) =>
-          if (partCols.contains(field)) partitionKeeps(f, field, cond)
-          else statsKeep(f, field, cond, schema)
-        }
+      f => conj.forall { case (field, cond) =>
+        if (partCols.contains(field)) partitionKeeps(f, field, cond)
+        else statsKeep(f, field, cond, schema)
       }
-    case _ => snap.activeFiles
+    case _ => _ => true
   }
 
   // ---- partition pruning ---------------------------------------------------

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.StructType
 
 import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JValue}
 
-import graft.delta.{DeltaTable, FilePruner, Snapshot, Txn, ValidationException}
+import graft.delta.{DeltaTable, Txn, ValidationException}
 
 /**
  * Batch DataSource relation for graft Delta tables:
@@ -42,22 +42,25 @@ final class DeltaRelation(
     ()
   }
 
-  private def resolvedSnapshot(): Snapshot = timestampMs match {
-    case Some(ts) => table.snapshot(Some(table.versionAt(ts)))
-    case None => table.snapshot(version)
+  private def resolvedVersion(): Option[Long] = timestampMs match {
+    case Some(ts) => Some(table.versionAt(ts))
+    case None => version
   }
 
-  override val schema: StructType = table.toDF(resolvedSnapshot()).schema
+  // Schema needs only the log's metadata — resolving it through the
+  // metadata-only snapshot keeps relation construction O(1) in file count.
+  override val schema: StructType =
+    table.toDF(table.metaSnapshot(resolvedVersion())).schema
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val snap = resolvedSnapshot()
-    // Driver-side FILE pruning first (partition values + zone-map stats via
-    // FilePruner — whole files skipped before Spark plans the scan), then
-    // the same predicates again as Columns for row-group pushdown inside
-    // surviving files. Untranslatable filters prune nothing and Spark
-    // re-evaluates everything, so partial translation stays correct.
-    val pruned = FilePruner.prune(snap, DeltaRelation.pruneJson(filters))
-    var df = table.toDF(snap.copy(activeFiles = pruned))
+    // FILE pruning first (partition values + zone-map stats via FilePruner,
+    // distributed above the table's snapshot threshold — whole files
+    // skipped before Spark plans the scan), then the same predicates again
+    // as Columns for row-group pushdown inside surviving files.
+    // Untranslatable filters prune nothing and Spark re-evaluates
+    // everything, so partial translation stays correct.
+    val snap = table.scanState(resolvedVersion(), DeltaRelation.pruneJson(filters))
+    var df = table.toDF(snap)
     filters.flatMap(DeltaRelation.toColumn).foreach(c => df = df.filter(c))
     // an empty projection (COUNT(*)) still needs the row stream
     df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
@@ -165,7 +168,7 @@ object DeltaRelation {
       v <- parameters.get("txnversion").orElse(parameters.get("txnVersion"))
     } yield Txn(app, v.toLong, System.currentTimeMillis())
     val alreadyApplied = txn.exists(t =>
-      exists && table.snapshot().transactions.getOrElse(t.appId, -1L) >= t.version)
+      exists && table.metaSnapshot().transactions.getOrElse(t.appId, -1L) >= t.version)
     def put(m: String): Unit = { table.write(data, m, partitionBy, txn); () }
     if (!alreadyApplied) mode match {
       case SaveMode.Append => put("append")
