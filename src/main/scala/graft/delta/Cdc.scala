@@ -77,17 +77,20 @@ object Cdc {
       }
   }
 
-  private def listVersions(table: DeltaTable): Seq[(Long, Path)] = {
-    val dir = changeDataDir(table.tablePath)
-    if (!table.log.fs.exists(dir)) return Nil
-    val Re = raw"cdc-(\d{20})\.(parquet|json)".r
-    table.log.fs.listStatus(dir).iterator.flatMap { st =>
-      st.getPath.getName match {
-        case Re(v, _) => Some(v.toLong -> st.getPath)
-        case _ => None
+  private def listVersions(table: DeltaTable): Seq[(Long, Path)] =
+    Retry.withRetry(retryOn = Errors.isTransientIo) {
+      val dir = changeDataDir(table.tablePath)
+      if (!table.log.fs.exists(dir)) Nil
+      else {
+        val Re = raw"cdc-(\d{20})\.(parquet|json)".r
+        table.log.fs.listStatus(dir).iterator.flatMap { st =>
+          st.getPath.getName match {
+            case Re(v, _) => Some(v.toLong -> st.getPath)
+            case _ => None
+          }
+        }.toSeq.sortBy(_._1)
       }
-    }.toSeq.sortBy(_._1)
-  }
+    }
 
   /** Content sniffing, like the reference (cdc/index.ts:1462-1558): a CDC
     * entry is Parquet iff it is a Spark-written directory or starts with the

@@ -39,12 +39,13 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
     math.max(fromCommits, fromCheckpoint)
   }
 
-  def listCommitVersions(): Seq[Long] =
+  def listCommitVersions(): Seq[Long] = Retry.withRetry(retryOn = Errors.isTransientIo) {
     if (!fs.exists(logPath)) Nil
     else fs.listStatus(logPath).iterator
       .map(_.getPath.getName)
       .collect { case CommitName(v) => v }
       .toSeq.sorted
+  }
 
   private object CommitName {
     private val Re = raw"(\d{20})\.json".r
@@ -123,7 +124,12 @@ final class DeltaLog(val tablePath: Path, val hadoopConf: Configuration) {
 
   // ---- small-file helpers --------------------------------------------------
 
-  def readString(p: Path): String = {
+  /** Driver-side small-file read with transient-failure retry: commit
+    * NDJSON, `_last_checkpoint`, CDC sidecars all come through here, and an
+    * object-store 5xx on any of them used to fail the query immediately
+    * (executor reads get Spark task retries; the driver path got none —
+    * reference wraps storage ops generally, src/delta/retry.ts:79-134). */
+  def readString(p: Path): String = Retry.withRetry(retryOn = Errors.isTransientIo) {
     val in = fs.open(p)
     try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
     finally in.close()

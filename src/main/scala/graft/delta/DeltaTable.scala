@@ -367,8 +367,27 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     writeDocuments(spark.createDataset(jsonRows))
   }
 
+  /** Reference interop: CDC enablement may live in a `_cdc_config.json`
+    * sidecar at the table root (`{"enabled":true}` — reference:
+    * src/cdc/index.ts:1738,2381-2398) instead of table configuration.
+    * Explicit configuration wins; the sidecar is consulted only when the
+    * key is absent, so a reference-written table is recognized without
+    * changing our configuration-first semantics. */
+  private[delta] def cdcSidecarEnabled(): Boolean = {
+    val p = new Path(tablePath, "_cdc_config.json")
+    try fs.exists(p) && {
+      (JsonMethods.parse(log.readString(p)) \ "enabled") match {
+        case org.json4s.JBool(b) => b
+        case _ => false
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   private def cdcConfigured(snap: Snapshot): Boolean =
-    snap.configuration.get(Cdc.EnableKey).contains("true")
+    snap.configuration.get(Cdc.EnableKey) match {
+      case Some(v) => v == "true"
+      case None => cdcSidecarEnabled()
+    }
 
   /** Include a metaData action when schema/partitioning changed (or at v0). */
   private def buildMetadata(snap: Snapshot, schema: StructType,
@@ -932,11 +951,24 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   // ---- CDC (change data feed) ----------------------------------------------
 
   def cdcEnabled: Boolean =
-    snapshot().configuration.get(Cdc.EnableKey).contains("true")
+    snapshot().configuration.get(Cdc.EnableKey) match {
+      case Some(v) => v == "true"
+      case None => cdcSidecarEnabled()
+    }
 
-  /** Enable the change feed via table configuration
-    * (reference: src/cdc/index.ts:1726-1752). */
-  def enableCDC(): Long = updateConfiguration(Map(Cdc.EnableKey -> "true"))
+  /** Enable the change feed via table configuration, mirrored into the
+    * `_cdc_config.json` sidecar (+ `_delta_log/_cdc_properties.json`) the
+    * reference reads its enablement from, so a reference reader recognizes
+    * a CDC table we enabled (reference: src/cdc/index.ts:1726-1752). */
+  def enableCDC(): Long = {
+    val v = updateConfiguration(Map(Cdc.EnableKey -> "true"))
+    log.writeString(new Path(tablePath, "_cdc_config.json"),
+      """{"enabled":true}""", overwrite = true)
+    log.writeString(new Path(log.logPath, "_cdc_properties.json"),
+      s"""{"${Cdc.EnableKey}":"true","timestamp":${System.currentTimeMillis()}}""",
+      overwrite = true)
+    v
+  }
 
   /**
    * Add a CHECK constraint (Delta's `delta.constraints.<name>` table

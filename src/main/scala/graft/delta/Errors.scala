@@ -62,10 +62,39 @@ final class StreamChangeException(message: String)
 
 object Errors {
 
-  /** Whether retrying the failed operation can succeed — true exactly for
-    * optimistic-commit losses (reference: isRetryableError,
-    * src/errors.ts:407-414; [[Retry.withRetry]] applies this policy). */
-  def isRetryable(t: Throwable): Boolean = t.isInstanceOf[ConcurrencyException]
+  /** Transient storage/network failure on a DRIVER read path: socket
+    * timeouts, connection failures, and object-store 5xx surfaced by Hadoop
+    * as plain IOExceptions. FileNotFound is NOT transient — a missing
+    * commit is real state, not a blip. Walks the cause chain (Hadoop and
+    * HTTP clients love wrapping). Executor-side reads get Spark's own task
+    * retries; this classification exists for the driver-side log/CDC reads
+    * that had no retry at all (reference wraps all storage ops:
+    * src/delta/retry.ts:79-134). */
+  def isTransientIo(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 10) {
+      cur match {
+        case _: java.io.FileNotFoundException => return false
+        case _: java.net.SocketTimeoutException => return true
+        case _: java.net.ConnectException => return true
+        case _: java.io.InterruptedIOException => return true
+        case _: java.io.IOException => return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Whether retrying the failed operation can succeed — optimistic-commit
+    * losses and transient storage I/O (reference: isRetryableError,
+    * src/errors.ts:407-414 — ConcurrencyError or an error flagged
+    * `retryable: true`, which is how its storage layer marks transients;
+    * [[Retry.withRetry]] applies this policy). */
+  def isRetryable(t: Throwable): Boolean =
+    t.isInstanceOf[ConcurrencyException] || isTransientIo(t)
 
   /** Human-readable byte count (reference: formatBytes,
     * src/delta/vacuum.ts:360-368 — same 1024 steps and 2-decimal trim). */

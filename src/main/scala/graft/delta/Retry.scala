@@ -11,13 +11,20 @@ object Retry {
       multiplier: Double = 2.0,
       jitter: Double = 0.5)
 
-  /** Re-run `op` on [[ConcurrencyException]] with jittered backoff. */
-  def withRetry[A](policy: Policy = Policy())(op: => A): A = {
+  /** Re-run `op` with jittered backoff while `retryOn` classifies the
+    * failure as retryable. The default retries only optimistic-commit
+    * losses (the OCC loops); driver READ paths pass
+    * [[Errors.isTransientIo]] — writes must never blind-retry transient
+    * I/O, because a conditional put whose first attempt actually landed
+    * would then race itself. */
+  def withRetry[A](policy: Policy = Policy(),
+                   retryOn: Throwable => Boolean =
+                     _.isInstanceOf[ConcurrencyException])(op: => A): A = {
     var attempt = 0
     while (true) {
       try return op
       catch {
-        case e: ConcurrencyException =>
+        case scala.util.control.NonFatal(e) if retryOn(e) =>
           if (attempt >= policy.maxRetries) throw e
           val exp = policy.baseDelayMs * math.pow(policy.multiplier, attempt)
           val capped = math.min(exp, policy.maxDelayMs.toDouble)

@@ -69,6 +69,113 @@ object Multimodal {
     override def decode(payload: Array[Byte]): Array[Double] = decodeStub(payload)
   }
 
+  /**
+   * REAL decoder for RIFF/WAVE audio (PCM16) — pure JDK, public format:
+   * walks the chunk list, reads the `fmt ` block and the `data` samples,
+   * and emits an 8-double feature vector of genuine signal statistics:
+   * [channels, sampleRate, bitsPerSample, durationMs, rms, peak,
+   * zeroCrossingRate, dcOffset] (amplitude stats normalized to [-1,1]).
+   * Proves the [[MediaDecoder]] seam carries real codec work: swapping
+   * [[StubDecoder]] for this changes only the `decoder` argument.
+   * Malformed payloads yield the zero vector (a decode seam must not fail
+   * the whole partition on one bad file).
+   */
+  object WavDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): Array[Double] = {
+      val zero = Array.fill(8)(0.0)
+      if (payload == null || payload.length < 44) return zero
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(off: Int) = new String(payload, off, 4, "US-ASCII")
+      if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return zero
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val id = tag4(off)
+        val sz = bb.getInt(off + 4)
+        if (sz < 0 || off + 8 + sz > payload.length) return zero
+        id match {
+          case "fmt " if sz >= 16 =>
+            channels = bb.getShort(off + 10).toInt
+            sampleRate = bb.getInt(off + 12)
+            bits = bb.getShort(off + 22).toInt
+          case "data" => dataOff = off + 8; dataLen = sz
+          case _ => () // LIST/INFO/etc: skipped, per the RIFF spec
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) return zero
+      val n = dataLen / 2
+      if (n == 0) return zero
+      var sumSq = 0.0; var sum = 0.0; var peak = 0.0; var crossings = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(dataOff + 2 * i) / 32768.0
+        sumSq += s * s; sum += s
+        val a = math.abs(s); if (a > peak) peak = a
+        val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+        i += 1
+      }
+      val frames = n / channels
+      val durationMs = frames * 1000.0 / sampleRate
+      Array(channels.toDouble, sampleRate.toDouble, bits.toDouble,
+        durationMs, math.sqrt(sumSq / n), peak,
+        crossings.toDouble / math.max(1, n - 1), sum / n)
+    }
+  }
+
+  /**
+   * REAL decoder for binary PPM images (P6) — pure JDK, public format:
+   * parses the ASCII header (magic, comments, width/height/maxval) and the
+   * raw RGB raster, emitting [width, height, maxval, meanR, meanG, meanB,
+   * meanLuma, pixelCount] with channel means normalized by maxval.
+   * Malformed payloads yield the zero vector.
+   */
+  object PpmDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): Array[Double] = {
+      val zero = Array.fill(8)(0.0)
+      if (payload == null || payload.length < 11 ||
+        payload(0) != 'P' || payload(1) != '6') return zero
+      var pos = 2
+      def nextInt(): Int = {
+        // skip whitespace and '#'-comments between header tokens
+        var done = false
+        while (!done && pos < payload.length) {
+          val c = payload(pos)
+          if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+          else done = true
+        }
+        var v = 0; var any = false
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1; any = true
+        }
+        if (any) v else -1
+      }
+      val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+      pos += 1 // single whitespace after maxval, then raster
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+        pos + 3L * w * h > payload.length) return zero
+      var r = 0L; var g = 0L; var b = 0L
+      val n = w * h
+      var i = 0
+      while (i < n) {
+        r += payload(pos + 3 * i) & 0xff
+        g += payload(pos + 3 * i + 1) & 0xff
+        b += payload(pos + 3 * i + 2) & 0xff
+        i += 1
+      }
+      val d = n.toDouble * maxv
+      val (mr, mg, mb) = (r / d, g / d, b / d)
+      Array(w.toDouble, h.toDouble, maxv.toDouble, mr, mg, mb,
+        0.2126 * mr + 0.7152 * mg + 0.0722 * mb, n.toDouble)
+    }
+  }
+
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     // Deterministic fake: 8 strided byte-sum moments of the stream.
     if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)

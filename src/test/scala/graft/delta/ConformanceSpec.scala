@@ -14,12 +14,14 @@ import org.json4s.jackson.JsonMethods
  * another Delta implementation would leave a table on disk. Self-round-trip
  * tests (reader reads what this writer wrote) hide complementary bugs; these
  * do not. Scenario matrix follows the reference's DAT-style conformance
- * coverage (reference: tests/conformance/dat-runner.test.ts:1-44): basic
- * replay, time travel, partitioned-with-null, schema change, column
- * mapping, checkpointed log with pruned commits, deletion vectors,
- * all-primitive-types, timestamp_ntz, nested types, typed partition values
- * (boolean/timestamp/decimal), no-stats, checkpoint-only with stats,
- * generated columns, iceberg_compat_v1.
+ * coverage (reference: tests/conformance/dat-runner.test.ts:1-44), all 19
+ * scenarios: basic_append (replay + time travel), basic_partitioned,
+ * partitioned_with_null, multi_partitioned (URL-encoded paths),
+ * multi_partitioned_2 (typed partition values), with_schema_change,
+ * column_mapping, with_checkpoint (pruned commits), no_replay
+ * (checkpoint-only), deletion_vectors, all_primitive_types, timestamp_ntz,
+ * nested_types, no_stats, stats_as_struct, generated_columns,
+ * iceberg_compat_v1, cdf, check_constraints.
  */
 class ConformanceSpec extends SparkTestBase {
   import spark.implicits._
@@ -398,5 +400,120 @@ class ConformanceSpec extends SparkTestBase {
     val t = DeltaTable.forPath(spark, dir)
     assert(t.toDF().count() == 8)
     assert(t.toDF().select("id").as[Int].collect().toSet == Set(1, 2, 4, 5, 6, 7, 8, 9))
+  }
+
+  test("foreign basic partitioned table: Hive layout, partition column surfaces, pruning slices (basic_partitioned)") {
+    val dir = Files.createTempDirectory("graft-conf-bp").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("letter", StringType)))
+    writeParquet(Seq(1, 2).toDF("id"), dir, "letter=a/f1.parquet")
+    writeParquet(Seq(3).toDF("id"), dir, "letter=b/f2.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema, partitionColumns = Seq("letter")) :+
+        addJson("letter=a/f1.parquet", """{"letter":"a"}""") :+
+        addJson("letter=b/f2.parquet", """{"letter":"b"}""")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "a"), (3, "b")))
+    assert(t.query("""{"letter":"b"}""").as[(Int, String)].collect().toSeq ==
+      Seq((3, "b")))
+  }
+
+  test("foreign multi-partitioned table with URL-encoded partition paths (multi_partitioned)") {
+    val dir = Files.createTempDirectory("graft-conf-mp").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("p", StringType)))
+    // Partition VALUES with characters that force URL-encoding in the Hive
+    // path: space, slash, equals. The add action carries the RAW value;
+    // only the directory name is encoded — exactly how Spark and the
+    // reference lay it down.
+    writeParquet(Seq(1).toDF("id"), dir, "p=a%20b/f1.parquet")
+    writeParquet(Seq(2).toDF("id"), dir, "p=x%2Fy%3Dz/f2.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema, partitionColumns = Seq("p")) :+
+        addJson("p=a%20b/f1.parquet", """{"p":"a b"}""") :+
+        addJson("p=x%2Fy%3Dz/f2.parquet", """{"p":"x/y=z"}""")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a b"), (2, "x/y=z")))
+    // pruning matches against the raw (decoded) value from partitionValues
+    assert(t.query("""{"p":"x/y=z"}""").as[(Int, String)].collect().toSeq ==
+      Seq((2, "x/y=z")))
+  }
+
+  test("foreign CDF table: cdc actions and _change_data are invisible to snapshot reads (cdf)") {
+    val dir = Files.createTempDirectory("graft-conf-cdf").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType)))
+    writeParquet(Seq((1, "a"), (2, "b")).toDF("id", "s"), dir, "d0.parquet")
+    // Change file as a foreign CDF writer lays it down — if the snapshot
+    // reader ever touched it, the extra _change_type column and duplicated
+    // rows would surface.
+    writeParquet(Seq((1, "a", "insert"), (2, "b", "insert"))
+        .toDF("id", "s", "_change_type"),
+      dir, "_change_data/cdc-00000-abc.c000.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema,
+        configuration = """{"delta.enableChangeDataFeed":"true"}""") :+
+        addJson("d0.parquet") :+
+        ("""{"cdc":{"path":"_change_data/cdc-00000-abc.c000.parquet",""" +
+          """"partitionValues":{},"size":1,"dataChange":false}}""")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    // snapshot: only the data file, no _change_type column, no row dupes
+    assert(t.toDF().columns.toSeq == Seq("id", "s"))
+    assert(t.toDF().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // the CDF enablement property round-trips for downstream tooling
+    assert(t.snapshot().configuration.get("delta.enableChangeDataFeed")
+      .contains("true"))
+  }
+
+  test("foreign table with check constraints: reads clean, constraint enforced on our writes (check_constraints)") {
+    val dir = Files.createTempDirectory("graft-conf-cc").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType)))
+    writeParquet(Seq((1, "a")).toDF("id", "s"), dir, "d0.parquet")
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema,
+        configuration = """{"delta.constraints.idpositive":"id > 0"}""") :+
+        addJson("d0.parquet")).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // a foreign-declared constraint binds OUR writer too
+    intercept[Exception] { t.write(Seq((-5, "bad")).toDF("id", "s")) }
+    t.write(Seq((2, "ok")).toDF("id", "s"))
+    assert(t.toDF().count() == 2)
+  }
+
+  test("foreign table with writeStatsAsStruct property: stats still prune, property round-trips (stats_as_struct)") {
+    val dir = Files.createTempDirectory("graft-conf-sas").toString
+    val schema = StructType(Seq(StructField("id", IntegerType)))
+    writeParquet(Seq(1, 2).toDF("id"), dir, "lo.parquet")
+    writeParquet(Seq(100, 200).toDF("id"), dir, "hi.parquet")
+    def addWithStats(p: String, lo: Int, hi: Int): String =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,"stats":${jstr(
+          s"""{"numRecords":2,"minValues":{"id":$lo},"maxValues":{"id":$hi},"nullCount":{"id":0}}""")}}}"""
+    writeText(dir, "_delta_log/00000000000000000000.json",
+      (protoMeta(schema,
+        configuration = """{"delta.checkpoint.writeStatsAsStruct":"true"}""") :+
+        addWithStats("lo.parquet", 1, 2) :+
+        addWithStats("hi.parquet", 100, 200)).mkString("\n"))
+
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF().count() == 4)
+    // zone-map skipping from the foreign stats: only hi.parquet survives
+    val snap = t.snapshot()
+    val pruned = FilePruner.prune(snap,
+      JsonMethods.parse("""{"id":{"$gte":50}}"""))
+    assert(pruned.map(_.path) == Seq("hi.parquet"))
+    assert(t.query("""{"id":{"$gte":50}}""").as[Int].collect().toSet ==
+      Set(100, 200))
+    assert(t.snapshot().configuration
+      .get("delta.checkpoint.writeStatsAsStruct").contains("true"))
   }
 }

@@ -279,4 +279,36 @@ class MergeCdcSpec extends SparkTestBase {
     val df = t.changesByTimestamp(0L, now + 60000)
     assert(df.count() == 2)
   }
+
+  test("foreign _cdc_config.json sidecar enables capture; table configuration wins when present") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    assert(!t.cdcEnabled)
+    // a reference-written table records enablement ONLY in the sidecar
+    t.log.writeString(
+      new org.apache.hadoop.fs.Path(t.tablePath, "_cdc_config.json"),
+      """{"enabled":true}""", overwrite = true)
+    assert(t.cdcEnabled)
+    val v = t.write(Seq((2, "b")).toDF("id", "s"))
+    val changes = t.changes(v, v)
+    assert(changes.filter(col(Cdc.ChangeType) === "insert").count() == 1)
+    // explicit configuration overrides the sidecar
+    t.updateConfiguration(Map(Cdc.EnableKey -> "false"))
+    assert(!t.cdcEnabled)
+    val v2 = t.write(Seq((3, "c")).toDF("id", "s"))
+    intercept[IllegalArgumentException] { t.changes(v2, v2) }
+  }
+
+  test("enableCDC mirrors enablement into the reference's sidecar files") {
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.enableCDC()
+    assert(t.log.fs.exists(
+      new org.apache.hadoop.fs.Path(t.tablePath, "_cdc_config.json")))
+    assert(t.log.readString(
+      new org.apache.hadoop.fs.Path(t.tablePath, "_cdc_config.json"))
+      .contains("\"enabled\":true"))
+    assert(t.log.fs.exists(
+      new org.apache.hadoop.fs.Path(t.log.logPath, "_cdc_properties.json")))
+  }
 }
