@@ -383,7 +383,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     } catch { case scala.util.control.NonFatal(_) => false }
   }
 
-  private def cdcConfigured(snap: Snapshot): Boolean =
+  private[delta] def cdcConfigured(snap: Snapshot): Boolean =
     snap.configuration.get(Cdc.EnableKey) match {
       case Some(v) => v == "true"
       case None => cdcSidecarEnabled()

@@ -77,15 +77,16 @@ object Merge {
     val nMatched = matchAgg.getLong(0)
     val matchedFiles = matchAgg.getSeq[String](1)
 
-    val (updated, deleted) =
-      if (matchedFiles.isEmpty) (0L, 0L)
+    val (rewriteAdds, updated, deleted) =
+      if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
       else {
         val inFiles = semiJoinFiles(joined, matchedFiles)
         val rewritten = resolveMatched(inFiles, dataCols, srcCols, matched)
         val dels = if (matched == MergeAction.Delete) nMatched else 0L
         val upds = if (matched == MergeAction.Delete) 0L else nMatched
-        rewriteAndTrack(table, snap, matchedFiles, rewritten)
-        (upds, dels)
+        val adds = table.writeDataFiles(rewritten.drop("__file"),
+          snap.partitionColumns, snap.schema)
+        (adds, upds, dels)
       }
 
     // Inserts: source rows with no key match in the WHOLE target. Written
@@ -95,9 +96,52 @@ object Merge {
     // join above: a plain equality anti-join would let a null-key source row
     // through (null = null is null), so the row would both UPDATE null-key
     // target rows via `<=>` and be INSERTED — one row, two effects.
-    val inserted =
-      if (!insertUnmatched) 0L
-      else writeInserts(table, snap, antiJoinUnmatched(table, snap, src, keyColumns), srcCols)
+    val insertFiles =
+      if (!insertUnmatched) Nil
+      else writeInsertFiles(table, snap,
+        alignToSchema(antiJoinUnmatched(table, snap, src, keyColumns), schema, srcCols))
+    val inserted = insertFiles.map(_._2).sum
+
+    // ONE commit covering the rewrite AND the inserts: MERGE is atomic, so
+    // no version — time travel, CDF, a concurrent reader, a crash between
+    // jobs — may expose updates-without-inserts (the half-merged state the
+    // model-based property spec caught when these were two commits).
+    def cdcParts: Seq[DataFrame] = {
+      val matchedTarget = joined.filter(col("__src").isNotNull)
+      val matchedPart: Seq[DataFrame] =
+        if (nMatched == 0) Nil
+        else matched match {
+          case MergeAction.Delete =>
+            Seq(matchedTarget.select(dataCols.map(col): _*)
+              .withColumn(Cdc.ChangeType, lit("delete")))
+          case _ =>
+            val postCols = matched match {
+              case MergeAction.UpdateSet(set) =>
+                dataCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c)))
+              case _ => dataCols.map { c =>
+                if (srcCols.contains(c)) col(s"__src.$c").as(c) else col(c) }
+            }
+            Seq(
+              matchedTarget.select(dataCols.map(col): _*)
+                .withColumn(Cdc.ChangeType, lit("update_preimage")),
+              matchedTarget.select(postCols: _*)
+                .withColumn(Cdc.ChangeType, lit("update_postimage")))
+        }
+      val insertPart =
+        if (insertFiles.isEmpty) Nil
+        else Seq(alignToSchema(antiJoinUnmatched(table, snap, src, keyColumns),
+            schema, srcCols)
+          .withColumn(Cdc.ChangeType, lit("insert")))
+      matchedPart ++ insertPart
+    }
+    if (matchedFiles.nonEmpty) {
+      val v = table.commitFileRewrite(snap, matchedFiles.toSet,
+        rewriteAdds ++ insertFiles.map(_._1), "MERGE")
+      captureMergeCdc(table, snap, v, cdcParts)
+    } else if (insertFiles.nonEmpty) {
+      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT")
+      captureMergeCdc(table, snap, v, cdcParts)
+    }
     MergeResult(updated, deleted, inserted, table.version)
   }
 
@@ -138,18 +182,49 @@ object Merge {
     commitInsertRows(table, snap, aligned)
   }
 
-  /** Write already-aligned rows, commit, count from written-file stats. */
-  private def commitInsertRows(table: DeltaTable, snap: Snapshot,
-                               aligned: DataFrame): Long = {
+  /** Write already-aligned rows WITHOUT committing: (AddFile, rowCount)
+    * per non-empty file, zero-row part files deleted on the spot. The
+    * caller owns the commit so rewrite + inserts can share one. */
+  private def writeInsertFiles(table: DeltaTable, snap: Snapshot,
+                               aligned: DataFrame): Seq[(AddFile, Long)] = {
     val adds = table.writeDataFiles(aligned, snap.partitionColumns, snap.schema)
     val counted = adds.map(a =>
       a -> a.stats.flatMap(FileStats.fromJsonString).map(_.numRecords).getOrElse(0L))
-    val nonEmpty = counted.filter(_._2 > 0)
-    if (nonEmpty.nonEmpty) table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
-    // drop any zero-row part files the writer produced
     counted.filterNot(_._2 > 0).foreach(a => table.deleteDataFile(a._1.path))
+    counted.filter(_._2 > 0)
+  }
+
+  /** Write already-aligned rows, commit, count from written-file stats.
+    * CDF-enabled tables get the inserts captured as `insert` change rows
+    * (reference: processMergeNoMatch, src/cdc/index.ts:1993-1999). */
+  private def commitInsertRows(table: DeltaTable, snap: Snapshot,
+                               aligned: DataFrame): Long = {
+    val nonEmpty = writeInsertFiles(table, snap, aligned)
+    if (nonEmpty.nonEmpty) {
+      val v = table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
+      captureMergeCdc(table, snap, v,
+        Seq(aligned.withColumn(Cdc.ChangeType, lit("insert"))))
+    }
     nonEmpty.map(_._2).sum
   }
+
+  /** CDF capture for MERGE (reference: processMergeMatch/processMergeNoMatch
+    * + finalizeCommit, src/cdc/index.ts:1975-2046): matched rows emit
+    * update_preimage/update_postimage (delete under MergeAction.Delete or a
+    * deleting closure), unmatched-source inserts emit insert — one CDC file
+    * for the whole commit. The part DataFrames are lazy and derived from the
+    * PINNED pre-merge snapshot, so evaluating them after the commit still
+    * reads consistent pre-images (CoW leaves the old files in place, and a
+    * DV-mask commit changes only log metadata). No-op unless the table has
+    * CDC configured. */
+  private def captureMergeCdc(table: DeltaTable, snap: Snapshot, v: Long,
+                              parts: => Seq[DataFrame]): Unit =
+    if (table.cdcConfigured(snap)) {
+      val nonEmpty = parts
+      if (nonEmpty.nonEmpty)
+        Cdc.writeChanges(table, v, nonEmpty.reduce(_.unionByName(_)),
+          System.currentTimeMillis())
+    }
 
   /**
    * Merge under an ARBITRARY match condition — the reference's
@@ -221,38 +296,78 @@ object Merge {
     val nMatched = matchAgg.getLong(0)
     val matchedFiles = matchAgg.getSeq[String](1)
 
-    val (updated, deleted) =
-      if (matchedFiles.isEmpty) (0L, 0L)
+    val (rewriteAdds, updated, deleted) =
+      if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
       else {
         val inFiles = semiJoinFiles(target, matchedFiles)
           .join(chosen, Seq("__file", "__rix"), "left_outer")
         val rewritten = resolveMatched(inFiles, dataCols, srcCols, matched)
         val dels = if (matched == MergeAction.Delete) nMatched else 0L
         val upds = if (matched == MergeAction.Delete) 0L else nMatched
-        rewriteAndTrack(table, snap, matchedFiles, rewritten)
-        (upds, dels)
+        val adds = table.writeDataFiles(rewritten.drop("__file").drop("__rix"),
+          snap.partitionColumns, snap.schema)
+        (adds, upds, dels)
       }
 
-    val inserted =
-      if (!insertUnmatched) 0L
+    val insertFiles =
+      if (!insertUnmatched) Nil
       else {
         // Source rows that matched NOTHING (null-safe whole-row identity).
         val unmatched = src
           .join(pairs.select(col("__srow").as("__mrow")).distinct(),
             col("__srow") <=> col("__mrow"), "left_anti")
           .select(srcCols.map(c => col(s"__srow.$c").as(c)): _*)
-        writeInserts(table, snap, unmatched, srcCols)
+        writeInsertFiles(table, snap, alignToSchema(unmatched, schema, srcCols))
       }
+    val inserted = insertFiles.map(_._2).sum
+
+    // Atomic MERGE: one commit for rewrite + inserts (see [[execute]]).
+    // CDC parts evaluate against the still-cached pair set, so capture
+    // happens before unpersist.
+    def cdcParts: Seq[DataFrame] = {
+      val matchedPairs = semiJoinFiles(target, matchedFiles)
+        .join(chosen, Seq("__file", "__rix"), "inner")
+      val matchedPart: Seq[DataFrame] =
+        if (nMatched == 0) Nil
+        else matched match {
+          case MergeAction.Delete =>
+            Seq(matchedPairs.select(dataCols.map(col): _*)
+              .withColumn(Cdc.ChangeType, lit("delete")))
+          case _ =>
+            val postCols = matched match {
+              case MergeAction.UpdateSet(set) =>
+                dataCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c)))
+              case _ => dataCols.map { c =>
+                if (srcCols.contains(c)) col(s"__src.$c").as(c) else col(c) }
+            }
+            Seq(
+              matchedPairs.select(dataCols.map(col): _*)
+                .withColumn(Cdc.ChangeType, lit("update_preimage")),
+              matchedPairs.select(postCols: _*)
+                .withColumn(Cdc.ChangeType, lit("update_postimage")))
+        }
+      val insertPart =
+        if (insertFiles.isEmpty) Nil
+        else {
+          val unmatched = src
+            .join(pairs.select(col("__srow").as("__mrow")).distinct(),
+              col("__srow") <=> col("__mrow"), "left_anti")
+            .select(srcCols.map(c => col(s"__srow.$c").as(c)): _*)
+          Seq(alignToSchema(unmatched, schema, srcCols)
+            .withColumn(Cdc.ChangeType, lit("insert")))
+        }
+      matchedPart ++ insertPart
+    }
+    if (matchedFiles.nonEmpty) {
+      val v = table.commitFileRewrite(snap, matchedFiles.toSet,
+        rewriteAdds ++ insertFiles.map(_._1), "MERGE")
+      captureMergeCdc(table, snap, v, cdcParts)
+    } else if (insertFiles.nonEmpty) {
+      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT")
+      captureMergeCdc(table, snap, v, cdcParts)
+    }
     pairs.unpersist(false)
     MergeResult(updated, deleted, inserted, table.version)
-  }
-
-  private def rewriteAndTrack(table: DeltaTable, snap: Snapshot,
-                              matchedFiles: Seq[String], rewritten: DataFrame): Seq[AddFile] = {
-    val adds = table.writeDataFiles(rewritten.drop("__file"),
-      snap.partitionColumns, snap.schema)
-    table.commitFileRewrite(snap, matchedFiles.toSet, adds, "MERGE")
-    adds
   }
 
   /** Restrict the joined target⟕source rows to the files being rewritten via
@@ -335,6 +450,22 @@ object Merge {
     val v =
       if (nMatched == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
       else table.commitDvMask(dvByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
+    captureMergeCdc(table, snap, v, {
+      val matchedPart: Seq[DataFrame] =
+        if (nMatched == 0) Nil
+        else images match {
+          case None => // Delete action: no post-images exist
+            Seq(matchedRows.select(dataCols.map(col): _*)
+              .withColumn(Cdc.ChangeType, lit("delete")))
+          case Some(post) => Seq(
+            matchedRows.select(dataCols.map(col): _*)
+              .withColumn(Cdc.ChangeType, lit("update_preimage")),
+            post.withColumn(Cdc.ChangeType, lit("update_postimage")))
+        }
+      val insertPart = insertsAligned.filter(_ => inserted > 0)
+        .map(_.withColumn(Cdc.ChangeType, lit("insert"))).toSeq
+      matchedPart ++ insertPart
+    })
     val (upd, del) = matched match {
       case MergeAction.Delete => (0L, nMatched)
       case _ => (nMatched, 0L)
@@ -420,8 +551,8 @@ object Merge {
     val nMatched = matchAgg.getLong(0)
     val matchedFiles = matchAgg.getSeq[String](1)
 
-    val (updated, deleted) =
-      if (matchedFiles.isEmpty) (0L, 0L)
+    val (rewriteAdds, updated, deleted) =
+      if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
       else {
         val inFiles = semiJoinFiles(joined, matchedFiles)
         val nData = dataCols.size
@@ -438,7 +569,6 @@ object Merge {
         }(Encoders.row(schema))
         val adds = table.writeDataFiles(rewritten.toDF(),
           snap.partitionColumns, snap.schema)
-        table.commitFileRewrite(snap, matchedFiles.toSet, adds, "MERGE")
         // Counts derive from written bytes, not a transformation-side
         // accumulator (Spark only guarantees exactly-once accumulator updates
         // in actions; task retries/speculation would over-count). Unmatched
@@ -447,13 +577,50 @@ object Merge {
         val written = adds
           .flatMap(_.parsedStats.map(_.numRecords)).sum
         val kept = written - (rowsBefore - nMatched)
-        (kept, nMatched - kept)
+        (adds, kept, nMatched - kept)
       }
 
-    val inserts = {
+    val insertFiles = {
       val newRows = antiJoinUnmatched(table, snap, src, keyColumns)
       val shaped = newRows.flatMap(r => whenNotMatched(r))(Encoders.row(schema))
-      commitInsertRows(table, snap, shaped.toDF())
+      writeInsertFiles(table, snap, shaped.toDF())
+    }
+    val inserts = insertFiles.map(_._2).sum
+
+    // Atomic MERGE: one commit for rewrite + inserts (see [[execute]]).
+    // CDC re-runs the closures over the matched pairs only — the reference
+    // likewise derives the change records from the closure results
+    // (processMergeMatch: null ⇒ delete record, row ⇒ pre+post records).
+    def cdcParts: Seq[DataFrame] = {
+      val cdcSchema = schema.add(Cdc.ChangeType,
+        org.apache.spark.sql.types.StringType)
+      val nData = dataCols.size
+      val srcIdx = joined.columns.indexOf("__src")
+      val matchedPart: Seq[DataFrame] =
+        if (matchedFiles.isEmpty) Nil
+        else Seq(joined.filter(col("__src").isNotNull).flatMap { row =>
+          val existing = Row.fromSeq((0 until nData).map(row.get))
+          whenMatched(existing, row.getStruct(srcIdx)) match {
+            case Some(updatedRow) => Seq(
+              Row.fromSeq(existing.toSeq :+ "update_preimage"),
+              Row.fromSeq(updatedRow.toSeq :+ "update_postimage"))
+            case None => Seq(Row.fromSeq(existing.toSeq :+ "delete"))
+          }
+        }(Encoders.row(cdcSchema)).toDF())
+      val insertPart =
+        if (insertFiles.isEmpty) Nil
+        else Seq(antiJoinUnmatched(table, snap, src, keyColumns)
+          .flatMap(r => whenNotMatched(r))(Encoders.row(schema)).toDF()
+          .withColumn(Cdc.ChangeType, lit("insert")))
+      matchedPart ++ insertPart
+    }
+    if (matchedFiles.nonEmpty) {
+      val v = table.commitFileRewrite(snap, matchedFiles.toSet,
+        rewriteAdds ++ insertFiles.map(_._1), "MERGE")
+      captureMergeCdc(table, snap, v, cdcParts)
+    } else if (insertFiles.nonEmpty) {
+      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT")
+      captureMergeCdc(table, snap, v, cdcParts)
     }
     MergeResult(updated, deleted, inserts, table.version)
   }

@@ -321,6 +321,7 @@ object Dedup {
    */
   def duplicateGroups(ids: DataFrame, pairs: DataFrame, idCol: String = "id",
                       maxIter: Int = 25): DataFrame = {
+    val tInit = System.nanoTime()
     val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
       .distinct()
@@ -334,6 +335,11 @@ object Dedup {
     // logical plan grows ~4× per iteration and the driver OOMs assembling it.
     var labels = connected.select(col("__id"), col("__id").as("rep"))
       .localCheckpoint(true)
+    // Init forensics: this first checkpoint job materializes the whole
+    // upstream pair generation (plus the edge cache fill) — when t15-style
+    // totals move, this line says whether pair gen or the rounds moved.
+    graft.delta.Logging.logger.info(
+      f"[graft] duplicateGroups init sec=${(System.nanoTime() - tInit) / 1e9}%.3f")
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {

@@ -280,6 +280,45 @@ class MergeCdcSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("MERGE on a CDF table: pre/post images + inserts captured in ONE version") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    t.enableCDC()
+    val r = t.merge(Seq((2, "B"), (3, "c")).toDF("id", "s"), Seq("id"))
+    assert(r.updated == 1 && r.inserted == 1)
+    val ch = t.changes(r.version, r.version)
+    val byType = ch.groupBy(Cdc.ChangeType).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 1L))
+    assert(ch.filter(col(Cdc.ChangeType) === "update_preimage")
+      .select("s").as[String].head() == "b")
+    assert(ch.filter(col(Cdc.ChangeType) === "update_postimage")
+      .select("s").as[String].head() == "B")
+    assert(ch.filter(col(Cdc.ChangeType) === "insert")
+      .select("id").as[Int].head() == 3)
+    // atomicity: the update AND the insert share one commit version
+    assert(ch.select(Cdc.CommitVersion).distinct().as[Long].collect().toSeq ==
+      Seq(r.version))
+  }
+
+  test("MoR MERGE and Delete-action MERGE capture CDC change rows") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"))
+    t.enableCDC()
+    val r1 = t.mergeWithDV(Seq((1, "A"), (4, "d")).toDF("id", "s"), Seq("id"))
+    val ch1 = t.changes(r1.version, r1.version)
+    val types1 = ch1.groupBy(Cdc.ChangeType).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(types1 == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 1L))
+    val r2 = t.merge(Seq((2, "x")).toDF("id", "s"), Seq("id"),
+      matched = Merge.MergeAction.Delete, insertUnmatched = false)
+    val ch2 = t.changes(r2.version, r2.version)
+    assert(ch2.filter(col(Cdc.ChangeType) === "delete")
+      .select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("foreign _cdc_config.json sidecar enables capture; table configuration wins when present") {
     val t = tmpTable()
     t.write(Seq((1, "a")).toDF("id", "s"))
