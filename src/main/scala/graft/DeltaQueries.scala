@@ -233,6 +233,30 @@ object DeltaQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** MERGE into a CDC-enabled table, then read the change feed for that ONE
+    * commit: update pre/post images and inserts must all land under a single
+    * version (reference: processMergeMatch/processMergeNoMatch + the CDC
+    * records finalized with the commit, src/cdc/index.ts:1975-2046). The feed
+    * content is recomputable in SQL from the original parquet, so the oracle
+    * verifies merge atomicity AND the change-row capture together. */
+  def mergeCdf(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    val cust = t_(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    t.write(cust) // v0
+    t.enableCDC() // v1
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", lit(0.0))
+    val inserts = cust.filter(col("c_custkey") % 100 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .withColumn("c_acctbal", lit(-1.0))
+    val r = t.merge(updates.unionByName(inserts), Seq("c_custkey")) // v2
+    t.changes(r.version, r.version)
+      .select(col(graft.delta.Cdc.ChangeType), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      .orderBy(col(graft.delta.Cdc.ChangeType), col("c_custkey"))
+  }
+
   /** CDC: enable the feed, append + delete, read the change rows back. */
   def cdcFeed(s: SparkSession, dir: String): DataFrame = {
     val t = DeltaTable.forPath(s, freshDir())
@@ -367,6 +391,7 @@ object DeltaQueries {
     "d16_dv_update" -> (dvUpdate(_, _)),
     "d17_dv_merge" -> (dvMerge(_, _)),
     "d18_check_constraint" -> (constraintGate(_, _)),
+    "d19_merge_cdf" -> (mergeCdf(_, _)),
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
@@ -462,6 +487,18 @@ object DeltaQueries {
         |  CASE WHEN c_custkey % 3 = 0 AND c_acctbal < 1000.0
         |       THEN 'FLAGGED' ELSE c_mktsegment END AS c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "d19_merge_cdf" ->
+      """SELECT * FROM (
+        |  SELECT 'update_preimage' AS _change_type, c_custkey, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', c_custkey, c_name, CAST(0 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'insert', c_custkey + 10000000, c_name, CAST(-1 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 100 = 0) ch
+        |ORDER BY _change_type, c_custkey""".stripMargin,
 
     "d7_delta_cdc" ->
       """SELECT * FROM (

@@ -29,7 +29,7 @@ class DeltaModelPropertySpec extends SparkTestBase {
   private def contents(df: DataFrame): Map[Int, String] =
     df.select("id", "s").as[(Int, String)].collect().toMap
 
-  private def runSequence(seed: Long, steps: Int): Unit = {
+  private def runSequence(seed: Long, steps: Int, cdf: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft-model-$seed").toString
     val table = DeltaTable.forPath(spark, dir)
@@ -40,6 +40,13 @@ class DeltaModelPropertySpec extends SparkTestBase {
     var nextId = 0
     var lastVersion = -1L
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (fromV, toV, expected (change_type, id, s) multiset) per row-level DML
+    // op — compact is layout-only and restore's feed is file-granular, so
+    // neither records an expectation.
+    val expectedCdf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[(String, Int, String)])]
+    def recordCdf(from: Long, rows: Seq[(String, Int, String)]): Unit =
+      if (cdf) expectedCdf += ((from, lastVersion, rows))
 
     def freshRows(n: Int): Seq[(Int, String)] = {
       val rows = (0 until n).map { i =>
@@ -62,27 +69,45 @@ class DeltaModelPropertySpec extends SparkTestBase {
         s"seed=$seed v=$v: table != model after op")
     }
 
+    if (cdf) { // bootstrap rows, then turn the feed on (metadata-only commit)
+      val rows = freshRows(3)
+      table.write(rows.toDF("id", "s"))
+      afterOp(model ++ rows, "bootstrap")
+      table.enableCDC()
+      history = history :+ model // enable commit: contents unchanged
+      lastVersion = table.version
+      trace += s"v$lastVersion:enableCDC"
+    }
+
     (0 until steps).foreach { _ =>
+      val fromV = lastVersion + 1
       rnd.nextInt(10) match {
         case 0 | 1 | 2 => // append fresh rows
           val rows = freshRows(1 + rnd.nextInt(5))
           table.write(rows.toDF("id", "s"))
           afterOp(model ++ rows, s"append(${rows.map(_._1).mkString(",")})")
+          recordCdf(fromV, rows.map { case (k, v) => ("insert", k, v) })
 
         case 3 => // CoW delete of a random id band
           if (model.nonEmpty) {
             val pivot = model.keys.toSeq(rnd.nextInt(model.size))
+            val gone = model.filter(_._1 <= pivot)
             table.delete(s"""{"id":{"$$lte":$pivot}}""")
             afterOp(model.filter(_._1 > pivot), s"delete(<=$pivot)")
+            recordCdf(fromV, gone.toSeq.map { case (k, v) => ("delete", k, v) })
           }
 
         case 4 => // CoW update of a random id band
           if (model.nonEmpty) {
             val pivot = model.keys.toSeq(rnd.nextInt(model.size))
             val tag = s"u${rnd.nextInt(1000)}"
+            val touched = model.filter(_._1 >= pivot)
             table.update(s"""{"id":{"$$gte":$pivot}}""", s"""{"s":"$tag"}""")
             afterOp(model.map { case (k, v) =>
               if (k >= pivot) (k, tag) else (k, v) }, s"update(>=$pivot,$tag)")
+            recordCdf(fromV,
+              touched.toSeq.map { case (k, v) => ("update_preimage", k, v) } ++
+              touched.keys.toSeq.map(k => ("update_postimage", k, tag)))
           }
 
         case 5 | 6 => // merge: upsert a mix of existing and fresh keys
@@ -93,15 +118,21 @@ class DeltaModelPropertySpec extends SparkTestBase {
           if (batch.nonEmpty) {
             if (rnd.nextBoolean()) table.merge(batch.toDF("id", "s"), Seq("id"))
             else table.mergeWithDV(batch.toDF("id", "s"), Seq("id"))
+            val pre = existing.map { case (k, _) => ("update_preimage", k, model(k)) }
+            val post = existing.map { case (k, v) => ("update_postimage", k, v) }
             afterOp(model ++ batch, s"merge(${batch.map(_._1).mkString(",")})")
+            recordCdf(fromV, pre ++ post ++
+              inserted.map { case (k, v) => ("insert", k, v) })
           }
 
         case 7 => // DV delete (merge-on-read path); $gte so the pivot row
           // itself always matches (both delete paths throw on zero matches)
           if (model.nonEmpty) {
             val pivot = model.keys.toSeq(rnd.nextInt(model.size))
+            val gone = model.filter(_._1 >= pivot)
             table.deleteWithDV(s"""{"id":{"$$gte":$pivot}}""")
             afterOp(model.filter(_._1 < pivot), s"dvDelete(>=$pivot)")
+            recordCdf(fromV, gone.toSeq.map { case (k, v) => ("delete", k, v) })
           }
 
         case 8 => // layout-only compaction: contents must not move
@@ -126,6 +157,20 @@ class DeltaModelPropertySpec extends SparkTestBase {
         s"seed=$seed: asOf($v) diverged from model history; " +
           s"ops=${trace.mkString(" | ")}")
     }
+
+    // every row-level DML op's change-feed slice matches the model's
+    // expected (change_type, id, s) multiset for exactly that version range
+    expectedCdf.foreach { case (from, to, expected) =>
+      val got = table.changes(from, to)
+        .select(org.apache.spark.sql.functions.col(Cdc.ChangeType),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("s"))
+        .as[(String, Int, String)].collect().toSeq
+      assert(got.sorted == expected.sorted,
+        s"seed=$seed: changes($from,$to) diverged from model; " +
+          s"got=${got.sorted} expected=${expected.sorted}; " +
+          s"ops=${trace.mkString(" | ")}")
+    }
   }
 
   test("random DML sequences match an in-memory model (seed 11, 30 steps)") {
@@ -141,5 +186,9 @@ class DeltaModelPropertySpec extends SparkTestBase {
     // time-travel sweep then exercises checkpoint-seeded replay for early
     // versions whose commits are behind a checkpoint.
     runSequence(seed = 7L, steps = 45)
+  }
+
+  test("random DML on a CDF table: every op's change-feed slice matches the model (seed 101, 30 steps)") {
+    runSequence(seed = 101L, steps = 30, cdf = true)
   }
 }
