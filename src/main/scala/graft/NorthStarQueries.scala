@@ -91,7 +91,7 @@ object NorthStarQueries {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.tsLtz)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -117,7 +117,7 @@ object NorthStarQueries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.tsLtz)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -135,7 +135,7 @@ object NorthStarQueries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.tsLtz)
       val dedup = stream
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
@@ -218,7 +218,7 @@ object NorthStarQueries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.tsLtz)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"),
           col("event_id").as("click_id"))

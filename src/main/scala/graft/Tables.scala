@@ -11,13 +11,32 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true — set in every
-    * session we build). Convert to a microsecond TimestampType with integer
-    * division (ns magnitudes exceed double's 53-bit mantissa). */
+  /** `events.ts` varies across testdata generations: TIMESTAMP(NANOS)
+    * parquet surfaces as a nanosecond long
+    * (spark.sql.legacy.parquet.nanosAsLong=true — set in every session we
+    * build; integer division because ns magnitudes exceed double's 53-bit
+    * mantissa), TIMESTAMP(MICROS, isAdjustedToUTC=false) as TIMESTAMP_NTZ,
+    * and an adjusted-to-UTC file as tz-aware TIMESTAMP. Normalize all three
+    * to microsecond TIMESTAMP_NTZ — the session TZ is UTC, so the LTZ→NTZ
+    * cast is value-preserving and matches DuckDB's naive read. */
+  def tsNtz(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    case TimestampType => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    case _ => df
+  }
+
+  /** Same normalization, but to tz-aware TimestampType — for streaming
+    * event-time columns (watermarks/windows); UTC session makes the
+    * NTZ→LTZ cast value-preserving. */
+  def tsLtz(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    tsNtz(t(spark, dir, "events"))
 
   /** Cast to a fixed-point decimal so sums are exact and engine-independent.
     * Summing doubles is order-dependent (Spark partial aggregation vs DuckDB
