@@ -51,6 +51,112 @@ object Checkpoints {
       if (nParts == 1) None else Some(nParts))
   }
 
+  /**
+   * Write the checkpoint at `target` WITHOUT materializing the table's file
+   * list on the driver — the large-table complement of [[write]] (which
+   * serializes a driver [[Snapshot]]). The previous checkpoint stays a
+   * DataFrame; the commit tail since it (bounded by the checkpoint interval)
+   * replays driver-side into a per-path FINAL action; checkpoint rows whose
+   * path the tail touched are dropped via a broadcast anti-join and replaced
+   * by that final action — exactly [[Snapshot.replay]]'s reconciliation
+   * (add wins over remove for a path; last action wins). Untouched rows move
+   * as raw JSON strings, never re-parsed. Driver memory is O(tail); the
+   * write is a distributed parquet write renamed into the checkpoint part
+   * layout, so a 10⁷-file checkpoint rolls forward with bounded driver heap.
+   *
+   * Requires a previous checkpoint at a version < `target` (a table only
+   * crosses the distributed threshold after many checkpoints); throws
+   * IllegalStateException otherwise — callers route through [[write]] then.
+   */
+  def writeDistributed(spark: SparkSession, log: DeltaLog, target: Long,
+                       actionsPerPart: Long = DefaultActionsPerPart): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, get_json_object}
+    import spark.implicits._
+    val (cpVersion, _, parts) = log.readLastCheckpoint().filter(_._1 < target)
+      .getOrElse(throw new IllegalStateException(
+        s"writeDistributed($target) needs a previous checkpoint"))
+
+    val state = readStateDf(spark, log, cpVersion, parts)
+
+    // Non-file rows from the base checkpoint: a handful, collected.
+    var metadata: Option[TableMetadata] = None
+    var protocol: Option[Protocol] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    state.where(col("add").isNull && col("remove").isNull).collect().foreach { r =>
+      if (r.getString(2) != null)
+        metadata = Some(Actions.parseMetadata(JsonMethods.parse(r.getString(2))))
+      else if (r.getString(3) != null)
+        protocol = Some(Actions.parseProtocol(JsonMethods.parse(r.getString(3))))
+      else if (r.getString(4) != null) {
+        val t = Actions.parseTxn(JsonMethods.parse(r.getString(4)))
+        txns.put(t.appId, t.version)
+      }
+    }
+
+    // Tail replay: per-path final action (Left = active add, Right =
+    // tombstone), plus metadata/protocol/txn overrides.
+    val finalAct =
+      scala.collection.mutable.LinkedHashMap.empty[String, Either[AddFile, RemoveFile]]
+    log.listCommitVersions().filter(v => v > cpVersion && v <= target).foreach { v =>
+      log.readCommit(v).foreach {
+        case a: AddFile => finalAct.put(a.path, Left(a))
+        case r: RemoveFile => finalAct.put(r.path, Right(r))
+        case m: TableMetadata => metadata = Some(m)
+        case p: Protocol => protocol = Some(p)
+        case t: Txn => txns.put(t.appId, t.version)
+        case _ => ()
+      }
+    }
+
+    val fileRows = state.where(col("add").isNotNull || col("remove").isNotNull)
+      .select(col("add"), col("remove"), col("metaData"), col("protocol"), col("txn"))
+    val kept =
+      if (finalAct.isEmpty) fileRows
+      else fileRows.join(broadcast(finalAct.keys.toSeq.toDF("__p")),
+          coalesce(get_json_object(col("add"), "$.path"),
+            get_json_object(col("remove"), "$.path")) === col("__p"), "left_anti")
+        .select(col("add"), col("remove"), col("metaData"), col("protocol"), col("txn"))
+
+    val driverRows: Seq[Row] =
+      metadata.map(m => Row(null, null, render(m), null, null)).toSeq ++
+        protocol.map(p => Row(null, null, null, render(p), null)).toSeq ++
+        txns.toSeq.map { case (app, v) => Row(null, null, null, null, render(Txn(app, v))) } ++
+        finalAct.values.map {
+          case Left(a) => Row(render(a), null, null, null, null)
+          case Right(r) => Row(null, render(r), null, null, null)
+        }
+    val driverDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(driverRows, 1), schema)
+
+    val keptCount = kept.count()
+    val total = keptCount + driverRows.size
+    val nParts = math.max(1, math.ceil(total.toDouble / actionsPerPart).toInt)
+
+    val tmp = new org.apache.hadoop.fs.Path(log.logPath,
+      s".cp-tmp-${java.util.UUID.randomUUID()}")
+    kept.union(driverDf).repartition(nParts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // Empty write partitions still commit a (schema-only) part file, so the
+    // repartition count IS the part count; assert rather than assume.
+    val partFiles = log.fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    require(partFiles.length == nParts,
+      s"distributed checkpoint wrote ${partFiles.length} parts, expected $nParts")
+    if (nParts == 1) {
+      val t = log.checkpointFile(target)
+      log.fs.delete(t, false)
+      log.fs.rename(partFiles.head, t)
+    } else {
+      partFiles.zipWithIndex.foreach { case (p, i) =>
+        val t = log.checkpointPart(target, i + 1, nParts)
+        log.fs.delete(t, false)
+        log.fs.rename(p, t)
+      }
+    }
+    log.fs.delete(tmp, true)
+    log.writeLastCheckpoint(target, total, if (nParts == 1) None else Some(nParts))
+  }
+
   private def writePart(spark: SparkSession, log: DeltaLog,
                         rows: Seq[Row], target: org.apache.hadoop.fs.Path): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(log.logPath,

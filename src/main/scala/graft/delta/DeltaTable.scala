@@ -1293,10 +1293,22 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * `(v+1) % interval == 0` (reference: src/delta/table.ts:2808-2888). */
   private def maybeCheckpoint(v: Long): Unit =
     if (checkpointInterval > 0 && (v + 1) % checkpointInterval == 0) {
-      Checkpoints.write(spark, log, snapshot(Some(v)))
+      writeCheckpoint(v)
     }
 
-  def checkpoint(): Unit = Checkpoints.write(spark, log, snapshot())
+  def checkpoint(): Unit = writeCheckpoint(log.latestVersion())
+
+  /** Checkpoint via the size-appropriate path: above the distributed
+    * threshold the previous checkpoint rolls forward as a DataFrame
+    * ([[Checkpoints.writeDistributed]] — O(tail) driver memory); below it
+    * the driver snapshot serializes directly (a Spark job per checkpoint
+    * costs more than it saves at small file counts). */
+  private def writeCheckpoint(v: Long): Unit =
+    log.readLastCheckpoint().filter(_._1 < v) match {
+      case Some((_, size, _)) if size >= distributedSnapshotThreshold =>
+        Checkpoints.writeDistributed(spark, log, v)
+      case _ => Checkpoints.write(spark, log, snapshot(Some(v)))
+    }
 
   /**
    * Retention cleanup (reference: checkpoint retention of 10 + log cleanup
