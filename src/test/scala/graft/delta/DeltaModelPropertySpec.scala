@@ -29,10 +29,24 @@ class DeltaModelPropertySpec extends SparkTestBase {
   private def contents(df: DataFrame): Map[Int, String] =
     df.select("id", "s").as[(Int, String)].collect().toMap
 
-  private def runSequence(seed: Long, steps: Int, cdf: Boolean = false): Unit = {
+  private def runSequence(seed: Long, steps: Int, cdf: Boolean = false,
+                          distributed: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft-model-$seed").toString
     val table = DeltaTable.forPath(spark, dir)
+    if (distributed) {
+      // Force every scan through DistributedSnapshot and every checkpoint
+      // roll-forward through Checkpoints.writeDistributed (once a previous
+      // checkpoint exists), under the SAME model invariants as the driver
+      // path — the random-DML × large-table-code-path cross product.
+      table.distributedSnapshotThreshold = 1
+      table.checkpointInterval = 5
+    }
+    // Distributed reads route through query(); driver reads through toDF().
+    def currentDf(): DataFrame =
+      if (distributed) table.query("{}") else table.toDF()
+    def asOfDf(v: Long): DataFrame =
+      if (distributed) table.query("{}", None, Some(v)) else table.asOf(v)
 
     var model = Map.empty[Int, String]
     // history(v) = expected contents at version v
@@ -65,7 +79,7 @@ class DeltaModelPropertySpec extends SparkTestBase {
       // exposes the same post-op contents
       history = history ++ Vector.fill((v - lastVersion).toInt)(model)
       lastVersion = v
-      assert(contents(table.toDF()) == model,
+      assert(contents(currentDf()) == model,
         s"seed=$seed v=$v: table != model after op")
     }
 
@@ -135,10 +149,11 @@ class DeltaModelPropertySpec extends SparkTestBase {
             recordCdf(fromV, gone.toSeq.map { case (k, v) => ("delete", k, v) })
           }
 
-        case 8 => // layout-only compaction: contents must not move
+        case 8 => // layout-only rewrite: contents must not move
           if (lastVersion >= 1) {
-            Maintenance.compact(table)
-            if (table.version > lastVersion) afterOp(model, "compact")
+            if (rnd.nextBoolean()) Maintenance.compact(table)
+            else Maintenance.zOrderCluster(table, Seq("id"))
+            if (table.version > lastVersion) afterOp(model, "layout-rewrite")
           }
 
         case 9 => // restore to a random earlier version
@@ -153,7 +168,7 @@ class DeltaModelPropertySpec extends SparkTestBase {
     // time travel to EVERY version replays the recorded model state,
     // including states overwritten by restore
     history.zipWithIndex.foreach { case (expected, v) =>
-      assert(contents(table.asOf(v.toLong)) == expected,
+      assert(contents(asOfDf(v.toLong)) == expected,
         s"seed=$seed: asOf($v) diverged from model history; " +
           s"ops=${trace.mkString(" | ")}")
     }
@@ -190,5 +205,17 @@ class DeltaModelPropertySpec extends SparkTestBase {
 
   test("random DML on a CDF table: every op's change-feed slice matches the model (seed 101, 30 steps)") {
     runSequence(seed = 101L, steps = 30, cdf = true)
+  }
+
+  test("random DML with distributed snapshots and checkpoint roll-forward (seed 23, 25 steps)") {
+    // threshold=1 + interval-5 checkpoints: every scan reconstructs state
+    // via DistributedSnapshot, every checkpoint past the first rolls
+    // forward via Checkpoints.writeDistributed, and the final sweep time
+    // travels through distributed-written checkpoints.
+    runSequence(seed = 23L, steps = 25, distributed = true)
+  }
+
+  test("random DML on a CDF table with distributed paths (seed 77, 20 steps)") {
+    runSequence(seed = 77L, steps = 20, cdf = true, distributed = true)
   }
 }
