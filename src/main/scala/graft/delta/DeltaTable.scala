@@ -40,11 +40,44 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   def version: Long = log.latestVersion()
 
+  /** Newest fully-replayed state, reused as the base for INCREMENTAL replay
+    * on later calls — turns the per-call O(commits since checkpoint) log
+    * re-read into O(commits since last call). Correct under concurrent
+    * writers because every call still re-lists the log and replays anything
+    * new; only the already-replayed prefix is reused, and commit files are
+    * immutable once written, so that prefix cannot change. Time-travel
+    * targets below the cache replay from scratch (rare, driver path only).
+    * Holding one extra Snapshot is O(active files) driver memory — the same
+    * order the driver fast-path materializes per call anyway; large tables
+    * route through [[DistributedSnapshot]] and never populate this. */
+  @volatile private var cachedLatest: Option[Snapshot] = None
+
   /** State at `versionOpt` (default: latest), replayed from the newest
     * checkpoint at or below it (reference: src/delta/table.ts:557-642). */
   def snapshot(versionOpt: Option[Long] = None): Snapshot = {
     val target = versionOpt.getOrElse(log.latestVersion())
     if (target < 0) return Snapshot.empty
+    cachedLatest match {
+      case Some(c) if c.version == target => return c
+      case Some(c) if c.version < target =>
+        val tail = log.listCommitVersions().filter(v => v > c.version && v <= target)
+        // Contiguity guard: retention cleanup can delete old commits, but
+        // never ones above the cached version; a hole here means something
+        // external mutated the log shape — fall through to a full replay.
+        if (tail.size == (target - c.version)) {
+          val s = Snapshot.replay(c.copy(version = target),
+            tail.iterator.map(v => (v, log.readCommit(v))))
+          cachedLatest = Some(s)
+          return s
+        }
+      case _ => ()
+    }
+    val snap = replayFromCheckpoint(target)
+    if (cachedLatest.forall(_.version < target)) cachedLatest = Some(snap)
+    snap
+  }
+
+  private def replayFromCheckpoint(target: Long): Snapshot = {
     val cpFromPointer = log.readLastCheckpoint().filter(_._1 <= target)
     val cp = cpFromPointer.orElse {
       // Fallback: scan for checkpoint files (pointer may lag or be missing);
