@@ -682,10 +682,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * nothing matched, like the reference.
    */
   def delete(filterJson: String): DmlResult = {
-    val snap = snapshot()
-    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
-    val candidates = FilePruner.prune(snap, filter)
+    // Pruned read state via the size-appropriate path: above the
+    // distributed threshold only candidate files ever reach the driver.
+    val snap = scanState(None, filter)
+    ProtocolSupport.assertWritable(snap, path)
+    val candidates = snap.activeFiles
     val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
     if (nMatched == 0)
       throw new IllegalArgumentException("delete matched no rows")
@@ -722,10 +724,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * reclaims the storage instead of masking it (Delta's own guidance).
    */
   def deleteWithDV(filterJson: String): DmlResult = {
-    val snap = snapshot()
-    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
-    val candidates = FilePruner.prune(snap, filter)
+    val snap = scanState(None, filter)
+    ProtocolSupport.assertWritable(snap, path)
+    val candidates = snap.activeFiles
     val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
     if (nMatched == 0)
       throw new IllegalArgumentException("delete matched no rows")
@@ -741,7 +743,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .map(r => new Path(r.getString(0)).toUri.getPath ->
         r.getAs[Array[Byte]](1))
       .toMap
-    val v = commitDvMask(dvByPath, Nil, "DELETE", nMatched)
+    val v = commitDvMask(snap, dvByPath, Nil, "DELETE", nMatched)
     if (cdcConfigured(snap)) {
       val deleted = matchedRows.drop("__file")
         .withColumn(Cdc.ChangeType, lit("delete"))
@@ -754,36 +756,44 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * `extraAdds` (MoR update/merge's new-image files), all in one commit.
     * `dvByPath` carries executor-built serialized bitmaps (KBs per file),
     * not row indexes — see [[DeletionVectors.bitmapAgg]]. */
-  private[delta] def commitDvMask(dvByPath: Map[String, Array[Byte]],
+  private[delta] def commitDvMask(snapAtRead: Snapshot,
+                                  dvByPath: Map[String, Array[Byte]],
                                   extraAdds: Seq[AddFile], op: String,
-                                  nMatched: Long): Long = Retry.withRetry() {
-    val cur = snapshot()
-    DeltaTable.assertNotAppendOnly(cur, op)
-    val now = System.currentTimeMillis()
-    val touched = cur.activeFiles.filter(f =>
-      dvByPath.contains(new Path(tablePath, f.path).toUri.getPath))
-    if (touched.size != dvByPath.size)
-      throw new ConcurrencyException(cur.version + 1) // a matched file was rewritten under us
-    val removes = touched.map(f => RemoveFile(f.path, now))
-    val dvAdds = touched.map { f =>
-      val fresh = DeletionVectors.deserialize(
-        dvByPath(new Path(tablePath, f.path).toUri.getPath))
-      val merged = f.deletionVector match {
-        case Some(dv) => DeletionVectors.union(DeletionVectors.load(log, dv), fresh)
-        case None => fresh
-      }
-      f.copy(deletionVector = Some(DeletionVectors.inlineDescriptor(merged)),
-        dataChange = true)
+                                  nMatched: Long): Long = {
+    val relByAbs = snapAtRead.activeFiles
+      .map(f => new Path(tablePath, f.path).toUri.getPath -> f.path).toMap
+    val maskedRel: Map[String, Array[Byte]] = dvByPath.map { case (abs, dv) =>
+      relByAbs.getOrElse(abs, throw new IllegalStateException(
+        s"DV mask for a file absent from the read snapshot: $abs")) -> dv
     }
-    val vN = cur.version + 1
-    log.writeCommit(vN,
-      (removes: Seq[Action]) ++ (dvAdds: Seq[Action]) ++ (extraAdds: Seq[Action]) :+
-        CommitInfo(now, op, Map("mode" -> "deletion-vectors",
-          "numMatchedRows" -> nMatched.toString,
-          "numDvFiles" -> touched.size.toString,
-          "numAddedFiles" -> extraAdds.size.toString)))
-    maybeCheckpoint(vN)
-    vN
+    Retry.withRetry() {
+      // CURRENT record per masked file (a racer's DV re-add must be merged
+      // with, a removal must conflict) via tail replay — O(commits since
+      // read), never the full file list ([[tailRecords]]).
+      val (cur, records, metadata, _) = tailRecords(snapAtRead, maskedRel.keySet)
+      DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
+      val now = System.currentTimeMillis()
+      val touched = maskedRel.keySet.toSeq.sorted.map(records)
+      val removes = touched.map(f => RemoveFile(f.path, now))
+      val dvAdds = touched.map { f =>
+        val fresh = DeletionVectors.deserialize(maskedRel(f.path))
+        val merged = f.deletionVector match {
+          case Some(dv) => DeletionVectors.union(DeletionVectors.load(log, dv), fresh)
+          case None => fresh
+        }
+        f.copy(deletionVector = Some(DeletionVectors.inlineDescriptor(merged)),
+          dataChange = true)
+      }
+      val vN = cur + 1
+      log.writeCommit(vN,
+        (removes: Seq[Action]) ++ (dvAdds: Seq[Action]) ++ (extraAdds: Seq[Action]) :+
+          CommitInfo(now, op, Map("mode" -> "deletion-vectors",
+            "numMatchedRows" -> nMatched.toString,
+            "numDvFiles" -> touched.size.toString,
+            "numAddedFiles" -> extraAdds.size.toString)))
+      maybeCheckpoint(vN)
+      vN
+    }
   }
 
   /**
@@ -793,14 +803,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * [[update]] remains the mass-update path). Same semantics as [[update]].
    */
   def updateWithDV(filterJson: String, updatesJson: String): DmlResult = {
-    val snap = snapshot()
-    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
+    val snap = scanState(None, filter)
+    ProtocolSupport.assertWritable(snap, path)
     val updates = JsonMethods.parse(updatesJson) match {
       case JObject(fs) => fs
       case other => throw new IllegalArgumentException(s"updates must be an object: $other")
     }
-    val candidates = FilePruner.prune(snap, filter)
+    val candidates = snap.activeFiles
     val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
     if (nMatched == 0)
       throw new IllegalArgumentException("update matched no rows")
@@ -821,7 +831,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         acc.withColumn(field, jvalueLiteral(value, snap.schema, field))
     }
     val newAdds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
-    val v = commitDvMask(dvByPath, newAdds, "UPDATE", nMatched)
+    val v = commitDvMask(snap, dvByPath, newAdds, "UPDATE", nMatched)
     if (cdcConfigured(snap)) {
       val pre = matchedRows.drop("__file")
         .withColumn(Cdc.ChangeType, lit("update_preimage"))
@@ -836,14 +846,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * field patch on matching rows; files with matches are rewritten whole.
    */
   def update(filterJson: String, updatesJson: String): DmlResult = {
-    val snap = snapshot()
-    ProtocolSupport.assertWritable(snap, path)
     val filter = JsonMethods.parse(filterJson)
+    val snap = scanState(None, filter)
+    ProtocolSupport.assertWritable(snap, path)
     val updates = JsonMethods.parse(updatesJson) match {
       case JObject(fs) => fs
       case other => throw new IllegalArgumentException(s"updates must be an object: $other")
     }
-    val candidates = FilePruner.prune(snap, filter)
+    val candidates = snap.activeFiles
     val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
     if (nMatched == 0)
       throw new IllegalArgumentException("update matched no rows")
@@ -905,21 +915,60 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     (rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
-  /** Append-only commit of pre-written files (used by merge inserts). */
   /** Remove an uncommitted data file (e.g. a zero-row part the writer made). */
   private[delta] def deleteDataFile(rel: String): Unit =
     fs.delete(new Path(tablePath, rel), false)
 
+  /** Append-only commit of pre-written files (used by merge inserts).
+    * Needs only the next version number — never any snapshot state. */
   private[delta] def appendCommit(adds: Seq[AddFile], op: String): Long =
     Retry.withRetry() {
-      val snap = snapshot()
-      val v = snap.version + 1
+      val v = log.latestVersion() + 1
       val now = System.currentTimeMillis()
       log.writeCommit(v, (adds: Seq[Action]) ++ Seq[Action](
         CommitInfo(now, op, Map("numFiles" -> adds.size.toString))))
       maybeCheckpoint(v)
       v
     }
+
+  /**
+   * Current per-path state for exactly `relPaths`, established WITHOUT the
+   * full file list: the paths' records from `snapAtRead` (which must hold
+   * them active — DML read them there) are rolled forward by a driver
+   * replay of the commit tail since `snapAtRead.version`. O(tail) driver
+   * work regardless of table size — the commit-time twin of
+   * [[DistributedSnapshot]]'s read path; with the driver fast-path's cached
+   * snapshot the tail is typically empty.
+   *
+   * Returns (latestVersion, rel path → CURRENT AddFile record, current
+   * metadata, current protocol). Throws [[ConcurrencyException]] if any
+   * path is no longer active (a racer rewrote or removed it) — the same
+   * file-vanished conflict rule the full-snapshot check enforced.
+   */
+  private def tailRecords(snapAtRead: Snapshot, relPaths: Set[String])
+      : (Long, Map[String, AddFile], Option[TableMetadata], Option[Protocol]) = {
+    val cur = log.latestVersion()
+    val byPath = scala.collection.mutable.LinkedHashMap.from(
+      snapAtRead.activeFiles.filter(f => relPaths.contains(f.path))
+        .map(f => f.path -> f))
+    if (byPath.size != relPaths.size)
+      throw new ConcurrencyException(cur + 1)
+    var metadata = snapAtRead.metadata
+    var protocol = snapAtRead.protocol
+    log.listCommitVersions()
+      .filter(v => v > snapAtRead.version && v <= cur).foreach { v =>
+        log.readCommit(v).foreach {
+          case a: AddFile if relPaths.contains(a.path) => byPath.put(a.path, a)
+          case r: RemoveFile if relPaths.contains(r.path) => byPath.remove(r.path)
+          case m: TableMetadata => metadata = Some(m)
+          case p: Protocol => protocol = Some(p)
+          case _ => ()
+        }
+      }
+    if (byPath.size != relPaths.size)
+      throw new ConcurrencyException(cur + 1) // a matched file vanished under us
+    (cur, byPath.toMap, metadata, protocol)
+  }
 
   /** Commit a rewrite: removes for the rewritten files, adds for their
     * replacements. `rewrittenAbs` holds absolute `file:` URIs from
@@ -935,16 +984,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         new Path(tablePath, f.path).toUri.getPath)
     }.map(_.path).toSet
     Retry.withRetry() {
-      val snap = snapshot()
+      // Conflict check + metadata via tail replay from the read snapshot —
+      // O(commits since read), never the full file list ([[tailRecords]]).
+      val (cur, _, metadata, _) = tailRecords(snapAtRead, rewrittenRel)
       // DML rewrites change data (dataChange=true removes) — illegal on an
       // append-only table. Maintenance's layout-only path stays legal.
-      DeltaTable.assertNotAppendOnly(snap, op)
+      DeltaTable.assertNotAppendOnly(
+        snapAtRead.copy(metadata = metadata), op)
       val now = System.currentTimeMillis()
-      val removes = snap.activeFiles.filter(f => rewrittenRel.contains(f.path))
-        .map(f => RemoveFile(f.path, now))
-      if (removes.size != rewrittenRel.size)
-        throw new ConcurrencyException(snap.version + 1) // file vanished under us; surface as conflict
-      val v = snap.version + 1
+      val removes = rewrittenRel.toSeq.sorted.map(p => RemoveFile(p, now))
+      val v = cur + 1
       log.writeCommit(v, removes ++ adds :+ CommitInfo(now, op,
         Map("numRewrittenFiles" -> removes.size.toString)))
       maybeCheckpoint(v)

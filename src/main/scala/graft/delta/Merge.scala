@@ -449,7 +449,7 @@ object Merge {
       return MergeResult(0L, 0L, 0L, table.version)
     val v =
       if (nMatched == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
-      else table.commitDvMask(dvByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
+      else table.commitDvMask(snap, dvByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
     captureMergeCdc(table, snap, v, {
       val matchedPart: Seq[DataFrame] =
         if (nMatched == 0) Nil

@@ -132,6 +132,8 @@ class DistributedCheckpointSpec extends SparkTestBase {
     t.distributedSnapshotThreshold = 1 // force the distributed write path
     t.write(Seq((6, "f")).toDF("id", "s"))
     t.delete("""{"id":{"$eq":2}}""")
+    // DML candidate selection itself routed through the distributed scan
+    assert(t.lastQueryDistributed)
     // every commit checkpointed; the last two rolled forward distributed
     val Some((v, _, _)) = t.log.readLastCheckpoint()
     assert(v == 3L)
