@@ -395,6 +395,10 @@ object Maintenance {
     val t0 = System.currentTimeMillis()
     val retention = if (enforceMinimum) math.max(retentionHours, 1.0) else retentionHours
     val cutoff = t0 - (retention * 3600 * 1000).toLong
+    val distributed = table.log.readLastCheckpoint()
+      .exists(_._2 >= table.distributedSnapshotThreshold)
+    if (distributed)
+      return vacuumDistributed(table, cutoff, dryRun, t0)
     val snap = table.snapshot()
     val active = snap.activeFiles.map(_.path).toSet
     val protectedPaths = snap.tombstones
@@ -424,36 +428,153 @@ object Maintenance {
       }
     }
     val paths = doomed.result()
-    if (!dryRun && paths.nonEmpty) {
-      if (paths.size <= 64) paths.foreach(p => fs.delete(new Path(p), false))
-      else {
-        // Millions of reclaimable files are the norm after heavy compaction
-        // at scale; a serial driver loop is hours of wall clock on an
-        // object store. Fan the deletes out as one Spark job (Hadoop conf
-        // entries shipped and rebuilt per task, the FooterStats pattern).
-        val confItems: Seq[(String, String)] = {
-          val ci = table.log.hadoopConf.iterator()
-          val b = Seq.newBuilder[(String, String)]
-          while (ci.hasNext) { val e = ci.next(); b += (e.getKey -> e.getValue) }
-          b.result()
-        }
-        val parallelism = math.max(1, math.min(paths.size / 64, 64))
-        table.spark.sparkContext.parallelize(paths, parallelism)
-          .foreachPartition { ps =>
-            val conf = new org.apache.hadoop.conf.Configuration(false)
-            confItems.foreach { case (k, v) => conf.set(k, v) }
-            var pfs: org.apache.hadoop.fs.FileSystem = null
-            ps.foreach { p =>
-              val hp = new Path(p)
-              if (pfs == null) pfs = hp.getFileSystem(conf)
-              pfs.delete(hp, false)
-            }
-          }
-      }
-    }
+    if (!dryRun && paths.nonEmpty) deletePaths(table, paths)
     VacuumResult(paths.size.toLong, freed, dryRun,
       filesScanned = scanned, filesRetained = scanned - paths.size,
       filesToDelete = if (dryRun) doomedRel.result() else Seq.empty,
+      durationMs = System.currentTimeMillis() - t0)
+  }
+
+  /** Hadoop conf entries as plain pairs — serializable for executor-side
+    * FileSystem rebuilds (the FooterStats pattern). */
+  private def confItems(table: DeltaTable): Seq[(String, String)] = {
+    val ci = table.log.hadoopConf.iterator()
+    val b = Seq.newBuilder[(String, String)]
+    while (ci.hasNext) { val e = ci.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  /** Delete absolute paths: a driver loop below 64, one fanned-out Spark job
+    * above it — millions of reclaimable files are the norm after heavy
+    * compaction at scale, and a serial driver loop is hours of wall clock
+    * on an object store. */
+  private def deletePaths(table: DeltaTable, paths: Seq[String]): Unit = {
+    if (paths.size <= 64) {
+      paths.foreach(p => table.log.fs.delete(new Path(p), false))
+    } else {
+      val items = confItems(table)
+      val parallelism = math.max(1, math.min(paths.size / 64, 64))
+      table.spark.sparkContext.parallelize(paths, parallelism)
+        .foreachPartition { ps =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          items.foreach { case (k, v) => conf.set(k, v) }
+          var pfs: org.apache.hadoop.fs.FileSystem = null
+          ps.foreach { p =>
+            val hp = new Path(p)
+            if (pfs == null) pfs = hp.getFileSystem(conf)
+            pfs.delete(hp, false)
+          }
+        }
+    }
+  }
+
+  /**
+   * Vacuum for LARGE tables: neither the keep-set nor the storage listing
+   * materializes on the driver. The keep-set (active files ∪ tombstones
+   * newer than the cutoff) stays a DataFrame built from the checkpoint
+   * ([[Checkpoints.readStateDf]]) reconciled with an O(tail) driver replay
+   * of commits past it — the same scheme as [[DistributedSnapshot]] /
+   * [[Checkpoints.writeDistributed]]. The listing fans out one executor
+   * task per top-level directory (Hive partition dirs — the 100-TB
+   * layout); garbage is the listing anti-joined against the keep-set, so
+   * driver memory is O(top-level entries + reclaimable files). The scanned
+   * census rides the anti-join's own job via `Observation` — no second
+   * listing pass. Flat layouts degrade gracefully: root files list
+   * driver-side (their statuses come from the one shallow list the driver
+   * does anyway), membership still checks distributed.
+   */
+  private def vacuumDistributed(table: DeltaTable, cutoff: Long,
+                                dryRun: Boolean, t0: Long): VacuumResult = {
+    val spark = table.spark
+    import spark.implicits._
+    val log = table.log
+    val (cv, _, parts) = log.readLastCheckpoint()
+      .getOrElse(throw new IllegalStateException("distributed vacuum needs a checkpoint"))
+    val target = log.latestVersion()
+
+    // Tail replay: per-path FINAL keep-state past the checkpoint. Last
+    // action wins: an add keeps the file active (and clears any tombstone);
+    // a remove protects it iff newer than the cutoff.
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    val tailKeep = scala.collection.mutable.LinkedHashSet.empty[String]
+    log.listCommitVersions().filter(v => v > cv && v <= target).foreach { v =>
+      log.readCommit(v).foreach {
+        case a: AddFile => touched += a.path; tailKeep += a.path
+        case r: RemoveFile =>
+          touched += r.path
+          if (r.deletionTimestamp >= cutoff) tailKeep += r.path
+          else tailKeep -= r.path
+        case _ => ()
+      }
+    }
+
+    val state = Checkpoints.readStateDf(spark, log, cv, parts)
+    val cpAdds = state.where(col("add").isNotNull)
+      .select(get_json_object(col("add"), "$.path").as("rel"))
+    val cpRecentTombstones = state.where(col("remove").isNotNull)
+      .select(get_json_object(col("remove"), "$.path").as("rel"),
+        get_json_object(col("remove"), "$.deletionTimestamp")
+          .cast("long").as("__ts"))
+      .where(col("__ts") >= cutoff).select(col("rel"))
+    val cpKeepAll = cpAdds.union(cpRecentTombstones)
+    val cpKeep =
+      if (touched.isEmpty) cpKeepAll
+      else cpKeepAll.join(broadcast(touched.toSeq.toDF("rel")),
+        Seq("rel"), "left_anti")
+    val keep = cpKeep.union(tailKeep.toSeq.toDF("rel"))
+
+    // Listing: one shallow driver list; subdirectories recurse on executors.
+    val fs = log.fs
+    val base = fs.makeQualified(table.tablePath).toUri.getPath
+    val skipDirs = Set("_delta_log", "_change_data", "_staging", "_cdc_offsets")
+    val top = fs.listStatus(table.tablePath)
+    val rootRows = top.filter(_.isFile).toSeq.map { st =>
+      (st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"),
+        st.getPath.toString, st.getModificationTime, st.getLen)
+    }
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString)
+      .filterNot(d => skipDirs.contains(d.substring(d.lastIndexOf('/') + 1)))
+      .toSeq
+    val items = confItems(table)
+    val dirListing =
+      if (dirs.isEmpty) spark.emptyDataset[(String, String, Long, Long)]
+      else spark.sparkContext
+        .parallelize(dirs, math.min(dirs.size, 64))
+        .mapPartitions { ds =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          items.foreach { case (k, v) => conf.set(k, v) }
+          ds.flatMap { d =>
+            val hp = new Path(d)
+            val dfs = hp.getFileSystem(conf)
+            val out = Seq.newBuilder[(String, String, Long, Long)]
+            val it = dfs.listFiles(hp, true)
+            while (it.hasNext) {
+              val st = it.next()
+              out += ((st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"),
+                st.getPath.toString, st.getModificationTime, st.getLen))
+            }
+            out.result()
+          }
+        }.toDS()
+    val listing = dirListing
+      .union(rootRows.toDS())
+      .toDF("rel", "abs", "mtime", "len")
+      .where(col("rel").endsWith(".parquet"))
+
+    val obs = org.apache.spark.sql.Observation()
+    val doomed = listing
+      .observe(obs, count(lit(1)).as("__scanned"))
+      .where(col("mtime") < cutoff)
+      .join(keep, Seq("rel"), "left_anti")
+      .select(col("rel"), col("abs"), col("len"))
+      .collect() // O(reclaimable files) — the result vacuum must enumerate anyway
+    val scanned = obs.get("__scanned").asInstanceOf[Long]
+    val freed = doomed.map(_.getLong(2)).sum
+    val paths = doomed.map(_.getString(1)).toSeq
+    if (!dryRun && paths.nonEmpty) deletePaths(table, paths)
+    VacuumResult(paths.size.toLong, freed, dryRun,
+      filesScanned = scanned, filesRetained = scanned - paths.size,
+      filesToDelete = if (dryRun) doomed.map(_.getString(0)).toSeq else Seq.empty,
       durationMs = System.currentTimeMillis() - t0)
   }
 }

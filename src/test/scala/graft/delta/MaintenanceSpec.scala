@@ -141,6 +141,50 @@ class MaintenanceSpec extends SparkTestBase {
     assert(t.toDF().as[Int].collect().toSeq == Seq(0))
   }
 
+  test("distributed vacuum equals driver vacuum and reclaims the same files") {
+    val t = tmpTable()
+    t.checkpointInterval = 1 // distributed routing needs a checkpoint
+    // Hive-partitioned layout (the executor-sharded listing path) + root
+    // garbage via an unpartitioned overwrite history
+    t.write((1 to 40).map(i => (i % 4, i, s"r$i")).toDF("k", "id", "s"),
+      partitionBy = Seq("k"))
+    t.delete("""{"id":{"$lte":20}}""") // rewrites files → tombstones
+    t.write(Seq((9, 99, "x")).toDF("k", "id", "s"), partitionBy = Seq("k"))
+    Thread.sleep(1100)
+
+    val driverDry = Maintenance.vacuum(t, 0, dryRun = true, enforceMinimum = false)
+    t.distributedSnapshotThreshold = 1
+    val distDry = Maintenance.vacuum(t, 0, dryRun = true, enforceMinimum = false)
+    assert(distDry.filesToDelete.toSet == driverDry.filesToDelete.toSet)
+    assert(distDry.filesScanned == driverDry.filesScanned)
+    assert(distDry.filesDeleted == driverDry.filesDeleted)
+    assert(distDry.filesRetained == driverDry.filesRetained)
+
+    val before = t.query("{}").orderBy("id")
+      .select("k", "id", "s").as[(Int, Int, String)].collect().toSeq
+    val real = Maintenance.vacuum(t, 0, enforceMinimum = false)
+    assert(real.filesDeleted == driverDry.filesDeleted)
+    // contents untouched; a second distributed pass finds nothing
+    assert(t.query("{}").orderBy("id")
+      .select("k", "id", "s").as[(Int, Int, String)].collect().toSeq == before)
+    assert(Maintenance.vacuum(t, 0, enforceMinimum = false).filesDeleted == 0)
+  }
+
+  test("distributed vacuum protects tombstones within retention") {
+    val t = tmpTable()
+    t.checkpointInterval = 1
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.write(Seq((2, "b")).toDF("id", "s"), mode = "overwrite") // v0 tombstoned NOW
+    t.distributedSnapshotThreshold = 1
+    // 168 h retention: the fresh tombstone is protected, nothing reclaimed
+    val res = Maintenance.vacuum(t, dryRun = true)
+    assert(res.filesDeleted == 0)
+    assert(res.filesScanned == 2 && res.filesRetained == 2)
+    // time travel across the protected tombstone still works
+    assert(t.query("{}", None, Some(0L)).as[(Int, String)].collect().toSeq ==
+      Seq((1, "a")))
+  }
+
   test("maintenance commit preserves a concurrent append (removes only files it read)") {
     val t = tmpTable()
     t.write(Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "s"))
