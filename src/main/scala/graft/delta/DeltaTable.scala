@@ -947,12 +947,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   private def tailRecords(snapAtRead: Snapshot, relPaths: Set[String])
       : (Long, Map[String, AddFile], Option[TableMetadata], Option[Protocol]) = {
+    val (cur, byPath, metadata, protocol) = tailState(snapAtRead, relPaths)
+    if (byPath.size != relPaths.size)
+      throw new ConcurrencyException(cur + 1) // a matched file vanished under us
+    (cur, byPath, metadata, protocol)
+  }
+
+  /** Non-throwing core of [[tailRecords]]: paths no longer active simply
+    * drop out of the returned map — callers pick their own conflict
+    * exception ([[graft.delta.Maintenance]] re-plans instead of failing). */
+  private[delta] def tailState(snapAtRead: Snapshot, relPaths: Set[String])
+      : (Long, Map[String, AddFile], Option[TableMetadata], Option[Protocol]) = {
     val cur = log.latestVersion()
     val byPath = scala.collection.mutable.LinkedHashMap.from(
       snapAtRead.activeFiles.filter(f => relPaths.contains(f.path))
         .map(f => f.path -> f))
-    if (byPath.size != relPaths.size)
-      throw new ConcurrencyException(cur + 1)
     var metadata = snapAtRead.metadata
     var protocol = snapAtRead.protocol
     log.listCommitVersions()
@@ -965,10 +974,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           case _ => ()
         }
       }
-    if (byPath.size != relPaths.size)
-      throw new ConcurrencyException(cur + 1) // a matched file vanished under us
     (cur, byPath.toMap, metadata, protocol)
   }
+
+  /** Read state with a driver-side file predicate pre-applied — the
+    * maintenance twin of [[scanState]] (which prunes by a query filter):
+    * above the distributed threshold only files SATISFYING `pred` reach the
+    * driver (e.g. compaction's below-target-size candidates); below it the
+    * cached driver snapshot filters in memory. */
+  private[delta] def scanStateWhere(pred: AddFile => Boolean): Snapshot =
+    log.readLastCheckpoint() match {
+      case Some((cv, size, parts)) if size >= distributedSnapshotThreshold =>
+        DistributedSnapshot.stateWhere(spark, log, cv, parts,
+          log.latestVersion(), pred)
+      case _ =>
+        val snap = snapshot()
+        snap.copy(activeFiles = snap.activeFiles.filter(pred))
+    }
 
   /** Commit a rewrite: removes for the rewritten files, adds for their
     * replacements. `rewrittenAbs` holds absolute `file:` URIs from

@@ -52,7 +52,28 @@ object DistributedSnapshot {
    */
   def prunedState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
                   parts: Option[Int], target: Long, filter: JValue,
-                  skipFiles: Boolean = false): Snapshot = {
+                  skipFiles: Boolean = false): Snapshot =
+    reconstruct(spark, log, cpVersion, parts, target, skipFiles,
+      meta => {
+        val schema = meta
+          .map(m => DataType.fromJson(m.schemaString).asInstanceOf[StructType])
+          .getOrElse(StructType(Nil))
+        val partCols = meta.map(_.partitionColumns).getOrElse(Nil).toSet
+        FilePruner.compile(filter, partCols, schema)
+      })
+
+  /** State at `target` with an arbitrary serializable file predicate
+    * pre-applied — the maintenance selection path (e.g. compaction's
+    * below-target-size files). Same scan-only contract as [[prunedState]]. */
+  def stateWhere(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                 parts: Option[Int], target: Long,
+                 pred: AddFile => Boolean): Snapshot =
+    reconstruct(spark, log, cpVersion, parts, target, skipFiles = false,
+      _ => pred)
+
+  private def reconstruct(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                          parts: Option[Int], target: Long, skipFiles: Boolean,
+                          keepFor: Option[TableMetadata] => AddFile => Boolean): Snapshot = {
     import spark.implicits._
     val state = Checkpoints.readStateDf(spark, log, cpVersion, parts)
 
@@ -92,11 +113,7 @@ object DistributedSnapshot {
     if (skipFiles)
       return Snapshot(target, metadata, protocol, Nil, Nil, txns.toMap)
 
-    val schema = metadata
-      .map(m => DataType.fromJson(m.schemaString).asInstanceOf[StructType])
-      .getOrElse(StructType(Nil))
-    val partCols = metadata.map(_.partitionColumns).getOrElse(Nil).toSet
-    val keep = FilePruner.compile(filter, partCols, schema)
+    val keep = keepFor(metadata)
 
     // Reconcile + prune on executors. Path extraction for the anti-join is
     // get_json_object (codegen'd) — the full AddFile parse happens once per

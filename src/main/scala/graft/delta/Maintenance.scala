@@ -31,18 +31,21 @@ object Maintenance {
    * their rows. Version races on the commit file itself retry in place;
    * file-set conflicts escape to [[replanOnConflict]] for a fresh rewrite.
    */
-  private[delta] def commitMaintenance(table: DeltaTable, read: Seq[AddFile],
+  private[delta] def commitMaintenance(table: DeltaTable, snapAtRead: Snapshot,
+                                       read: Seq[AddFile],
                                        adds: Seq[AddFile], op: String,
                                        info: Map[String, String],
                                        dataChange: Boolean): Long = {
     val readPaths = read.map(_.path).toSet
     Retry.withRetry() {
-      val cur = table.snapshot()
+      // Still-active check via tail replay from the read snapshot — O(tail)
+      // driver work, never the full file list (DeltaTable.tailState).
+      val (cur, present, metadata, _) = table.tailState(snapAtRead, readPaths)
       // Layout-only rewrites (compact/z-order, dataChange=false) are legal
       // on append-only tables; row-removing ones (dedup) are not.
-      if (dataChange) DeltaTable.assertNotAppendOnly(cur, op)
-      val active = cur.activeFiles.map(_.path).toSet
-      val missing = readPaths -- active
+      if (dataChange)
+        DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
+      val missing = readPaths -- present.keySet
       if (missing.nonEmpty) {
         // Clean up the rewrite output before re-planning; it was never
         // committed, so deleting it is safe (vacuum would catch it anyway).
@@ -51,7 +54,7 @@ object Maintenance {
       }
       val now = System.currentTimeMillis()
       val removes = read.map(f => RemoveFile(f.path, now, dataChange = dataChange))
-      val vNext = cur.version + 1
+      val vNext = cur + 1
       table.log.writeCommit(vNext,
         (removes: Seq[Action]) ++ (adds: Seq[Action]) ++
           Seq[Action](CommitInfo(now, op, info)))
@@ -105,7 +108,11 @@ object Maintenance {
     replanOnConflict() { compactOnce(table, cfg) }
 
   private def compactOnce(table: DeltaTable, cfg: CompactionConfig): CompactionResult = {
-    val snap = table.snapshot()
+    // Selection: only files below the target size are candidates, so above
+    // the distributed threshold only THOSE reach the driver - the bin
+    // planner is O(compactable files), not O(active files).
+    val target = cfg.targetFileSize
+    val snap = table.scanStateWhere(_.size < target)
     val byPartition = snap.activeFiles.groupBy(_.partitionValues)
 
     var filesCompacted = 0L; var filesCreated = 0L; var bytesIn = 0L
@@ -143,7 +150,7 @@ object Maintenance {
     val removes = allRemoves.result()
     val v =
       if (cfg.dryRun || removes.isEmpty) snap.version
-      else commitMaintenance(table, removes, allAdds.result(), "COMPACT",
+      else commitMaintenance(table, snap, removes, allAdds.result(), "COMPACT",
         Map("filesCompacted" -> filesCompacted.toString), dataChange = false)
     CompactionResult(filesCompacted, filesCreated, bytesIn, partitionsTouched, v)
   }
@@ -245,7 +252,7 @@ object Maintenance {
         // Remove exactly the files the rewrite READ (the planning snapshot's
         // set) — removing `cur.activeFiles` would silently drop rows a
         // concurrent append committed between snapshot and commit.
-        commitMaintenance(table, snap.activeFiles, adds, "DEDUPLICATE",
+        commitMaintenance(table, snap, snap.activeFiles, adds, "DEDUPLICATE",
           Map("rowsRemoved" -> (before - after).toString), dataChange = true)
       }
     DedupResult(before, after, v)
@@ -351,7 +358,7 @@ object Maintenance {
       .drop("__z")
     val adds = table.writeDataFiles(clustered, snap.partitionColumns, snap.schema)
       .map(_.copy(dataChange = false))
-    val v = commitMaintenance(table, snap.activeFiles, adds, "ZORDER",
+    val v = commitMaintenance(table, snap, snap.activeFiles, adds, "ZORDER",
       Map("columns" -> columns.mkString(",")), dataChange = false)
     ZOrderResult(snap.activeFiles.size.toLong, adds.size.toLong, v,
       zoneMapStats(adds, columns))

@@ -194,7 +194,7 @@ class MaintenanceSpec extends SparkTestBase {
     // Rewrite computed FROM snap0 (dedup of the old rows only).
     val deduped = t.toDF(snap0).distinct()
     val adds = t.writeDataFiles(deduped, Nil, snap0.schema)
-    Maintenance.commitMaintenance(t, snap0.activeFiles, adds,
+    Maintenance.commitMaintenance(t, snap0, snap0.activeFiles, adds,
       "DEDUPLICATE", Map.empty, dataChange = true)
     // The appended row must survive; the dup must be gone.
     val got = t.toDF().orderBy("id").as[(Int, String)].collect().toSeq
@@ -211,7 +211,7 @@ class MaintenanceSpec extends SparkTestBase {
     // committing the stale rewrite would resurrect the deleted row.
     t.delete("""{"id":2}""")
     intercept[MaintenanceConflictException] {
-      Maintenance.commitMaintenance(t, snap0.activeFiles, adds,
+      Maintenance.commitMaintenance(t, snap0, snap0.activeFiles, adds,
         "DEDUPLICATE", Map.empty, dataChange = true)
     }
     // Nothing was committed and the orphaned rewrite output was cleaned up.
