@@ -164,6 +164,15 @@ object MLQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- semantic dedup: LSH-banded candidates → exact-cosine verify →
+    //      anti-join survivors (keep lowest id per near-dup pair) ----
+    "t22_semantic_dedup" -> ((s, dir) => {
+      graft.functions.Similarity.semanticDedup(vecsUnion(s, dir),
+          "id", "embedding", dim = 64, threshold = 0.95,
+          nBits = 128, bands = 16)
+        .select(col("id")).orderBy(col("id"))
+    }),
+
     // ---- IVF-Flat ANN: sampled centroids, map-side cell assignment,
     //      multi-probe equality-join search (the 100 TB similarity path) ----
     "q16_ivf_ann" -> ((s, dir) => {
@@ -505,6 +514,26 @@ object MLQueries {
         |WHERE a.id < b.id)
         |SELECT id_a, id_b, cos FROM pairs WHERE rawcos >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force restatement of the greedy min-id rule: a row survives iff
+    // no lower-id row reaches the cosine threshold. Same corpus as t7.
+    "t22_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_concat(
+        |      [CAST(CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS FLOAT) AS DOUBLE)],
+        |      CAST(embedding[2:] AS DOUBLE[])) AS DOUBLE[])
+        |  FROM embeddings),
+        |dom AS (
+        |  SELECT DISTINCT b.id FROM corpus a, corpus b
+        |  WHERE a.id < b.id
+        |    AND list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |      >= 0.95)
+        |SELECT id FROM corpus WHERE id NOT IN (SELECT id FROM dom)
+        |ORDER BY id""".stripMargin,
 
     // Full IVF recomputation: same centroid sample, same argmax assignment
     // (cos DESC, cid ASC tie-break), same 2-probe search, same norm-product

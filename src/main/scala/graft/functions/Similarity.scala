@@ -106,6 +106,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /**
+   * Semantic deduplication (SemDeDup-flavored, the deterministic min-id
+   * variant): DROP every row that has a lower-id neighbor at
+   * `cosine >= threshold`; keep the rest. Candidate pairs come from the
+   * banded-LSH self-join ([[lshNearDupPairs]] — never all pairs, one
+   * (band,hash) shuffle); survivors are one anti-join of the corpus against
+   * the dominated-id side. At scale the dominated set is bounded by the
+   * duplicate rate, not the corpus size, so the anti-join's build side
+   * stays broadcast-able for realistic dup rates.
+   *
+   * The rule is pairwise (not connected-components): in a chain a–b–c with
+   * a–c below threshold, b and c BOTH drop (each has a smaller-id
+   * neighbor) — matching the greedy keep-lowest-id policy, reproducible in
+   * plain SQL for the oracle. Use [[graft.functions.Dedup.duplicateGroups]]
+   * when transitive-cluster semantics are wanted.
+   */
+  def semanticDedup(vectors: DataFrame, idCol: String, embCol: String,
+                    dim: Int, threshold: Double = 0.95,
+                    nBits: Int = 64, bands: Int = 16,
+                    seed: Long = 42L): DataFrame = {
+    val pairs = lshNearDupPairs(vectors, idCol, embCol, dim, threshold,
+      nBits, bands, seed)
+    // candidatePairs guarantees id_a < id_b → id_b is the dominated side
+    val dominated = pairs.select(col("id_b").as("__dom")).distinct()
+    vectors.join(dominated, col(idCol) === col("__dom"), "left_anti")
+  }
+
   // ---- IVF-Flat -------------------------------------------------------------
 
   /** Per-centroid score structs: (cosine, -id, id) so lexicographic struct
