@@ -766,11 +766,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       relByAbs.getOrElse(abs, throw new IllegalStateException(
         s"DV mask for a file absent from the read snapshot: $abs")) -> dv
     }
+    val readRecords = snapAtRead.activeFiles
+      .filter(f => maskedRel.contains(f.path)).map(f => f.path -> f).toMap
     Retry.withRetry() {
-      // CURRENT record per masked file (a racer's DV re-add must be merged
-      // with, a removal must conflict) via tail replay — O(commits since
-      // read), never the full file list ([[tailRecords]]).
+      // CURRENT record per masked file via tail replay — O(commits since
+      // read), never the full file list ([[tailRecords]]). Any change to a
+      // masked file since the read CONFLICTS (not composes): the mask was
+      // computed against read-time row content, and the racer that changed
+      // the record also appended its own image rows — composing would leave
+      // both writers' images active (duplicate keys for MoR merge/update)
+      // or leave a racer's matching images undeleted (MoR delete).
       val (cur, records, metadata, _) = tailRecords(snapAtRead, maskedRel.keySet)
+      maskedRel.keySet.foreach { p =>
+        if (records(p) != readRecords(p))
+          throw new ConcurrencyException(cur + 1)
+      }
       DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
       val now = System.currentTimeMillis()
       val touched = maskedRel.keySet.toSeq.sorted.map(records)
@@ -1005,10 +1015,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       rewrittenAbs.exists(abs => new Path(abs).toUri.getPath ==
         new Path(tablePath, f.path).toUri.getPath)
     }.map(_.path).toSet
+    val readRecords = snapAtRead.activeFiles
+      .filter(f => rewrittenRel.contains(f.path)).map(f => f.path -> f).toMap
     Retry.withRetry() {
       // Conflict check + metadata via tail replay from the read snapshot —
       // O(commits since read), never the full file list ([[tailRecords]]).
-      val (cur, _, metadata, _) = tailRecords(snapAtRead, rewrittenRel)
+      val (cur, current, metadata, _) = tailRecords(snapAtRead, rewrittenRel)
+      // The rewrite output was built from each file's content AS READ —
+      // under the DV descriptor of the READ record. A racer that re-added
+      // the same path with a different record (a merge-on-read mask, a
+      // restore) changed that content: committing our rewrite would
+      // resurrect the racer's masked rows. Conflict unless the current
+      // record is exactly the one we read. (Pure removal already conflicts
+      // inside tailRecords.)
+      rewrittenRel.foreach { p =>
+        if (current(p) != readRecords(p))
+          throw new ConcurrencyException(cur + 1)
+      }
       // DML rewrites change data (dataChange=true removes) — illegal on an
       // append-only table. Maintenance's layout-only path stays legal.
       DeltaTable.assertNotAppendOnly(

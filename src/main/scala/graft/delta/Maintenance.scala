@@ -45,7 +45,12 @@ object Maintenance {
       // on append-only tables; row-removing ones (dedup) are not.
       if (dataChange)
         DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
-      val missing = readPaths -- present.keySet
+      // A record that CHANGED since the read (a racer's DV mask / restore
+      // re-add) conflicts like a vanished one: the rewrite was built from
+      // the read-time content and would resurrect the racer's masked rows.
+      val readRecords = read.map(f => f.path -> f).toMap
+      val missing = readPaths.filter(p =>
+        !present.get(p).contains(readRecords(p)))
       if (missing.nonEmpty) {
         // Clean up the rewrite output before re-planning; it was never
         // committed, so deleting it is safe (vacuum would catch it anyway).
