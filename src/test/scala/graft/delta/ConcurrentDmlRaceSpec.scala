@@ -63,7 +63,7 @@ class ConcurrentDmlRaceSpec extends SparkTestBase {
       var live = Vector.empty[(Int, Int)] // appended id bands still possibly present
       (0 until steps).foreach { _ =>
         try {
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 | 1 => // append own fresh rows
               val rows = fresh(1 + rnd.nextInt(3))
               val v = table.write(rows.toDF("id", "s"))
@@ -109,9 +109,15 @@ class ConcurrentDmlRaceSpec extends SparkTestBase {
               val r = table.mergeWithDV(rows.toDF("id", "s"), Seq("id"))
               if (rows.size > 1) live = live :+ (rows.head._1, rows(rows.size - 2)._1)
               committed.add((r.version, Merged(rows)))
+            case 6 => // layout-only maintenance racing the DML: content must
+              // not move, conflicts re-plan internally (replanOnConflict)
+              if (rnd.nextBoolean()) Maintenance.compact(table)
+              else Maintenance.zOrderCluster(table, Seq("id"))
+              // no model effect and no visibility record: layout-only
           }
         } catch {
           case _: ConcurrencyException => failures.incrementAndGet()
+          case _: MaintenanceConflictException => failures.incrementAndGet()
         }
       }
     })
