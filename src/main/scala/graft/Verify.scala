@@ -8,6 +8,10 @@ object Verify {
     // optional 3rd+ args: run only the named queries (iteration aid);
     // the oracle json is filtered to match so check.py compares the subset
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} - a typo here would " +
+        "run nothing and read as a green verify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -70,9 +70,9 @@ object Checkpoints {
    */
   def writeDistributed(spark: SparkSession, log: DeltaLog, target: Long,
                        actionsPerPart: Long = DefaultActionsPerPart): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, get_json_object}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, get_json_object, lit}
     import spark.implicits._
-    val (cpVersion, _, parts) = log.readLastCheckpoint().filter(_._1 < target)
+    val (cpVersion, prevSize, parts) = log.readLastCheckpoint().filter(_._1 < target)
       .getOrElse(throw new IllegalStateException(
         s"writeDistributed($target) needs a previous checkpoint"))
 
@@ -128,14 +128,20 @@ object Checkpoints {
     val driverDf = spark.createDataFrame(
       spark.sparkContext.parallelize(driverRows, 1), schema)
 
-    val keptCount = kept.count()
-    val total = keptCount + driverRows.size
-    val nParts = math.max(1, math.ceil(total.toDouble / actionsPerPart).toInt)
+    // Part count from an UPPER BOUND (previous checkpoint size + new
+    // driver rows — the anti-join only removes rows), so the EXACT count
+    // can ride the write job itself via Observation instead of a separate
+    // count() pass: one distributed scan of the base checkpoint, not two.
+    val bound = prevSize + driverRows.size
+    val nParts = math.max(1, math.ceil(bound.toDouble / actionsPerPart).toInt)
 
     val tmp = new org.apache.hadoop.fs.Path(log.logPath,
       s".cp-tmp-${java.util.UUID.randomUUID()}")
-    kept.union(driverDf).repartition(nParts)
+    val obs = org.apache.spark.sql.Observation()
+    kept.union(driverDf).observe(obs, count(lit(1)).as("__n"))
+      .repartition(nParts)
       .write.mode("overwrite").parquet(tmp.toString)
+    val total = obs.get("__n").asInstanceOf[Long]
     // Empty write partitions still commit a (schema-only) part file, so the
     // repartition count IS the part count; assert rather than assume.
     val partFiles = log.fs.listStatus(tmp).map(_.getPath)

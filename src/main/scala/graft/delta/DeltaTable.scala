@@ -55,11 +55,17 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** State at `versionOpt` (default: latest), replayed from the newest
     * checkpoint at or below it (reference: src/delta/table.ts:557-642). */
   def snapshot(versionOpt: Option[Long] = None): Snapshot = {
-    val target = versionOpt.getOrElse(log.latestVersion())
+    val latest = log.latestVersion()
+    val target = versionOpt.getOrElse(latest)
     if (target < 0) return Snapshot.empty
+    // Only versions that exist may enter the cache: a future-version time
+    // travel replays (and mislabels) the state at `latest` exactly like the
+    // pre-cache behavior, but caching that phantom would corrupt every
+    // read once the table actually reaches `target`.
+    val real = target <= latest
     cachedLatest match {
-      case Some(c) if c.version == target => return c
-      case Some(c) if c.version < target =>
+      case Some(c) if c.version == target && real => return c
+      case Some(c) if c.version < target && real =>
         val tail = log.listCommitVersions().filter(v => v > c.version && v <= target)
         // Contiguity guard: retention cleanup can delete old commits, but
         // never ones above the cached version; a hole here means something
@@ -73,7 +79,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       case _ => ()
     }
     val snap = replayFromCheckpoint(target)
-    if (cachedLatest.forall(_.version < target)) cachedLatest = Some(snap)
+    if (real && cachedLatest.forall(_.version < target)) cachedLatest = Some(snap)
     snap
   }
 
@@ -779,7 +785,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       val (cur, records, metadata, _) = tailRecords(snapAtRead, maskedRel.keySet)
       maskedRel.keySet.foreach { p =>
         if (records(p) != readRecords(p))
-          throw new ConcurrencyException(cur + 1)
+          throw new WriteConflictException(cur + 1)
       }
       DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
       val now = System.currentTimeMillis()
@@ -959,7 +965,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       : (Long, Map[String, AddFile], Option[TableMetadata], Option[Protocol]) = {
     val (cur, byPath, metadata, protocol) = tailState(snapAtRead, relPaths)
     if (byPath.size != relPaths.size)
-      throw new ConcurrencyException(cur + 1) // a matched file vanished under us
+      throw new WriteConflictException(cur + 1) // a matched file vanished under us
     (cur, byPath, metadata, protocol)
   }
 
@@ -1030,7 +1036,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       // inside tailRecords.)
       rewrittenRel.foreach { p =>
         if (current(p) != readRecords(p))
-          throw new ConcurrencyException(cur + 1)
+          throw new WriteConflictException(cur + 1)
       }
       // DML rewrites change data (dataChange=true removes) — illegal on an
       // append-only table. Maintenance's layout-only path stays legal.
@@ -1431,7 +1437,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * the driver snapshot serializes directly (a Spark job per checkpoint
     * costs more than it saves at small file counts). */
   private def writeCheckpoint(v: Long): Unit =
-    log.readLastCheckpoint().filter(_._1 < v) match {
+    log.readLastCheckpoint() match {
+      case Some((cv, _, _)) if cv >= v => () // already checkpointed at/past v
       case Some((_, size, _)) if size >= distributedSnapshotThreshold =>
         Checkpoints.writeDistributed(spark, log, v)
       case _ => Checkpoints.write(spark, log, snapshot(Some(v)))

@@ -36,9 +36,19 @@ final class VersionMismatchException(path: String,
 /** Raised when an optimistic commit loses the race for a version
   * (reference: ConcurrencyError, src/errors.ts:210 and
   * src/delta/table.ts:807-814). [[Retry.withRetry]] retries exactly this. */
-final class ConcurrencyException(version: Long)
+class ConcurrencyException(version: Long)
   extends DeltaException(
     s"commit $version already exists (concurrent writer)", "CONCURRENCY_ERROR")
+
+/** PERMANENT write-write conflict: a file this operation read was removed
+  * or changed (DV mask, restore re-add) by a concurrent commit. Unlike a
+  * plain commit-version race, re-attempting the same commit can never
+  * succeed — the op's outputs were built from superseded content — so the
+  * OCC loops must NOT burn retries on it ([[Retry.withRetry]] excludes it
+  * from the default predicate). Subclasses ConcurrencyException so callers
+  * observe the same failure type either way. */
+final class WriteConflictException(version: Long)
+  extends ConcurrencyException(version)
 
 /** Change-data-capture failure (reference: CDCError, src/errors.ts:291). */
 final class CdcException(message: String, cause: Throwable = null)

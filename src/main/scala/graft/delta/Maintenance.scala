@@ -126,7 +126,7 @@ object Maintenance {
     val allAdds = Seq.newBuilder[AddFile]
 
     byPartition.foreach { case (_, files) =>
-      val small = files.filter(_.size < cfg.targetFileSize)
+      val small = files // selection already applied size < target
       if (small.size >= cfg.minFilesToCompact) {
         val bins = planBins(small, cfg)
         // Only compact bins that actually merge ≥2 files.

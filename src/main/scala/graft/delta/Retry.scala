@@ -18,8 +18,9 @@ object Retry {
     * I/O, because a conditional put whose first attempt actually landed
     * would then race itself. */
   def withRetry[A](policy: Policy = Policy(),
-                   retryOn: Throwable => Boolean =
-                     _.isInstanceOf[ConcurrencyException])(op: => A): A = {
+                   retryOn: Throwable => Boolean = e =>
+                     e.isInstanceOf[ConcurrencyException] &&
+                       !e.isInstanceOf[WriteConflictException])(op: => A): A = {
     var attempt = 0
     while (true) {
       try return op

@@ -9,6 +9,22 @@ class DeltaTableSpec extends SparkTestBase {
   private def tmpTable(): DeltaTable =
     DeltaTable.forPath(spark, Files.createTempDirectory("graft-delta").toString)
 
+  test("future-version time travel does not poison the snapshot cache") {
+    val t = tmpTable()
+    // A version that doesn't exist yet replays (and mislabels) the current
+    // state — but must NOT enter the incremental cache: once the table
+    // really reaches that version, a poisoned cache would serve the phantom
+    // and silently drop every commit in between.
+    assert(t.asOf(3).count() == 0) // empty table, phantom v3
+    (0 until 4).foreach(i => t.write(Seq((i, s"v$i")).toDF("id", "s")))
+    assert(t.toDF().count() == 4) // v3 is now real: all four commits visible
+    assert(t.asOf(3).as[(Int, String)].collect().toMap ==
+      (0 until 4).map(i => i -> s"v$i").toMap)
+    // and the cache extends correctly past it
+    t.write(Seq((9, "x")).toDF("id", "s"))
+    assert(t.toDF().count() == 5)
+  }
+
   test("append + read round-trip, commit layout") {
     val t = tmpTable()
     val v0 = t.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
