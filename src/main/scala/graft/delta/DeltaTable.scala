@@ -699,8 +699,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       throw new IllegalArgumentException("delete matched no rows")
 
     val matchedSet = matchedFiles.toSet
-    val inMatched = candidateDF(snap, candidates)
-      .filter(col("__file").isin(matchedFiles: _*))
+    val inMatched = matchedFilesDF(snap, candidates, matchedFiles)
     val keep = inMatched
       .filter(!MongoFilter.translate(filter, snap.schema))
       .drop("__file")
@@ -738,8 +737,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (nMatched == 0)
       throw new IllegalArgumentException("delete matched no rows")
     val pred = MongoFilter.translate(filter, snap.schema)
-    val matchedRows = candidateDF(snap, candidates)
-      .filter(col("__file").isin(matchedFiles: _*))
+    val matchedRows = matchedFilesDF(snap, candidates, matchedFiles)
       .filter(pred)
     val dvByPath: Map[String, Array[Byte]] = matchedRows
       .select(col("__file"), col("_metadata.row_index").as("__ri"))
@@ -831,8 +829,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (nMatched == 0)
       throw new IllegalArgumentException("update matched no rows")
     val pred = MongoFilter.translate(filter, snap.schema)
-    val matchedRows = candidateDF(snap, candidates)
-      .filter(col("__file").isin(matchedFiles: _*))
+    val matchedRows = matchedFilesDF(snap, candidates, matchedFiles)
       .filter(pred)
     val dvByPath: Map[String, Array[Byte]] = matchedRows
       .select(col("__file"), col("_metadata.row_index").as("__ri"))
@@ -875,8 +872,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       throw new IllegalArgumentException("update matched no rows")
 
     val pred = MongoFilter.translate(filter, snap.schema)
-    val base = candidateDF(snap, candidates)
-      .filter(col("__file").isin(matchedFiles: _*))
+    val base = matchedFilesDF(snap, candidates, matchedFiles)
     val patched = updates.foldLeft(base) { case (acc, (field, value)) =>
       val litVal = jvalueLiteral(value, snap.schema, field)
       acc.withColumn(field, when(pred, litVal).otherwise(col(field)))
@@ -919,6 +915,22 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   private def candidateDF(snap: Snapshot, candidates: Seq[AddFile]): DataFrame =
     toDF(snap.copy(activeFiles = candidates))
       .withColumn("__file", col("_metadata.file_path"))
+
+  /** Scan restricted to exactly the matched files. The driver already holds
+    * the matched-file list (it must enumerate the removes for the commit),
+    * so the restriction happens on the FILE LIST of the scan itself — the
+    * rewrite job reads only matched files, unmatched candidates are never
+    * re-scanned, and no per-file expression enters the plan. A literal
+    * `isin(matchedFiles)` here would build an unbounded In-expression at
+    * 10⁵–10⁶ matched files (the hazard [[Merge.semiJoinFiles]] documents);
+    * file-list pruning is strictly stronger than the semi-join because it
+    * also skips the unmatched files' IO. */
+  private def matchedFilesDF(snap: Snapshot, candidates: Seq[AddFile],
+                             matchedFiles: Seq[String]): DataFrame = {
+    val matchedNorm = matchedFiles.map(p => new Path(p).toUri.getPath).toSet
+    candidateDF(snap, candidates.filter(f =>
+      matchedNorm.contains(new Path(tablePath, f.path).toUri.getPath)))
+  }
 
   /** Which candidate files actually contain matching rows, and how many rows
     * match — one distributed aggregation. */
@@ -1017,10 +1029,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   private def commitRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
                             adds: Seq[AddFile], op: String): Long = {
-    val rewrittenRel = snapAtRead.activeFiles.filter { f =>
-      rewrittenAbs.exists(abs => new Path(abs).toUri.getPath ==
-        new Path(tablePath, f.path).toUri.getPath)
-    }.map(_.path).toSet
+    // Normalize once into a set: an `exists` over rewrittenAbs inside this
+    // filter would be O(activeFiles × rewritten) string compares — a driver
+    // CPU blow-up at 10⁶ files.
+    val rewrittenNorm = rewrittenAbs.map(abs => new Path(abs).toUri.getPath)
+    val rewrittenRel = snapAtRead.activeFiles.filter(f =>
+      rewrittenNorm.contains(new Path(tablePath, f.path).toUri.getPath))
+      .map(_.path).toSet
     val readRecords = snapAtRead.activeFiles
       .filter(f => rewrittenRel.contains(f.path)).map(f => f.path -> f).toMap
     Retry.withRetry() {
