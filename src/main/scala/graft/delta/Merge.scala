@@ -72,10 +72,8 @@ object Merge {
     // the snapshot itself), and flows back into the plan as a broadcast
     // semi-join — never a 50k-element In-expression.
     val joined = target.join(packed, joinCond, "left_outer")
-    val matchAgg = joined.filter(col("__src").isNotNull)
-      .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
-    val nMatched = matchAgg.getLong(0)
-    val matchedFiles = matchAgg.getSeq[String](1)
+    val (nMatched, matchedFiles) =
+      matchedCensus(joined.filter(col("__src").isNotNull))
 
     val (rewriteAdds, updated, deleted) =
       if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
@@ -291,10 +289,7 @@ object Merge {
       .withColumn("__r2", row_number().over(byTarget)).filter(col("__r2") === 1)
       .select(col("__file"), col("__rix"), col("__srow").as("__src"))
 
-    val matchAgg = chosen
-      .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
-    val nMatched = matchAgg.getLong(0)
-    val matchedFiles = matchAgg.getSeq[String](1)
+    val (nMatched, matchedFiles) = matchedCensus(chosen)
 
     val (rewriteAdds, updated, deleted) =
       if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
@@ -368,6 +363,19 @@ object Merge {
     }
     pairs.unpersist(false)
     MergeResult(updated, deleted, inserted, table.version)
+  }
+
+  /** Matched-row count and matched-file list, aggregated as one ROW PER FILE
+    * (`groupBy(__file).count`) rather than a single `collect_set` cell: the
+    * per-file shape keeps every aggregation row bounded and map-side
+    * combinable, where a 10⁵-file set in one array cell would be assembled
+    * by a single task as one multi-MB row. The collected list itself is
+    * fine — the driver must enumerate the removes for the commit anyway. */
+  private def matchedCensus(matchedRows: DataFrame): (Long, Seq[String]) = {
+    val perFile = matchedRows.groupBy(col("__file"))
+      .agg(count(lit(1)).as("n")).collect()
+    (perFile.iterator.map(_.getLong(1)).sum,
+      perFile.iterator.map(_.getString(0)).toIndexedSeq)
   }
 
   /** Restrict the joined target⟕source rows to the files being rewritten via
@@ -546,10 +554,8 @@ object Merge {
     val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
     val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
     val joined = target.join(packed, joinCond, "left_outer")
-    val matchAgg = joined.filter(col("__src").isNotNull)
-      .agg(count(lit(1)).as("n"), collect_set(col("__file")).as("files")).head()
-    val nMatched = matchAgg.getLong(0)
-    val matchedFiles = matchAgg.getSeq[String](1)
+    val (nMatched, matchedFiles) =
+      matchedCensus(joined.filter(col("__src").isNotNull))
 
     val (rewriteAdds, updated, deleted) =
       if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)

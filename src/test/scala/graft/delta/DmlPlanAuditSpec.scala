@@ -164,6 +164,18 @@ class DmlPlanAuditSpec extends SparkTestBase {
       t.merge(src, Seq("id"))
     }
     assertNoFileIn(plans, "merge")
+    // Bound note, enforced: the matched-file census must aggregate one row
+    // per file (groupBy __file), never a single collect_set(__file) cell —
+    // one array cell holding 10⁵ paths would be assembled by one task as a
+    // multi-MB aggregation row (Merge.matchedCensus).
+    val collectSets = plans.flatMap(_._1.collectWithSubqueries { case node =>
+      node.expressions.flatMap(_.collect {
+        case c: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet
+          if c.references.exists(_.name == "__file") => c
+      })
+    }.flatten)
+    assert(collectSets.isEmpty,
+      s"merge aggregated the file set into one collect_set cell: $collectSets")
     assert(t.toDF().filter($"s" === "merged").count() == 200)
   }
 }
