@@ -166,6 +166,15 @@ object MLQueries {
 
     // ---- semantic dedup: LSH-banded candidates → exact-cosine verify →
     //      anti-join survivors (keep lowest id per near-dup pair) ----
+    // RECALL BOUND at this gate: candidate generation is banded LSH
+    // (16 bands × 8 bits), which misses a cos≈0.95 pair with
+    // P ≈ (1−p^8)^16 ≈ 1.4e-4 (p = 1 − arccos(0.95)/π), while the DuckDB
+    // oracle is exact all-pairs. The gate passes deterministically on the
+    // generated testdata (near-identical constructed dups sit far above
+    // the threshold); if a future testdata generation plants
+    // borderline-similarity pairs and this gate alone mismatches by a few
+    // rows, triage it as LSH recall — raise `bands` or lower bits-per-band
+    // here — not as a correctness regression.
     "t22_semantic_dedup" -> ((s, dir) => {
       graft.functions.Similarity.semanticDedup(vecsUnion(s, dir),
           "id", "embedding", dim = 64, threshold = 0.95,

@@ -780,11 +780,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       // the record also appended its own image rows — composing would leave
       // both writers' images active (duplicate keys for MoR merge/update)
       // or leave a racer's matching images undeleted (MoR delete).
-      val (cur, records, metadata, _) = tailRecords(snapAtRead, maskedRel.keySet)
+      val (cur, records, metadata, protocol) = tailRecords(snapAtRead, maskedRel.keySet)
       maskedRel.keySet.foreach { p =>
         if (records(p) != readRecords(p))
           throw new WriteConflictException(cur + 1)
       }
+      // Re-check BOTH write gates against commit-time state: a concurrent
+      // protocol upgrade (raised minWriterVersion / new writer feature)
+      // landing since the read would otherwise be committed under.
+      ProtocolSupport.assertWritable(
+        snapAtRead.copy(metadata = metadata, protocol = protocol), path)
       DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
       val now = System.currentTimeMillis()
       val touched = maskedRel.keySet.toSeq.sorted.map(records)
@@ -987,21 +992,36 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   private[delta] def tailState(snapAtRead: Snapshot, relPaths: Set[String])
       : (Long, Map[String, AddFile], Option[TableMetadata], Option[Protocol]) = {
     val cur = log.latestVersion()
+    val tail = log.listCommitVersions()
+      .filter(v => v > snapAtRead.version && v <= cur)
+    // Contiguity guard (mirrors snapshot()'s cache guard): log cleanup never
+    // deletes commits above a live reader's version under the retention
+    // contract, so a hole in (snapAtRead.version, cur] means something
+    // external truncated the log mid-operation. Replaying across the hole
+    // would silently skip its actions — the changed/vanished-record conflict
+    // check could then falsely pass and commit a stale rewrite or DV mask,
+    // resurrecting concurrently deleted rows. Refuse; the operation must be
+    // re-run from a fresh snapshot (which replays from a checkpoint).
+    if (tail.size != (cur - snapAtRead.version))
+      throw new IllegalStateException(
+        s"commit log has a hole between read version ${snapAtRead.version} " +
+          s"and current version $cur (found ${tail.size} of " +
+          s"${cur - snapAtRead.version} commits): the log was truncated " +
+          "while this operation was in flight; re-run it")
     val byPath = scala.collection.mutable.LinkedHashMap.from(
       snapAtRead.activeFiles.filter(f => relPaths.contains(f.path))
         .map(f => f.path -> f))
     var metadata = snapAtRead.metadata
     var protocol = snapAtRead.protocol
-    log.listCommitVersions()
-      .filter(v => v > snapAtRead.version && v <= cur).foreach { v =>
-        log.readCommit(v).foreach {
-          case a: AddFile if relPaths.contains(a.path) => byPath.put(a.path, a)
-          case r: RemoveFile if relPaths.contains(r.path) => byPath.remove(r.path)
-          case m: TableMetadata => metadata = Some(m)
-          case p: Protocol => protocol = Some(p)
-          case _ => ()
-        }
+    tail.foreach { v =>
+      log.readCommit(v).foreach {
+        case a: AddFile if relPaths.contains(a.path) => byPath.put(a.path, a)
+        case r: RemoveFile if relPaths.contains(r.path) => byPath.remove(r.path)
+        case m: TableMetadata => metadata = Some(m)
+        case p: Protocol => protocol = Some(p)
+        case _ => ()
       }
+    }
     (cur, byPath.toMap, metadata, protocol)
   }
 
@@ -1041,7 +1061,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     Retry.withRetry() {
       // Conflict check + metadata via tail replay from the read snapshot —
       // O(commits since read), never the full file list ([[tailRecords]]).
-      val (cur, current, metadata, _) = tailRecords(snapAtRead, rewrittenRel)
+      val (cur, current, metadata, protocol) = tailRecords(snapAtRead, rewrittenRel)
       // The rewrite output was built from each file's content AS READ —
       // under the DV descriptor of the READ record. A racer that re-added
       // the same path with a different record (a merge-on-read mask, a
@@ -1055,6 +1075,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
       // DML rewrites change data (dataChange=true removes) — illegal on an
       // append-only table. Maintenance's layout-only path stays legal.
+      // Protocol is re-checked too: a concurrent upgrade since the read
+      // must not be committed under.
+      ProtocolSupport.assertWritable(
+        snapAtRead.copy(metadata = metadata, protocol = protocol), path)
       DeltaTable.assertNotAppendOnly(
         snapAtRead.copy(metadata = metadata), op)
       val now = System.currentTimeMillis()

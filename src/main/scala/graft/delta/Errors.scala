@@ -36,9 +36,11 @@ final class VersionMismatchException(path: String,
 /** Raised when an optimistic commit loses the race for a version
   * (reference: ConcurrencyError, src/errors.ts:210 and
   * src/delta/table.ts:807-814). [[Retry.withRetry]] retries exactly this. */
-class ConcurrencyException(version: Long)
-  extends DeltaException(
-    s"commit $version already exists (concurrent writer)", "CONCURRENCY_ERROR")
+class ConcurrencyException protected (message: String)
+  extends DeltaException(message, "CONCURRENCY_ERROR") {
+  def this(version: Long) =
+    this(s"commit $version already exists (concurrent writer)")
+}
 
 /** PERMANENT write-write conflict: a file this operation read was removed
   * or changed (DV mask, restore re-add) by a concurrent commit. Unlike a
@@ -46,9 +48,14 @@ class ConcurrencyException(version: Long)
   * succeed — the op's outputs were built from superseded content — so the
   * OCC loops must NOT burn retries on it ([[Retry.withRetry]] excludes it
   * from the default predicate). Subclasses ConcurrencyException so callers
-  * observe the same failure type either way. */
+  * observe the same failure type (and CONCURRENCY_ERROR code) either way,
+  * but with a message that describes the permanent conflict rather than a
+  * retryable version race. */
 final class WriteConflictException(version: Long)
-  extends ConcurrencyException(version)
+  extends ConcurrencyException(
+    s"file(s) read by this operation were removed or changed by a " +
+      s"concurrent commit before it could commit version $version; " +
+      "re-run the operation against the current table state")
 
 /** Change-data-capture failure (reference: CDCError, src/errors.ts:291). */
 final class CdcException(message: String, cause: Throwable = null)

@@ -40,9 +40,13 @@ object Maintenance {
     Retry.withRetry() {
       // Still-active check via tail replay from the read snapshot — O(tail)
       // driver work, never the full file list (DeltaTable.tailState).
-      val (cur, present, metadata, _) = table.tailState(snapAtRead, readPaths)
+      val (cur, present, metadata, protocol) = table.tailState(snapAtRead, readPaths)
       // Layout-only rewrites (compact/z-order, dataChange=false) are legal
-      // on append-only tables; row-removing ones (dedup) are not.
+      // on append-only tables; row-removing ones (dedup) are not. Protocol
+      // is re-checked unconditionally: even a layout rewrite must not
+      // commit under a concurrently-upgraded protocol it can't honor.
+      ProtocolSupport.assertWritable(
+        snapAtRead.copy(metadata = metadata, protocol = protocol), table.path)
       if (dataChange)
         DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
       // A record that CHANGED since the read (a racer's DV mask / restore
