@@ -79,32 +79,43 @@ object Bench {
     System.err.println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"first_run":$firsts,"loadavg":$load,"cores":$cores,"sf":"$sfDir"}""")
 
-    // stdout: ONE compact JSON line guaranteed to fit the tail capture.
-    // Values are rounded to ~ms precision; if the full map would overflow
-    // the budget, the CHEAPEST queries are dropped first (they sit at the
-    // measurement noise floor anyway) and failures are never dropped.
+    // stdout: ONE compact JSON line guaranteed to fit the tail capture,
+    // with ALL queries present. Keys are the query IDs (the unique prefix
+    // before the first underscore: q1_pricing_summary → "q1"), values at
+    // ~ms precision — the round-7 artifact dropped 16 sub-0.15 s entries
+    // because full names pushed 86 entries past the tail budget. Full
+    // names + full precision remain on stderr above. If IDs ever collide,
+    // the full name is kept for the colliders.
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else if (v >= 10) f"$v%.1f"
       else if (v >= 1) f"$v%.2f"
       else f"$v%.3f"
+    val idOf: String => String = {
+      val ids = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
+      name => {
+        val id = name.takeWhile(_ != '_')
+        if (ids(id).size == 1) id else name
+      }
+    }
     val totalStr = f"$total%.2f"
     val prefix = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":{"""
     val suffix = s"""},"loadavg":$load,"cores":$cores,"sf":"$sfDir"}"""
-    // 2000-char tail minus sbt's trailing "[success] Total time..." line
-    // (~70 chars) minus slack.
+    // Safety net: 2000-char tail minus sbt's trailing "[success] Total
+    // time..." line (~70 chars) minus slack. With ID keys, 86 entries are
+    // ~1100 chars and nothing is dropped; if the budget ever overflows
+    // again, failures are kept first, then most expensive first.
     val budget = 1850 - prefix.length - suffix.length - ""","dropped":84""".length
-    // failures first (must be visible), then most expensive first
     val prioritized = results.sortBy { case (_, m, _) => if (m < 0) Double.NegativeInfinity else -m }
     var used = 0
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     prioritized.foreach { case (k, m, _) =>
-      val e = "\"" + k + "\":" + fmt(m)
+      val e = "\"" + idOf(k) + "\":" + fmt(m)
       if (used + e.length + 1 <= budget) { kept += ((k, m)); used += e.length + 1 }
     }
     val dropped = results.size - kept.size
     val qsCompact = kept.sortBy(_._1)
-      .map { case (k, m) => "\"" + k + "\":" + fmt(m) }.mkString(",")
+      .map { case (k, m) => "\"" + idOf(k) + "\":" + fmt(m) }.mkString(",")
     val droppedField = if (dropped > 0) s""","dropped":$dropped""" else ""
     val line = prefix + qsCompact + "}" + droppedField + suffix.stripPrefix("}")
     println(line)
