@@ -36,16 +36,24 @@ final class InMemoryFileSystem extends FileSystem {
   private var uri: URI = _
   private var store: Store = _
   private var workingDir: Path = _
+  private var boundScheme: String = Scheme
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
-    uri = URI.create(s"$Scheme://${Option(name.getAuthority).getOrElse("default")}")
+    // Serve whatever scheme this instance was registered under
+    // (fs.<scheme>.impl): besides the canonical `mem://`, specs register it
+    // as e.g. `fs.s3.impl` to emulate an object-store DATA plane next to the
+    // HTTP conditional-PUT commit emulator (see StorageUrlSpec). The store
+    // namespace stays keyed by authority alone, so pick distinct authorities
+    // per suite as before.
+    boundScheme = Option(name.getScheme).getOrElse(Scheme)
+    uri = URI.create(s"$boundScheme://${Option(name.getAuthority).getOrElse("default")}")
     store = storeFor(Option(name.getAuthority).getOrElse("default"))
     workingDir = new Path(uri.toString + "/")
   }
 
-  override def getScheme: String = Scheme
+  override def getScheme: String = boundScheme
   override def getUri: URI = uri
   override def getWorkingDirectory: Path = workingDir
   override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
