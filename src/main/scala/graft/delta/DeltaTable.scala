@@ -293,7 +293,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             partitionBy: Seq[String] = Nil,
             txn: Option[Txn] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
-    val snap0 = snapshot()
+    // Appends never need the file list — metadata-only state keeps the
+    // driver O(1) in table size. Overwrite must enumerate the removes (and
+    // CDC capture scans the prior files), so it takes the full snapshot.
+    val snap0 = if (mode == "overwrite") snapshot() else metaSnapshot()
     ProtocolSupport.assertWritable(snap0, path)
     val isFirst = snap0.metadata.isEmpty
     val partCols = if (isFirst) partitionBy else {
@@ -335,7 +338,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // exactly one commits and the loser discards its staged files.
     case class TxnApplied(existing: Long) extends Exception
     val v = try Retry.withRetry() {
-      val snap = snapshot() // re-resolve under OCC retry
+      // re-resolve under OCC retry (file list only needed for overwrite)
+      val snap = if (mode == "overwrite") snapshot() else metaSnapshot()
       txn.foreach { t =>
         if (snap.transactions.getOrElse(t.appId, -1L) >= t.version)
           throw TxnApplied(snap.version)
@@ -381,7 +385,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (cfgNow.get(AutoCompactKey).contains("true")) {
       val minN = cfgNow.get(AutoCompactMinFilesKey).map(_.toInt).getOrElse(50)
       val cc = Maintenance.CompactionConfig()
-      val small = snapshot(Some(v)).activeFiles.count(_.size < cc.targetFileSize)
+      // size-filtered state: above the distributed threshold only the
+      // small files reach the driver, not the whole list
+      val small = scanStateWhere(_.size < cc.targetFileSize).activeFiles.size
       if (small >= minN) Maintenance.compact(this, cc)
     }
     v
@@ -463,7 +469,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
                                     schema: StructType): Seq[AddFile] = {
     // Constraints evaluate over LOGICAL names — observe before any
     // physical-name conversion below.
-    val constraints = checkConstraints(snapshot())
+    val constraints = checkConstraints(metaSnapshot())
     val (obsOpt, dfC) =
       if (constraints.isEmpty) (None, df)
       else {
@@ -1095,7 +1101,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def merge(source: DataFrame, keyColumns: Seq[String],
             matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
             insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult = {
-    ProtocolSupport.assertWritable(snapshot(), path)
+    ProtocolSupport.assertWritable(metaSnapshot(), path)
     graft.delta.Merge.execute(this, source, keyColumns, matched, insertUnmatched)
   }
 
@@ -1104,7 +1110,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def mergeWithDV(source: DataFrame, keyColumns: Seq[String],
       matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
       insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult = {
-    ProtocolSupport.assertWritable(snapshot(), path)
+    ProtocolSupport.assertWritable(metaSnapshot(), path)
     graft.delta.Merge.executeMoR(this, source, keyColumns, matched, insertUnmatched)
   }
 
@@ -1116,14 +1122,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       matchCondition: org.apache.spark.sql.Column,
       matched: graft.delta.Merge.MergeAction = graft.delta.Merge.MergeAction.UpdateAll,
       insertUnmatched: Boolean = true): graft.delta.Merge.MergeResult = {
-    ProtocolSupport.assertWritable(snapshot(), path)
+    ProtocolSupport.assertWritable(metaSnapshot(), path)
     graft.delta.Merge.executeCondition(this, source, matchCondition, matched, insertUnmatched)
   }
 
   // ---- CDC (change data feed) ----------------------------------------------
 
   def cdcEnabled: Boolean =
-    snapshot().configuration.get(Cdc.EnableKey) match {
+    metaSnapshot().configuration.get(Cdc.EnableKey) match {
       case Some(v) => v == "true"
       case None => cdcSidecarEnabled()
     }
@@ -1178,7 +1184,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   /** Drop a CHECK constraint by name. */
   def dropCheckConstraint(name: String): Long = Retry.withRetry() {
-    val snap = snapshot()
+    val snap = metaSnapshot()
     val key = s"delta.constraints.$name"
     val m = snap.metadata.getOrElse(
       throw new ValidationException("table has no metadata"))
@@ -1196,7 +1202,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** Merge configuration entries into metaData
     * (reference: updateMetadata, src/delta/table.ts:2435-2458). */
   def updateConfiguration(entries: Map[String, String]): Long = Retry.withRetry() {
-    val snap = snapshot()
+    val snap = metaSnapshot()
     val m = snap.metadata.getOrElse(
       throw new IllegalStateException("cannot configure a table before first write"))
     val v = snap.version + 1
@@ -1314,7 +1320,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * by directory name.
    */
   def renameColumn(oldName: String, newName: String): Long = Retry.withRetry() {
-    val snap = snapshot()
+    val snap = metaSnapshot()
     val schema = snap.schema
     if (!schema.fieldNames.contains(oldName))
       throw new ValidationException(s"no such column: $oldName")
@@ -1355,7 +1361,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * instead of resurfacing.
    */
   def dropColumn(name: String): Long = Retry.withRetry() {
-    val snap = snapshot()
+    val snap = metaSnapshot()
     val schema = snap.schema
     if (!schema.fieldNames.contains(name))
       throw new ValidationException(s"no such column: $name")
@@ -1517,13 +1523,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * `txnVersion`; set by [[write]]'s `txn` parameter, replayed through
     * checkpoints) — the idempotence query an exactly-once sink needs. */
   def lastTransactionVersion(appId: String): Option[Long] =
-    snapshot().transactions.get(appId)
+    metaSnapshot().transactions.get(appId)
 
   /** Current table configuration from the latest metaData action
     * (reference: getTableConfiguration, src/delta/table.ts:369-371). Empty
     * before the first write. */
   def configuration: Map[String, String] =
-    snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
+    metaSnapshot().metadata.map(_.configuration).getOrElse(Map.empty)
 
   /** Table-level summary (Delta's DESCRIBE DETAIL; north-star — driver-side
     * log metadata only, no data scan). */
