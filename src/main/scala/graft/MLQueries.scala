@@ -340,7 +340,62 @@ object MLQueries {
         .select(col("media_id"), size(col("features")).as("n_features"),
           round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- C4-style duplicate-line removal: corpus-wide line census →
+    //      strike boilerplate lines from every doc (order preserved).
+    //      The corpus injects two all-doc boilerplate lines, one
+    //      per-group promo line, and one per-doc unique line, so the
+    //      census sees every df regime ----
+    "t23_line_dedup" -> ((s, dir) => {
+      val cleaned = Corpus.lineDedup(linedDocs(s, dir), "doc_id", "text",
+        minDocs = 3)
+      cleaned.select(col("doc").as("doc_id"), col("n_lines"),
+          col("kept_lines"), col("removed_lines"),
+          when(col("kept_lines") === 0, lit(null).cast("string"))
+            .otherwise(md5(col("clean_text"))).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher-rule quality flags (Rae et al. 2021): integer-arithmetic
+    //      restatement of every ratio rule, so the booleans are bit-exact
+    //      across engines; the corpus perturbs docs by id class (bullets/
+    //      ellipses, symbol spam, truncation) so every rule fires ----
+    "t24_gopher_quality" -> ((s, dir) => {
+      val perturbed = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit("\n- item one\n- item two\n- item three...")))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" "), repeat(lit("# "), 20)))
+          .when(col("doc_id") % 4 === 3, substring(col("text"), 1, 40))
+          .otherwise(col("text")).as("text"))
+      val flags = TextFunctions.gopherFlags(col("text"))
+      perturbed.select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic epoch shuffle + shard assignment: md5(seed:id)
+    //      permutation key, map-side shard, per-shard rank — the scalable
+    //      replacement for a global ORDER BY random() ----
+    "t25_epoch_shards" -> ((s, dir) => {
+      Packing.epochShards(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", seed = "epoch1", hexDigits = 2)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
     }))
+
+  /** t23's corpus: every doc gains two corpus-wide boilerplate lines, a
+    * promo line shared by its `doc_id % 10` group, and a unique signature
+    * line — so with `minDocs = 3` the census must remove the first three
+    * and keep the original text + signature. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("\nsubscribe to our newsletter today"),
+        lit("\ncopyright example corp all rights reserved"),
+        lit("\ngroup "), (col("doc_id") % 10).cast("string"), lit(" promo line"),
+        lit("\ndoc "), col("doc_id").cast("string"), lit(" unique signature")
+      ).as("text"))
 
   private val markerSql: Map[String, String] = TextFunctions.Markers.toMap.map {
     case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -859,5 +914,105 @@ object MLQueries {
         |  FROM b)
         |SELECT media_id, 8 AS n_features,
         |  round(CAST(s0 AS DOUBLE) / (255.0 * greatest(1, n // 8)), 4) AS f0
-        |FROM f ORDER BY media_id""".stripMargin)
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    // Line dedup restated over the zipped (line, position) unnest; the
+    // census counts DISTINCT docs per line hash, string_agg skips the
+    // struck lines and orders by position — byte-identical reassembly.
+    "t23_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text
+        |    || chr(10) || 'subscribe to our newsletter today'
+        |    || chr(10) || 'copyright example corp all rights reserved'
+        |    || chr(10) || 'group ' || CAST(doc_id % 10 AS VARCHAR) || ' promo line'
+        |    || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique signature'
+        |    AS text
+        |  FROM documents),
+        |lns AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM corpus),
+        |census AS (
+        |  SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS line_df
+        |  FROM lns GROUP BY 1),
+        |flagged AS (
+        |  SELECT l.doc_id, l.line, l.pos, (c.line_df >= 3) AS dup
+        |  FROM lns l JOIN census c ON md5(l.line) = c.h)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_lines,
+        |  COUNT(CASE WHEN NOT dup THEN 1 END) AS kept_lines,
+        |  COUNT(CASE WHEN dup THEN 1 END) AS removed_lines,
+        |  md5(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos))
+        |    AS clean_fp
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules restated with the same integer cross-multiplications;
+    // the list lambdas mirror the Spark HOF filters exactly.
+    "t24_gopher_quality" ->
+      """WITH g AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 1 THEN text || chr(10) || '- item one' || chr(10)
+        |      || '- item two' || chr(10) || '- item three...'
+        |    WHEN 2 THEN text || ' ' || repeat('# ', 20)
+        |    WHEN 3 THEN substr(text, 1, 40)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    string_split(replace(text, chr(10), ' '), ' ') AS toks,
+        |    string_split(text, chr(10)) AS lns
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, l -> substr(l, 1, 2) = '- '))
+        |      AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lns, l -> right(l, 3) = '...'))
+        |      AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n AS n_words,
+        |  (n >= 50 AND n <= 100000) AS f_word_count,
+        |  (sum_len >= n * 3 AND sum_len <= n * 10) AS f_mean_word_len,
+        |  (symbols * 10 < n) AS f_symbol_ratio,
+        |  (bullet_lines * 10 < n_lines * 9) AS f_bullet,
+        |  (ellipsis_lines * 10 < n_lines * 3) AS f_ellipsis,
+        |  (alpha_words * 5 >= n * 4) AS f_alpha,
+        |  (stop_hits >= 2) AS f_stopwords,
+        |  ((n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+        |    AND (symbols * 10 < n) AND (bullet_lines * 10 < n_lines * 9)
+        |    AND (ellipsis_lines * 10 < n_lines * 3) AND (alpha_words * 5 >= n * 4)
+        |    AND (stop_hits >= 2)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Epoch sharding: identical md5 permutation key, hex-prefix shard, and
+    // per-shard rank.
+    "t25_epoch_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, key,
+        |    CAST(('0x' || substr(key, 1, 2))::UBIGINT AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin)
 }

@@ -153,6 +153,57 @@ object Corpus {
   }
 
   /**
+   * C4-style duplicate-LINE removal (Raffel et al. 2020, §2.2 "we discarded
+   * …​ any line that occurred more than once in the data set"; RefinedWeb's
+   * line-dedup is the same shape with a document-frequency threshold): a
+   * line that appears in at least `minDocs` DISTINCT documents is
+   * boilerplate (navigation chrome, cookie banners, license footers) and is
+   * struck from every document that contains it; line order inside each
+   * document is preserved.
+   *
+   * Returns one row per input document:
+   * `(doc, n_lines, kept_lines, removed_lines, clean_text)` — `clean_text`
+   * is the surviving lines re-joined with `\n` (empty string when every
+   * line was boilerplate; callers typically drop such rows).
+   *
+   * Scale shape (the corpus-level census is the whole point — per-doc
+   * line-hashing needs no engine):
+   *  - lines explode once with their position; the census key is `md5(line)`
+   *    so the two line-keyed exchanges shuffle 32-byte digests, not raw
+   *    line text;
+   *  - the document-frequency census aggregates the DISTINCT (hash, doc)
+   *    set — a repeated line within one document counts once, and the raw
+   *    line stream is never re-shuffled;
+   *  - flagged lines come back via a hash-keyed equi-JOIN (shuffle join on
+   *    both sides): the boilerplate set on a web corpus is unbounded (every
+   *    site's chrome), so a broadcast of it would be the driver-OOM shape;
+   *  - reassembly is one doc-keyed aggregation; `collect_list` skips the
+   *    nulled-out duplicate lines BEFORE the array materializes, so the
+   *    buffer holds only surviving lines.
+   */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val lines = docs.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    val census = lines.select(col("h"), col("doc")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("line_df"))
+    val flagged = lines.join(census, "h")
+      .withColumn("dup", col("line_df") >= minDocs)
+    flagged.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_lines"),
+      count(when(!col("dup"), lit(1))).as("kept_lines"),
+      count(when(col("dup"), lit(1))).as("removed_lines"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(!col("dup"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")),
+        "\n").as("clean_text"))
+  }
+
+  /**
    * Document-frequency vocabulary report: tokens present in at least
    * `minDocFrac` of documents (the boilerplate/stopword census used to
    * decide df-based pruning thresholds). Emits (token, df, doc_frac).

@@ -37,4 +37,34 @@ object Packing {
       .withColumn("bin", floor(col("__start") / budget).cast("long"))
       .drop("__start")
   }
+
+  /**
+   * Deterministic training-epoch shuffle + shard assignment: every row gets
+   * a `shard` in `[0, 16^hexDigits)` and a dense `pos` within its shard,
+   * both pure functions of `(seed, id)` — rerunning with the same seed
+   * reproduces the epoch exactly, and a new seed is a fresh global
+   * permutation (the per-epoch reshuffle LLM data loaders need).
+   *
+   * The permutation key is `md5(seed ":" id)`; the shard is the key's first
+   * `hexDigits` hex chars, the position ranks the key within the shard.
+   *
+   * Scale shape: a naive global shuffle (`ORDER BY hash`) funnels the whole
+   * corpus through ONE task at the sort boundary's tails — here the shard
+   * is computed map-side and the only shuffle is the shard-keyed
+   * `row_number` window, so shards rank in parallel and the output is
+   * already laid out for per-shard training files. Size `hexDigits` to the
+   * cluster: 2 → 256 shards, 4 → 65 536.
+   */
+  def epochShards(df: DataFrame, idCol: String, seed: String,
+                  hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, "need 1 <= hexDigits <= 8")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard",
+        conv(substring(col("__key"), 1, hexDigits), 16, 10).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
 }

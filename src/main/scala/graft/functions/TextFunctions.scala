@@ -226,6 +226,64 @@ object TextFunctions {
       least(lit(chunkSize), n - ix * stride).cast("long").as("n_tokens")))
   }
 
+  // ---- Gopher-rule quality filtering ---------------------------------------
+
+  /** The required-stopword list from the Gopher quality rules (Rae et al.
+    * 2021, arXiv:2112.11446, §A1.1): a document must contain at least two
+    * of these to pass the stopword rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-rule quality flags (Rae et al. 2021, arXiv:2112.11446, §A1.1) —
+   * the standard rule-based web-corpus filter. Every ratio rule is stated in
+   * INTEGER cross-multiplied form (`10·symbols < words` instead of
+   * `symbols/words < 0.1`) so the booleans are bit-exact across engines —
+   * no floating-point division anywhere. Emits (name → Column):
+   *
+   *  - `n_words`         token count (newlines normalized to spaces first)
+   *  - `f_word_count`    50 ≤ words ≤ 100 000
+   *  - `f_mean_word_len` mean token length in [3, 10] (as 3n ≤ Σlen ≤ 10n)
+   *  - `f_symbol_ratio`  (# of `#` + `...` occurrences) / words < 0.1
+   *  - `f_bullet`        < 90 % of lines start with a `- ` bullet
+   *  - `f_ellipsis`      < 30 % of lines end with `...`
+   *  - `f_alpha`         ≥ 80 % of words contain an alphabetic character
+   *  - `f_stopwords`     ≥ 2 distinct [[GopherStopwords]] present
+   *  - `keep`            conjunction of all flags
+   *
+   * Scale: entirely map-side (one [[tokenStats]] kernel pass for the token
+   * counts; the line/alpha rules are HOF filters over the per-row arrays —
+   * interpreted lambdas, but per-row with no shuffle, so they stay cheap and
+   * distributed). Nothing here prevents predicate pushdown of an outer
+   * filter on `keep`.
+   */
+  def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(regexp_replace(text, "\n", " "))
+    val ts = tokenStats(toks)
+    val n = ts.getField("n_tokens")
+    val sumLen = ts.getField("sum_token_len")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => l.substr(1, 2) === "- ")).cast("long")
+    val ellipsisLines = size(filter(lines, l => org.apache.spark.sql.functions
+      .right(l, lit(3)) === "...")).cast("long")
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = GopherStopwords
+      .map(s => when(array_contains(toks, lit(s)), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val flags = Seq(
+      "f_word_count" -> (n >= 50L && n <= 100000L),
+      "f_mean_word_len" -> (sumLen >= n * 3 && sumLen <= n * 10),
+      "f_symbol_ratio" -> (symbols * 10 < n),
+      "f_bullet" -> (bulletLines * 10 < nLines * 9),
+      "f_ellipsis" -> (ellipsisLines * 10 < nLines * 3),
+      "f_alpha" -> (alphaWords * 5 >= n * 4),
+      "f_stopwords" -> (stopHits >= 2L))
+    ("n_words" -> n) +: flags :+ ("keep" -> flags.map(_._2).reduce(_ && _))
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   /** (name, pattern, replacement) for the standard web-corpus PII classes.

@@ -95,6 +95,41 @@ class CorpusSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("line dedup strikes corpus-frequent lines, preserves order") {
+    val d = Seq(
+      (1L, "alpha one\nboiler\nalpha two"),
+      (2L, "beta one\nboiler\nbeta two"),
+      (3L, "boiler\ngamma only")).toDF("doc_id", "text")
+    val got = Corpus.lineDedup(d, "doc_id", "text", minDocs = 3)
+      .orderBy("doc").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1L, "alpha one\nalpha two"),
+      (2L, 3L, 2L, 1L, "beta one\nbeta two"),
+      (3L, 2L, 1L, 1L, "gamma only")))
+  }
+
+  test("line dedup counts a within-doc repeat as ONE document") {
+    // "dup" appears twice in doc 1 but only doc 2 also has it → df = 2,
+    // below minDocs = 3, so it survives everywhere
+    val d = Seq(
+      (1L, "dup\nmid\ndup"),
+      (2L, "dup\nother"),
+      (3L, "clean")).toDF("doc_id", "text")
+    val got = Corpus.lineDedup(d, "doc_id", "text", minDocs = 3)
+      .orderBy("doc").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.head == ((1L, 3L, 3L, 0L, "dup\nmid\ndup")))
+  }
+
+  test("line dedup: a fully-boilerplate doc keeps zero lines, empty clean_text") {
+    val d = Seq(
+      (1L, "x\ny"), (2L, "x\ny"), (3L, "x\ny"),
+      (4L, "x")).toDF("doc_id", "text")
+    val got = Corpus.lineDedup(d, "doc_id", "text", minDocs = 3)
+      .orderBy("doc").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(3) == ((4L, 1L, 0L, 1L, "")))
+    assert(got.head == ((1L, 2L, 0L, 2L, "")))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
