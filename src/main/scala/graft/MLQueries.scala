@@ -382,7 +382,31 @@ object MLQueries {
           "doc_id", seed = "epoch1", hexDigits = 2)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))
+    }),
+
+    // ---- exact duplicated-span removal (Lee et al. ExactSubstr): every
+    //      fifth doc gains a shared 30-token paragraph; keep-first masks it
+    //      everywhere but its lowest-(doc,pos) occurrence. t20 is the
+    //      census; this is the dedup itself ----
+    "t26_span_removal" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" " + SharedPara)))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", k = 10)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("dup_tokens"),
+          when(col("n_tokens") === col("dup_tokens"), lit(null).cast("string"))
+            .otherwise(md5(col("clean_text"))).as("clean_fp"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** t26's injected duplicate: a 30-token paragraph (> k = 10, so interior
+    * grams duplicate across every fifth doc while boundary grams straddle
+    * each doc's unique text). */
+  private val SharedPara: String =
+    "shared span alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "red green blue yellow"
 
   /** t23's corpus: every doc gains two corpus-wide boilerplate lines, a
     * promo line shared by its `doc_id % 10` group, and a unique signature
@@ -999,6 +1023,51 @@ object MLQueries {
         |    AND (ellipsis_lines * 10 < n_lines * 3) AND (alpha_words * 5 >= n * 4)
         |    AND (stop_hits >= 2)) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Span removal restated: zipped token/gram unnests, keep-first via
+    // row_number over the gram hash, coverage via the same running-max
+    // window over (tokens ∪ masked starts).
+    "t26_span_removal" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' """ + SharedPara + """'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+        |tok AS (
+        |  SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos
+        |  FROM tl),
+        |gr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(l) - 9),
+        |      i -> array_to_string(l[i+1:i+10], ' '))) AS gram,
+        |    unnest(range(0, len(l) - 9)) AS pos
+        |  FROM tl WHERE len(l) >= 10),
+        |rnk AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY md5(gram) ORDER BY doc_id, pos) AS rn
+        |  FROM gr),
+        |u AS (
+        |  SELECT doc_id, pos, tok, 1 AS kind, CAST(NULL AS BIGINT) AS strt
+        |  FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, pos, NULL, 0, pos FROM rnk WHERE rn >= 2),
+        |c AS (
+        |  SELECT doc_id, pos, tok, kind,
+        |    max(strt) OVER (PARTITION BY doc_id ORDER BY pos, kind
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS laststart
+        |  FROM u),
+        |tt AS (
+        |  SELECT doc_id, pos, tok,
+        |    (laststart IS NOT NULL AND laststart >= pos - 9) AS covered
+        |  FROM c WHERE kind = 1)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  COUNT(CASE WHEN covered THEN 1 END) AS dup_tokens,
+        |  CASE WHEN COUNT(*) = COUNT(CASE WHEN covered THEN 1 END) THEN NULL
+        |    ELSE md5(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+        |      ORDER BY pos)) END AS clean_fp
+        |FROM tt GROUP BY doc_id ORDER BY doc_id""").stripMargin,
 
     // Epoch sharding: identical md5 permutation key, hex-prefix shard, and
     // per-shard rank.

@@ -226,6 +226,71 @@ object Dedup {
         round(col("n_dup") / col("n_ngrams"), roundDigits))
   }
 
+  /**
+   * Exact duplicated-span REMOVAL (the dedup step Lee et al. 2022's
+   * ExactSubstr performs; [[duplicatedSpanStats]] is the read-only census):
+   * every occurrence of a corpus-duplicated token `k`-gram EXCEPT the first
+   * (lowest `(doc, pos)` in corpus order) is masked, and a token is dropped
+   * when any masked gram covers it — so a duplicated span of length L ≥ k
+   * survives at its first occurrence and disappears everywhere else, while
+   * the first/last k−1 boundary tokens around it stay (their grams straddle
+   * unique context).
+   *
+   * Returns (doc, n_tokens, dup_tokens, clean_text); `clean_text` is the
+   * surviving tokens re-joined (empty when the whole document is a copy).
+   *
+   * Scale shape:
+   *  - grams shuffle ONCE on their md5 hash; the keep-first rule is a
+   *    `row_number` over that same gram-keyed exchange (no census + join
+   *    back, which would shuffle the occurrence stream twice). A
+   *    boilerplate gram with millions of occurrences costs one window
+   *    partition's sort — the same hot-key profile its census would have,
+   *    with rank replacing count.
+   *  - coverage is ONE doc-keyed window over (tokens ∪ masked-gram starts)
+   *    ordered by position: a running `max(start)` decides each token's
+   *    fate in O(1) — never a token⋈span range join, whose candidate set
+   *    explodes exactly where dedup matters (heavily templated corpora).
+   *  - reassembly reuses the doc partitioning; dropped tokens are nulled
+   *    out before `collect_list`, so buffers hold survivors only.
+   */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    require(k >= 2, "span gram size k must be at least 2")
+    val base = docs.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val tokRows = base.select(col("doc"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .select(col("doc"), col("pos"), col("tok"),
+        lit(1).as("kind"), lit(null).cast("int").as("start"))
+    // gram i starts at token position i (TextFunctions.ngrams slices from
+    // offset i); rank in (doc, pos) corpus order — rank 1 is the kept copy
+    val maskedStarts = base.select(col("doc"),
+        posexplode(TextFunctions.ngrams(col("__toks"), k)).as(Seq("pos", "gram")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("gram"))).orderBy(col("doc"), col("pos"))))
+      .filter(col("rn") >= 2)
+      .select(col("doc"), col("pos"), lit(null).cast("string").as("tok"),
+        lit(0).as("kind"), col("pos").as("start"))
+    // kind orders gram starts before the token at the same position, so a
+    // masked gram covers its own first token
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = tokRows.unionByName(maskedStarts)
+      .withColumn("laststart", max(col("start")).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("covered",
+        col("laststart").isNotNull && col("laststart") >= col("pos") - (k - 1))
+    covered.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_tokens"),
+      count(when(col("covered"), lit(1))).as("dup_tokens"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(!col("covered"),
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")),
+        " ").as("clean_text"))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -108,6 +108,41 @@ class TrainingPrepSpec extends SparkTestBase {
       "epoch sharding must never funnel the corpus through one partition")
   }
 
+  test("span removal: keep-first masks later copies, boundary tokens survive") {
+    val d = Seq(
+      (1L, "u1 u2 c1 c2 c3 c4 c5 u3"),
+      (2L, "v1 c1 c2 c3 c4 c5 v2 v3")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 3)
+      .orderBy("doc").as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 holds every gram's first occurrence → untouched
+    assert(got.head == ((1L, 8L, 0L, "u1 u2 c1 c2 c3 c4 c5 u3")))
+    // doc 2's copy of the span is struck; its unique context survives
+    assert(got(1) == ((2L, 8L, 5L, "v1 v2 v3")))
+  }
+
+  test("span removal: within-doc repeats keep only the first occurrence") {
+    val d = Seq((1L, "r1 r2 r3 x r1 r2 r3")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].head()
+    assert(got == ((1L, 7L, 3L, "r1 r2 r3 x")))
+  }
+
+  test("span removal: documents shorter than k are untouched") {
+    val d = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 3)
+      .orderBy("doc").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, "a b"), (2L, 2L, 0L, "a b")))
+  }
+
+  test("span removal: an exact full duplicate empties the later copy") {
+    val d = Seq(
+      (1L, "d1 d2 d3 d4 d5"),
+      (2L, "d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 3)
+      .orderBy("doc").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 5L, 0L, "d1 d2 d3 d4 d5"), (2L, 5L, 5L, "")))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
