@@ -384,6 +384,50 @@ object MLQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // ---- source balancing (corpus-derived mixture): downsample every
+    //      source to the SMALLEST source's size with a deterministic
+    //      integer hash gate — rates come from the corpus census, not
+    //      fixed constants (t14's shape); census + target are broadcast,
+    //      the gate is map-side, all-integer (bit-exact across engines) ----
+    "t27_source_balance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val census = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val target = broadcast(census.agg(min(col("n_docs")).as("target")))
+      val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      d.join(broadcast(census), "source")
+        .crossJoin(target)
+        .filter(sel % col("n_docs") < col("target"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- contamination decision (t13 reports hit counts for flagged
+    //      docs; this emits the standard fraction-threshold verdict for
+    //      EVERY corpus doc): contaminated iff probe-shingle hits reach
+    //      5% of the doc's distinct shingles — integer cross-multiplied,
+    //      totals and hits counted in ONE corpus pass ----
+    "t28_contamination_flag" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val probes = d.filter(col("doc_id") < 5)
+        .select(explode(array_distinct(
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5))).as("sh"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      val corpus = d.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5))).as("sh"))
+      corpus.join(broadcast(probes), Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("hit")).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") * 20 >= col("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact duplicated-span removal (Lee et al. ExactSubstr): every
     //      fifth doc gains a shared 30-token paragraph; keep-first masks it
     //      everywhere but its lowest-(doc,pos) occurrence. t20 is the
@@ -1023,6 +1067,44 @@ object MLQueries {
         |    AND (ellipsis_lines * 10 < n_lines * 3) AND (alpha_words * 5 >= n * 4)
         |    AND (stop_hits >= 2)) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Source balancing: same census → min target → integer md5 gate.
+    "t27_source_balance" ->
+      """WITH census AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |tgt AS (SELECT min(n_docs) AS target FROM census),
+        |sel AS (
+        |  SELECT d.doc_id, d.source, c.n_docs, t.target,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      AS BIGINT) AS h
+        |  FROM documents d JOIN census c USING (source) CROSS JOIN tgt t)
+        |SELECT source, any_value(n_docs) AS n_docs, COUNT(*) AS n_sampled,
+        |  min(doc_id) AS first_id
+        |FROM sel WHERE h % n_docs < target
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Contamination verdict: t13's shingle construction, left join so every
+    // corpus doc reports, 5% threshold integer cross-multiplied.
+    "t28_contamination_flag" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 4),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' ||
+        |         string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4] || ' ' ||
+        |         string_split(text,' ')[i+5]))) AS sh
+        |  FROM documents WHERE doc_id < 5),
+        |corpus AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 4),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' ||
+        |         string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4] || ' ' ||
+        |         string_split(text,' ')[i+5]))) AS sh
+        |  FROM documents WHERE doc_id >= 5)
+        |SELECT c.doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(p.sh) AS n_hits,
+        |  (COUNT(p.sh) * 20 >= COUNT(*)) AS contaminated
+        |FROM corpus c LEFT JOIN probes p ON c.sh = p.sh
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // Span removal restated: zipped token/gram unnests, keep-first via
     // row_number over the gram hash, coverage via the same running-max

@@ -114,6 +114,25 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("plan audit: t23/t26 corpus dedup plans join on keys, never all-pairs") {
+    Seq("t23_line_dedup", "t26_span_removal").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name must stay key-joined")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay key-joined")
+      // two corpus passes by design (raw rows + census/rank branch); a
+      // third would mean a lost exchange reuse
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans <= 2, s"$name scans the corpus $scans times")
+    }
+    // t26's coverage decision is the doc-keyed running-max window — the
+    // token⋈span range-join shape must never appear
+    val t26 = SparkEntry.queries("t26_span_removal")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(t26.contains("Window"), "t26 coverage must ride a window")
+  }
+
   test("plan audit: t5 prefix-filtered jaccard has no cartesian / nested-loop join") {
     val df = SparkEntry.queries("t5_ngram_jaccard")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
