@@ -384,6 +384,15 @@ object MLQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // ---- high-df token census: the boilerplate/stopword report used to
+    //      pick df-pruning thresholds (one (doc,token)-keyed shuffle, then
+    //      a token rollup; corpus size broadcast as a scalar) ----
+    "t29_high_df" -> ((s, dir) => {
+      Corpus.highDfTokens(t(s, dir, "documents"), "doc_id", "text",
+          minDocFrac = 0.2)
+        .orderBy(col("token"))
+    }),
+
     // ---- source balancing (corpus-derived mixture): downsample every
     //      source to the SMALLEST source's size with a deterministic
     //      integer hash gate — rates come from the corpus census, not
@@ -1067,6 +1076,20 @@ object MLQueries {
         |    AND (ellipsis_lines * 10 < n_lines * 3) AND (alpha_words * 5 >= n * 4)
         |    AND (stop_hits >= 2)) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // High-df census: distinct (doc, token) pairs → token df → fraction of
+    // the corpus doc count, filtered on the ROUNDED fraction like the engine.
+    "t29_high_df" ->
+      """WITH tf AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT token, df, round(df / n_docs, 4) AS doc_frac
+        |FROM df CROSS JOIN n
+        |WHERE round(df / n_docs, 4) >= 0.2
+        |ORDER BY token""".stripMargin,
 
     // Source balancing: same census → min target → integer md5 gate.
     "t27_source_balance" ->
