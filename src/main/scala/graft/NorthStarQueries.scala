@@ -305,6 +305,46 @@ object NorthStarQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- streaming CURATION: the text-pipeline operators composed with
+    // Structured Streaming — a doubled corpus lands in the Delta table as
+    // three append commits, the stream tails them rate-capped, and each
+    // micro-batch runs the map-side curation (token-count floor +
+    // fingerprint) with a STATEFUL cross-batch exact dedup
+    // (dropDuplicates on the fingerprint — first arrival wins, duplicates
+    // in LATER batches are dropped by the state store, which is the whole
+    // point of the gate). Production corpora would watermark the dedup
+    // state by event time; an AvailableNow backfill is finite so the
+    // unbounded state is the documented right choice here. The per-lang
+    // counts must match a batch COUNT(DISTINCT fp) — no fingerprint lost
+    // or double-counted across batch boundaries. ----
+    "n20_stream_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("lang"), col("text")))
+      val tbl = graft.delta.DeltaTable.forPath(s,
+        java.nio.file.Files.createTempDirectory("graft-sc").toString)
+      (0 until 3).foreach(k => tbl.write(doubled.filter(col("doc_id") % 3 === k)))
+      val name = "n20_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "8")
+        .load(tbl.path)
+        .filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 50)
+        .select(col("lang"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        // key the state on (lang, fp), not fp alone: two docs can share a
+        // fingerprint under different lang labels, and a global-fp dedup
+        // would make the surviving lang depend on arrival order
+        .dropDuplicates("lang", "fp")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- native VARIANT type: parse-once semi-structured extraction ----
     // Spark 4's VariantType (the reference's parquet/variant.ts encodes the
     // same open format): parse the JSON once into a variant value, extract
@@ -421,6 +461,16 @@ object NorthStarQueries {
          |  ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderkey % 10 = 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The doubled corpus collapses to one row per fingerprint; duplicates
+    // share the lang of their original, so per-lang COUNT(DISTINCT fp) is
+    // exactly what the streaming dedup must reproduce.
+    "n20_stream_curation" ->
+      """SELECT lang,
+        |  COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 50
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "n16_variant_type" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -95,6 +95,15 @@ class QueriesSpec extends SparkTestBase {
     assert(n18.contains("foreachBatch") && n18.contains("Trigger.AvailableNow"))
     assert(!n18.contains(".collect()"),
       "n18's batch closure must stay distributed")
+    // n20 streaming curation: the cross-batch dedup state must be keyed on
+    // (lang, fp) — a global-fp key makes the surviving lang depend on
+    // arrival order — and the unbounded state is only legal because the
+    // query is an AvailableNow backfill
+    val n20 = src.substring(src.indexOf("n20_stream_curation")).take(2500)
+    assert(n20.contains("dropDuplicates(\"lang\", \"fp\")"),
+      "n20's dedup state must be keyed on (lang, fp)")
+    assert(n20.contains("Trigger.AvailableNow"),
+      "n20's unbounded dedup state requires a finite backfill trigger")
   }
 
   test("plan audit: t18/t20/t21 corpus stats are single-scan window plans, no self-join") {
