@@ -1051,8 +1051,8 @@ object MLQueries {
         |      AS BIGINT) AS bullet_lines,
         |    CAST(len(list_filter(lns, l -> right(l, 3) = '...'))
         |      AS BIGINT) AS ellipsis_lines,
-        |    CAST(len(regexp_extract_all(text, '#'))
-        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS ellipses,
         |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
         |      + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
         |      + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
@@ -1066,13 +1066,14 @@ object MLQueries {
         |SELECT doc_id, n AS n_words,
         |  (n >= 50 AND n <= 100000) AS f_word_count,
         |  (sum_len >= n * 3 AND sum_len <= n * 10) AS f_mean_word_len,
-        |  (symbols * 10 < n) AS f_symbol_ratio,
+        |  (hashes * 10 < n AND ellipses * 10 < n) AS f_symbol_ratio,
         |  (bullet_lines * 10 < n_lines * 9) AS f_bullet,
         |  (ellipsis_lines * 10 < n_lines * 3) AS f_ellipsis,
         |  (alpha_words * 5 >= n * 4) AS f_alpha,
         |  (stop_hits >= 2) AS f_stopwords,
         |  ((n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
-        |    AND (symbols * 10 < n) AND (bullet_lines * 10 < n_lines * 9)
+        |    AND (hashes * 10 < n AND ellipses * 10 < n)
+        |    AND (bullet_lines * 10 < n_lines * 9)
         |    AND (ellipsis_lines * 10 < n_lines * 3) AND (alpha_words * 5 >= n * 4)
         |    AND (stop_hits >= 2)) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,

@@ -298,6 +298,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // CDC capture scans the prior files), so it takes the full snapshot.
     val snap0 = if (mode == "overwrite") snapshot() else metaSnapshot()
     ProtocolSupport.assertWritable(snap0, path)
+    // Overwrite removes every active file — the same destructive class as
+    // delete/update/merge/restore, so it honors delta.appendOnly too (an
+    // overwrite bypass would make the guard on those paths meaningless).
+    if (mode == "overwrite") DeltaTable.assertNotAppendOnly(snap0, "WRITE-OVERWRITE")
     val isFirst = snap0.metadata.isEmpty
     val partCols = if (isFirst) partitionBy else {
       require(partitionBy.isEmpty || partitionBy == snap0.partitionColumns,
@@ -340,6 +344,18 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val v = try Retry.withRetry() {
       // re-resolve under OCC retry (file list only needed for overwrite)
       val snap = if (mode == "overwrite") snapshot() else metaSnapshot()
+      // Re-check the commit gates against the re-resolved state: a racer
+      // may have upgraded the protocol or flipped appendOnly since entry
+      // (same re-check the rewrite/DV/maintenance commit paths run). These
+      // classes are non-retryable, so clean up the staged files on the way
+      // out or they leak until vacuum.
+      try {
+        ProtocolSupport.assertWritable(snap, path)
+        if (mode == "overwrite")
+          DeltaTable.assertNotAppendOnly(snap, "WRITE-OVERWRITE")
+      } catch {
+        case e: Throwable => adds.foreach(a => deleteDataFile(a.path)); throw e
+      }
       txn.foreach { t =>
         if (snap.transactions.getOrElse(t.appId, -1L) >= t.version)
           throw TxnApplied(snap.version)
@@ -992,9 +1008,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     (cur, byPath, metadata, protocol)
   }
 
-  /** Non-throwing core of [[tailRecords]]: paths no longer active simply
-    * drop out of the returned map — callers pick their own conflict
-    * exception ([[graft.delta.Maintenance]] re-plans instead of failing). */
+  /** Core of [[tailRecords]]: paths no longer active simply drop out of
+    * the returned map — callers pick their own VANISHED-file response
+    * ([[graft.delta.Maintenance]] re-plans instead of failing). NOT
+    * non-throwing: a hole in the commit tail (external log truncation
+    * below the retention floor) raises `IllegalStateException`, because a
+    * silently skipped commit would let the conflict check pass against
+    * stale records. */
   private[delta] def tailState(snapAtRead: Snapshot, relPaths: Set[String])
       : (Long, Map[String, AddFile], Option[TableMetadata], Option[Protocol]) = {
     val cur = log.latestVersion()

@@ -53,11 +53,18 @@ object Storage {
     scheme match {
       case "file" =>
         // file:///p -> /p ; file://localhost/p -> /p (reference rules;
-        // Windows drive handling is irrelevant on the JVM/Linux target)
+        // Windows drive handling is irrelevant on the JVM/Linux target).
+        // Any OTHER authority (file://nas-server/p) names a remote host
+        // this factory cannot reach — refuse it rather than silently
+        // reinterpreting it as a local path that happens to exist.
         val p =
           if (rest.startsWith("localhost/")) rest.substring("localhost".length)
           else rest
-        LocalLocation(if (p.startsWith("/")) p else "/" + p)
+        if (!p.startsWith("/"))
+          throw new ValidationException(
+            s"file:// URL with a non-local authority is not supported: $url" +
+              " (use file:///absolute/path or file://localhost/path)")
+        LocalLocation(p)
       case "mem" | "memory" =>
         val slash = rest.indexOf('/')
         if (slash < 0) MemoryLocation(if (rest.isEmpty) "default" else rest, "")

@@ -23,9 +23,13 @@ object Validators {
   private def isStr(j: JValue): Boolean = j.isInstanceOf[JString]
   private def isBool(j: JValue): Boolean = j.isInstanceOf[JBool]
   private def isObj(j: JValue): Boolean = j.isInstanceOf[JObject]
-  /** Optional field: valid when absent, type-checked when present. */
+  /** Optional field: valid when ABSENT, type-checked when present. An
+    * explicit JSON `null` fails the check — the reference guards test
+    * `obj.f === undefined || typeof obj.f === '...'`, and `typeof null`
+    * passes none of the typed branches (validators.ts:29-120). */
   private def opt(j: JValue)(check: JValue => Boolean): Boolean = j match {
-    case JNothing | JNull => true
+    case JNothing => true
+    case JNull => false
     case v => check(v)
   }
 

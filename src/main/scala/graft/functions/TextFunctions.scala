@@ -244,7 +244,8 @@ object TextFunctions {
    *  - `n_words`         token count (newlines normalized to spaces first)
    *  - `f_word_count`    50 ≤ words ≤ 100 000
    *  - `f_mean_word_len` mean token length in [3, 10] (as 3n ≤ Σlen ≤ 10n)
-   *  - `f_symbol_ratio`  (# of `#` + `...` occurrences) / words < 0.1
+   *  - `f_symbol_ratio`  `#`/words < 0.1 AND `...`/words < 0.1 (the paper
+   *                      applies the threshold to EACH symbol separately)
    *  - `f_bullet`        < 90 % of lines start with a `- ` bullet
    *  - `f_ellipsis`      < 30 % of lines end with `...`
    *  - `f_alpha`         ≥ 80 % of words contain an alphabetic character
@@ -267,8 +268,8 @@ object TextFunctions {
     val bulletLines = size(filter(lines, l => l.substr(1, 2) === "- ")).cast("long")
     val ellipsisLines = size(filter(lines, l => org.apache.spark.sql.functions
       .right(l, lit(3)) === "...")).cast("long")
-    val symbols = (regexp_count(text, lit("#")) +
-      regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val hashes = regexp_count(text, lit("#")).cast("long")
+    val ellipses = regexp_count(text, lit("\\.\\.\\.")).cast("long")
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val stopHits = GopherStopwords
       .map(s => when(array_contains(toks, lit(s)), lit(1L)).otherwise(lit(0L)))
@@ -276,7 +277,7 @@ object TextFunctions {
     val flags = Seq(
       "f_word_count" -> (n >= 50L && n <= 100000L),
       "f_mean_word_len" -> (sumLen >= n * 3 && sumLen <= n * 10),
-      "f_symbol_ratio" -> (symbols * 10 < n),
+      "f_symbol_ratio" -> (hashes * 10 < n && ellipses * 10 < n),
       "f_bullet" -> (bulletLines * 10 < nLines * 9),
       "f_ellipsis" -> (ellipsisLines * 10 < nLines * 3),
       "f_alpha" -> (alphaWords * 5 >= n * 4),

@@ -43,6 +43,16 @@ class AppendOnlySpec extends SparkTestBase {
     assert(t.toDF().filter($"id" === 9).count() == 1)
   }
 
+  test("overwrite is rejected: it removes every file, same class as delete") {
+    val t = appendOnlyTable()
+    intercept[ValidationException](
+      t.write(Seq((9, "z")).toDF("id", "s"), mode = "overwrite"))
+    // the staged-but-uncommitted overwrite must not disturb the table
+    assert(t.toDF().count() == 2)
+    t.write(Seq((3, "c")).toDF("id", "s")) // plain appends still legal
+    assert(t.toDF().count() == 3)
+  }
+
   test("restore is rejected only when it would remove files") {
     val t = DeltaTable.forPath(spark,
       Files.createTempDirectory("graft-ao").toString)

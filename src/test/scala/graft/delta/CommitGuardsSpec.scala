@@ -53,6 +53,19 @@ class CommitGuardsSpec extends SparkTestBase {
       t.commitFileRewrite(snap, Set(abs), Nil, "DELETE"))
   }
 
+  test("write() refuses a table whose protocol outruns the writer") {
+    // End-to-end guard for the append path (the rewrite paths are pinned
+    // above); write() checks at entry AND re-checks inside the commit
+    // loop, so an upgrade landing in the race window is refused too.
+    val t = tmpTable()
+    t.write(Seq((1, "a")).toDF("id", "s"))
+    t.log.writeCommit(t.version + 1, Seq(
+      Protocol(minReaderVersion = 1, minWriterVersion = 8),
+      CommitInfo(System.currentTimeMillis(), "UPGRADE-PROTOCOL")))
+    intercept[UnsupportedProtocolException](
+      t.write(Seq((2, "b")).toDF("id", "s")))
+  }
+
   test("WriteConflictException message describes a permanent conflict") {
     val e = new WriteConflictException(7)
     assert(e.getMessage.contains("removed or changed by a concurrent commit"))

@@ -46,6 +46,9 @@ class StorageUrlSpec extends SparkTestBase {
       ObjectLocation("r2", "acct-bucket", "x", None))
     assert(parseUrl("s3a://b/k") == ObjectLocation("s3a", "b", "k", None))
     intercept[ValidationException](parseUrl("ftp://host/x"))
+    // a remote file:// authority must be refused, not silently read as a
+    // local path (only localhost / empty authority are local)
+    intercept[ValidationException](parseUrl("file://nas-server/exports/t"))
   }
 
   test("forUrl: file:// and bare-path tables round-trip") {

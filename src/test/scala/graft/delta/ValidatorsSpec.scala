@@ -28,6 +28,9 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(isValidLastCheckpoint(parse("""{"version":10,"size":120,"parts":3}""")))
     assert(!isValidLastCheckpoint(parse("""{"version":"10","size":120}""")))
     assert(!isValidLastCheckpoint(parse("""{"version":10}""")))
+    // explicit null is NOT a valid optional (reference: typeof null passes
+    // no typed branch of `f === undefined || typeof f === 'number'`)
+    assert(!isValidLastCheckpoint(parse("""{"version":10,"size":120,"parts":null}""")))
     assert(!isValidLastCheckpoint(parse("""{"version":10,"size":1,"parts":"3"}""")))
   }
 

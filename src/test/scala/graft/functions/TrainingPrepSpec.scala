@@ -39,6 +39,19 @@ class TrainingPrepSpec extends SparkTestBase {
     assert(f("f_word_count") == true)
   }
 
+  test("gopher: the symbol threshold applies to EACH symbol separately") {
+    // 66 words with 6 '#' and 6 '...' appended (78 words total): each
+    // ratio is under 0.1, so the paper keeps the document — a summed form
+    // (12·10 ≥ 78) would wrongly discard it
+    val t = goodText + " " +
+      (Seq.fill(6)("#") ++ Seq.fill(6)("ok...")).mkString(" ")
+    val f = flagsOf(t)
+    assert(f("f_symbol_ratio") == true, f)
+    // and a single symbol class crossing 10% alone still fails
+    val t2 = goodText + " " + Seq.fill(8)("ok...").mkString(" ")
+    assert(flagsOf(t2)("f_symbol_ratio") == false)
+  }
+
   test("gopher: bullet-dominated documents fail the bullet rule") {
     // 10 lines, 9 bulleted → 90 < 90 is false (exactly-90% boundary fails)
     val t = (Seq.fill(9)("- item") :+ "closing line").mkString("\n")
