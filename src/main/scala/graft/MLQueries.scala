@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables.t
@@ -98,6 +99,30 @@ object MLQueries {
         shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
       Dedup.duplicateGroups(docs.select(col("id")), pairs, "id")
         .orderBy(col("id"))
+    }),
+
+    // ---- cluster retention by QUALITY: t15 keeps each near-dup cluster's
+    //      min-id member; real curation keeps the BEST member. Same
+    //      minhash pairs + connected components, then one id-keyed join
+    //      with the quality score and a rep-keyed (quality DESC, id) rank —
+    //      arg-max is deterministic because quality is bit-exact across
+    //      engines (t2 proves it) and id breaks exact ties ----
+    "t30_cluster_retention" -> ((s, dir) => {
+      val docs = docsUnion(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "id", "text",
+        shingleSize = 3, k = 128, bands = 32, threshold = 0.8)
+      val groups = Dedup.duplicateGroups(docs.select(col("id")), pairs, "id")
+      val quality = docs.select(col("id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val byRep = Window.partitionBy(col("rep"))
+      groups.join(quality, "id")
+        .withColumn("rn",
+          row_number().over(byRep.orderBy(col("q").desc, col("id"))))
+        .withColumn("n_members", count(lit(1)).over(byRep))
+        .filter(col("rn") === 1)
+        .select(col("rep"), col("id").as("kept_id"), col("n_members"),
+          round(col("q"), 4).as("best_q"))
+        .orderBy(col("rep"))
     }),
 
     // ---- PII redaction (C4/RefinedWeb-style): mask emails/phones/IPs with
@@ -576,6 +601,55 @@ object MLQueries {
         |  UNION
         |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id, min(r) AS rep FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    // t15's recursive component walk + t2's quality arithmetic, arg-max by
+    // (quality DESC, id) per representative.
+    "t30_cluster_retention" -> {
+      val allMarkers = TextFunctions.Markers.flatMap(_._2).map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
+         |sets AS (
+         |  SELECT id, list_distinct(list_transform(
+         |    range(len(string_split(text,' ')) - 2),
+         |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+         |  )) AS sh FROM corpus),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sets a, sets b
+         |  WHERE a.id < b.id
+         |    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id),
+         |grp AS (SELECT id, min(r) AS rep FROM walk GROUP BY id),
+         |q AS (
+         |  SELECT id,
+         |    ((CASE WHEN length(text) >= 100 AND length(text) <= 10000
+         |        THEN 0.5 ELSE 0.0 END
+         |      + least(CAST(len(list_filter(string_split(text,' '),
+         |            t -> list_contains($allMarkers, t))) AS DOUBLE)
+         |          / CAST(len(string_split(text,' ')) AS DOUBLE) * 2.0, 0.3))
+         |      + 0.2)
+         |      - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |          / CAST(length(text) AS DOUBLE) * 5.0, 0.2) AS q
+         |  FROM corpus),
+         |j AS (
+         |  SELECT g.rep, g.id, q.q,
+         |    row_number() OVER (PARTITION BY g.rep ORDER BY q.q DESC, g.id) AS rn,
+         |    count(*) OVER (PARTITION BY g.rep) AS n_members
+         |  FROM grp g JOIN q ON g.id = q.id)
+         |SELECT rep, id AS kept_id, n_members, round(q, 4) AS best_q
+         |FROM j WHERE rn = 1 ORDER BY rep""".stripMargin
+    },
 
     "t16_pii_redaction" ->
       """WITH withpii AS (
