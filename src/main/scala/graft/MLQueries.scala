@@ -503,6 +503,38 @@ object MLQueries {
     case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
   }
 
+  /** Shared oracle fragments for the minhash-cluster family (t4, t15, t30):
+    * the doubled corpus + distinct trigram shingle sets, and the recursive
+    * connected-component walk over the ≥0.8-jaccard pair set. ONE
+    * definition, so a corpus or threshold change cannot silently
+    * desynchronize gates that must share semantics. */
+  private val DupCorpusSetsSql: String =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
+      |sets AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(len(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
+      |  )) AS sh FROM corpus)""".stripMargin
+
+  private val CcWalkSql: String =
+    """pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sets a, sets b
+      |  WHERE a.id < b.id
+      |    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |walk(id, r) AS (
+      |  SELECT id, id FROM corpus
+      |  UNION
+      |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t1_langid" ->
       s"""WITH scored AS (
@@ -554,82 +586,34 @@ object MLQueries {
         |FROM doubled GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
 
     "t4_minhash_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
-        |  UNION ALL
-        |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
-        |sets AS (
-        |  SELECT id, list_distinct(list_transform(
-        |    range(len(string_split(text,' ')) - 2),
-        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
-        |  )) AS sh FROM corpus),
-        |pairs AS (
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-        |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
-        |FROM sets a, sets b
-        |WHERE a.id < b.id)
-        |SELECT * FROM pairs WHERE jaccard >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $DupCorpusSetsSql,
+         |pairs AS (
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
+         |FROM sets a, sets b
+         |WHERE a.id < b.id)
+         |SELECT * FROM pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components recomputed from scratch: the t4 pair set (exact
     // all-pairs jaccard at this SF) symmetrized into an edge list, then a
     // recursive label walk — min reachable id per node = the cluster rep.
     "t15_dedup_groups" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
-        |  UNION ALL
-        |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
-        |sets AS (
-        |  SELECT id, list_distinct(list_transform(
-        |    range(len(string_split(text,' ')) - 2),
-        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
-        |  )) AS sh FROM corpus),
-        |pairs AS (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM sets a, sets b
-        |  WHERE a.id < b.id
-        |    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
-        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |walk(id, r) AS (
-        |  SELECT id, id FROM corpus
-        |  UNION
-        |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id)
-        |SELECT id, min(r) AS rep FROM walk GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $DupCorpusSetsSql,
+         |$CcWalkSql
+         |SELECT id, min(r) AS rep FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     // t15's recursive component walk + t2's quality arithmetic, arg-max by
     // (quality DESC, id) per representative.
     "t30_cluster_retention" -> {
       val allMarkers = TextFunctions.Markers.flatMap(_._2).map(w => s"'$w'")
         .mkString("[", ", ", "]")
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
-         |  UNION ALL
-         |  SELECT doc_id + 1000, text || ' zzz' FROM documents WHERE doc_id < 100),
-         |sets AS (
-         |  SELECT id, list_distinct(list_transform(
-         |    range(len(string_split(text,' ')) - 2),
-         |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]
-         |  )) AS sh FROM corpus),
-         |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b
-         |  FROM sets a, sets b
-         |  WHERE a.id < b.id
-         |    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
-         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |walk(id, r) AS (
-         |  SELECT id, id FROM corpus
-         |  UNION
-         |  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id),
+      // quality expression = TextFunctions.qualityScore verbatim (t2's gate
+      // pins the arithmetic cross-engine)
+      s"""WITH RECURSIVE $DupCorpusSetsSql,
+         |$CcWalkSql,
          |grp AS (SELECT id, min(r) AS rep FROM walk GROUP BY id),
          |q AS (
          |  SELECT id,

@@ -362,7 +362,15 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
       val v = snap.version + 1
       val now = System.currentTimeMillis()
-      val meta = buildMetadata(snap, targetSchema, partCols, now)
+      // A racer may have EVOLVED THE SCHEMA since entry: merge its current
+      // schema into our target so a lost-race retry cannot commit a
+      // metadata that drops the racer's new columns (our files simply lack
+      // them — a legal sparse write). Entry-time targetSchema alone would
+      // be a lost-update on the schema.
+      val commitSchema =
+        if (snap.metadata.isEmpty) targetSchema
+        else SchemaUtils.merge(snap.schema, targetSchema)
+      val meta = buildMetadata(snap, commitSchema, partCols, now)
       val removes: Seq[Action] =
         if (mode == "overwrite") snap.activeFiles.map(f =>
           RemoveFile(f.path, now))

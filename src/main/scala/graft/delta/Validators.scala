@@ -24,9 +24,11 @@ object Validators {
   private def isBool(j: JValue): Boolean = j.isInstanceOf[JBool]
   private def isObj(j: JValue): Boolean = j.isInstanceOf[JObject]
   /** Optional field: valid when ABSENT, type-checked when present. An
-    * explicit JSON `null` fails the check — the reference guards test
-    * `obj.f === undefined || typeof obj.f === '...'`, and `typeof null`
-    * passes none of the typed branches (validators.ts:29-120). */
+    * explicit JSON `null` fails the check for EVERY optional: the
+    * reference's scalar branches reject it via `typeof` (null is not
+    * 'number'/'string'/'boolean'), and its object-typed branches carry an
+    * explicit `|| obj.f === null` rejection precisely because
+    * `typeof null === 'object'` (validators.ts:38,181,183,197,219,243). */
   private def opt(j: JValue)(check: JValue => Boolean): Boolean = j match {
     case JNothing => true
     case JNull => false

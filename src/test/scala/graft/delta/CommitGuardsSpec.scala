@@ -3,6 +3,7 @@ package graft.delta
 import graft.SparkTestBase
 import java.nio.file.Files
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, lit}
 
 /**
  * Commit-time safety guards on the OCC tail-replay paths:
@@ -55,8 +56,9 @@ class CommitGuardsSpec extends SparkTestBase {
 
   test("write() refuses a table whose protocol outruns the writer") {
     // End-to-end guard for the append path (the rewrite paths are pinned
-    // above); write() checks at entry AND re-checks inside the commit
-    // loop, so an upgrade landing in the race window is refused too.
+    // above). This exercises the ENTRY check; the in-loop re-check covers
+    // the upgrade-in-race-window case and is exercised (with the other
+    // commit-loop guards) by the concurrent-writer harness below.
     val t = tmpTable()
     t.write(Seq((1, "a")).toDF("id", "s"))
     t.log.writeCommit(t.version + 1, Seq(
@@ -64,6 +66,35 @@ class CommitGuardsSpec extends SparkTestBase {
       CommitInfo(System.currentTimeMillis(), "UPGRADE-PROTOCOL")))
     intercept[UnsupportedProtocolException](
       t.write(Seq((2, "b")).toDF("id", "s")))
+  }
+
+  test("a lost-race write must not clobber a racer's schema evolution") {
+    // Race harness (ConcurrentDmlRaceSpec precedent): one writer evolves
+    // the schema while another appends with the OLD schema. Whatever the
+    // interleaving — plain writer entering before the evolution commits
+    // and committing after, with or without an OCC retry — the final
+    // schema must contain BOTH columns: the commit loop re-merges its
+    // target schema with the re-resolved snapshot's, so a stale entry
+    // snapshot cannot become a lost update on the schema.
+    (1 to 4).foreach { round =>
+      val t = tmpTable()
+      t.write(Seq((1, "a")).toDF("id", "s"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CyclicBarrier(2)
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] = Seq(
+        () => { start.await()
+          t.write(Seq((2, "b", 9L)).toDF("id", "s", "extra")); () },
+        () => { start.await()
+          // heavier payload widens this writer's entry→commit window
+          t.write(spark.range(0, 20000)
+            .select(col("id").cast("int").as("id"), lit("c").as("s"))); () })
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      pool.shutdown()
+      val fields = t.snapshot().schema.fieldNames.toSet
+      assert(fields == Set("id", "s", "extra"), s"round $round lost a column: $fields")
+      assert(t.toDF().count() == 20002)
+    }
   }
 
   test("WriteConflictException message describes a permanent conflict") {

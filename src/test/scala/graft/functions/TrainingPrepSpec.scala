@@ -40,14 +40,15 @@ class TrainingPrepSpec extends SparkTestBase {
   }
 
   test("gopher: the symbol threshold applies to EACH symbol separately") {
-    // 66 words with 6 '#' and 6 '...' appended (78 words total): each
-    // ratio is under 0.1, so the paper keeps the document — a summed form
-    // (12·10 ≥ 78) would wrongly discard it
+    // goodText is 60 words; 6 '#' + 6 'ok...' appended → 72 words total:
+    // each symbol's 6·10 = 60 < 72, so the paper keeps the document — a
+    // summed form (12·10 = 120 ≥ 72) would wrongly discard it
     val t = goodText + " " +
       (Seq.fill(6)("#") ++ Seq.fill(6)("ok...")).mkString(" ")
     val f = flagsOf(t)
     assert(f("f_symbol_ratio") == true, f)
-    // and a single symbol class crossing 10% alone still fails
+    // one symbol class crossing 10% alone still fails: 8 '...' over 68
+    // words → 80 ≥ 68
     val t2 = goodText + " " + Seq.fill(8)("ok...").mkString(" ")
     assert(flagsOf(t2)("f_symbol_ratio") == false)
   }
