@@ -119,4 +119,36 @@ class CorpusPropertySpec extends SparkTestBase {
       assert(math.abs(s - naive(id)) <= 1e-4 + 1e-9, s"doc $id: $s vs ${naive(id)}")
     }
   }
+
+  test("lineDedup agrees with a naive reimplementation on random corpora") {
+    val lines = Vector("boiler a", "boiler b", "footer", "x", "y", "z")
+    val rng = new Random(31)
+    (1 to 4).foreach { trial =>
+      val nDocs = 4 + rng.nextInt(6)
+      val minDocs = 2 + rng.nextInt(2)
+      val corpus = (1 to nDocs).map { i =>
+        val n = 1 + rng.nextInt(5)
+        // small line pool → natural cross-doc (and within-doc) repeats,
+        // plus a per-doc unique line in ~half the docs
+        val ls = (0 until n).map(_ => lines(rng.nextInt(lines.size))) ++
+          (if (rng.nextBoolean()) Seq(s"unique $i") else Nil)
+        (i.toLong, ls.mkString("\n"))
+      }
+      val naive: Map[Long, (Long, Long, Long, String)] = {
+        val perDoc = corpus.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+        val df = perDoc.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+        perDoc.map { case (id, ls) =>
+          val kept = ls.filter(l => df(l) < minDocs)
+          id -> ((ls.size.toLong, kept.size.toLong,
+            (ls.size - kept.size).toLong, kept.mkString("\n")))
+        }.toMap
+      }
+      val got = Corpus.lineDedup(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", minDocs)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == naive, s"trial $trial (minDocs=$minDocs)\n$corpus")
+    }
+  }
 }
