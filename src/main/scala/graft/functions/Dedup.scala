@@ -372,20 +372,35 @@ object Dedup {
    * transitive evidence: a~b and b~c put a, b, c in one cluster even when
    * a~c was never emitted.
    *
-   * Distributed min-label propagation WITH path-halving: each round (a) takes
-   * the minimum label across the (symmetrized) edge set and (b) shortcuts
-   * every node to its representative's representative — so convergence is
-   * O(log diameter) rounds, not O(diameter) (a 2^25-long chain fits the
-   * default `maxIter`). Each round is a bounded number of shuffles plus one
-   * count job for the convergence check. No driver materialization of ids
-   * or edges.
+   * Hybrid by edge count, the same threshold pattern the Delta side uses
+   * for snapshots/checkpoints/vacuum:
+   *
+   *  - at or below `smallGraphEdges` (default 2^20 ≈ 16 MB of id pairs),
+   *    the symmetrized edge set collects to the driver and a union-find
+   *    with path compression resolves components in one pass — near-dup
+   *    graphs are usually a tiny fraction of the corpus, and the iterative
+   *    path's per-round fixed cost (several jobs + an eager checkpoint)
+   *    dwarfs the actual work at this size. Representative selection
+   *    (min id per component) runs as ONE tiny Spark window job so id
+   *    ordering stays generic (any orderable Catalyst type).
+   *  - above the threshold: distributed min-label propagation WITH
+   *    path-halving — each round (a) takes the minimum label across the
+   *    edge set and (b) shortcuts every node to its representative's
+   *    representative, so convergence is O(log diameter) rounds, not
+   *    O(diameter) (a 2^25-long chain fits the default `maxIter`). Each
+   *    round is a bounded number of shuffles plus a convergence census
+   *    riding the checkpoint job. No driver materialization of ids or
+   *    edges.
    *
    * @param ids   one column `idCol` — every node, paired or not
    * @param pairs two columns `id_a`, `id_b`
+   * @param smallGraphEdges driver union-find at or below this many
+   *        (symmetrized, distinct) edges; `0` forces the distributed path
    * @return (idCol, rep) — rep = min id of the component
    */
   def duplicateGroups(ids: DataFrame, pairs: DataFrame, idCol: String = "id",
-                      maxIter: Int = 25): DataFrame = {
+                      maxIter: Int = 25,
+                      smallGraphEdges: Long = 1L << 20): DataFrame = {
     val tInit = System.nanoTime()
     val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
@@ -395,6 +410,51 @@ object Dedup {
     // those alone (usually a small fraction of the corpus) and union the
     // isolated nodes back as their own representatives at the end.
     val connected = edges.select(col("__src").as("__id")).distinct()
+    // This count fills the edge cache (the first checkpoint job paid that
+    // cost before) and decides the strategy.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphEdges) {
+      val rows = edges.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      val rank = scala.collection.mutable.HashMap.empty[Any, Int]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      rows.foreach { e =>
+        Seq(e.get(0), e.get(1)).foreach { n =>
+          if (!parent.contains(n)) { parent(n) = n; rank(n) = 0 }
+        }
+        val (ra, rb) = (find(e.get(0)), find(e.get(1)))
+        if (ra != rb) {
+          if (rank(ra) < rank(rb)) parent(ra) = rb
+          else if (rank(ra) > rank(rb)) parent(rb) = ra
+          else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
+        }
+      }
+      val idType = edges.schema.head.dataType
+      val spark = ids.sparkSession
+      val comp = spark.createDataFrame(
+        java.util.Arrays.asList(parent.keys.toSeq.map(n =>
+          org.apache.spark.sql.Row(n, find(n))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__id", idType),
+          org.apache.spark.sql.types.StructField("__root", idType))))
+      // min id per component via one tiny window job — keeps the rep rule
+      // generic over any orderable id type instead of ordering on the driver
+      val labeled = comp
+        .withColumn("rep", min(col("__id")).over(Window.partitionBy(col("__root"))))
+        .select(col("__id"), col("rep"))
+      edges.unpersist(false)
+      graft.delta.Logging.logger.info(
+        f"[graft] duplicateGroups driver-uf edges=$edgeCount " +
+          f"sec=${(System.nanoTime() - tInit) / 1e9}%.3f")
+      return labeled.select(col("__id").as(idCol), col("rep"))
+        .unionByName(ids.select(col(idCol))
+          .join(connected.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), col(idCol).as("rep")))
+    }
     // localCheckpoint each round: the propagate + path-halving step references
     // the previous labels THREE times, so without lineage truncation the
     // logical plan grows ~4× per iteration and the driver OOMs assembling it.

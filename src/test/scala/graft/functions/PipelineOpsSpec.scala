@@ -237,12 +237,30 @@ class PipelineOpsSpec extends SparkTestBase {
     val got = Dedup.duplicateGroups(ids, pairs, "id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L))
-    // a 60-hop chain converges via path halving well inside maxIter
+    // a 60-hop chain converges via path halving well inside maxIter —
+    // smallGraphEdges = 0 forces the DISTRIBUTED propagation path
     val chainIds = (1L to 61L).toDF("id")
     val chain = (1L to 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val reps = Dedup.duplicateGroups(chainIds, chain, "id")
+    val reps = Dedup.duplicateGroups(chainIds, chain, "id", smallGraphEdges = 0L)
       .select("rep").distinct().as[Long].collect().toSeq
     assert(reps == Seq(1L))
+  }
+
+  test("duplicateGroups: driver union-find and distributed propagation agree") {
+    val r = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val n = 30 + r.nextInt(40)
+      val ids = (1L to n.toLong).toDF("id")
+      val pairs = (0 until n).flatMap { _ =>
+        val a = 1 + r.nextInt(n); val b = 1 + r.nextInt(n)
+        if (a == b) Nil else Seq((a.toLong, b.toLong))
+      }.toDF("id_a", "id_b")
+      val small = Dedup.duplicateGroups(ids, pairs, "id")
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.duplicateGroups(ids, pairs, "id", smallGraphEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(small == dist, s"trial $trial: hybrid paths disagree")
+    }
   }
 
   test("salted within-group pairs are exact across random group/block shapes") {
