@@ -409,6 +409,58 @@ object MLQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // ---- DSIR importance weights (Xie et al. 2023): hashed-bigram
+    //      log-likelihood ratio of the target domain (lang='en') vs the raw
+    //      corpus — 128 buckets cap the shuffle key space per doc, both
+    //      distributions come back as ONE broadcast 128-row table ----
+    "t31_dsir_weights" -> ((s, dir) => {
+      Corpus.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          targetFilter = col("lang") === "en")
+        .orderBy(col("doc"))
+    }),
+
+    // ---- quality-classifier inference: hashed-bag-of-words linear model,
+    //      σ(mean w(token)) — pure map-side (the weight table IS the hash;
+    //      a trained model swaps in a broadcast bucket→weight lookup) ----
+    "t32_classifier_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.classifierScore(col("text")).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- intra-class embedding outliers: bottom-5 cosine-to-centroid per
+    //      label (the CLIP-score prune analog); centroids are one
+    //      (label,dim)-keyed aggregation broadcast back to the corpus ----
+    "t33_centroid_outliers" -> ((s, dir) => {
+      Similarity.centroidOutliers(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("label"), col("rank"))
+    }),
+
+    // ---- temperature-flattened source mixture (α≈0.5): per-doc keep rate
+    //      ∝ 1/⌊√n_source⌋ so sampled counts grow ∝ √n_source — smaller
+    //      sources keep more, none is erased (the multilingual-mixing rule).
+    //      Integer-exact: floor(sqrt) is IEEE-correctly-rounded, everything
+    //      after is BIGINT; census + rates broadcast, gate map-side ----
+    "t34_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val census = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val minw = broadcast(census.agg(min(col("w")).as("minw")))
+      val rates = census.crossJoin(minw)
+        .withColumn("rate", expr("minw * 1000000 div w"))
+      val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      d.join(broadcast(rates), "source")
+        .filter(sel < col("rate"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"), first(col("rate")).as("rate"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
     // ---- high-df token census: the boilerplate/stopword report used to
     //      pick df-pruning thresholds (one (doc,token)-keyed shuffle, then
     //      a token rollup; corpus size broadcast as a scalar) ----
@@ -1247,5 +1299,88 @@ object MLQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
         |    AS BIGINT) AS pos
-        |FROM s ORDER BY shard, pos""".stripMargin)
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // DSIR: identical hashed-bigram bucketing (md5 prefix % 128), Laplace
+    // log-ratio, per-doc mean rounded to 4.
+    "t31_dsir_weights" ->
+      """WITH bg AS (
+        |  SELECT doc_id AS doc, lang = 'en' AS is_target,
+        |    t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM (SELECT doc_id, lang, string_split(text,' ') AS t,
+        |          unnest(range(len(string_split(text,' ')) - 1)) AS i
+        |        FROM documents) u),
+        |bk AS (
+        |  SELECT doc, is_target,
+        |    CAST(('0x' || substr(md5(gram),1,8))::UBIGINT AS BIGINT) % 128 AS b,
+        |    COUNT(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |dist AS (
+        |  SELECT b, SUM(c) AS c_raw,
+        |    COALESCE(SUM(CASE WHEN is_target THEN c END), 0) AS c_tgt
+        |  FROM bk GROUP BY b),
+        |tot AS (
+        |  SELECT SUM(c) AS n_raw,
+        |    COALESCE(SUM(CASE WHEN is_target THEN c END), 0) AS n_tgt FROM bk)
+        |SELECT doc, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  round(SUM(c * (ln((d.c_tgt + 1) / (t.n_tgt + 128))
+        |               - ln((d.c_raw + 1) / (t.n_raw + 128)))) / SUM(c), 4)
+        |    AS avg_logweight
+        |FROM bk JOIN dist d USING (b) CROSS JOIN tot t
+        |GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // Classifier inference: same md5-derived weight per token, mean, sigmoid,
+    // keep decided on the ROUNDED score (matches the Spark column order).
+    "t32_classifier_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    (CAST(('0x' || substr(md5(tok),1,8))::UBIGINT AS BIGINT) % 2001
+        |      - 1000) / 1000.0 AS wt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) u)
+        |SELECT doc_id, score, score >= 0.5 AS keep FROM (
+        |  SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(SUM(wt) / COUNT(*)))), 4) AS score
+        |  FROM w GROUP BY doc_id) s
+        |ORDER BY doc_id""".stripMargin,
+
+    // Centroid outliers: element-wise label sums, cosine against the
+    // un-normalized centroid (scale-invariant), rank on the rounded value.
+    "t33_centroid_outliers" ->
+      """WITH el AS (
+        |  SELECT vec_id, label, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(range(len(embedding))) AS i FROM embeddings) u),
+        |c AS (SELECT label, pos, SUM(x) AS sx FROM el GROUP BY label, pos),
+        |d AS (
+        |  SELECT el.vec_id, el.label,
+        |    SUM(el.x * c.sx) AS dp, SUM(el.x * el.x) AS nv,
+        |    SUM(c.sx * c.sx) AS nc
+        |  FROM el JOIN c ON el.label = c.label AND el.pos = c.pos
+        |  GROUP BY el.vec_id, el.label),
+        |s AS (SELECT vec_id, label,
+        |        round(dp / (sqrt(nv) * sqrt(nc)), 4) AS cos_centroid FROM d)
+        |SELECT label, vec_id, cos_centroid, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY cos_centroid, vec_id) AS rank FROM s) r
+        |WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+
+    // Temperature mixing: floor(sqrt) weights (IEEE-exact), BIGINT rate
+    // division, md5 gate — bit-exact across engines end to end.
+    "t34_temperature_mix" ->
+      """WITH census AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |wt AS (SELECT source, n_docs,
+        |         CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM census),
+        |mw AS (SELECT min(w) AS minw FROM wt),
+        |rates AS (SELECT source, n_docs, (mw.minw * 1000000) // w AS rate
+        |          FROM wt CROSS JOIN mw),
+        |sel AS (
+        |  SELECT d.doc_id, d.source, r.n_docs, r.rate,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::UBIGINT
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT source, any_value(n_docs) AS n_docs, any_value(rate) AS rate,
+        |  COUNT(*) AS n_sampled
+        |FROM sel WHERE h < rate GROUP BY source ORDER BY source""".stripMargin)
 }

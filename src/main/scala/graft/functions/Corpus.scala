@@ -217,4 +217,57 @@ object Corpus {
       .filter(col("doc_frac") >= minDocFrac)
       .select(col("token"), col("df"), col("doc_frac"))
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document by
+   * how much its HASHED-bigram feature distribution looks like a target
+   * domain rather than the raw corpus. For document d with bucket counts
+   * c_d(b):
+   *
+   *   avg_logweight(d) = 1/|d| · Σ_b c_d(b) · [ln p̂_target(b) − ln p̂_raw(b)]
+   *
+   * with Laplace-smoothed bucket probabilities
+   * p̂(b) = (c(b)+1)/(n+B) over B hash buckets. Documents resembling the
+   * target (`targetFilter` rows) score high; selection keeps the top mass.
+   *
+   * Scale shape — the reason hashed n-grams work at 100 TB:
+   *  - bigrams bucket map-side (md5 → one of B buckets), so the ONLY
+   *    corpus-wide shuffle is the (doc, bucket) aggregation, and its key
+   *    cardinality is ≤ B per document regardless of vocabulary size;
+   *  - both distributions (target and raw) re-aggregate those SAME
+   *    (doc, bucket, c) rows down to ≤ B rows each — never a second pass
+   *    over raw text — and come back as one broadcast B-row table;
+   *  - the per-doc score is a second pass over the aggregated rows with a
+   *    broadcast hash join; nothing driver-side, nothing all-pairs.
+   *
+   * Determinism: bucket ids are md5-derived integers; the log-ratio is the
+   * same double expression on both engines; per-doc sums round to
+   * `roundDigits` (sum-order ulps, the t21 rule).
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column, buckets: Int = 128,
+                  roundDigits: Int = 4): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc"), targetFilter.as("is_target"),
+        explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), 2))
+          .as("gram"))
+      .withColumn("b",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+      .groupBy(col("doc"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val dist = bg.groupBy(col("b")).agg(
+      sum(col("c")).as("c_raw"),
+      coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("c_tgt"))
+    val totals = bg.agg(
+      sum(col("c")).as("n_raw"),
+      coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("n_tgt"))
+    bg.join(broadcast(dist), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lw", col("c") *
+        (log((col("c_tgt") + 1) / (col("n_tgt") + buckets)) -
+         log((col("c_raw") + 1) / (col("n_raw") + buckets))))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("lw")) / sum(col("c")), roundDigits).as("avg_logweight"))
+  }
 }

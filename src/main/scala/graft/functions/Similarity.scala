@@ -258,4 +258,46 @@ object Similarity {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
   }
+
+  /**
+   * Intra-class embedding outliers: for every label, the k members LEAST
+   * similar (cosine) to their class centroid — the CLIP-score-style prune
+   * step (and SemDeDup's "semantic outlier" flip side): mislabeled,
+   * corrupted, or off-distribution examples sit far from their class mean
+   * and are dropped before training.
+   *
+   * Centroids use the UN-normalized element-wise sum — cosine is
+   * scale-invariant, so cos(v, Σ) = cos(v, mean) and the division (a
+   * per-label count broadcast) is never needed.
+   *
+   * Scale shape:
+   *  - the centroid is ONE (label, dim)-keyed aggregation of the exploded
+   *    elements with map-side combine — dims are fixed (64–4096), so the
+   *    shuffle is labels × dims rows of doubles no matter the corpus size;
+   *  - reassembly to an array happens per label (labels × dims rows total)
+   *    and the centroid table broadcasts back — the corpus-side pass is one
+   *    broadcast hash join plus the fused dot kernel;
+   *  - ranking is a per-label window on the ROUNDED cosine (engine-stable
+   *    ordering), vec_id tiebreak.
+   */
+  def centroidOutliers(vectors: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, k: Int,
+                       roundDigits: Int = 4): DataFrame = {
+    val sums = vectors.select(col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast("double")).as("sx"))
+    val centroids = sums.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+        s => s.getField("sx")).as("__centroid"))
+    val scored = vectors.select(col(idCol).as("vec_id"),
+        col(labelCol).as("label"), col(embCol).as("__e"))
+      .join(broadcast(centroids), "label")
+      .withColumn("cos_centroid",
+        round(cosine(col("__e"), col("__centroid")), roundDigits))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("cos_centroid"), col("rank"))
+  }
 }

@@ -326,4 +326,39 @@ object TextFunctions {
 
   /** 64-bit rolling content hash for cheap grouping (Spark-side only). */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  // ---- linear quality-classifier inference ---------------------------------
+
+  /** Deterministic per-token weight in [-1, 1] derived from the token's md5
+    * (the "hashing trick" of a fastText/VW-style linear model: the model IS
+    * a weight per feature bucket, here keyed directly by the 32-bit md5
+    * prefix). `(h % 2001 − 1000)/1000` is all-integer until the final exact
+    * division, so both engines produce bit-identical doubles. */
+  def hashTokenWeight(tok: Column): Column =
+    ((conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % 2001) - 1000) /
+      lit(1000.0)
+
+  /**
+   * fastText-style linear classifier inference over the hashed
+   * bag-of-words: `σ(mean_t w(t))` — the standard "quality classifier"
+   * scoring step of LLM curation pipelines (GPT-3 §A / LLaMA webtext
+   * filtering), with the trained weight table replaced by a deterministic
+   * hash-derived one so the oracle can reproduce inference exactly.
+   *
+   * Scale shape: pure map-side, zero shuffles — the weight lookup is a hash
+   * of the token (no broadcast table needed), the mean folds over the token
+   * array in one codegen'd `aggregate`, and σ is a scalar expression. A
+   * real trained model swaps [[hashTokenWeight]] for a broadcast
+   * bucket→weight map lookup; the plan shape is unchanged.
+   *
+   * Empty documents score exactly 0.5 (σ(0) — no evidence either way).
+   * Rounded to `roundDigits`: the engines' `exp` may differ in the last ulp.
+   */
+  def classifierScore(text: Column, roundDigits: Int = 4): Column = {
+    val toks = tokens(text)
+    val mean = aggregate(toks, lit(0.0), (acc, t) => acc + hashTokenWeight(t)) /
+      size(toks)
+    val s = when(size(toks) > 0, mean).otherwise(lit(0.0))
+    round(lit(1.0) / (lit(1.0) + exp(-s)), roundDigits)
+  }
 }
