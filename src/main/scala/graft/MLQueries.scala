@@ -57,14 +57,14 @@ object MLQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- language ID (stopword-marker heuristic, SQL-reproducible) ----
     "t1_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      graft.Tables.widen(t(s, dir, "documents"))
         .select(col("doc_id"), TextFunctions.languageId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     // ---- quality scoring features ----
     "t2_quality" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.Tables.widen(t(s, dir, "documents"))
       val feats = TextFunctions.qualityFeatures(col("text"))
       d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }
           :+ TextFunctions.qualityScore(col("text")).as("quality"): _*)
@@ -226,7 +226,7 @@ object MLQueries {
     //      eval-set leak check; corpus side stays map-side + one broadcast
     //      join, never an all-pairs comparison ----
     "t13_decontamination" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.Tables.widen(t(s, dir, "documents"))
       val probes = d.filter(col("doc_id") < 5)
         .select(explode(array_distinct(
           TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5))).as("sh"))
@@ -322,7 +322,8 @@ object MLQueries {
     //      language ID → quality score → repetition filter, composed as one
     //      declarative plan (one dedup shuffle; every other step map-side) ----
     "t11_curation_pipeline" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = graft.Tables.widen(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
       val doubled = d.unionByName(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       val deduped = doubled
@@ -387,7 +388,7 @@ object MLQueries {
     //      across engines; the corpus perturbs docs by id class (bullets/
     //      ellipses, symbol spam, truncation) so every rule fires ----
     "t24_gopher_quality" -> ((s, dir) => {
-      val perturbed = t(s, dir, "documents").select(col("doc_id"),
+      val perturbed = graft.Tables.widen(t(s, dir, "documents")).select(col("doc_id"),
         when(col("doc_id") % 4 === 1,
             concat(col("text"), lit("\n- item one\n- item two\n- item three...")))
           .when(col("doc_id") % 4 === 2,
@@ -423,7 +424,7 @@ object MLQueries {
     //      σ(mean w(token)) — pure map-side (the weight table IS the hash;
     //      a trained model swaps in a broadcast bucket→weight lookup) ----
     "t32_classifier_score" -> ((s, dir) => {
-      t(s, dir, "documents")
+      graft.Tables.widen(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextFunctions.classifierScore(col("text")).as("score"))
         .withColumn("keep", col("score") >= 0.5)
@@ -459,6 +460,26 @@ object MLQueries {
         .agg(first(col("n_docs")).as("n_docs"), first(col("rate")).as("rate"),
           count(lit(1)).as("n_sampled"))
         .orderBy(col("source"))
+    }),
+
+    // ---- incremental dedup: classify a NEW batch against the EXISTING
+    //      corpus (exact fingerprint semi-join + cross-side-only PPJoin
+    //      prefix filter with exact-Jaccard verify) — the every-refresh
+    //      step that avoids re-deduping the whole union from scratch ----
+    "t35_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val existing = d.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000).as("doc_id"),
+            concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+        .unionByName(d.filter(col("doc_id") >= 40 && col("doc_id") < 70)
+          .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(existing, batch, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
     }),
 
     // ---- high-df token census: the boilerplate/stopword report used to
@@ -497,7 +518,7 @@ object MLQueries {
     //      5% of the doc's distinct shingles — integer cross-multiplied,
     //      totals and hits counted in ONE corpus pass ----
     "t28_contamination_flag" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.Tables.widen(t(s, dir, "documents"))
       val probes = d.filter(col("doc_id") < 5)
         .select(explode(array_distinct(
           TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5))).as("sh"))
@@ -1382,5 +1403,45 @@ object MLQueries {
         |  FROM documents d JOIN rates r USING (source))
         |SELECT source, any_value(n_docs) AS n_docs, any_value(rate) AS rate,
         |  COUNT(*) AS n_sampled
-        |FROM sel WHERE h < rate GROUP BY source ORDER BY source""".stripMargin)
+        |FROM sel WHERE h < rate GROUP BY source ORDER BY source""".stripMargin,
+
+    // Incremental dedup, brute-forced: exact = fingerprint membership in the
+    // existing corpus; near = ANY existing doc with trigram Jaccard >= 0.5
+    // (all-pairs — safe at gate size); exact wins when both apply.
+    "t35_incremental_dedup" ->
+      """WITH ex AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' zzz zzz zzz' FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 40 AND doc_id < 70),
+        |exfp AS (
+        |  SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM ex),
+        |bfp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM batch),
+        |esh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |         || ' ' || string_split(text,' ')[i+3])) AS sh FROM ex),
+        |bsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |         || ' ' || string_split(text,' ')[i+3])) AS sh FROM batch),
+        |near AS (
+        |  SELECT DISTINCT b.doc_id FROM bsh b JOIN esh e
+        |  ON len(list_distinct(list_concat(b.sh, e.sh))) > 0
+        |     AND CAST(len(list_intersect(b.sh, e.sh)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(b.sh, e.sh))) AS DOUBLE) >= 0.5)
+        |SELECT b.doc_id,
+        |  CASE WHEN f.fp IN (SELECT fp FROM exfp) THEN 'exact_dup'
+        |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+        |       ELSE 'kept' END AS status
+        |FROM batch b JOIN bfp f USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -374,6 +374,29 @@ object NorthStarQueries {
           col("session_window.start").cast(TimestampNTZType).as("session_start"),
           col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- conversion funnel: per user, earliest signup → first purchase at
+    // or after it, with integer seconds-to-convert. One user-keyed window
+    // (earliest signup broadcast down the partition) and a groupBy that
+    // REUSES the window's hash partitioning — a single shuffle end to end.
+    "n21_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val withS = events(s, dir)
+        .withColumn("signup_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("signup_ts").isNotNull)
+      withS.groupBy(col("user_id"))
+        .agg(first(col("signup_ts")).as("signup_ts"),
+          min(when(col("event_type") === "purchase" &&
+              col("ts") >= col("signup_ts"), col("ts")))
+            .as("first_purchase_ts"))
+        .withColumn("converted", col("first_purchase_ts").isNotNull)
+        .withColumn("secs_to_convert",
+          when(col("converted"),
+            expr("(unix_micros(CAST(first_purchase_ts AS TIMESTAMP)) - " +
+              "unix_micros(CAST(signup_ts AS TIMESTAMP))) div 1000000")))
+        .orderBy(col("user_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -519,5 +542,25 @@ object NorthStarQueries {
         |  FROM e)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  ${sqlDsum("value")} AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Funnel: earliest signup per user, first purchase at-or-after it,
+    // integer epoch-µs subtraction for the exact seconds delta.
+    "n21_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+        |  p.first_purchase_ts IS NOT NULL AS converted,
+        |  CASE WHEN p.first_purchase_ts IS NOT NULL
+        |       THEN (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts))
+        |            // 1000000
+        |  END AS secs_to_convert
+        |FROM s LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)
 }

@@ -11,6 +11,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Widen a narrow input to the session's default parallelism before
+    * per-row CPU-heavy kernels (md5 shingles, minhash permutations, regex
+    * chains). A parquet scan parallelizes at ROW-GROUP granularity — a
+    * small corpus packed into one row group is irreducibly one task, and a
+    * 128-permutation minhash over it runs on one core while the rest idle.
+    * At cluster scale a table scan yields far more splits than cores, so
+    * this is a structural NO-OP (returns the plan unchanged — no shuffle
+    * is ever added to a big scan); only the small-input regime pays one
+    * sub-MB round-robin exchange to buy full-core parallelism. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events.ts` varies across testdata generations: TIMESTAMP(NANOS)
     * parquet surfaces as a nanosecond long
     * (spark.sql.legacy.parquet.nanosAsLong=true — set in every session we

@@ -31,7 +31,7 @@ object Corpus {
   /** Long-form term frequencies: one row per (doc, token) with its count.
     * One shuffle, keyed (doc, token). */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"),
+    graft.Tables.widen(docs).select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("doc"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -94,7 +94,7 @@ object Corpus {
    */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxPostings: Int = 1000): DataFrame = {
-    val pairs = docs.select(col(idCol).as("doc"),
+    val pairs = graft.Tables.widen(docs).select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .distinct()
     val byToken = Window.partitionBy(col("token"))
@@ -132,7 +132,7 @@ object Corpus {
    */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
                       roundDigits: Int = 4): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc"),
+    val bg = graft.Tables.widen(docs).select(col(idCol).as("doc"),
         explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), 2))
           .as("gram"))
       .select(col("doc"),
@@ -184,7 +184,7 @@ object Corpus {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
-    val lines = docs.select(col(idCol).as("doc"),
+    val lines = graft.Tables.widen(docs).select(col(idCol).as("doc"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
     val census = lines.select(col("h"), col("doc")).distinct()
@@ -248,13 +248,20 @@ object Corpus {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetFilter: Column, buckets: Int = 128,
                   roundDigits: Int = 4): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc"), targetFilter.as("is_target"),
+    // Cache barrier: the aggregated (doc, bucket, c) rows feed THREE
+    // consumers (bucket distributions, corpus totals, and the score join) —
+    // without it the tokenize+hash+aggregate subtree evaluates three times
+    // (measured 2.5 s → ~1 s at sf0.1). Only the aggregated rows are
+    // retained: ≤ B per document, never raw text.
+    val bg = graft.Tables.widen(docs)
+      .select(col(idCol).as("doc"), targetFilter.as("is_target"),
         explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), 2))
           .as("gram"))
       .withColumn("b",
         conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
       .groupBy(col("doc"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("c"))
+      .cache()
     val dist = bg.groupBy(col("b")).agg(
       sum(col("c")).as("c_raw"),
       coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("c_tgt"))

@@ -212,7 +212,7 @@ object Dedup {
    */
   def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
                           n: Int, roundDigits: Int = 4): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc"),
+    val grams = graft.Tables.widen(docs).select(col(idCol).as("doc"),
         explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), n))
           .as("gram"))
       .groupBy(col("doc"), col("gram"))
@@ -256,7 +256,7 @@ object Dedup {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
     require(k >= 2, "span gram size k must be at least 2")
-    val base = docs.select(col(idCol).as("doc"),
+    val base = graft.Tables.widen(docs).select(col(idCol).as("doc"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
     val tokRows = base.select(col("doc"),
         posexplode(col("__toks")).as(Seq("pos", "tok")))
@@ -450,9 +450,14 @@ object Dedup {
       graft.delta.Logging.logger.info(
         f"[graft] duplicateGroups driver-uf edges=$edgeCount " +
           f"sec=${(System.nanoTime() - tInit) / 1e9}%.3f")
+      // Isolated nodes: anti-join against the LOCAL component table (comp
+      // holds exactly the edge-touched nodes), broadcast. The earlier
+      // anti-join against `connected` re-evaluated the whole pair-generation
+      // subtree AFTER the edge cache was dropped — that recomputation was
+      // ~half of t15's wall time at sf0.1.
       return labeled.select(col("__id").as(idCol), col("rep"))
         .unionByName(ids.select(col(idCol))
-          .join(connected.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+          .join(broadcast(comp.select(col("__id").as(idCol))), Seq(idCol), "left_anti")
           .select(col(idCol), col(idCol).as("rep")))
     }
     // localCheckpoint each round: the propagate + path-halving step references
@@ -512,9 +517,13 @@ object Dedup {
           f"sec=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
     edges.unpersist(false)
+    // Anti-join against the CHECKPOINTED labels (same node set as
+    // `connected`, already materialized) — going through `connected` here
+    // would re-evaluate the pair-generation subtree now that the edge
+    // cache is gone.
     labels.select(col("__id").as(idCol), col("rep"))
       .unionByName(ids.select(col(idCol))
-        .join(connected.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+        .join(labels.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
         .select(col(idCol), col(idCol).as("rep")))
   }
 
@@ -551,7 +560,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // Cache barrier for the same reason as minhashNearDups: the shingle
     // subtree feeds prefix generation AND both sides of the verify join.
-    val sets = docs.select(col(idCol).as("__id"),
+    val sets = graft.Tables.widen(docs).select(col(idCol).as("__id"),
         array_distinct(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), n)).as("__sh"))
       .withColumn("__sz", size(col("__sh")))
       .filter(col("__sz") > 0)
@@ -623,7 +632,7 @@ object Dedup {
     // bucket join; member pairs are re-expanded afterwards. A degenerate
     // corpus of identical docs costs the LSH join one row, not a quadratic
     // bucket.
-    val signed = docs.select(col(idCol).as("__id"),
+    val signed = graft.Tables.widen(docs).select(col(idCol).as("__id"),
       simhash64(TextFunctions.tokens(col(textCol)), tokenHasher).as("__sig"))
       .withColumn("__rid", min(col("__id")).over(Window.partitionBy(col("__sig"))))
       .cache()
@@ -650,5 +659,85 @@ object Dedup {
     val within = withinGroupPairs(signed.select(col("__rid"), col("__id")), withinBlock)
       .withColumn("distance", lit(0))
     cross.unionByName(within)
+  }
+
+  // ---- incremental (cross-corpus) dedup ------------------------------------
+
+  /**
+   * Incremental dedup: classify every document of a NEW batch against an
+   * EXISTING corpus — the "dedupe this crawl against everything already
+   * ingested" step that runs on every refresh of a training corpus, where
+   * re-deduping the full union from scratch would redo all prior work.
+   *
+   * Returns one row per batch document: `(doc_id, status)` with status
+   * `exact_dup` (normalized fingerprint already in the corpus), `near_dup`
+   * (n-gram Jaccard ≥ `threshold` against some corpus doc), or `kept`.
+   * Exact wins over near when both apply.
+   *
+   * Scale shape — nothing touches the existing corpus beyond two keyed
+   * passes, and nothing is all-pairs:
+   *  - the exact pass is a LEFT SEMI join of batch fingerprints against the
+   *    corpus fingerprint set (md5 keys, shuffle join — the corpus
+   *    fingerprint set is unbounded, broadcasting it would be the
+   *    driver-OOM shape);
+   *  - the near pass is [[ngramJaccardNearDups]]'s AllPairs/PPJoin prefix
+   *    filter with the canonical shingle order computed over the UNION (a
+   *    consistent global order is what makes the prefix lemma hold for
+   *    cross-side pairs), but candidates are only generated ACROSS sides —
+   *    corpus⋈corpus and batch⋈batch prefix collisions never materialize;
+   *  - verification is the exact-Jaccard equi-join; recall is exactly 1.0
+   *    (prefix lemma), so the result matches brute force.
+   */
+  def incrementalDedup(existing: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact pass: normalized-content fingerprints
+    val exFp = existing
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp")).distinct()
+    val exactIds = batch
+      .select(col(idCol).as("__id"), TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .join(exFp, Seq("__fp"), "left_semi")
+      .select(col("__id"))
+    // near pass: union census → per-side prefixes → cross-side candidates
+    def sets(df: DataFrame, side: String) =
+      df.select(col(idCol).as("__id"), lit(side).as("__side"),
+          array_distinct(TextFunctions.ngrams(
+            TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+    val all = sets(existing, "A").unionByName(sets(batch, "B"))
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0)
+      .cache()
+    val tok = all.select(col("__side"), col("__id"), col("__sz"),
+      explode(col("__sh")).as("__g"))
+    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val ranked = tok.join(dfreq, Seq("__g"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__side"), col("__id"))
+          .orderBy(col("__df"), col("__g"))))
+    val prefix = ranked
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__g"), col("__side"), col("__id"))
+    val cand = prefix.filter(col("__side") === "A").as("pa")
+      .join(prefix.filter(col("__side") === "B").as("pb"),
+        col("pa.__g") === col("pb.__g"))
+      .select(col("pa.__id").as("id_a"), col("pb.__id").as("id_b"))
+      .distinct()
+    val aSets = all.filter(col("__side") === "A")
+      .select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val bSets = all.filter(col("__side") === "B")
+      .select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    val nearIds = cand.join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
+      .filter(jaccard(col("__sha"), col("__shb")) >= threshold)
+      .select(col("id_b").as("__id")).distinct()
+    val exFlag = exactIds.select(col("__id").as("doc_id"), lit(1).as("__ex"))
+    val nrFlag = nearIds.select(col("__id").as("doc_id"), lit(1).as("__nr"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(exFlag, Seq("doc_id"), "left_outer")
+      .join(nrFlag, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nr") === 1, "near_dup")
+          .otherwise("kept").as("status"))
   }
 }

@@ -56,7 +56,8 @@ object Similarity {
                      qId: String, qEmb: String, cId: String, cEmb: String,
                      k: Int): DataFrame = {
     val pairs = broadcast(queries.select(col(qId).as("qid"), col(qEmb).as("__qe")))
-      .crossJoin(corpus.select(col(cId).as("nid"), col(cEmb).as("__ne")))
+      .crossJoin(graft.Tables.widen(corpus)
+        .select(col(cId).as("nid"), col(cEmb).as("__ne")))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("__qe"), col("__ne")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -83,7 +84,8 @@ object Similarity {
     // norm rides along so candidate verification is ONE dot product instead
     // of three (sqrt(dot(a,a))*sqrt(dot(b,b)) is precomputed per row —
     // same doubles, same product, so cos stays bit-identical to cosine()).
-    val signed = vectors.select(col(idCol).as("__id"), col(embCol).as("__e"))
+    val signed = graft.Tables.widen(vectors)
+      .select(col(idCol).as("__id"), col(embCol).as("__e"))
       .withColumn("__sig", signature(col("__e"), planes))
       .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
       .cache()
@@ -250,7 +252,8 @@ object Similarity {
     val planes = hyperplanes(dim, nBits, seed)
     val q = queries.select(col(qId).as("qid"), col(qEmb).as("__qe"))
       .withColumn("__cell", signature(col("__qe"), planes))
-    val c = corpus.select(col(cId).as("nid"), col(cEmb).as("__ne"))
+    val c = graft.Tables.widen(corpus)
+      .select(col(cId).as("nid"), col(cEmb).as("__ne"))
       .withColumn("__cell", signature(col("__ne"), planes))
     val pairs = q.join(c, Seq("__cell")).filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("__qe"), col("__ne")))
