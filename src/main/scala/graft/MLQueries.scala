@@ -155,8 +155,7 @@ object MLQueries {
         .select(col("doc_id"), col("c.ix").as("chunk_ix"),
           col("c.n_tokens").as("n_tokens"))
         .withColumn("shard",
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 8).cast("long"))
+          TextFunctions.md5Prefix32(col("doc_id").cast("string")) % 8)
       Packing.packSequences(chunks, "n_tokens", "shard",
           Seq("doc_id", "chunk_ix"), budget = 512)
         .groupBy(col("shard"), col("bin"))
@@ -278,8 +277,7 @@ object MLQueries {
     //      DETERMINISTIC md5-hash selector — reproducible across engines
     //      and runs, no RNG state, pure map-side ----
     "t14_stratified_sample" -> ((s, dir) => {
-      val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      val sel = TextFunctions.md5Prefix32(col("doc_id").cast("string")) % 100
       val rate = when(col("lang") === "en", 50)
         .when(col("lang") === "de", 30).otherwise(10)
       t(s, dir, "documents")
@@ -452,8 +450,7 @@ object MLQueries {
       val minw = broadcast(census.agg(min(col("w")).as("minw")))
       val rates = census.crossJoin(minw)
         .withColumn("rate", expr("minw * 1000000 div w"))
-      val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000000L
+      val sel = TextFunctions.md5Prefix32(col("doc_id").cast("string")) % 1000000L
       d.join(broadcast(rates), "source")
         .filter(sel < col("rate"))
         .groupBy(col("source"))
@@ -500,8 +497,7 @@ object MLQueries {
       val d = t(s, dir, "documents")
       val census = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       val target = broadcast(census.agg(min(col("n_docs")).as("target")))
-      val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
+      val sel = TextFunctions.md5Prefix32(col("doc_id").cast("string"))
       d.join(broadcast(census), "source")
         .crossJoin(target)
         .filter(sel % col("n_docs") < col("target"))
@@ -1357,7 +1353,7 @@ object MLQueries {
         |  SELECT doc_id,
         |    (CAST(('0x' || substr(md5(tok),1,8))::UBIGINT AS BIGINT) % 2001
         |      - 1000) / 1000.0 AS wt
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
         |        FROM documents) u)
         |SELECT doc_id, score, score >= 0.5 AS keep FROM (
         |  SELECT doc_id,

@@ -19,10 +19,26 @@ object Tables {
     * At cluster scale a table scan yields far more splits than cores, so
     * this is a structural NO-OP (returns the plan unchanged — no shuffle
     * is ever added to a big scan); only the small-input regime pays one
-    * sub-MB round-robin exchange to buy full-core parallelism. */
+    * sub-MB round-robin exchange to buy full-core parallelism.
+    *
+    * Inputs whose plan already contains a shuffle-inducing operator (join,
+    * aggregate, window, sort, repartition) are returned unchanged WITHOUT
+    * inspecting partitions: they are already spread across
+    * `spark.sql.shuffle.partitions`, and reading `.rdd` off such a plan
+    * under AQE would eagerly execute its shuffle stages once at
+    * plan-construction time and again at action time. */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+           _: RepartitionOperation | _: Distinct | _: Deduplicate => true
+      case _ => false
+    }
+    if (shuffled) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 
   /** `events.ts` varies across testdata generations: TIMESTAMP(NANOS)

@@ -258,7 +258,7 @@ object Corpus {
         explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), 2))
           .as("gram"))
       .withColumn("b",
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+        TextFunctions.md5Prefix32(col("gram")) % buckets)
       .groupBy(col("doc"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("c"))
       .cache()

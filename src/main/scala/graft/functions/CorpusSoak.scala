@@ -89,14 +89,18 @@ object CorpusSoak {
       s"exact-dup census too small: $nExactDups")
 
     // ---- minhash near-dup pairs + distributed connected components ------
+    // The pair set lands on DISK once (parquet, not a heap cache — the
+    // capped-heap property must not depend on the pairs fitting in memory)
+    // and feeds both the cardinality assertion and the components phase.
     val nPairs = phase("minhash-pairs") {
       Dedup.minhashNearDups(docs, "doc_id", "text",
-        shingleSize = 3, k = 64, bands = 16, threshold = 0.5).count()
+          shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+        .write.mode("overwrite").parquet(s"$dir/pairs")
+      spark.read.parquet(s"$dir/pairs").count()
     }
     require(nPairs >= nDocs / 10 * 8 / 10, s"near-dup pairs too few: $nPairs")
     val nGroups = phase("components-distributed") {
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+      val pairs = spark.read.parquet(s"$dir/pairs")
       // smallGraphEdges = 0 forces the iterative distributed path — the one
       // that must hold at 100 TB — instead of the driver union-find.
       Dedup.duplicateGroups(docs.select(col("doc_id")), pairs, "doc_id",

@@ -557,22 +557,10 @@ object Dedup {
     * node anywhere in the plan. */
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Cache barrier for the same reason as minhashNearDups: the shingle
     // subtree feeds prefix generation AND both sides of the verify join.
-    val sets = graft.Tables.widen(docs).select(col(idCol).as("__id"),
-        array_distinct(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), n)).as("__sh"))
-      .withColumn("__sz", size(col("__sh")))
-      .filter(col("__sz") > 0)
-      .cache()
-    val tok = sets.select(col("__id"), col("__sz"), explode(col("__sh")).as("__g"))
-    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val ranked = tok.join(dfreq, Seq("__g"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__g"))))
-    val prefix = ranked
-      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("__g"), col("__id"))
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val prefix = prefixEntries(sets, threshold, Seq("__id"))
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.__g") === col("pb.__g") && col("pa.__id") < col("pb.__id"))
       .select(col("pa.__id").as("id_a"), col("pb.__id").as("id_b"))
@@ -585,6 +573,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Distinct shingle sets with their size: `(…, __id, __sh, __sz)`, empty
+    * docs dropped, scan widened. The single source of the shingle
+    * expression for every PPJoin-family operator. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, extra: Seq[(String, Column)] = Nil): DataFrame =
+    graft.Tables.widen(docs).select(
+        (col(idCol).as("__id") +: extra.map { case (nm, c) => c.as(nm) }) :+
+          array_distinct(TextFunctions.ngrams(
+            TextFunctions.tokens(col(textCol)), n)).as("__sh"): _*)
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0)
+
+  /** AllPairs/PPJoin prefix index over shingle sets: for each document the
+    * first `|s| − ⌈t·|s|⌉ + 1` shingles under the canonical order
+    * (document frequency ascending over ALL input rows, then value). The
+    * prefix lemma guarantees any pair with Jaccard ≥ t shares an indexed
+    * shingle, so an equi-join of two prefix indexes built from the SAME
+    * census has recall exactly 1.0 — the single source of the prefix-cut
+    * arithmetic for both the self-join and cross-corpus operators.
+    * `keys` are the row-identity columns (e.g. `__id`, or `__side, __id`). */
+  private def prefixEntries(sets: DataFrame, threshold: Double,
+                            keys: Seq[String]): DataFrame = {
+    val tok = sets.select(
+      keys.map(col) :+ col("__sz") :+ explode(col("__sh")).as("__g"): _*)
+    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    tok.join(dfreq, Seq("__g"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__df"), col("__g"))))
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__g") +: keys.map(col): _*)
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** Oracle-reproducible 64-bit token hash: the first 8 bytes of md5, as two
@@ -592,7 +612,7 @@ object Dedup {
     * `(('0x'||substr(md5(t),1,8))::UBIGINT << 32) | ('0x'||substr(md5(t),9,8))::UBIGINT`).
     * Slower than xxhash64; use it where cross-engine verification matters. */
   def md5Hash64(c: Column): Column =
-    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
+    shiftleft(TextFunctions.md5Prefix32(c), 32)
       .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
 
   /** 64-bit SimHash of a token array: per-bit vote of token hashes.
@@ -691,7 +711,6 @@ object Dedup {
   def incrementalDedup(existing: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // exact pass: normalized-content fingerprints
     val exFp = existing
       .select(TextFunctions.fingerprint(col(textCol)).as("__fp")).distinct()
@@ -699,25 +718,15 @@ object Dedup {
       .select(col(idCol).as("__id"), TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .join(exFp, Seq("__fp"), "left_semi")
       .select(col("__id"))
-    // near pass: union census → per-side prefixes → cross-side candidates
-    def sets(df: DataFrame, side: String) =
-      df.select(col(idCol).as("__id"), lit(side).as("__side"),
-          array_distinct(TextFunctions.ngrams(
-            TextFunctions.tokens(col(textCol)), n)).as("__sh"))
-    val all = sets(existing, "A").unionByName(sets(batch, "B"))
-      .withColumn("__sz", size(col("__sh")))
-      .filter(col("__sz") > 0)
+    // near pass: union census → per-side prefixes → cross-side candidates.
+    // The union-wide df census is what makes the prefix lemma hold for
+    // cross-side pairs (both prefixes derive from ONE canonical order).
+    val all = shingleSets(existing, idCol, textCol, n,
+        extra = Seq("__side" -> lit("A")))
+      .unionByName(shingleSets(batch, idCol, textCol, n,
+        extra = Seq("__side" -> lit("B"))))
       .cache()
-    val tok = all.select(col("__side"), col("__id"), col("__sz"),
-      explode(col("__sh")).as("__g"))
-    val dfreq = tok.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val ranked = tok.join(dfreq, Seq("__g"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__side"), col("__id"))
-          .orderBy(col("__df"), col("__g"))))
-    val prefix = ranked
-      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("__g"), col("__side"), col("__id"))
+    val prefix = prefixEntries(all, threshold, Seq("__side", "__id"))
     val cand = prefix.filter(col("__side") === "A").as("pa")
       .join(prefix.filter(col("__side") === "B").as("pb"),
         col("pa.__g") === col("pb.__g"))

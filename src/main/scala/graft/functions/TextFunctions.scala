@@ -327,6 +327,14 @@ object TextFunctions {
   /** 64-bit rolling content hash for cheap grouping (Spark-side only). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** First 32 bits of md5 as a non-negative long — THE cross-engine hash
+    * primitive of the gate family (DuckDB spelling:
+    * `('0x' || substr(md5(x), 1, 8))::UBIGINT`). Every deterministic
+    * selector, bucket, and weight gate derives from this single expression
+    * so the Spark/DuckDB parity convention lives in one place. */
+  def md5Prefix32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   // ---- linear quality-classifier inference ---------------------------------
 
   /** Deterministic per-token weight in [-1, 1] derived from the token's md5
@@ -335,8 +343,7 @@ object TextFunctions {
     * prefix). `(h % 2001 − 1000)/1000` is all-integer until the final exact
     * division, so both engines produce bit-identical doubles. */
   def hashTokenWeight(tok: Column): Column =
-    ((conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % 2001) - 1000) /
-      lit(1000.0)
+    ((md5Prefix32(tok) % 2001) - 1000) / lit(1000.0)
 
   /**
    * fastText-style linear classifier inference over the hashed
@@ -351,14 +358,16 @@ object TextFunctions {
    * real trained model swaps [[hashTokenWeight]] for a broadcast
    * bucket→weight map lookup; the plan shape is unchanged.
    *
-   * Empty documents score exactly 0.5 (σ(0) — no evidence either way).
-   * Rounded to `roundDigits`: the engines' `exp` may differ in the last ulp.
+   * NULL text scores as the empty string (whose single empty token carries
+   * its hash weight like any other — both engines split "" to [""], so the
+   * oracle agrees row for row). `size(toks)` is never 0: split always
+   * returns at least one element. Rounded to `roundDigits`: the engines'
+   * `exp` may differ in the last ulp.
    */
   def classifierScore(text: Column, roundDigits: Int = 4): Column = {
-    val toks = tokens(text)
+    val toks = tokens(coalesce(text, lit("")))
     val mean = aggregate(toks, lit(0.0), (acc, t) => acc + hashTokenWeight(t)) /
       size(toks)
-    val s = when(size(toks) > 0, mean).otherwise(lit(0.0))
-    round(lit(1.0) / (lit(1.0) + exp(-s)), roundDigits)
+    round(lit(1.0) / (lit(1.0) + exp(-mean)), roundDigits)
   }
 }
