@@ -14,6 +14,61 @@ import graft.Tables._
  */
 object NorthStarQueries {
 
+  /** Open-session state for n23's timeout-based streaming sessionization:
+    * epoch-MICROsecond bounds (java.sql.Timestamp would truncate the µs the
+    * oracle compares on) and the exact cents sum (DECIMAL(18,2)·100). */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, cents: Long)
+  case class SessionOut(user_id: Long, session_start: java.time.Instant,
+                        n: Long, sum_value: Double)
+
+  private def epochUs(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  /** n23's group function: gap-close sessions within the batch, keep the
+    * open tail in [[org.apache.spark.sql.streaming.GroupState]], and emit it
+    * when the event-time timer (last event + gap) passes the watermark —
+    * the state-EVICTION path a 100 TB stream needs (without timeouts, one
+    * state entry per ever-seen user lives forever). */
+  private def sessionize(gapUs: Long)(
+      uid: Long, it: Iterator[(Long, java.time.Instant, Long, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession])
+      : Iterator[SessionOut] = {
+    def out(o: OpenSession) = SessionOut(uid,
+      java.time.Instant.ofEpochSecond(o.startUs / 1000000L,
+        (o.startUs % 1000000L) * 1000L),
+      o.n, o.cents / 100.0)
+    if (state.hasTimedOut) {
+      val o = state.get; state.remove(); Iterator.single(out(o))
+    } else if (uid < 0) Iterator.empty // watermark sentinels carry no session
+    else {
+      val evs = it.toVector.sortBy(e => (epochUs(e._2), e._3))
+      var open = state.getOption
+      val closed = Vector.newBuilder[SessionOut]
+      evs.foreach { e =>
+        val us = epochUs(e._2)
+        // exact cents (DECIMAL(18,2) HALF_UP), matching Tables.dsum
+        val cents = (BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact
+        open match {
+          case Some(o) if us - o.lastUs < gapUs =>
+            open = Some(o.copy(lastUs = us, n = o.n + 1, cents = o.cents + cents))
+          case Some(o) =>
+            closed += out(o)
+            open = Some(OpenSession(us, us, 1L, cents))
+          case None =>
+            open = Some(OpenSession(us, us, 1L, cents))
+        }
+      }
+      open.foreach { o =>
+        state.update(o)
+        // timers are millisecond-granular: round UP so the timer can never
+        // fire before the true µs deadline
+        state.setTimeoutTimestamp((o.lastUs + gapUs + 999L) / 1000L)
+      }
+      closed.result().iterator
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- variant/JSON column: extract + aggregate ----
     "n1_json_extract" -> ((s, dir) => {
@@ -376,6 +431,75 @@ object NorthStarQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- timeout-evicted streaming sessionization: n9's 30-min sessions
+    // rebuilt with flatMapGroupsWithState + EventTimeTimeout — the custom-
+    // state shape that also EVICTS: a session emits either when a
+    // later-than-gap event closes it in-batch, or when the event-time
+    // timer passes the watermark (so per-user state cannot accumulate
+    // forever on an unbounded stream). The source replays events as three
+    // time-ordered files (cross-batch sessions must survive batch
+    // boundaries) plus two far-future watermark sentinels that flush every
+    // still-open session before AvailableNow drains. Must equal the batch
+    // gaps-and-islands oracle row for row. ----
+    "n23_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ev = events(s, dir) // NTZ µs
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-ss-src").toString
+      val b = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z")).head()
+      val (t0, t1) = (b.getAs[java.time.LocalDateTime]("a"),
+        b.getAs[java.time.LocalDateTime]("z"))
+      val span = java.time.Duration.between(t0, t1).getSeconds
+      val (c1, c2) = (t0.plusSeconds(span / 3), t0.plusSeconds(2 * span / 3))
+      val evCols = ev.columns.map(col)
+      def sentinel(ldt: java.time.LocalDateTime) = s.range(1).select(
+          lit(-1L).as("event_id"), lit(ldt).as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .select(evCols: _*)
+      Seq(ev.filter(col("ts") <= lit(c1)),
+          ev.filter(col("ts") > lit(c1) && col("ts") <= lit(c2)),
+          ev.filter(col("ts") > lit(c2)),
+          sentinel(t1.plusHours(1)), sentinel(t1.plusHours(2)))
+        .foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+      val schema = s.read.parquet(srcDir).schema
+      val typed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .transform(Tables.tsLtz) // watermark needs an instant-typed column
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_id").cast("long").as("event_id"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.time.Instant, Long, Double)]
+      val sessions = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[OpenSession, SessionOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          sessionize(30L * 60 * 1000000L))
+      graft.streaming.Streams.runToMemory(sessions.toDF(),
+          "graft_stream_sessions", "append", statePartitions = Some(8))
+        .select(col("user_id"),
+          col("session_start").cast(TimestampNTZType).as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- cohort retention: users grouped by first-seen week, activity
+    // counted per (cohort, week). The cohort label rides a user-keyed
+    // window; the (cohort, activity) rollup is a distinct-count whose
+    // partial aggregation is map-side. Week truncation is ISO-Monday in
+    // both engines; the offset is all-integer (days div 7). ----
+    "n22_cohort_retention" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, dir)
+        .withColumn("cohort",
+          date_trunc("week", min(col("ts")).over(w)).cast(DateType))
+        .withColumn("activity", date_trunc("week", col("ts")).cast(DateType))
+        .groupBy(col("cohort"), col("activity"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .withColumn("week_offset", expr("datediff(activity, cohort) div 7"))
+        .select(col("cohort"), col("week_offset"), col("activity"), col("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     // ---- conversion funnel: per user, earliest signup → first purchase at
     // or after it, with integer seconds-to-convert. One user-keyed window
     // (earliest signup broadcast down the partition) and a groupBy that
@@ -543,6 +667,38 @@ object NorthStarQueries {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  ${sqlDsum("value")} AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Streaming sessionization must land exactly on the batch
+    // gaps-and-islands answer (n9's oracle, verbatim).
+    "n23_stream_sessions" ->
+      s"""WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        |  ${sqlDsum("value")} AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Cohort retention: first-seen week per user joined back to activity
+    // weeks; ISO-Monday date_trunc in both engines, integer day//7 offset.
+    "n22_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, f.cohort, date_trunc('week', e.ts) AS activity
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort, datediff('day', cohort, activity) // 7 AS week_offset,
+        |  activity, COUNT(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY cohort, activity
+        |ORDER BY cohort, week_offset""".stripMargin,
 
     // Funnel: earliest signup per user, first purchase at-or-after it,
     // integer epoch-µs subtraction for the exact seconds delta.
