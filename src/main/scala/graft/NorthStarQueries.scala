@@ -69,6 +69,31 @@ object NorthStarQueries {
     }
   }
 
+  /** Write lineitem/orders bucketed by their join key into the session
+    * catalog (external tables under a temp path, 8 buckets, sorted within
+    * buckets). Idempotent per (session, sf dir): re-registering would
+    * rewrite the data on every bench sample and measure the WRITE, not the
+    * exchange-free join the gate demonstrates. */
+  def bucketedTables(s: SparkSession, dir: String): Unit = synchronized {
+    val key = s"graft.bucketed.done.$dir"
+    if (s.conf.getOption(key).isEmpty) {
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$base/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$base/o")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_o_bucketed")
+      s.conf.set(key, "1")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- variant/JSON column: extract + aggregate ----
     "n1_json_extract" -> ((s, dir) => {
@@ -482,6 +507,24 @@ object NorthStarQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- bucketed co-located join: both sides bucketed by the join key
+    // into the session catalog, so the fact⋈fact join runs with NO exchange
+    // on either side — the pre-partitioning technique that turns the
+    // biggest shuffle of a recurring 100 TB join workload into a pure
+    // map-side zip (plan-audited in QueriesSpec: zero Exchange below the
+    // join). The only shuffles left are the aggregation's. ----
+    "n24_bucketed_join" -> ((s, dir) => {
+      bucketedTables(s, dir)
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderdate"))
+    }),
+
     // ---- cohort retention: users grouped by first-seen week, activity
     // counted per (cohort, week). The cohort label rides a user-keyed
     // window; the (cohort, activity) rollup is a distinct-count whose
@@ -667,6 +710,15 @@ object NorthStarQueries {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  ${sqlDsum("value")} AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Bucketed join: the bucketed copies hold the same rows as the source
+    // tables, so the oracle is the plain join.
+    "n24_bucketed_join" ->
+      s"""SELECT o_orderdate, ${sqlDsum("l_extendedprice")} AS sum_price,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
 
     // Streaming sessionization must land exactly on the batch
     // gaps-and-islands answer (n9's oracle, verbatim).

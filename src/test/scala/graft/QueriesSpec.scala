@@ -159,4 +159,29 @@ class QueriesSpec extends SparkTestBase {
     val banded = df.collect().toSeq
     assert(banded == exact, "prefix filtering must be lossless (recall 1.0)")
   }
+
+  test("plan audit: n24's bucketed join runs with zero exchanges below the join") {
+    import org.apache.spark.sql.functions.col
+    NorthStarQueries.bucketedTables(spark, dir)
+    // At test SF the planner rightly prefers a broadcast join (orders is
+    // tiny); the technique under audit is the TWO-BIG-TABLES case, so
+    // disable broadcasting for the audit — bucketing must then remove both
+    // pre-join exchanges. The gate adds an aggregation whose shuffle is
+    // expected; this audits the join alone.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val join = spark.table("graft_li_bucketed")
+        .join(spark.table("graft_o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = join.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a co-located join over the bucketed tables:\n$plan")
+      // bucket metadata survived: both scans report bucketed reads
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set(key, old)
+  }
 }

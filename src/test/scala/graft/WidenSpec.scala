@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contract of [[Tables.widen]]: widen ONLY narrow scan-shaped inputs —
+  * never already-shuffled plans (where `.rdd` under AQE would eagerly run
+  * stages) and never inputs already at-or-above default parallelism. */
+class WidenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parts(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.getNumPartitions
+
+  private lazy val narrowDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("widens a single-row-group scan to default parallelism") {
+    val narrow = spark.read.parquet(narrowDir)
+    assert(parts(narrow) == 1, "fixture must read as one split")
+    val widened = Tables.widen(narrow)
+    assert(parts(widened) == spark.sparkContext.defaultParallelism)
+    assert(widened.count() == 100)
+  }
+
+  test("no-op when the input already has enough partitions") {
+    val wide = spark.range(1000)
+      .repartition(spark.sparkContext.defaultParallelism + 2).toDF()
+    // repartition is itself a shuffle op → widen must return it unchanged
+    assert(Tables.widen(wide) eq wide)
+  }
+
+  test("returns shuffled plans unchanged without touching .rdd") {
+    val agg = spark.range(100).toDF("id")
+      .groupBy(col("id") % 10).count()
+    assert(Tables.widen(agg) eq agg)
+    val joined = spark.range(10).toDF("a")
+      .join(spark.range(10).toDF("a"), "a")
+    assert(Tables.widen(joined) eq joined)
+    val windowed = spark.range(10).toDF("a").withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("a"))))
+    assert(Tables.widen(windowed) eq windowed)
+  }
+
+  test("scan + filter + union shapes do widen") {
+    val u = spark.read.parquet(narrowDir)
+    val shaped = u.filter(col("id") > 5)
+      .unionByName(u.filter(col("id") <= 5))
+    val widened = Tables.widen(shaped)
+    assert(widened ne shaped)
+    assert(parts(widened) == spark.sparkContext.defaultParallelism)
+    assert(widened.count() == 100)
+  }
+
+  test("explicitly coalesced/repartitioned inputs are respected, not widened") {
+    // coalesce IS a RepartitionOperation: a caller who pinned partitioning
+    // made a choice widen must not override
+    val pinned = spark.read.parquet(narrowDir).coalesce(1)
+    assert(Tables.widen(pinned) eq pinned)
+  }
+}
