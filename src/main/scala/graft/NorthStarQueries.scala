@@ -29,7 +29,7 @@ object NorthStarQueries {
     * when the event-time timer (last event + gap) passes the watermark —
     * the state-EVICTION path a 100 TB stream needs (without timeouts, one
     * state entry per ever-seen user lives forever). */
-  private def sessionize(gapUs: Long)(
+  private[graft] def sessionize(gapUs: Long)(
       uid: Long, it: Iterator[(Long, java.time.Instant, Long, Double)],
       state: org.apache.spark.sql.streaming.GroupState[OpenSession])
       : Iterator[SessionOut] = {
