@@ -479,6 +479,55 @@ object MLQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cross-corpus novelty: share of each NEW doc's distinct trigrams
+    //      unseen in the existing corpus (the memorization/duplication
+    //      signal scored per incoming doc; t28 scores against a small probe
+    //      set, this scores against the WHOLE corpus). The corpus census is
+    //      a distinct trigram set keyed by the gram — the join is
+    //      hash-keyed on both sides, never broadcast (a web corpus's
+    //      distinct-shingle set is unbounded) ----
+    "t36_novelty_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val seen = d.filter(col("doc_id") < 300)
+        .select(explode(array_distinct(
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), 3))).as("g"))
+        .distinct()
+        .withColumn("known", lit(1L))
+      val fresh = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), 3))).as("g"))
+      fresh.join(seen, Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("known").isNull, 1)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel") / col("n_grams"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus report card: per (source, lang) volume, token mass,
+    //      fixed-point quality mass, and docs failing the Gopher rule —
+    //      the summary every curation run ships with. One corpus pass:
+    //      every metric is a map-side expression aggregated once ----
+    "t37_corpus_report" -> ((s, dir) => {
+      val gf = TextFunctions.gopherFlags(col("text")).toMap
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("toks"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          gf("f_word_count").as("wc_ok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          // quality mass in exact fixed-point (q·10⁴ as BIGINT): a rounded
+          // AVG sits on half-way boundaries that the engines' round() can
+          // break differently; the integer sum has no boundary at all
+          sum((round(col("q"), 4).cast(DecimalType(8, 4)) * 10000)
+            .cast("long")).as("sum_quality4"),
+          count(when(!col("wc_ok"), 1)).as("n_flagged"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // ---- high-df token census: the boilerplate/stopword report used to
     //      pick df-pruning thresholds (one (doc,token)-keyed shuffle, then
     //      a token rollup; corpus size broadcast as a scalar) ----
@@ -1400,6 +1449,58 @@ object MLQueries {
         |SELECT source, any_value(n_docs) AS n_docs, any_value(rate) AS rate,
         |  COUNT(*) AS n_sampled
         |FROM sel WHERE h < rate GROUP BY source ORDER BY source""".stripMargin,
+
+    // Novelty: distinct batch trigrams left-joined against the corpus's
+    // distinct trigram set; unseen share rounded to 4.
+    "t36_novelty_score" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |         || ' ' || string_split(text,' ')[i+3]))) AS g
+        |  FROM documents WHERE doc_id < 300),
+        |fresh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(string_split(text,' ')) - 2),
+        |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+        |         || ' ' || string_split(text,' ')[i+3]))) AS g
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 400)
+        |SELECT f.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN s.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(SUM(CASE WHEN s.g IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+        |    AS novelty
+        |FROM fresh f LEFT JOIN seen s USING (g)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // Report card: t2's quality arithmetic verbatim, Gopher word-count rule
+    // in integer form, per-(source, lang) rollup with the quality mass in
+    // exact fixed-point (q·10⁴ BIGINT).
+    "t37_corpus_report" -> {
+      val allMarkers = TextFunctions.Markers.flatMap(_._2).map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT source, lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+         |    CAST(len(list_filter(string_split(text,' '), t -> list_contains($allMarkers, t))) AS DOUBLE)
+         |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio,
+         |    len(string_split(regexp_replace(text, '\n', ' ', 'g'), ' ')) AS wc
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, toks,
+         |    round(((CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END
+         |      + least(stopword_ratio * 2.0, 0.3)) + 0.2)
+         |      - least(CAST(punct_count AS DOUBLE) / CAST(n_chars AS DOUBLE) * 5.0, 0.2), 4) AS q,
+         |    (wc >= 50 AND wc <= 100000) AS wc_ok
+         |  FROM f)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(CAST(q AS DECIMAL(8,4)) * 10000 AS BIGINT)) AS BIGINT)
+         |    AS sum_quality4,
+         |  CAST(SUM(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM q GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    },
 
     // Incremental dedup, brute-forced: exact = fingerprint membership in the
     // existing corpus; near = ANY existing doc with trigram Jaccard >= 0.5
