@@ -507,6 +507,40 @@ object NorthStarQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- explicit GROUPING SETS through the SQL entry point (rollup/cube
+    // are n3/n4; this is the arbitrary-sets form + grouping() marker —
+    // Catalyst expands all sets over ONE scan) ----
+    "n25_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |                        (l_returnflag, l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    // late-shipped line. Catalyst rewrites the subquery to a LEFT SEMI
+    // join on the order key — one shuffle pair, no per-row subquery ----
+    "n26_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- bucketed co-located join: both sides bucketed by the join key
     // into the session catalog, so the fact⋈fact join runs with NO exchange
     // on either side — the pre-partitioning technique that turns the
@@ -710,6 +744,30 @@ object NorthStarQueries {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  ${sqlDsum("value")} AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // Grouping sets: same SQL, grouping() markers cast to BIGINT on both
+    // engines (Spark emits TINYINT, DuckDB INT — the cast aligns them).
+    "n25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // Correlated EXISTS: identical SQL runs on both engines.
+    "n26_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Bucketed join: the bucketed copies hold the same rows as the source
     // tables, so the oracle is the plain join.
