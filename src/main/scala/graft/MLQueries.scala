@@ -482,10 +482,11 @@ object MLQueries {
     // ---- cross-corpus novelty: share of each NEW doc's distinct trigrams
     //      unseen in the existing corpus (the memorization/duplication
     //      signal scored per incoming doc; t28 scores against a small probe
-    //      set, this scores against the WHOLE corpus). The corpus census is
-    //      a distinct trigram set keyed by the gram — the join is
-    //      hash-keyed on both sides, never broadcast (a web corpus's
-    //      distinct-shingle set is unbounded) ----
+    //      set, this scores against the WHOLE corpus). The census join is
+    //      gram-keyed on both sides; the planner broadcasts it at gate SF
+    //      (tiny census) and falls back to a shuffle join when the census
+    //      outgrows the threshold — a web corpus's distinct-shingle set is
+    //      unbounded, so the equi-join keying is what matters ----
     "t36_novelty_score" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val seen = d.filter(col("doc_id") < 300)

@@ -160,6 +160,14 @@ class QueriesSpec extends SparkTestBase {
     assert(banded == exact, "prefix filtering must be lossless (recall 1.0)")
   }
 
+  test("plan audit: n26's correlated EXISTS becomes a semi join, not a per-row subquery") {
+    val plan = SparkEntry.queries("n26_exists_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must rewrite to a left semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("plan audit: n24's bucketed join runs with zero exchanges below the join") {
     import org.apache.spark.sql.functions.col
     NorthStarQueries.bucketedTables(spark, dir)
