@@ -482,11 +482,21 @@ object NorthStarQueries {
           lit("sentinel").as("event_type"), lit(0.0).as("value"),
           lit("{}").as("props"))
         .select(evCols: _*)
+      // The file source admits files in modification-time order; pin
+      // STRICTLY ascending mtimes per batch write — an mtime tie could
+      // order a watermark sentinel before real data, making every real
+      // event late behind a +2h watermark and failing the timer contract.
+      val seen = scala.collection.mutable.Set.empty[String]
       Seq(ev.filter(col("ts") <= lit(c1)),
           ev.filter(col("ts") > lit(c1) && col("ts") <= lit(c2)),
           ev.filter(col("ts") > lit(c2)),
           sentinel(t1.plusHours(1)), sentinel(t1.plusHours(2)))
-        .foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+        .zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(1).write.mode("append").parquet(srcDir)
+          new java.io.File(srcDir).listFiles()
+            .filter(f => f.getName.endsWith(".parquet") && seen.add(f.getName))
+            .foreach(_.setLastModified((i + 1) * 60000L))
+        }
       val schema = s.read.parquet(srcDir).schema
       val typed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
