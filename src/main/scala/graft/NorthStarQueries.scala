@@ -21,7 +21,7 @@ object NorthStarQueries {
   case class SessionOut(user_id: Long, session_start: java.time.Instant,
                         n: Long, sum_value: Double)
 
-  private def epochUs(i: java.time.Instant): Long =
+  private[graft] def epochUs(i: java.time.Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
 
   /** n23's group function: gap-close sessions within the batch, keep the
@@ -69,12 +69,23 @@ object NorthStarQueries {
     }
   }
 
+  /** Short stable suffix for per-sf-dir catalog object names: a session
+    * can legitimately touch several sf dirs, and a global table name would
+    * silently repoint earlier gates at the newest dir's data. */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** Write lineitem/orders bucketed by their join key into the session
     * catalog (external tables under a temp path, 8 buckets, sorted within
-    * buckets). Idempotent per (session, sf dir): re-registering would
-    * rewrite the data on every bench sample and measure the WRITE, not the
-    * exchange-free join the gate demonstrates. */
-  def bucketedTables(s: SparkSession, dir: String): Unit = synchronized {
+    * buckets) and return the (lineitem, orders) table names — DIR-KEYED,
+    * so two sf dirs in one session get distinct tables. Idempotent per
+    * (session, sf dir): re-registering would rewrite the data on every
+    * bench sample and measure the WRITE, not the exchange-free join the
+    * gate demonstrates. */
+  def bucketedTables(s: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = dirTag(dir)
+    val (liName, oName) = (s"graft_li_bucketed_$tag", s"graft_o_bucketed_$tag")
     val key = s"graft.bucketed.done.$dir"
     if (s.conf.getOption(key).isEmpty) {
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
@@ -83,14 +94,60 @@ object NorthStarQueries {
         .write.mode("overwrite").format("parquet")
         .option("path", s"$base/li")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_li_bucketed")
+        .saveAsTable(liName)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
         .write.mode("overwrite").format("parquet")
         .option("path", s"$base/o")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_o_bucketed")
+        .saveAsTable(oName)
       s.conf.set(key, "1")
+    }
+    (liName, oName)
+  }
+
+  /** Build (once per session × sf dir) the time-ordered streaming source
+    * for n23: three real slices plus two far-future watermark sentinels,
+    * mtimes pinned strictly ascending. Reusing the directory across bench
+    * samples avoids re-writing the corpus per sample and bounds /tmp
+    * garbage to one copy per process. */
+  private def sessionSourceDir(s: SparkSession, dir: String): String = synchronized {
+    val key = s"graft.n23.src.$dir"
+    s.conf.getOption(key).getOrElse {
+      val ev = events(s, dir) // NTZ µs
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-ss-src").toString
+      val b = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z")).head()
+      val (t0, t1) = (b.getAs[java.time.LocalDateTime]("a"),
+        b.getAs[java.time.LocalDateTime]("z"))
+      val span = java.time.Duration.between(t0, t1).getSeconds
+      val (c1, c2) = (t0.plusSeconds(span / 3), t0.plusSeconds(2 * span / 3))
+      val evCols = ev.columns.map(col)
+      def sentinel(ldt: java.time.LocalDateTime) = s.range(1).select(
+          lit(-1L).as("event_id"), lit(ldt).as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .select(evCols: _*)
+      // The file source admits files in modification-time order; pin
+      // STRICTLY ascending mtimes per batch write — an mtime tie could
+      // order a watermark sentinel before real data, making every real
+      // event late behind a +2h watermark and failing the timer contract.
+      val seen = scala.collection.mutable.Set.empty[String]
+      Seq(ev.filter(col("ts") <= lit(c1)),
+          ev.filter(col("ts") > lit(c1) && col("ts") <= lit(c2)),
+          ev.filter(col("ts") > lit(c2)),
+          sentinel(t1.plusHours(1)), sentinel(t1.plusHours(2)))
+        .zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(1).write.mode("append").parquet(srcDir)
+          new java.io.File(srcDir).listFiles()
+            .filter(f => f.getName.endsWith(".parquet") && seen.add(f.getName))
+            .foreach { f =>
+              require(f.setLastModified((i + 1) * 60000L),
+                s"could not pin mtime on $f — batch ordering would be " +
+                  "nondeterministic")
+            }
+        }
+      s.conf.set(key, srcDir)
+      srcDir
     }
   }
 
@@ -469,34 +526,7 @@ object NorthStarQueries {
     "n23_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      val ev = events(s, dir) // NTZ µs
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-ss-src").toString
-      val b = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z")).head()
-      val (t0, t1) = (b.getAs[java.time.LocalDateTime]("a"),
-        b.getAs[java.time.LocalDateTime]("z"))
-      val span = java.time.Duration.between(t0, t1).getSeconds
-      val (c1, c2) = (t0.plusSeconds(span / 3), t0.plusSeconds(2 * span / 3))
-      val evCols = ev.columns.map(col)
-      def sentinel(ldt: java.time.LocalDateTime) = s.range(1).select(
-          lit(-1L).as("event_id"), lit(ldt).as("ts"), lit(-1L).as("user_id"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value"),
-          lit("{}").as("props"))
-        .select(evCols: _*)
-      // The file source admits files in modification-time order; pin
-      // STRICTLY ascending mtimes per batch write — an mtime tie could
-      // order a watermark sentinel before real data, making every real
-      // event late behind a +2h watermark and failing the timer contract.
-      val seen = scala.collection.mutable.Set.empty[String]
-      Seq(ev.filter(col("ts") <= lit(c1)),
-          ev.filter(col("ts") > lit(c1) && col("ts") <= lit(c2)),
-          ev.filter(col("ts") > lit(c2)),
-          sentinel(t1.plusHours(1)), sentinel(t1.plusHours(2)))
-        .zipWithIndex.foreach { case (df, i) =>
-          df.coalesce(1).write.mode("append").parquet(srcDir)
-          new java.io.File(srcDir).listFiles()
-            .filter(f => f.getName.endsWith(".parquet") && seen.add(f.getName))
-            .foreach(_.setLastModified((i + 1) * 60000L))
-        }
+      val srcDir = sessionSourceDir(s, dir)
       val schema = s.read.parquet(srcDir).schema
       val typed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -558,9 +588,9 @@ object NorthStarQueries {
     // map-side zip (plan-audited in QueriesSpec: zero Exchange below the
     // join). The only shuffles left are the aggregation's. ----
     "n24_bucketed_join" -> ((s, dir) => {
-      bucketedTables(s, dir)
-      s.table("graft_li_bucketed")
-        .join(s.table("graft_o_bucketed"),
+      val (liName, oName) = bucketedTables(s, dir)
+      s.table(liName)
+        .join(s.table(oName),
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderdate"))
@@ -609,6 +639,25 @@ object NorthStarQueries {
               "unix_micros(CAST(signup_ts AS TIMESTAMP))) div 1000000")))
         .orderBy(col("user_id"))
     }))
+
+  /** Gaps-and-islands 30-minute sessionization — the single source for
+    * BOTH the batch gate (n9) and the streaming gate (n23), which must
+    * land on the identical answer. */
+  private lazy val SessionOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e)
+       |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // SUM(INTEGER) is HUGEINT (arrow decimal128) in DuckDB but int64 in
@@ -740,20 +789,7 @@ object NorthStarQueries {
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     "n9_session_window" ->
-      s"""WITH e AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e)
-        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
-        |  ${sqlDsum("value")} AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+      SessionOracleSql,
 
     // Grouping sets: same SQL, grouping() markers cast to BIGINT on both
     // engines (Spark emits TINYINT, DuckDB INT — the cast aligns them).
@@ -791,20 +827,7 @@ object NorthStarQueries {
     // Streaming sessionization must land exactly on the batch
     // gaps-and-islands answer (n9's oracle, verbatim).
     "n23_stream_sessions" ->
-      s"""WITH e AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e)
-        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
-        |  ${sqlDsum("value")} AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+      SessionOracleSql,
 
     // Cohort retention: first-seen week per user joined back to activity
     // weeks; ISO-Monday date_trunc in both engines, integer day//7 offset.

@@ -170,18 +170,18 @@ class QueriesSpec extends SparkTestBase {
 
   test("plan audit: n24's bucketed join runs with zero exchanges below the join") {
     import org.apache.spark.sql.functions.col
-    NorthStarQueries.bucketedTables(spark, dir)
     // At test SF the planner rightly prefers a broadcast join (orders is
     // tiny); the technique under audit is the TWO-BIG-TABLES case, so
     // disable broadcasting for the audit — bucketing must then remove both
     // pre-join exchanges. The gate adds an aggregation whose shuffle is
     // expected; this audits the join alone.
+    val (liName, oName) = NorthStarQueries.bucketedTables(spark, dir)
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
-      val join = spark.table("graft_li_bucketed")
-        .join(spark.table("graft_o_bucketed"),
+      val join = spark.table(liName)
+        .join(spark.table(oName),
           col("l_orderkey") === col("o_orderkey"))
       val plan = join.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),

@@ -22,19 +22,22 @@ class SessionizePropertySpec extends AnyFunSuite {
   private def instant(us: Long): java.time.Instant =
     java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
 
+  // production's µs clock — the property must check the same normalization
+  private def us(i: java.time.Instant): Long = NorthStarQueries.epochUs(i)
+
   /** Naive reference: sort by (ts, id), break on gap >= 30 min. */
   private def reference(evs: Seq[Ev]): Seq[(Long, Long, Long, Double)] =
     evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
-      val sorted = es.sortBy(e => (e._2.getEpochSecond * 1000000L + e._2.getNano / 1000L, e._3))
+      val sorted = es.sortBy(e => (us(e._2), e._3))
       val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)] // start, n, cents
       var start = -1L; var last = -1L; var n = 0L; var cents = 0L
       sorted.foreach { e =>
-        val us = e._2.getEpochSecond * 1000000L + e._2.getNano / 1000L
+        val tUs = us(e._2)
         val c = (BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
-        if (n == 0 || us - last >= GapUs) {
+        if (n == 0 || tUs - last >= GapUs) {
           if (n > 0) sessions += ((start, n, cents))
-          start = us; last = us; n = 1; cents = c
-        } else { last = us; n += 1; cents += c }
+          start = tUs; last = tUs; n = 1; cents = c
+        } else { last = tUs; n += 1; cents += c }
       }
       if (n > 0) sessions += ((start, n, cents))
       sessions.map { case (st, nn, cc) => (uid, st, nn, cc / 100.0) }
@@ -45,10 +48,10 @@ class SessionizePropertySpec extends AnyFunSuite {
     * groups, final watermark push flushing every open session. */
   private def streamed(evs: Seq[Ev], cuts: Seq[Long]): Seq[(Long, Long, Long, Double)] = {
     import NorthStarQueries.{sessionize, OpenSession, SessionOut}
-    def us(e: Ev): Long = e._2.getEpochSecond * 1000000L + e._2.getNano / 1000L
-    val batches = (cuts :+ Long.MaxValue).foldLeft((evs.sortBy(us), Seq.empty[Seq[Ev]])) {
+    val batches = (cuts :+ Long.MaxValue).foldLeft(
+      (evs.sortBy(e => us(e._2)), Seq.empty[Seq[Ev]])) {
       case ((rest, acc), cut) =>
-        val (in, out) = rest.partition(e => us(e) <= cut)
+        val (in, out) = rest.partition(e => us(e._2) <= cut)
         (out, acc :+ in)
     }._2.filter(_.nonEmpty)
     val states = scala.collection.mutable.Map.empty[Long, OpenSession]
@@ -76,14 +79,12 @@ class SessionizePropertySpec extends AnyFunSuite {
       batch.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (uid, es) =>
         invoke(uid, es, timedOut = false)
       }
-      watermarkMs = batch.map(e => us(e) / 1000L).max
+      watermarkMs = batch.map(e => us(e._2) / 1000L).max
     }
     // sentinel: watermark far past everything flushes the remaining state
     watermarkMs = Long.MaxValue / 2
     timers.keys.toSeq.sorted.foreach(uid => invoke(uid, Seq.empty, timedOut = true))
-    out.toSeq.map(s => (s.user_id,
-      s.session_start.getEpochSecond * 1000000L + s.session_start.getNano / 1000L,
-      s.n, s.sum_value))
+    out.toSeq.map(s => (s.user_id, us(s.session_start), s.n, s.sum_value))
   }
 
   test("streamed sessions equal batch sessionization across random batch layouts") {
@@ -99,7 +100,7 @@ class SessionizePropertySpec extends AnyFunSuite {
           (u.toLong, instant(t), i.toLong, rng.nextInt(10000) / 100.0)
         }
       }
-      val times = evs.map(e => e._2.getEpochSecond * 1000000L + e._2.getNano / 1000L).sorted
+      val times = evs.map(e => us(e._2)).sorted
       val nCuts = rng.nextInt(4)
       val cuts = Seq.fill(nCuts)(times(rng.nextInt(times.size))).sorted
       val got = streamed(evs, cuts).sortBy(s => (s._1, s._2))

@@ -33,6 +33,28 @@ class WidenSpec extends SparkTestBase {
     assert(Tables.widen(wide) eq wide)
   }
 
+  test("no-op when a SCAN already yields enough splits (the count branch)") {
+    // a multi-file dir read with a tiny split size gives a scan-shaped plan
+    // with >= defaultParallelism partitions — the partition-count branch
+    // must decline to add a shuffle (the repartition test above never
+    // reaches it: the shuffle guard short-circuits first)
+    val d = java.nio.file.Files.createTempDirectory("graft-widen-multi").toString
+    spark.range(1000).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism + 2)
+      .write.mode("overwrite").parquet(d)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val costKey = "spark.sql.files.openCostInBytes"
+    val (old, oldCost) = (spark.conf.get(key), spark.conf.get(costKey))
+    spark.conf.set(key, "1024")
+    spark.conf.set(costKey, "0")
+    try {
+      val scan = spark.read.parquet(d)
+      assert(parts(scan) >= spark.sparkContext.defaultParallelism,
+        "fixture must read as many splits")
+      assert(Tables.widen(scan) eq scan)
+    } finally { spark.conf.set(key, old); spark.conf.set(costKey, oldCost) }
+  }
+
   test("returns shuffled plans unchanged without touching .rdd") {
     val agg = spark.range(100).toDF("id")
       .groupBy(col("id") % 10).count()
