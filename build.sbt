@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: Bench's one-line JSON contract must not
+// carry a "[info] " prefix (the round-8 artifact was unparseable because
+// every stdout line was logger-prefixed).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -80,15 +80,20 @@ object NorthStarQueries {
     * catalog (external tables under a temp path, 8 buckets, sorted within
     * buckets) and return the (lineitem, orders) table names — DIR-KEYED,
     * so two sf dirs in one session get distinct tables. Idempotent per
-    * (session, sf dir): re-registering would rewrite the data on every
+    * (catalog, sf dir): re-registering would rewrite the data on every
     * bench sample and measure the WRITE, not the exchange-free join the
-    * gate demonstrates. */
+    * gate demonstrates. The backing temp dirs are reclaimed at JVM exit
+    * via [[TempDirs]]. */
   def bucketedTables(s: SparkSession, dir: String): (String, String) = synchronized {
     val tag = dirTag(dir)
     val (liName, oName) = (s"graft_li_bucketed_$tag", s"graft_o_bucketed_$tag")
-    val key = s"graft.bucketed.done.$dir"
-    if (s.conf.getOption(key).isEmpty) {
+    // Idempotence keys on CATALOG existence, not session conf: the catalog
+    // is shared across `newSession()` siblings while conf is per-session,
+    // so a conf key would let a sibling re-register (and rewrite) a table
+    // name another session is mid-query on.
+    if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(oName)) {
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      TempDirs.deleteOnExit(base)
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         .write.mode("overwrite").format("parquet")
@@ -101,7 +106,6 @@ object NorthStarQueries {
         .option("path", s"$base/o")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(oName)
-      s.conf.set(key, "1")
     }
     (liName, oName)
   }
@@ -116,6 +120,7 @@ object NorthStarQueries {
     s.conf.getOption(key).getOrElse {
       val ev = events(s, dir) // NTZ µs
       val srcDir = java.nio.file.Files.createTempDirectory("graft-ss-src").toString
+      TempDirs.deleteOnExit(srcDir)
       val b = ev.agg(min(col("ts")).as("a"), max(col("ts")).as("z")).head()
       val (t0, t1) = (b.getAs[java.time.LocalDateTime]("a"),
         b.getAs[java.time.LocalDateTime]("z"))

@@ -21,23 +21,35 @@ object Tables {
     * is ever added to a big scan); only the small-input regime pays one
     * sub-MB round-robin exchange to buy full-core parallelism.
     *
-    * Inputs whose plan already contains a shuffle-inducing operator (join,
-    * aggregate, window, sort, repartition) are returned unchanged WITHOUT
-    * inspecting partitions: they are already spread across
-    * `spark.sql.shuffle.partitions`, and reading `.rdd` off such a plan
-    * under AQE would eagerly execute its shuffle stages once at
-    * plan-construction time and again at action time. */
+    * Inputs whose plan already contains a shuffle-inducing or
+    * stage-materializing operator (join, aggregate, window, sort,
+    * repartition, groupByKey-family, global limit) are returned unchanged
+    * WITHOUT inspecting partitions: they are already spread across
+    * `spark.sql.shuffle.partitions`, and materializing an RDD off such a
+    * plan under AQE would eagerly execute its shuffle stages at
+    * plan-construction time. widen is intended for scan/filter/project/
+    * union-shaped inputs only; anything else passes through untouched.
+    *
+    * Split counting uses `queryExecution.toRdd` on the ALREADY-PLANNED
+    * physical plan — `df.rdd` would build a second QueryExecution (a full
+    * re-analysis/re-plan of the subtree) just to ask for the partition
+    * count. For the scan shapes that reach this branch, `toRdd` computes
+    * partitions from the file index without running a job. */
   def widen(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val shuffled = df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort |
-           _: RepartitionOperation | _: Distinct | _: Deduplicate => true
+           _: RepartitionOperation | _: Distinct | _: Deduplicate |
+           _: MapGroups | _: CoGroup | _: FlatMapGroupsWithState |
+           _: GlobalLimit => true
       case _ => false
     }
     if (shuffled) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      if (df.queryExecution.toRdd.getNumPartitions < target)
+        df.repartition(target)
+      else df
     }
   }
 

@@ -244,16 +244,28 @@ object Corpus {
    * Determinism: bucket ids are md5-derived integers; the log-ratio is the
    * same double expression on both engines; per-doc sums round to
    * `roundDigits` (sum-order ulps, the t21 rule).
+   *
+   * Materialization note (100 TB): the intermediate (doc, bucket, c) rows
+   * feed three consumers and are pinned by an explicit `.cache()` — the
+   * ONLY curation operator whose pinned intermediate grows linearly with
+   * corpus size (≤ `buckets` rows/doc, ~100× smaller than raw text; it
+   * spills to disk under MEMORY_AND_DISK, so the pin costs storage, not
+   * heap). At cluster scale, where executor churn evicts cache blocks and
+   * forces recomputes of the whole tokenize+hash subtree, pass
+   * `materializeDir` to write the aggregate once to parquet and read it
+   * back: recompute-free under executor loss, storage off the block
+   * manager, reclaimable by the caller after the job.
    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetFilter: Column, buckets: Int = 128,
-                  roundDigits: Int = 4): DataFrame = {
+                  roundDigits: Int = 4,
+                  materializeDir: Option[String] = None): DataFrame = {
     // Cache barrier: the aggregated (doc, bucket, c) rows feed THREE
     // consumers (bucket distributions, corpus totals, and the score join) —
     // without it the tokenize+hash+aggregate subtree evaluates three times
     // (measured 2.5 s → ~1 s at sf0.1). Only the aggregated rows are
     // retained: ≤ B per document, never raw text.
-    val bg = graft.Tables.widen(docs)
+    val bgRaw = graft.Tables.widen(docs)
       .select(col(idCol).as("doc"), targetFilter.as("is_target"),
         explode(TextFunctions.ngrams(TextFunctions.tokens(col(textCol)), 2))
           .as("gram"))
@@ -261,7 +273,12 @@ object Corpus {
         TextFunctions.md5Prefix32(col("gram")) % buckets)
       .groupBy(col("doc"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .cache()
+    val bg = materializeDir match {
+      case Some(dir) =>
+        bgRaw.write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None => bgRaw.cache()
+    }
     val dist = bg.groupBy(col("b")).agg(
       sum(col("c")).as("c_raw"),
       coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("c_tgt"))

@@ -28,6 +28,10 @@ object CorpusSoak {
     val dir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-corpus-soak").toString)
     val nDocs = args.lift(1).map(_.toInt).getOrElse(100000)
+    // The id%20==5 cross-boundary-dup seed divides by nDocs/40; below 40
+    // docs that divisor is 0 and pmod returns NULL text — fail loudly
+    // instead (the soak is meaningless at toy sizes anyway).
+    require(nDocs >= 40, s"corpus soak needs at least 40 docs, got $nDocs")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-corpus-soak")

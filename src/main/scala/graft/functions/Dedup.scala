@@ -741,12 +741,21 @@ object Dedup {
       .select(col("id_b").as("__id")).distinct()
     val exFlag = exactIds.select(col("__id").as("doc_id"), lit(1).as("__ex"))
     val nrFlag = nearIds.select(col("__id").as("doc_id"), lit(1).as("__nr"))
-    batch.select(col(idCol).as("doc_id"))
+    val statuses = batch.select(col(idCol).as("doc_id"))
       .join(exFlag, Seq("doc_id"), "left_outer")
       .join(nrFlag, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         when(col("__ex") === 1, "exact_dup")
           .when(col("__nr") === 1, "near_dup")
           .otherwise("kept").as("status"))
+    // Eagerly materialize the (doc_id, status) verdicts — O(batch) rows —
+    // so the union shingle-set cache can be dropped HERE instead of leaking
+    // one cached corpus-sized DataFrame per invocation in long-lived
+    // sessions (bench loops, incremental-refresh drivers). The checkpoint
+    // RDD is context-cleaner-managed: it is reclaimed when the returned
+    // DataFrame is GC'd, unlike a CacheManager entry.
+    val out = statuses.localCheckpoint(true)
+    all.unpersist(false)
+    out
   }
 }

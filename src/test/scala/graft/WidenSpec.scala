@@ -78,6 +78,48 @@ class WidenSpec extends SparkTestBase {
     assert(widened.count() == 100)
   }
 
+  test("groupByKey-family and LIMIT plans are returned unchanged") {
+    // MapGroups / FlatMapGroupsWithState / CoGroup / GlobalLimit all
+    // require a distribution: reading an RDD off them under AQE would
+    // eagerly run their shuffle stages at plan-construction time
+    val mg = spark.range(100).as[Long]
+      .groupByKey(_ % 10).mapGroups((k, it) => (k, it.size)).toDF()
+    assert(Tables.widen(mg) eq mg)
+    val cg = spark.range(10).as[Long].groupByKey(identity)
+      .cogroup(spark.range(10).as[Long].groupByKey(identity))(
+        (k, a, b) => Iterator((k, a.size + b.size))).toDF()
+    assert(Tables.widen(cg) eq cg)
+    val lim = spark.read.parquet(narrowDir).limit(5)
+    assert(Tables.widen(lim) eq lim)
+  }
+
+  test("widen itself runs no Spark job (split count from the planned scan)") {
+    // the split count must come from the already-planned physical scan
+    // (queryExecution.toRdd) — df.rdd would re-plan the subtree, and an
+    // eager-execution regression (AQE materializing stages) would surface
+    // here as a job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // build the input OUTSIDE the listener window: read.parquet itself runs
+    // a footer-reading job for schema inference, which is not widen's doing
+    val input = spark.read.parquet(narrowDir).filter(col("id") > 0)
+    input.queryExecution.executedPlan // force analysis+planning pre-window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val widened = Tables.widen(input)
+      // listener events are async; a job started by widen would enqueue
+      // before this drain point in practice — give the bus a beat
+      Thread.sleep(300)
+      assert(jobs.get() == 0, "widen must not trigger any job")
+      assert(parts(widened) == spark.sparkContext.defaultParallelism)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("explicitly coalesced/repartitioned inputs are respected, not widened") {
     // coalesce IS a RepartitionOperation: a caller who pinned partitioning
     // made a choice widen must not override
