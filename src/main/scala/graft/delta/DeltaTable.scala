@@ -719,24 +719,40 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def delete(filterJson: String): DmlResult = {
     val filter = JsonMethods.parse(filterJson)
+    deleteCore(filter, schema => MongoFilter.translate(filter, schema))
+  }
+
+  /** Copy-on-write delete under an arbitrary Spark predicate — the SQL
+    * `DELETE FROM t WHERE cond` entry ([[graft.plans.GraftDmlStrategy]]).
+    * Same machinery as [[delete(filterJson:String)*]]; file pruning uses
+    * the conservative Mongo translation of `condition`'s translatable
+    * conjuncts ([[graft.sources.ExprFilters.pruneJson]] — untranslatable
+    * parts prune nothing and stay exact). SQL three-valued semantics:
+    * NULL-valued conditions keep the row. */
+  def delete(condition: org.apache.spark.sql.Column): DmlResult = {
+    val pred = coalesce(condition, lit(false)) // null ⇒ not matched (SQL)
+    deleteCore(graft.sources.ExprFilters.pruneJson(condition), _ => pred)
+  }
+
+  private def deleteCore(pruneFilter: JValue,
+                         predOf: StructType => Column): DmlResult = {
     // Pruned read state via the size-appropriate path: above the
     // distributed threshold only candidate files ever reach the driver.
-    val snap = scanState(None, filter)
+    val snap = scanState(None, pruneFilter)
     ProtocolSupport.assertWritable(snap, path)
     val candidates = snap.activeFiles
-    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    val pred = predOf(snap.schema)
+    val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
       throw new IllegalArgumentException("delete matched no rows")
 
     val matchedSet = matchedFiles.toSet
     val inMatched = matchedFilesDF(snap, candidates, matchedFiles)
-    val keep = inMatched
-      .filter(!MongoFilter.translate(filter, snap.schema))
-      .drop("__file")
+    val keep = inMatched.filter(!pred).drop("__file")
     val adds = writeDataFiles(keep, snap.partitionColumns, snap.schema)
     val v = commitRewrite(snap, matchedSet, adds, "DELETE")
     if (cdcConfigured(snap)) {
-      val deleted = inMatched.filter(MongoFilter.translate(filter, snap.schema))
+      val deleted = inMatched.filter(pred)
         .drop("__file").withColumn(Cdc.ChangeType, lit("delete"))
       Cdc.writeChanges(this, v, deleted, System.currentTimeMillis())
     }
@@ -895,33 +911,69 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def update(filterJson: String, updatesJson: String): DmlResult = {
     val filter = JsonMethods.parse(filterJson)
-    val snap = scanState(None, filter)
-    ProtocolSupport.assertWritable(snap, path)
     val updates = JsonMethods.parse(updatesJson) match {
       case JObject(fs) => fs
       case other => throw new IllegalArgumentException(s"updates must be an object: $other")
     }
+    updateCore(filter,
+      schema => MongoFilter.translate(filter, schema),
+      schema => updates.map { case (f, v) => f -> jvalueLiteral(v, schema, f) })
+  }
+
+  /** Copy-on-write update under an arbitrary Spark predicate with
+    * Column-expression assignments — the SQL `UPDATE t SET c = expr WHERE
+    * cond` entry ([[graft.plans.GraftDmlStrategy]]). Assignment
+    * right-hand sides see the OLD row (SQL semantics: all RHS evaluate
+    * before any assignment lands — the core's single-select projection
+    * guarantees it even when one assigned column references another).
+    * NULL-valued conditions leave the row unmodified. */
+  def update(condition: org.apache.spark.sql.Column,
+             set: Seq[(String, org.apache.spark.sql.Column)]): DmlResult = {
+    val pred = coalesce(condition, lit(false))
+    updateCore(graft.sources.ExprFilters.pruneJson(condition),
+      _ => pred,
+      schema => set.map { case (f, v) =>
+        val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(s"update of unknown column: $f"))
+        f -> v.cast(dt)
+      })
+  }
+
+  private def updateCore(pruneFilter: JValue,
+                         predOf: StructType => Column,
+                         setOf: StructType => Seq[(String, Column)]): DmlResult = {
+    val snap = scanState(None, pruneFilter)
+    ProtocolSupport.assertWritable(snap, path)
     val candidates = snap.activeFiles
-    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    val pred = predOf(snap.schema)
+    val updates = setOf(snap.schema)
+    val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
       throw new IllegalArgumentException("update matched no rows")
 
-    val pred = MongoFilter.translate(filter, snap.schema)
     val base = matchedFilesDF(snap, candidates, matchedFiles)
-    val patched = updates.foldLeft(base) { case (acc, (field, value)) =>
-      val litVal = jvalueLiteral(value, snap.schema, field)
-      acc.withColumn(field, when(pred, litVal).otherwise(col(field)))
-    }.drop("__file")
+    // ONE projection, every RHS against the input row: sequential
+    // withColumn-folding would let `SET a = b, b = a` see a's new value.
+    val assigned = updates.toMap
+    def patchCols(df: DataFrame, gate: Option[Column]): DataFrame =
+      df.select(df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
+        assigned.get(c) match {
+          case Some(v) =>
+            gate.fold(v)(g => when(g, v).otherwise(col(c))).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val patched = patchCols(base, Some(pred))
     val adds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
     val v = commitRewrite(snap, matchedFiles.toSet, adds, "UPDATE")
     if (cdcConfigured(snap)) {
       // update_preimage = old matching rows; update_postimage = patched rows
       // (reference row shapes: cdc/index.ts:2060-2122).
-      val matchedRows = base.filter(pred).drop("__file")
-      val pre = matchedRows.withColumn(Cdc.ChangeType, lit("update_preimage"))
-      val post = updates.foldLeft(matchedRows) { case (acc, (field, value)) =>
-        acc.withColumn(field, jvalueLiteral(value, snap.schema, field))
-      }.withColumn(Cdc.ChangeType, lit("update_postimage"))
+      val matchedRows = base.filter(pred)
+      val pre = matchedRows.drop("__file")
+        .withColumn(Cdc.ChangeType, lit("update_preimage"))
+      val post = patchCols(matchedRows, None)
+        .withColumn(Cdc.ChangeType, lit("update_postimage"))
       Cdc.writeChanges(this, v, pre.unionByName(post), System.currentTimeMillis())
     }
     DmlResult(nMatched, matchedFiles.size.toLong, v)
@@ -970,10 +1022,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** Which candidate files actually contain matching rows, and how many rows
     * match — one distributed aggregation. */
   private def matchingFiles(snap: Snapshot, candidates: Seq[AddFile],
-                            filter: JValue): (Seq[String], Long) = {
+                            filter: JValue): (Seq[String], Long) =
+    matchingFilesBy(snap, candidates, MongoFilter.translate(filter, snap.schema))
+
+  private def matchingFilesBy(snap: Snapshot, candidates: Seq[AddFile],
+                              pred: Column): (Seq[String], Long) = {
     if (candidates.isEmpty) return (Nil, 0L)
     val df = candidateDF(snap, candidates)
-    val rows = df.filter(MongoFilter.translate(filter, snap.schema))
+    val rows = df.filter(pred)
       .groupBy(col("__file")).agg(count(lit(1)).as("n")).collect()
     (rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
   }

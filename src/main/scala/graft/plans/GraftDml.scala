@@ -1,0 +1,308 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression, And => CAnd}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Shims
+
+import graft.delta.{DeltaTable, Merge, ValidationException}
+import graft.sources.GraftTable
+
+/**
+ * Planner strategy that lowers SQL DML over [[graft.sources.GraftCatalog]]
+ * tables onto the existing transactional machinery:
+ *
+ *  - `DELETE FROM t WHERE c`        → [[DeltaTable.delete(condition:*]]
+ *  - `UPDATE t SET a=e WHERE c`     → [[DeltaTable.update(condition:*]]
+ *  - `MERGE INTO t USING s ON cond` → [[Merge.execute]] (key-equality `ON`)
+ *                                     or [[Merge.executeCondition]] (theta)
+ *
+ * Spark itself plans none of these for plain DSv2 tables (it requires the
+ * row-level-operations API); `experimental.extraStrategies` run BEFORE the
+ * built-in strategies, so this intercepts the commands Spark would
+ * otherwise reject — the same interception point, one layer later, that
+ * Delta-style engines use via session-extension rules. Register with
+ * [[GraftSql.ensure]] (runtime) or [[GraftSparkSessionExtension]]
+ * (`spark.sql.extensions`).
+ *
+ * Supported MERGE shape (the reference's own merge semantics,
+ * src/cdc/index.ts:1937-2005): at most one unconditional matched action
+ * (`UPDATE SET *` / `UPDATE SET c=e` / `DELETE`), at most one
+ * unconditional `NOT MATCHED THEN INSERT` whose assignments are
+ * name-aligned with the source (`INSERT *`). Conditional actions,
+ * not-matched-by-source actions, and subqueries in conditions are
+ * refused with a clear error.
+ */
+final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DeleteFromTable(GraftRelation(t, out), condition) =>
+      exec(plan.nodeName) {
+        t.delete(targetColumn(condition, out))
+        ()
+      }
+    case UpdateTable(GraftRelation(t, out), assignments, condition) =>
+      exec(plan.nodeName) {
+        val cond = condition.map(targetColumn(_, out))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val set = assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new ValidationException(
+              s"UPDATE of a non-column target is not supported: $other")
+          }
+          name -> targetColumn(a.value, out)
+        }
+        t.update(cond, set)
+        ()
+      }
+    case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,
+        matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
+      exec(plan.nodeName) {
+        runMerge(t, targetOut, source, cond, matchedActions,
+          notMatchedActions, notMatchedBySourceActions)
+      }
+    case _ => Nil
+  }
+
+  private def exec(name: String)(body: => Unit): Seq[SparkPlan] =
+    Seq(GraftDmlExec(name, spark, () => body))
+
+  /** Rebind resolved target attributes to plain names so the Column
+    * resolves against the table's own scan inside the DML machinery. */
+  private def targetColumn(e: Expression, out: AttributeSet): Column = {
+    refuseSubqueries(e)
+    Shims.column(e.transform {
+      case a: AttributeReference if out.contains(a) =>
+        UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  private def refuseSubqueries(e: Expression): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new ValidationException(
+        "subqueries in DML conditions are not supported")
+
+  // ---- MERGE lowering ------------------------------------------------------
+
+  private def runMerge(t: DeltaTable, targetOut: AttributeSet,
+                       source: LogicalPlan, cond: Expression,
+                       matchedActions: Seq[MergeAction],
+                       notMatchedActions: Seq[MergeAction],
+                       notMatchedBySourceActions: Seq[MergeAction]): Unit = {
+    if (notMatchedBySourceActions.nonEmpty) throw new ValidationException(
+      "WHEN NOT MATCHED BY SOURCE is not supported")
+    refuseSubqueries(cond)
+    val sourceOut = source.outputSet
+    val srcDf = Shims.ofRows(spark, source)
+    val srcNames = srcDf.columns.toSet
+
+    // INSERT side: absent, or one unconditional name-aligned insert.
+    val insertUnmatched = notMatchedActions match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) =>
+        val aligned = assigns.forall { a =>
+          (a.key, stripCast(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              k.name == v.name && sourceOut.contains(v)
+            case _ => false
+          }
+        }
+        if (!aligned) throw new ValidationException(
+          "only name-aligned INSERT (INSERT * / INSERT (c…) VALUES (s.c…)) is supported")
+        true
+      case other => throw new ValidationException(
+        s"unsupported NOT MATCHED actions: $other")
+    }
+
+    // MATCHED side → MergeAction.
+    def updateSet(assigns: Seq[Assignment]): Merge.MergeAction = {
+      // UPDATE SET * resolves to one assignment per target column, each
+      // `t.c := s.c` — detect and use the cheaper UpdateAll path
+      val starLike = assigns.forall { a =>
+        (a.key, stripCast(a.value)) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name && sourceOut.contains(v)
+          case _ => false
+        }
+      }
+      if (starLike && assigns.nonEmpty) Merge.MergeAction.UpdateAll
+      else Merge.MergeAction.UpdateSet(assigns.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new ValidationException(
+            s"UPDATE of a non-column target is not supported: $other")
+        }
+        name -> mergeValueColumn(a.value, targetOut, sourceOut)
+      }.toMap)
+    }
+    val matchedOpt: Option[Merge.MergeAction] = matchedActions match {
+      case Seq() => None
+      case Seq(DeleteAction(None)) => Some(Merge.MergeAction.Delete)
+      case Seq(UpdateStarAction(None)) => Some(Merge.MergeAction.UpdateAll)
+      case Seq(UpdateAction(None, assigns, _)) => Some(updateSet(assigns))
+      case other => throw new ValidationException(
+        s"unsupported MATCHED actions (one unconditional UPDATE/DELETE): $other")
+    }
+
+    val keys = equiKeys(cond, targetOut, sourceOut)
+    matchedOpt match {
+      case None =>
+        // insert-only MERGE: append source rows with no key match
+        if (!insertUnmatched) throw new ValidationException(
+          "MERGE with no actions is a no-op; refusing")
+        val ks = keys.getOrElse(throw new ValidationException(
+          "insert-only MERGE requires an equality ON condition"))
+        val unmatched = srcDf.join(t.toDF().select(ks.map(col): _*),
+          ks.map(k => srcDf(k) <=> col(k)).reduce(_ && _), "left_anti")
+        t.write(unmatched, "append")
+        ()
+      case Some(action) => keys match {
+        case Some(ks) =>
+          Merge.execute(t, srcDf, ks, action, insertUnmatched)
+          ()
+        case None =>
+          Merge.executeCondition(t, srcDf,
+            aliasedCondition(cond, targetOut, sourceOut), action, insertUnmatched)
+          ()
+      }
+    }
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(inner, _, _, _) => stripCast(inner)
+    case _ => e
+  }
+
+  /** `ON` conditions that are pure conjunctions of same-name
+    * target-column = source-column equalities → key-column list for the
+    * shuffle-free-resolution key path; anything else → None (theta path). */
+  private def equiKeys(cond: Expression, targetOut: AttributeSet,
+                       sourceOut: AttributeSet): Option[Seq[String]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val keys = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetOut.contains(a) && sourceOut.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if targetOut.contains(a) && sourceOut.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case _ => None
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten.distinct)
+    else None
+  }
+
+  /** Rebind a theta `ON` condition to the `t`/`s` aliases
+    * [[Merge.executeCondition]] joins under. */
+  private def aliasedCondition(e: Expression, targetOut: AttributeSet,
+                               sourceOut: AttributeSet): Column =
+    Shims.column(e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    })
+
+  /** Rebind a matched-UPDATE assignment value for
+    * [[Merge.resolveMatched]]'s environment: target columns by plain name,
+    * source columns through the carried `__src` struct. */
+  private def mergeValueColumn(e: Expression, targetOut: AttributeSet,
+                               sourceOut: AttributeSet): Column = {
+    refuseSubqueries(e)
+    Shims.column(e.transform {
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq("__src", a.name))
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute.quoted(a.name)
+    })
+  }
+}
+
+/** Extractor: the DSv2 relation (bare or scan-wrapped) over a graft table. */
+private object GraftRelation {
+  def unapply(plan: LogicalPlan): Option[(DeltaTable, AttributeSet)] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable => Some((g.delta, r.outputSet))
+      case _ => None
+    }
+    case s: DataSourceV2ScanRelation => s.relation.table match {
+      case g: GraftTable => Some((g.delta, s.outputSet))
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => unapply(child)
+    case _ => None
+  }
+}
+
+/** Leaf node that runs the side effect once (eager command execution calls
+  * `executeCollect`); models Spark's own V2CommandExec. */
+final case class GraftDmlExec(opName: String,
+                              @transient spark: SparkSession,
+                              @transient body: () => Unit)
+  extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  @transient private lazy val result: Array[InternalRow] = {
+    body()
+    Array.empty
+  }
+
+  override def executeCollect(): Array[InternalRow] = result
+
+  override protected def doExecute(): RDD[InternalRow] =
+    spark.sparkContext.parallelize(result.toIndexedSeq, 1)
+
+  override def simpleString(maxFields: Int): String = s"GraftDmlExec($opName)"
+}
+
+/**
+ * Session wiring for the SQL surface. Two routes:
+ *  - at session BUILD time: `spark.sql.extensions=graft.plans.GraftSparkSessionExtension`
+ *  - on a LIVE session: [[GraftSql.ensure]] (idempotent) — registers the
+ *    `graft` catalog over a process-lifetime warehouse and injects the DML
+ *    strategy via `experimental.extraStrategies`.
+ */
+object GraftSql {
+  val CatalogName = "graft"
+
+  /** Idempotently enable the catalog + SQL DML on a live session; returns
+    * the catalog name. `warehouse` overrides the default temp-dir
+    * warehouse (first caller wins for the session). */
+  def ensure(spark: SparkSession, warehouse: Option[String] = None): String =
+    synchronized {
+      val key = s"spark.sql.catalog.$CatalogName"
+      if (spark.conf.getOption(key).isEmpty) {
+        val wh = warehouse.getOrElse {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-sql-warehouse").toString
+          graft.TempDirs.deleteOnExit(d)
+          d
+        }
+        spark.conf.set(key, classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"$key.warehouse", wh)
+      }
+      if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftDmlStrategy]))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ new GraftDmlStrategy(spark)
+      CatalogName
+    }
+}
+
+/** `spark.sql.extensions` entry point (build-time route). */
+class GraftSparkSessionExtension
+  extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(session => new GraftDmlStrategy(session))
+}

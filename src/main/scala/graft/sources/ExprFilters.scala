@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JValue}
+
+/**
+ * Conservative Catalyst `Expression` → Mongo-style prune-filter
+ * translation, the SQL-DML twin of [[DeltaRelation.pruneJson]] (which does
+ * the same over `sources.Filter`). ONLY used for file skipping
+ * ([[graft.delta.FilePruner]] keeps files on anything it can't reason
+ * about) — never for row filtering, so partial translation stays exact:
+ * untranslatable conjuncts simply prune nothing.
+ *
+ * Handles top-level-attribute comparisons against foldable primitive
+ * literals, `AND` conjunctions, and `IN`/`InSet` lists. Timestamps,
+ * decimals, nested fields, `OR`/`NOT`: skipped, matching the DSv1
+ * translator's untrusted-stats policy.
+ */
+object ExprFilters {
+
+  def pruneJson(condition: org.apache.spark.sql.Column): JValue =
+    pruneJson(org.apache.spark.sql.graft.Shims.expression(condition))
+
+  def pruneJson(e: Expression): JValue = {
+    val conjuncts = conv(e)
+    if (conjuncts.isEmpty) JNothing
+    else JObject(List("$and" -> JArray(conjuncts.toList)))
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.name)
+    // unwrap ONLY analyzer-inserted value-and-order-preserving numeric
+    // widenings: a string⇄numeric cast changes match semantics (Spark
+    // trims whitespace, etc.) and unwrapping it could prune a file that
+    // holds matching rows
+    case Cast(inner, dt, _, _) if numericWidening(inner.dataType, dt) =>
+      attrName(inner)
+    case _ => None
+  }
+
+  private def numericWidening(from: org.apache.spark.sql.types.DataType,
+                              to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (rank.contains(from) && (rank.get(to).exists(_ >= rank(from)) || to == DoubleType)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
+  private def jraw(v: Any): Option[JValue] = v match {
+    case null => None
+    case i: Int => Some(JLong(i.toLong))
+    case l: Long => Some(JLong(l))
+    case s: Short => Some(JLong(s.toLong))
+    case b: Byte => Some(JLong(b.toLong))
+    case d: Double => Some(JDouble(d))
+    case f: Float => Some(JDouble(f.toDouble))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(JString(s.toString))
+    case s: String => Some(JString(s))
+    case b: Boolean => Some(JBool(b))
+    case _ => None // dates/timestamps/decimals: pruner-untrusted forms
+  }
+
+  private def jlit(e: Expression): Option[JValue] = e match {
+    case Literal(v, dt) =>
+      // an Int literal under a LongType attribute compares fine (the
+      // pruner compares numerically), but a DATE literal is also an Int —
+      // gate on the literal's TYPE, not just its runtime class
+      dt match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType => jraw(v)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def op(field: String, o: String, v: JValue): JObject =
+    JObject(List(field -> JObject(List(o -> v))))
+
+  private val flipped = Map("$gt" -> "$lt", "$gte" -> "$lte",
+    "$lt" -> "$gt", "$lte" -> "$gte", "$eq" -> "$eq")
+
+  private def cmp(l: Expression, r: Expression, o: String): Seq[JObject] =
+    (attrName(l), jlit(r), attrName(r), jlit(l)) match {
+      case (Some(f), Some(v), _, _) => Seq(op(f, o, v))
+      case (_, _, Some(f), Some(v)) => Seq(op(f, flipped(o), v)) // 5 < x ⇒ x > 5
+      case _ => Nil
+    }
+
+  private def conv(e: Expression): Seq[JObject] = e match {
+    case And(l, r) => conv(l) ++ conv(r)
+    case EqualTo(l, r) => cmp(l, r, "$eq")
+    case GreaterThan(l, r) => cmp(l, r, "$gt")
+    case GreaterThanOrEqual(l, r) => cmp(l, r, "$gte")
+    case LessThan(l, r) => cmp(l, r, "$lt")
+    case LessThanOrEqual(l, r) => cmp(l, r, "$lte")
+    case In(a, vs) =>
+      val lits = vs.map(jlit)
+      attrName(a) match {
+        case Some(f) if lits.nonEmpty && lits.forall(_.isDefined) =>
+          Seq(JObject(List(f -> JObject(List("$in" -> JArray(lits.flatten.toList))))))
+        case _ => Nil
+      }
+    case InSet(a, vs) // optimizer's large-IN form; values are raw.
+        // Same date-vs-int ambiguity as jlit: only trust the set when the
+        // ATTRIBUTE type says the raw values mean what they look like.
+        if a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+           a.dataType == org.apache.spark.sql.types.StringType ||
+           a.dataType == org.apache.spark.sql.types.BooleanType =>
+      attrName(a) match {
+        case Some(f) =>
+          val lits = vs.toSeq.map(jraw)
+          if (lits.nonEmpty && lits.forall(_.isDefined))
+            Seq(JObject(List(f -> JObject(List("$in" -> JArray(lits.flatten.toList))))))
+          else Nil
+        case None => Nil
+      }
+    case _ => Nil // Or/Not/null-checks/UDFs: no file skipping, still exact
+  }
+}

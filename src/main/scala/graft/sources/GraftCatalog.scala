@@ -1,0 +1,319 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.delta.{DeltaTable, ValidationException}
+
+/**
+ * DataSource V2 `TableCatalog` over graft Delta tables: the SQL front door
+ * the reference exposes as a programmatic API (src/index.ts:1-188) —
+ * `CREATE/DROP/SHOW TABLE`, `INSERT INTO/OVERWRITE`, `SELECT` (incl.
+ * `VERSION AS OF` / `TIMESTAMP AS OF` time travel via the DSv2 time-travel
+ * loadTable overloads), plus `DELETE`/`UPDATE`/`MERGE INTO` through
+ * [[graft.plans.GraftDmlStrategy]].
+ *
+ * Layout: `<warehouse>/<namespace...>/<table>` — one directory per table,
+ * each a full Delta log + data dir. Register with:
+ * {{{
+ *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+ *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+ * }}}
+ *
+ * Read/write reuse the DSv1 machinery through the V1 fallback seams
+ * ([[V1Scan]]/[[V1Write]] — the same bridge Spark's JDBC source uses), so
+ * SQL reads get the identical snapshot→prune→DV-mask scan (with
+ * filter/column pushdown) as `spark.read.format("graft-delta")`, and
+ * inserts land as transactional table writes.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) = p.getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new ValidationException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  /** `<warehouse>/<ns...>/<name>`, with path-traversal characters refused —
+    * identifiers come from SQL text and must not escape the warehouse. */
+  private def tablePath(ident: Identifier): Path = {
+    val parts = ident.namespace.toSeq :+ ident.name
+    parts.foreach { p =>
+      if (p.contains("/") || p.contains("\\") || p == ".." || p == ".")
+        throw new ValidationException(s"illegal identifier segment: $p")
+    }
+    parts.foldLeft(new Path(warehouse))(new Path(_, _))
+  }
+
+  private def isTableDir(p: Path): Boolean =
+    fs(p).exists(new Path(p, "_delta_log"))
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tablePath(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+    if (!fs(nsPath).exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs(nsPath).listStatus(nsPath).toSeq
+      .filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersioned(ident, None, None)
+
+  /** `VERSION AS OF <v>` — Spark hands the version as text. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new ValidationException(s"illegal version: $version")
+    }
+    loadVersioned(ident, Some(v), None)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadVersioned(ident, None, Some(Math.floorDiv(timestampMicros, 1000L)))
+
+  private def loadVersioned(ident: Identifier, version: Option[Long],
+                            tsMs: Option[Long]): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val dt = DeltaTable.forPath(spark, p.toString)
+    if (dt.version < 0) throw new NoSuchTableException(ident)
+    new GraftTable(dt, s"$catalogName.${ident.toString}", version, tsMs)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new ValidationException(
+        s"only identity partitioning is supported, got $other")
+    }
+    val p = tablePath(ident)
+    fs(p).mkdirs(p)
+    val dt = DeltaTable.forPath(spark, p.toString)
+    // commit 0: protocol + metadata (+ partitioning) via an empty
+    // transactional write — CTAS appends the query result right after
+    dt.write(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema), "append", partCols)
+    val config = properties.asScala.toMap.filter(_._1.startsWith("delta."))
+    if (config.nonEmpty) dt.updateConfiguration(config)
+    new GraftTable(dt, s"$catalogName.${ident.toString}", None, None)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.toSeq.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false
+    else fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val dst = tablePath(newIdent)
+    fs(dst).mkdirs(dst.getParent)
+    if (!fs(dst).rename(tablePath(oldIdent), dst))
+      throw new ValidationException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  /** ALTER TABLE: column rename/drop ride the column-mapping machinery;
+    * SET/UNSET TBLPROPERTIES ride `updateConfiguration`. Anything else
+    * (type changes, reordering) is refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val dt = DeltaTable.forPath(spark, p.toString)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested rename unsupported")
+        dt.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested drop unsupported")
+        dt.dropColumn(d.fieldNames.head)
+      case s: TableChange.SetProperty =>
+        dt.updateConfiguration(Map(s.property -> s.value))
+      case u: TableChange.RemoveProperty =>
+        dt.updateConfiguration(Map(u.property -> null))
+      case other => throw new ValidationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
+
+  // ---- namespaces = warehouse subdirectories -------------------------------
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(new Path(warehouse))(new Path(_, _))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    fs(p).exists(p) && !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs(root).exists(root)) Array.empty
+    else fs(root).listStatus(root).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = nsPath(namespace)
+    if (!fs(p).exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs(p).listStatus(p).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    val p = nsPath(namespace)
+    fs(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new ValidationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade && fs(p).listStatus(p).nonEmpty)
+        throw new ValidationException(s"namespace not empty: ${namespace.mkString(".")}")
+      fs(p).delete(p, true)
+    }
+  }
+}
+
+/**
+ * DSv2 table handle: reads through a [[V1Scan]] wrapping the pruned
+ * [[DeltaRelation]] scan (file pruning via partition values + zone-map
+ * stats BEFORE Spark plans, then parquet row-group pushdown inside
+ * surviving files), writes through a [[V1Write]] landing as transactional
+ * table writes. `version`/`timestampMs` carry DSv2 time travel.
+ */
+final class GraftTable(val delta: DeltaTable, identName: String,
+                       version: Option[Long], timestampMs: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def relation: DeltaRelation =
+    new DeltaRelation(SparkSession.active.sqlContext, delta, version, timestampMs)
+
+  override def name(): String = identName
+
+  override def schema(): StructType = relation.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    delta.configuration.asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(relation)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(delta)
+}
+
+private final class GraftScanBuilder(relation: DeltaRelation)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = relation.schema
+
+  /** Accept every filter for file/row-group pruning but RETURN them all:
+    * pruning is best-effort (the pruner keeps files it can't reason
+    * about), so Spark must keep re-evaluating each predicate post-scan —
+    * the same contract the DSv1 path relies on. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1Scan(relation, required, pushed)
+}
+
+private final class GraftV1Scan(relation: DeltaRelation,
+                                required: StructType, filters: Array[Filter])
+  extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] =
+        relation.buildScan(required.fieldNames, filters)
+    }.asInstanceOf[T]
+}
+
+private final class GraftWriteBuilder(delta: DeltaTable)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  /** INSERT OVERWRITE arrives as truncate + append (V1 fallback path). */
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data, overwriteFlag) =>
+        delta.write(data, if (overwrite || overwriteFlag) "overwrite" else "append")
+  }
+}

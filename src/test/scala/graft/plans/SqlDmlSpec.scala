@@ -1,0 +1,153 @@
+package graft.plans
+
+import graft.SparkTestBase
+
+/** SQL front-door contract: catalog DDL, INSERT, SELECT with time travel,
+  * and DELETE/UPDATE/MERGE INTO lowered onto the transactional machinery —
+  * the engine surface a 100-TB Spark user actually drives. */
+class SqlDmlSpec extends SparkTestBase {
+
+  private lazy val cat: String = GraftSql.ensure(spark)
+
+  private def sql(q: String) = spark.sql(q)
+
+  private var n = 0
+  private def freshTable(): String = synchronized {
+    n += 1; s"$cat.dml.t$n"
+  }
+
+  private def setup(): Unit = {
+    sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dml")
+    ()
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round-trips") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, name STRING, bal DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+    assert(sql(s"SELECT name FROM $t WHERE id = 2").head().getString(0) == "b")
+  }
+
+  test("CTAS + DELETE FROM removes matching rows transactionally") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, id % 5 AS g FROM range(100)")
+    sql(s"DELETE FROM $t WHERE g = 3")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 80)
+    assert(sql(s"SELECT count(*) FROM $t WHERE g = 3").head().getLong(0) == 0)
+  }
+
+  test("UPDATE SET with expressions sees the OLD row on every RHS") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, a BIGINT, b BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 10, 100), (2, 20, 200)")
+    // swap semantics: both RHS evaluate against the pre-update row
+    sql(s"UPDATE $t SET a = b, b = a WHERE id = 1")
+    val r = sql(s"SELECT a, b FROM $t WHERE id = 1").head()
+    assert(r.getLong(0) == 100 && r.getLong(1) == 10)
+    val r2 = sql(s"SELECT a, b FROM $t WHERE id = 2").head()
+    assert(r2.getLong(0) == 20 && r2.getLong(1) == 200)
+  }
+
+  test("MERGE INTO with key-equality ON: update + insert") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'old1'), (2, 'old2')")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (2, 'new2'), (3, 'new3') AS s(id, v)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
+  }
+
+  test("MERGE INTO ... WHEN MATCHED THEN DELETE") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id FROM range(10)")
+    sql(s"""MERGE INTO $t
+           |USING (SELECT id * 2 AS id FROM range(5)) src
+           |ON $t.id = src.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5)
+    assert(sql(s"SELECT sum(id) FROM $t").head().getLong(0) == 1 + 3 + 5 + 7 + 9)
+  }
+
+  test("MERGE INTO with UPDATE SET expressions referencing both sides") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, bal DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0)")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (1, 5.0), (9, 90.0) AS s(id, delta)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET bal = tgt.bal + src.delta""".stripMargin)
+    val byId = sql(s"SELECT id, bal FROM $t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId == Map(1L -> 15.0, 2L -> 20.0)) // no insert clause: 9 skipped
+  }
+
+  test("SELECT ... VERSION AS OF / TIMESTAMP AS OF time travel") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)") // v0
+    sql(s"INSERT INTO $t SELECT id FROM range(10)") // v1
+    sql(s"DELETE FROM $t WHERE id >= 5") // v2
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5)
+    assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) == 10)
+    assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 0").head().getLong(0) == 0)
+  }
+
+  test("INSERT OVERWRITE replaces table contents in one commit") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id FROM range(10)")
+    sql(s"INSERT OVERWRITE $t SELECT id + 100 AS id FROM range(3)")
+    val rows = sql(s"SELECT id FROM $t ORDER BY id").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(100L, 101L, 102L))
+  }
+
+  test("filter + column pushdown reach the scan through the catalog") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, CAST(id AS STRING) AS s, id * 2 AS d FROM range(1000)")
+    val df = sql(s"SELECT s FROM $t WHERE id = 7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("RowDataSourceScan"),
+      s"expected a V1-scan node with pushdown, got:\n$plan")
+    assert(df.head().getString(0) == "7")
+  }
+
+  test("DROP TABLE and SHOW TABLES") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    val short = t.split('.').last
+    assert(sql(s"SHOW TABLES IN $cat.dml").collect()
+      .exists(_.getString(1) == short))
+    sql(s"DROP TABLE $t")
+    assert(!sql(s"SHOW TABLES IN $cat.dml").collect()
+      .exists(_.getString(1) == short))
+  }
+
+  test("unsupported MERGE shapes fail with a clear error") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'x')")
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO $t
+             |USING (SELECT 1 AS id, 'y' AS v) src
+             |ON $t.id = src.id
+             |WHEN MATCHED AND src.v = 'y' THEN UPDATE SET *
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("matched"), e.getMessage)
+  }
+}
