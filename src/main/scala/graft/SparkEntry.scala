@@ -24,11 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ DeltaQueries.queries ++ pipelineQueries ++ MLQueries.queries ++
-      NorthStarQueries.queries
+      NorthStarQueries.queries ++ SqlQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle ++ MLQueries.oracleSql ++
-      NorthStarQueries.oracleSql
+      NorthStarQueries.oracleSql ++ SqlQueries.oracleSql
 
   // ---- §2.4 aggregation pipeline (Mongo stage list → DataFrame plan) ----
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.plans.GraftSql
+
+/**
+ * Oracle-gated SQL-front-door round-trips (the round-9 north star): every
+ * gate drives the engine EXCLUSIVELY through `spark.sql` text against a
+ * registered [[graft.sources.GraftCatalog]] table — CREATE TABLE AS,
+ * INSERT, DELETE/UPDATE/MERGE INTO, VERSION AS OF — and returns a final
+ * SELECT whose expected content DuckDB computes from the original parquet.
+ * This is the SQL twin of the programmatic d-gates: same machinery
+ * underneath ([[graft.plans.GraftDmlStrategy]] lowers the DML onto it),
+ * but the user-visible surface is the one a Spark SQL user actually types.
+ */
+object SqlQueries {
+
+  /** Fresh per-invocation table: bench reruns each gate; a fixed name would
+    * make run 2 measure DROP+recreate races instead of the operation. */
+  private def fresh(s: SparkSession, prefix: String): String = {
+    val cat = GraftSql.ensure(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sgates")
+    s"$cat.sgates.${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+  }
+
+  /** Register the raw parquet as a unique temp view (CTAS source). */
+  private def view(s: SparkSession, dir: String, name: String): String = {
+    val v = s"${name}_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = if (name == "events") Tables.events(s, dir) else Tables.t(s, dir, name)
+    df.createOrReplaceTempView(v)
+    v
+  }
+
+  /** DELETE FROM through SQL, survivors read back through the catalog. */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "del")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"DELETE FROM $t WHERE o_orderstatus = 'F'")
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** UPDATE with an expression RHS over the old row. */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "upd")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"UPDATE $t SET c_acctbal = c_acctbal * 2 + 1 WHERE c_mktsegment = 'BUILDING'")
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** MERGE INTO with UPDATE SET * / INSERT * (key-equality ON → the
+    * key-join merge path): updates zero out every 10th order's price,
+    * inserts re-keyed copies of every 100th. */
+  def sqlMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mrg")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""MERGE INTO $t AS tgt
+             |USING (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |         CAST(0 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
+             |  FROM $v WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             |         CAST(-1 AS DOUBLE), o_orderdate, o_orderpriority
+             |  FROM $v WHERE o_orderkey % 100 = 0
+             |) AS src
+             |ON tgt.o_orderkey = src.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** MERGE INTO with a cross-side UPDATE SET expression and no insert
+    * branch (matched-only merge). */
+  def sqlMergeExpr(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mex")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""MERGE INTO $t AS tgt
+             |USING (
+             |  SELECT c_custkey, c_acctbal + 1000 AS boost
+             |  FROM $v WHERE c_custkey % 7 = 0
+             |) AS src
+             |ON tgt.c_custkey = src.c_custkey
+             |WHEN MATCHED THEN UPDATE SET c_acctbal = tgt.c_acctbal + src.boost""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** VERSION AS OF through SQL: CTAS (v0 create + v1 data), DELETE (v2),
+    * then time-travel back to the pre-delete version. */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "ttv")
+    val v = view(s, dir, "part")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"DELETE FROM $t WHERE p_size >= 20")
+    s.sql(s"""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+             |FROM $t VERSION AS OF 1 ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** INSERT OVERWRITE replaces the table contents in one commit. */
+  def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "iow")
+    val v = view(s, dir, "part")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"INSERT OVERWRITE $t SELECT * FROM $v WHERE p_size > 25")
+    s.sql(s"""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+             |FROM $t ORDER BY p_partkey""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_sql_delete" -> (sqlDelete(_, _)),
+    "s2_sql_update" -> (sqlUpdate(_, _)),
+    "s3_sql_merge_upsert" -> (sqlMergeUpsert(_, _)),
+    "s4_sql_merge_expr" -> (sqlMergeExpr(_, _)),
+    "s5_sql_time_travel" -> (sqlTimeTravel(_, _)),
+    "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_sql_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s2_sql_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 + 1 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s3_sql_merge_upsert" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST(0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,
+        |    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0) merged
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s4_sql_merge_expr" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + (c_acctbal + 1000) ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s5_sql_time_travel" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s6_sql_insert_overwrite" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_size > 25
+        |ORDER BY p_partkey""".stripMargin)
+}
