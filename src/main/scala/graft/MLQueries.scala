@@ -316,6 +316,42 @@ object MLQueries {
         .orderBy(col("cid"), col("dim"))
     }),
 
+    // ---- IVF quality, composed end-to-end: 5 distributed Lloyd
+    //      iterations (q17's step, iterated) train the q16 sampled init,
+    //      then multi-probe IVF search must RECOVER PLANTED TRUE NEIGHBORS
+    //      — each query is a perturbed copy of a corpus vector (+0.1 on
+    //      dim 0, the t7/t22 construction), and its origin must appear in
+    //      the IVF top-10. recall >= 0.9 is the gate. The testdata
+    //      embeddings are otherwise near-random (measured top-1 cosine
+    //      ≈ 0.37), so "recall@10 of arbitrary neighbors" would measure
+    //      noise ordering, not quantizer quality: on random vectors ANY
+    //      sublinear ANN's recall collapses to the scanned fraction
+    //      (measured: 16/63 probed cells → 0.68). Recall of true near
+    //      neighbors is the metric IVF exists for. MEASURED on the
+    //      driver testdata (round 9): probes=2 → recall 1.0 at
+    //      sf0.001/0.01/0.1; probes=1 → 0.983 at sf0.1. If a future
+    //      generation flips recall_ok, raise `probes` — triage as ANN
+    //      recall, not correctness. ----
+    "q20_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(e.select(col("embedding")),
+        "embedding", sampledCentroids(e), iters = 5)
+      val queries = e.filter(col("vec_id") % 17 === 3)
+        .select((col("vec_id") + 1000000).as("qid"),
+          concat(
+            array((element_at(col("embedding"), 1).cast(DoubleType) + lit(0.1))
+              .cast(FloatType)),
+            slice(col("embedding"), 2, 1000000)).as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(queries, corpus, "qid", "embedding",
+          "vec_id", "embedding", cents, k = 10, probes = 2)
+        .groupBy()
+        .agg(countDistinct(col("qid")).as("n_searched"),
+          count(when(col("qid") - 1000000 === col("nid"), 1)).as("hits"))
+        .select(col("n_searched"),
+          (col("hits") >= ceil(col("n_searched") * 0.9)).as("recall_ok"))
+    }),
+
     // ---- end-to-end corpus curation: exact dedup (keep lowest id) →
     //      language ID → quality score → repetition filter, composed as one
     //      declarative plan (one dedup shuffle; every other step map-side) ----
@@ -1116,6 +1152,13 @@ object MLQueries {
         |       / (1e12 * COUNT(*)) AS DOUBLE) AS value,
         |  COUNT(*) AS n
         |FROM vals GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    // DuckDB cannot re-run the k-means training, but the verdict row is
+    // fully determined: every planted query must be searched, and the
+    // documented recall bound must hold.
+    "q20_ivf_trained" ->
+      """SELECT COUNT(*) AS n_searched, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 17 = 3""".stripMargin,
 
     "t8_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -447,6 +447,38 @@ object NorthStarQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- streaming CHANGE FEED (stream-FROM the CDF): the same scripted
+    // DML sequence d7 oracles in batch (`changes(2,3)`), consumed through
+    // `readStream.format("graft-delta").option("readChangeFeed", true)` —
+    // change rows (insert + delete images) ARE the stream. maxFilesPerTrigger=1
+    // forces the insert commit and the delete commit into separate
+    // micro-batches, so the gate proves per-version offset bookkeeping: no
+    // change row lost or duplicated across batch boundaries, and the drain
+    // equals the batch CDF byte-for-byte. ----
+    "n27_stream_cdf" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tbl = graft.delta.DeltaTable.forPath(s,
+        java.nio.file.Files.createTempDirectory("graft-cdf").toString)
+      val ev = events(s, dir)
+      tbl.write(ev.filter(col("event_type") === "view")) // v0 (pre-CDC)
+      tbl.enableCDC() // v1
+      tbl.write(ev.filter(col("event_type") === "click")) // v2 → inserts
+      tbl.delete("""{"value":{"$lt":5}}""") // v3 → deletes
+      val name = "n27_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("maxFilesPerTrigger", "1")
+        .load(tbl.path)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col(graft.delta.Cdc.ChangeType), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col(graft.delta.Cdc.ChangeType), col("event_id"))
+    }),
+
     // ---- streaming CURATION: the text-pipeline operators composed with
     // Structured Streaming — a doubled corpus lands in the Delta table as
     // three append commits, the stream tails them rate-capped, and each
@@ -749,6 +781,17 @@ object NorthStarQueries {
          |  ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderkey % 10 = 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Same post-state algebra as d7 (the batch CDF gate): inserts = the
+    // click rows, deletes = every row under the value floor at delete time.
+    "n27_stream_cdf" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, event_id, user_id, event_type, value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'delete', event_id, user_id, event_type, value
+        |  FROM events WHERE event_type IN ('view','click') AND value < 5) ch
+        |ORDER BY _change_type, event_id""".stripMargin,
 
     // The doubled corpus collapses to one row per fingerprint; duplicates
     // share the lang of their original, so per-lang COUNT(DISTINCT fp) is

@@ -242,6 +242,28 @@ object Similarity {
   }
 
   /**
+   * Train IVF centroids: `iters` distributed Lloyd iterations
+   * ([[kmeansUpdate]]) from a deterministic init. Each round collects only
+   * the k×dim centroid table (KBs — the 100-TB-safe driver footprint);
+   * clusters that lose all members keep their previous centroid (the
+   * standard empty-cluster rule, and what keeps the cell count stable for
+   * [[ivfTopK]]'s probe math).
+   */
+  def kmeansTrain(corpus: DataFrame, embCol: String,
+                  init: Seq[(Long, Array[Double])],
+                  iters: Int): Seq[(Long, Array[Double])] = {
+    var cents = init
+    (1 to iters).foreach { _ =>
+      val upd = kmeansUpdate(corpus, embCol, cents).collect()
+      val byCid = upd.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+      cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /**
    * LSH-quantizer ANN top-k: assign every vector to a signature-prefix cell,
    * search only the query's cell. Returns approximate neighbors.
    */

@@ -277,6 +277,10 @@ final case class GraftDmlExec(opName: String,
 object GraftSql {
   val CatalogName = "graft"
 
+  /** The session's registered warehouse dir, if [[ensure]] has run. */
+  def warehousePath(spark: SparkSession): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$CatalogName.warehouse")
+
   /** Idempotently enable the catalog + SQL DML on a live session; returns
     * the catalog name. `warehouse` overrides the default temp-dir
     * warehouse (first caller wins for the session). */

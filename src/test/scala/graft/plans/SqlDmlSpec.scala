@@ -113,15 +113,26 @@ class SqlDmlSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(100L, 101L, 102L))
   }
 
-  test("filter + column pushdown reach the scan through the catalog") {
+  test("filter + column pushdown parity with the DSv1 reader") {
     setup()
     val t = freshTable()
     sql(s"CREATE TABLE $t AS SELECT id, CAST(id AS STRING) AS s, id * 2 AS d FROM range(1000)")
     val df = sql(s"SELECT s FROM $t WHERE id = 7")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") || plan.contains("RowDataSourceScan"),
-      s"expected a V1-scan node with pushdown, got:\n$plan")
-    assert(df.head().getString(0) == "7")
+    // the predicate must reach the scan node (file pruning + parquet
+    // row-group pushdown), and the scan must read only the referenced
+    // columns — the same audit the DSv1 relation passed in round 1
+    assert(plan.contains("EqualTo(id,7)"), s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema"), s"no read schema on the scan:\n$plan")
+    assert(!plan.matches("(?s).*ReadSchema:[^\\n]*\\bd\\b.*"),
+      s"unreferenced column 'd' not pruned from the scan:\n$plan")
+    // parity: the DSv1 reader over the same table path pushes the same
+    val path = GraftSql.warehousePath(spark).get + "/dml/" + t.split('.').last
+    val v1 = spark.read.format("graft-delta").load(path)
+      .filter(org.apache.spark.sql.functions.col("id") === 7).select("s")
+    val v1plan = v1.queryExecution.executedPlan.toString
+    assert(v1plan.contains("EqualTo(id,7)"), s"DSv1 filter not pushed:\n$v1plan")
+    assert(df.head().getString(0) == "7" && v1.head().getString(0) == "7")
   }
 
   test("DROP TABLE and SHOW TABLES") {
