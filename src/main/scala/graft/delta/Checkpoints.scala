@@ -235,6 +235,22 @@ object Checkpoints {
       .collectFirst { case PartRe(n) => n.toInt }
   }
 
+  /** Layout of the checkpoint at `version` IF it is complete on disk:
+    * `Some(None)` single-file, `Some(Some(n))` all n parts present, `None`
+    * torn or absent. Crash-recovery seam: a killed writer can leave a
+    * subset of the part files (the per-part rename loop is not atomic as a
+    * group), and a cleanup race can leave `_last_checkpoint` dangling —
+    * readers must verify completeness BEFORE trusting either, and fall
+    * back to an earlier complete checkpoint or full log replay. */
+  def completeParts(log: DeltaLog, version: Long): Option[Option[Int]] = {
+    if (log.fs.exists(log.checkpointFile(version))) return Some(None)
+    partsFor(log, version) match {
+      case Some(n) if (1 to n).forall(p =>
+          log.fs.exists(log.checkpointPart(version, p, n))) => Some(Some(n))
+      case _ => None
+    }
+  }
+
   /** Versions that have a (single or multi-part) checkpoint on disk. */
   def listCheckpointVersions(log: DeltaLog): Seq[Long] = {
     if (!log.fs.exists(log.logPath)) return Nil

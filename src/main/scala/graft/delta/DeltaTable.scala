@@ -84,12 +84,24 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   private def replayFromCheckpoint(target: Long): Snapshot = {
+    // Trust `_last_checkpoint` only after verifying the files it points at
+    // are ALL on disk (layout re-derived from the files, not the pointer):
+    // a crash between the checkpoint part renames and the pointer write —
+    // or a cleanup race — leaves a dangling pointer or a torn multi-part
+    // checkpoint, and either must degrade to recovery, not a read error.
     val cpFromPointer = log.readLastCheckpoint().filter(_._1 <= target)
+      .flatMap { case (v, size, _) =>
+        Checkpoints.completeParts(log, v).map(parts => (v, size, parts))
+      }
     val cp = cpFromPointer.orElse {
-      // Fallback: scan for checkpoint files (pointer may lag or be missing);
-      // recover the part count from the file names, not an assumed layout.
-      Checkpoints.listCheckpointVersions(log).filter(_ <= target).lastOption
-        .map(v => (v, 0L, Checkpoints.partsFor(log, v)))
+      // Fallback: scan for checkpoint files (pointer may lag, be missing,
+      // or dangle); use the NEWEST COMPLETE one at or below target —
+      // torn checkpoints are skipped, and with none left the replay walks
+      // the full commit log from version 0.
+      Checkpoints.listCheckpointVersions(log).filter(_ <= target)
+        .reverseIterator
+        .map(v => (v, Checkpoints.completeParts(log, v)))
+        .collectFirst { case (v, Some(parts)) => (v, 0L, parts) }
     }
     val (base, from) = cp match {
       case Some((cv, _, parts)) =>
@@ -230,7 +242,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   private[graft] def scanState(versionOpt: Option[Long],
                                filter: org.json4s.JValue): Snapshot = {
     val target = versionOpt.getOrElse(log.latestVersion())
-    log.readLastCheckpoint().filter(_._1 <= target) match {
+    // The distributed fast-path trusts the pointer only when the pointed-at
+    // checkpoint is complete on disk (crash/cleanup races can tear it);
+    // otherwise degrade to the driver path, whose own fallback walks back
+    // to the newest complete checkpoint or a full replay.
+    log.readLastCheckpoint().filter(_._1 <= target)
+      .flatMap { case (v, size, _) =>
+        Checkpoints.completeParts(log, v).map(parts => (v, size, parts))
+      } match {
       case Some((cv, size, parts)) if size >= distributedSnapshotThreshold =>
         // Large table: never materialize the full add set on the driver.
         lastQueryDistributed = true
@@ -247,7 +266,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * this instead of a full [[snapshot]]. */
   private[graft] def metaSnapshot(versionOpt: Option[Long] = None): Snapshot = {
     val target = versionOpt.getOrElse(log.latestVersion())
-    log.readLastCheckpoint().filter(_._1 <= target) match {
+    log.readLastCheckpoint().filter(_._1 <= target)
+      .flatMap { case (v, size, _) =>
+        Checkpoints.completeParts(log, v).map(parts => (v, size, parts))
+      } match {
       case Some((cv, size, parts)) if size >= distributedSnapshotThreshold =>
         DistributedSnapshot.metaState(spark, log, cv, parts, target)
       case _ =>

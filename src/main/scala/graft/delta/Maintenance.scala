@@ -430,9 +430,15 @@ object Maintenance {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      // `_staging_<uuid>` files are writer-transient: a file still there
+      // past the retention cutoff belongs to a DEAD writer (crashed between
+      // staging and the rename-to-layout) and must be reclaimable — they
+      // are never in the active set, so the age check alone decides. The
+      // cutoff is also what protects live writers, same contract as Delta's
+      // "don't vacuum below your longest-running writer".
       val isData = rel.endsWith(".parquet") &&
         !rel.startsWith("_delta_log") && !rel.startsWith("_change_data") &&
-        !rel.startsWith("_staging") && !rel.startsWith("_cdc_offsets")
+        !rel.startsWith("_cdc_offsets")
       if (isData) {
         scanned += 1
         if (!active.contains(rel) && !protectedPaths.contains(rel) &&
