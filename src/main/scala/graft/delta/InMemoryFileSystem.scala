@@ -35,6 +35,7 @@ final class InMemoryFileSystem extends FileSystem {
 
   private var uri: URI = _
   private var store: Store = _
+  private var authority: String = "default"
   private var workingDir: Path = _
   private var boundScheme: String = Scheme
 
@@ -49,7 +50,8 @@ final class InMemoryFileSystem extends FileSystem {
     // per suite as before.
     boundScheme = Option(name.getScheme).getOrElse(Scheme)
     uri = URI.create(s"$boundScheme://${Option(name.getAuthority).getOrElse("default")}")
-    store = storeFor(Option(name.getAuthority).getOrElse("default"))
+    authority = Option(name.getAuthority).getOrElse("default")
+    store = storeFor(authority)
     workingDir = new Path(uri.toString + "/")
   }
 
@@ -66,6 +68,7 @@ final class InMemoryFileSystem extends FileSystem {
   }
 
   override def getFileStatus(p: Path): FileStatus = {
+    sleepFor(authority, _.readMs) // a HEAD costs one read RTT
     val k = key(p)
     val f = store.files.get(k)
     if (f != null)
@@ -89,6 +92,7 @@ final class InMemoryFileSystem extends FileSystem {
     try { getFileStatus(p); true } catch { case _: FileNotFoundException => false }
 
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
+    sleepFor(authority, _.readMs)
     val f = store.files.get(key(p))
     if (f == null) throw new FileNotFoundException(s"$Scheme: $p")
     new FSDataInputStream(new SeekableBytes(f.bytes))
@@ -107,6 +111,7 @@ final class InMemoryFileSystem extends FileSystem {
       override def write(b: Int): Unit = buf.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit = buf.write(b, off, len)
       override def close(): Unit = {
+        sleepFor(authority, _.writeMs) // one PUT per closed stream
         val bytes = buf.toByteArray
         if (overwrite) store.files.put(k, FileEntry(bytes, System.currentTimeMillis()))
         else if (store.files.putIfAbsent(k, FileEntry(bytes, System.currentTimeMillis())) != null)
@@ -175,6 +180,7 @@ final class InMemoryFileSystem extends FileSystem {
   }
 
   override def listStatus(p: Path): Array[FileStatus] = {
+    sleepFor(authority, _.listMs)
     val k = key(p)
     if (store.files.containsKey(k)) return Array(getFileStatus(p))
     if (!isDir(k)) throw new FileNotFoundException(s"$Scheme: $p")
@@ -231,6 +237,38 @@ object InMemoryFileSystem {
   /** Drop every object under `authority` (fresh namespace for a suite). */
   def clear(authority: String): Unit = { stores.remove(authority); () }
 
+  /** Injected per-operation latencies for one authority — models a real
+    * object store's RTTs (the reference's own ops numbers are ~10/20/5 ms
+    * read/write/list, /root/reference/OPERATIONS.md) so commit-throughput
+    * soaks measure protocol behavior under realistic storage cost instead
+    * of nanosecond map lookups. Zero-cost when unset. */
+  final case class Latency(readMs: Long, writeMs: Long, listMs: Long)
+  private val latencies = new ConcurrentHashMap[String, Latency]()
+  def setLatency(authority: String, l: Latency): Unit = { latencies.put(authority, l); () }
+  def clearLatency(authority: String): Unit = { latencies.remove(authority); () }
+  private[delta] def sleepFor(authority: String, pick: Latency => Long): Unit = {
+    val l = latencies.get(authority)
+    if (l != null) {
+      val ms = pick(l)
+      if (ms > 0) Thread.sleep(ms)
+    }
+  }
+
+  /** Conditional-put census for soaks: total attempts and lost races
+    * (putIfAbsent that found the object already there — exactly one per
+    * OCC retry), keyed by authority. */
+  private[delta] val putAttempts = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[delta] val putLost = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def counter(m: ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+                      a: String) =
+    m.computeIfAbsent(a, _ => new java.util.concurrent.atomic.AtomicLong)
+  def putCensus(authority: String): (Long, Long) =
+    (counter(putAttempts, authority).get, counter(putLost, authority).get)
+  def resetPutCensus(authority: String): Unit = {
+    counter(putAttempts, authority).set(0)
+    counter(putLost, authority).set(0)
+  }
+
   /** Byte-array stream with the seek/pread surface `FSDataInputStream`
     * demands (parquet footer reads are positioned reads). */
   private final class SeekableBytes(bytes: Array[Byte])
@@ -278,9 +316,15 @@ object InMemoryFileSystem {
     // memory store itself is static, so caching is safe and fast.
     DeltaLog.registerCommitStore(Scheme, fs => new CommitStore {
       override def putIfAbsent(path: Path, body: Array[Byte]): Boolean = {
-        val store = storeFor(Option(path.toUri.getAuthority).getOrElse("default"))
+        val auth = Option(path.toUri.getAuthority).getOrElse("default")
+        val store = storeFor(auth)
         val k = path.toUri.getPath.stripSuffix("/")
-        store.files.putIfAbsent(k, FileEntry(body, System.currentTimeMillis())) == null
+        sleepFor(auth, _.writeMs) // a conditional PUT costs one write RTT
+        val won =
+          store.files.putIfAbsent(k, FileEntry(body, System.currentTimeMillis())) == null
+        counter(putAttempts, auth).incrementAndGet()
+        if (!won) counter(putLost, auth).incrementAndGet()
+        won
       }
     })
   }
