@@ -116,7 +116,25 @@ object SqlQueries {
              |FROM $t ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Change feed through the SQL table function: CTAS with CDF enabled,
+    * INSERT + DELETE through SQL, then `graft_table_changes` reads the
+    * captured change rows — the d7 sequence with every step SQL text. */
+  def sqlTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "cdf")
+    val v = view(s, dir, "events")
+    // versions: 0 = create, 1 = CDF property, 2 = CTAS rows
+    s.sql(s"""CREATE TABLE $t TBLPROPERTIES ('delta.enableChangeDataFeed'='true')
+             |AS SELECT * FROM $v WHERE event_type = 'view'""".stripMargin)
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_type = 'click'") // v3
+    s.sql(s"DELETE FROM $t WHERE value < 5") // v4
+    val ref = t.stripPrefix(s"${GraftSql.CatalogName}.")
+    s.sql(s"""SELECT _change_type, event_id, user_id, event_type, value
+             |FROM graft_table_changes('$ref', 3, 4)
+             |ORDER BY _change_type, event_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_sql_table_changes" -> (sqlTableChanges(_, _)),
     "s1_sql_delete" -> (sqlDelete(_, _)),
     "s2_sql_update" -> (sqlUpdate(_, _)),
     "s3_sql_merge_upsert" -> (sqlMergeUpsert(_, _)),
@@ -125,6 +143,15 @@ object SqlQueries {
     "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    // d7's post-state algebra, driven end-to-end through SQL text
+    "s7_sql_table_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, event_id, user_id, event_type, value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'delete', event_id, user_id, event_type, value
+        |  FROM events WHERE event_type IN ('view','click') AND value < 5) ch
+        |ORDER BY _change_type, event_id""".stripMargin,
     "s1_sql_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority

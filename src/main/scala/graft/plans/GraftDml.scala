@@ -281,6 +281,63 @@ object GraftSql {
   def warehousePath(spark: SparkSession): Option[String] =
     spark.conf.getOption(s"spark.sql.catalog.$CatalogName.warehouse")
 
+  /** `'ns.tbl'` (warehouse-relative) or a raw `/path` / `scheme://path`. */
+  private def resolveTableRef(spark: SparkSession, ref: String): String =
+    if (ref.contains("/")) ref
+    else warehousePath(spark) match {
+      case Some(wh) => (wh +: ref.split('.').toSeq).mkString("/")
+      case None => throw new graft.delta.ValidationException(
+        s"no graft warehouse registered; pass a path instead of '$ref'")
+    }
+
+  private def litString(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                        what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case other => throw new graft.delta.ValidationException(
+      s"$what must be a literal, got $other")
+  }
+
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                      what: String): Long =
+    try litString(e, what).toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new graft.delta.ValidationException(s"$what must be an integer")
+    }
+
+  /** SQL table functions over the change feed and the commit history —
+    * Delta's `table_changes(...)` / `DESCRIBE HISTORY` equivalents:
+    * {{{
+    *   SELECT * FROM graft_table_changes('ns.tbl', 2, 3)
+    *   SELECT * FROM graft_history('ns.tbl')
+    * }}}
+    * Registered by [[ensure]]; table refs resolve against the session's
+    * warehouse (or pass an absolute path). */
+  private def registerTableFunctions(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_table_changes",
+      "graft_table_changes(table, startVersion, endVersion) - change feed rows") { args =>
+      if (args.size != 3) throw new graft.delta.ValidationException(
+        "graft_table_changes(table, startVersion, endVersion)")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val t = DeltaTable.forPath(spark, path)
+      t.changes(litLong(args(1), "startVersion"), litLong(args(2), "endVersion"))
+        .queryExecution.analyzed
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_history", "graft_history(table) - commit history") { args =>
+      if (args.size != 1) throw new graft.delta.ValidationException(
+        "graft_history(table)")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val t = DeltaTable.forPath(spark, path)
+      import spark.implicits._
+      t.describeHistory().map { case (v, ts, op, params) => (v, ts, op, params) }
+        .toDF("version", "timestamp_ms", "operation", "parameters")
+        .queryExecution.analyzed
+    }
+  }
+
   /** Idempotently enable the catalog + SQL DML on a live session; returns
     * the catalog name. `warehouse` overrides the default temp-dir
     * warehouse (first caller wins for the session). */
@@ -297,9 +354,11 @@ object GraftSql {
         spark.conf.set(key, classOf[graft.sources.GraftCatalog].getName)
         spark.conf.set(s"$key.warehouse", wh)
       }
-      if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftDmlStrategy]))
+      if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftDmlStrategy])) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ new GraftDmlStrategy(spark)
+        registerTableFunctions(spark)
+      }
       CatalogName
     }
 }

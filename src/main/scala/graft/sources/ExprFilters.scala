@@ -35,7 +35,8 @@ object ExprFilters {
     // widenings: a string⇄numeric cast changes match semantics (Spark
     // trims whitespace, etc.) and unwrapping it could prune a file that
     // holds matching rows
-    case Cast(inner, dt, _, _) if numericWidening(inner.dataType, dt) =>
+    case Cast(inner, dt, _, _)
+        if inner.resolved && numericWidening(inner.dataType, dt) =>
       attrName(inner)
     case _ => None
   }
@@ -97,6 +98,28 @@ object ExprFilters {
     case GreaterThanOrEqual(l, r) => cmp(l, r, "$gte")
     case LessThan(l, r) => cmp(l, r, "$lt")
     case LessThanOrEqual(l, r) => cmp(l, r, "$lte")
+    // A Column built from the public DSL (`col("a") === 5`) converts to
+    // UNRESOLVED operator-function calls, not Catalyst comparison nodes —
+    // the resolved forms above only appear on the SQL-DML path (where the
+    // analyzer ran first). Same conservative rules, pre-resolution shape.
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if u.nameParts.length == 1 && !u.isDistinct =>
+      (u.nameParts.head, u.arguments) match {
+        case ("and", Seq(l, r)) => conv(l) ++ conv(r)
+        case ("=" | "==", Seq(l, r)) => cmp(l, r, "$eq")
+        case (">", Seq(l, r)) => cmp(l, r, "$gt")
+        case (">=", Seq(l, r)) => cmp(l, r, "$gte")
+        case ("<", Seq(l, r)) => cmp(l, r, "$lt")
+        case ("<=", Seq(l, r)) => cmp(l, r, "$lte")
+        case ("in", a +: vs) if vs.nonEmpty =>
+          val lits = vs.map(jlit)
+          attrName(a) match {
+            case Some(f) if lits.forall(_.isDefined) =>
+              Seq(JObject(List(f -> JObject(List("$in" -> JArray(lits.flatten.toList))))))
+            case _ => Nil
+          }
+        case _ => Nil
+      }
     case In(a, vs) =>
       val lits = vs.map(jlit)
       attrName(a) match {

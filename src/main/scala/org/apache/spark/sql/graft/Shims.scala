@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Dataset, ExpressionUtils}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Bridge to two `private[sql]` seams every Spark connector needs (Delta
@@ -16,8 +16,26 @@ object Shims {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Eagerly CONVERT (not wrap): `ExpressionUtils.expression` returns a
+    * lazy `ColumnNodeExpression`; prune-translation pattern matches need
+    * the real Catalyst tree. */
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Register a SQL table-valued function on a LIVE session — the runtime
+    * twin of `SparkSessionExtensions.injectTableFunction` (which only works
+    * at session build time). */
+  def registerTableFunction(spark: SparkSession, name: String, usage: String)(
+      builder: Seq[Expression] => LogicalPlan): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name, usage),
+        builder)
+    ()
+  }
 }

@@ -147,6 +147,35 @@ class SqlDmlSpec extends SparkTestBase {
       .exists(_.getString(1) == short))
   }
 
+  test("graft_table_changes TVF serves the change feed through SQL") {
+    setup()
+    val t = freshTable()
+    sql(s"""CREATE TABLE $t (id BIGINT, v STRING)
+           |TBLPROPERTIES ('delta.enableChangeDataFeed'='true')""".stripMargin)
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')") // v2 (create+props are v0/v1)
+    sql(s"DELETE FROM $t WHERE id = 2") // v3
+    val ref = t.stripPrefix(s"$cat.")
+    val ins = sql(s"SELECT id, v, _change_type FROM graft_table_changes('$ref', 2, 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ins == Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+    val del = sql(s"SELECT id, _change_type FROM graft_table_changes('$ref', 3, 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(del == Set((2L, "delete")))
+  }
+
+  test("graft_history TVF lists the commit sequence") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1), (2)")
+    sql(s"DELETE FROM $t WHERE id = 1")
+    val ref = t.stripPrefix(s"$cat.")
+    val ops = sql(s"SELECT version, operation FROM graft_history('$ref') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ops.map(_._1).toSeq == ops.map(_._1).toSeq.sorted)
+    assert(ops.exists(_._2 == "WRITE") && ops.exists(_._2 == "DELETE"), ops.mkString(","))
+  }
+
   test("unsupported MERGE shapes fail with a clear error") {
     setup()
     val t = freshTable()

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.json4s.jackson.JsonMethods
+import org.json4s.{JNothing, JValue}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the Catalyst-expression → Mongo prune-filter translation:
+  * translate ONLY what the file pruner can safely reason about; anything
+  * ambiguous must yield no pruning (JNothing / dropped conjunct), because
+  * an over-eager translation PRUNES FILES THAT HOLD MATCHING ROWS. */
+class ExprFiltersSpec extends AnyFunSuite {
+
+  private def j(v: JValue): String =
+    if (v == JNothing) "{}" else JsonMethods.compact(JsonMethods.render(v))
+
+  test("simple comparisons translate with the attribute on either side") {
+    assert(j(ExprFilters.pruneJson(col("a") === 5)) ==
+      """{"$and":[{"a":{"$eq":5}}]}""")
+    assert(j(ExprFilters.pruneJson(lit(5) < col("a"))) ==
+      """{"$and":[{"a":{"$gt":5}}]}""")
+    assert(j(ExprFilters.pruneJson(col("s") === "x")) ==
+      """{"$and":[{"s":{"$eq":"x"}}]}""")
+  }
+
+  test("AND conjunctions accumulate; untranslatable conjuncts drop out") {
+    val v = ExprFilters.pruneJson(col("a") > 1 && col("b") === "x" && col("c").isNull)
+    assert(j(v) == """{"$and":[{"a":{"$gt":1}},{"b":{"$eq":"x"}}]}""")
+  }
+
+  test("OR / NOT / null-checks / UDF shapes prune nothing") {
+    assert(ExprFilters.pruneJson(col("a") === 1 || col("b") === 2) == JNothing)
+    assert(ExprFilters.pruneJson(!(col("a") === 1)) == JNothing)
+    assert(ExprFilters.pruneJson(col("a").isNotNull) == JNothing)
+  }
+
+  test("IN translates only when every element is a trusted literal") {
+    assert(j(ExprFilters.pruneJson(col("a").isin(1, 2, 3))) ==
+      """{"$and":[{"a":{"$in":[1,2,3]}}]}""")
+    assert(ExprFilters.pruneJson(col("a").isin(lit(1), col("b"))) == JNothing)
+  }
+
+  test("date/timestamp/decimal literals are refused (pruner-untrusted stats forms)") {
+    assert(ExprFilters.pruneJson(col("d") === java.sql.Date.valueOf("2024-01-01")) == JNothing)
+    assert(ExprFilters.pruneJson(
+      col("t") === java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) == JNothing)
+    assert(ExprFilters.pruneJson(col("x") === BigDecimal("1.50")) == JNothing)
+  }
+
+  test("numeric widening casts unwrap; string and narrowing casts do not") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    // analyzer-style widening around a RESOLVED attribute: int vs long lit
+    val ia = AttributeReference("a", IntegerType)()
+    assert(j(ExprFilters.pruneJson(EqualTo(Cast(ia, LongType), Literal(5L)))) ==
+      """{"$and":[{"a":{"$eq":5}}]}""")
+    // CAST(string AS INT) = 5 changes match semantics (Spark trims
+    // whitespace: ' 5' matches) — unwrapping would prune the ' 5' file
+    val sa = AttributeReference("s", StringType)()
+    assert(ExprFilters.pruneJson(EqualTo(Cast(sa, IntegerType), Literal(5))) == JNothing)
+    // narrowing long→int is NOT value-preserving either
+    val la = AttributeReference("l", LongType)()
+    assert(ExprFilters.pruneJson(EqualTo(Cast(la, IntegerType), Literal(5))) == JNothing)
+    // unresolved cast: conservatively no pruning
+    assert(ExprFilters.pruneJson(col("a").cast(LongType) === 5L) == JNothing)
+  }
+}
