@@ -798,13 +798,26 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def deleteWithDV(filterJson: String): DmlResult = {
     val filter = JsonMethods.parse(filterJson)
-    val snap = scanState(None, filter)
+    deleteWithDVCore(filter, schema => MongoFilter.translate(filter, schema))
+  }
+
+  /** Merge-on-read delete under an arbitrary Spark predicate — the DV twin
+    * of [[delete(condition:*]] (enable via `spark.graft.sql.dml.mor` for
+    * the SQL route). NULL-valued conditions keep the row (SQL). */
+  def deleteWithDV(condition: org.apache.spark.sql.Column): DmlResult = {
+    val pred = coalesce(condition, lit(false))
+    deleteWithDVCore(graft.sources.ExprFilters.pruneJson(condition), _ => pred)
+  }
+
+  private def deleteWithDVCore(pruneFilter: JValue,
+                               predOf: StructType => Column): DmlResult = {
+    val snap = scanState(None, pruneFilter)
     ProtocolSupport.assertWritable(snap, path)
     val candidates = snap.activeFiles
-    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    val pred = predOf(snap.schema)
+    val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
       throw new IllegalArgumentException("delete matched no rows")
-    val pred = MongoFilter.translate(filter, snap.schema)
     val matchedRows = matchedFilesDF(snap, candidates, matchedFiles)
       .filter(pred)
     val dvByPath: Map[String, Array[Byte]] = matchedRows
@@ -891,17 +904,41 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def updateWithDV(filterJson: String, updatesJson: String): DmlResult = {
     val filter = JsonMethods.parse(filterJson)
-    val snap = scanState(None, filter)
-    ProtocolSupport.assertWritable(snap, path)
     val updates = JsonMethods.parse(updatesJson) match {
       case JObject(fs) => fs
       case other => throw new IllegalArgumentException(s"updates must be an object: $other")
     }
+    updateWithDVCore(filter,
+      schema => MongoFilter.translate(filter, schema),
+      schema => updates.map { case (f, v) => f -> jvalueLiteral(v, schema, f) })
+  }
+
+  /** Merge-on-read update under an arbitrary Spark predicate with
+    * Column-expression assignments — the DV twin of [[update(condition:*]].
+    * RHS sees the OLD row (single-projection patch). */
+  def updateWithDV(condition: org.apache.spark.sql.Column,
+                   set: Seq[(String, org.apache.spark.sql.Column)]): DmlResult = {
+    val pred = coalesce(condition, lit(false))
+    updateWithDVCore(graft.sources.ExprFilters.pruneJson(condition),
+      _ => pred,
+      schema => set.map { case (f, v) =>
+        val dt = schema.fields.find(_.name == f).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(s"update of unknown column: $f"))
+        f -> v.cast(dt)
+      })
+  }
+
+  private def updateWithDVCore(pruneFilter: JValue,
+                               predOf: StructType => Column,
+                               setOf: StructType => Seq[(String, Column)]): DmlResult = {
+    val snap = scanState(None, pruneFilter)
+    ProtocolSupport.assertWritable(snap, path)
     val candidates = snap.activeFiles
-    val (matchedFiles, nMatched) = matchingFiles(snap, candidates, filter)
+    val pred = predOf(snap.schema)
+    val updates = setOf(snap.schema)
+    val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
       throw new IllegalArgumentException("update matched no rows")
-    val pred = MongoFilter.translate(filter, snap.schema)
     val matchedRows = matchedFilesDF(snap, candidates, matchedFiles)
       .filter(pred)
     val dvByPath: Map[String, Array[Byte]] = matchedRows
@@ -912,10 +949,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .map(r => new Path(r.getString(0)).toUri.getPath ->
         r.getAs[Array[Byte]](1))
       .toMap
-    val patched = updates.foldLeft(matchedRows.drop("__file")) {
-      case (acc, (field, value)) =>
-        acc.withColumn(field, jvalueLiteral(value, snap.schema, field))
-    }
+    // ONE projection over the matched rows, every RHS against the OLD row.
+    val assigned = updates.toMap
+    def patchAll(df: DataFrame): DataFrame =
+      df.select(df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
+        assigned.get(c).fold(col(c))(_.as(c))
+      }: _*)
+    val patched = patchAll(matchedRows)
     val newAdds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
     val v = commitDvMask(snap, dvByPath, newAdds, "UPDATE", nMatched)
     if (cdcConfigured(snap)) {

@@ -41,10 +41,18 @@ import graft.sources.GraftTable
  */
 final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 
+  /** `spark.graft.sql.dml.mor=true` routes SQL DELETE/UPDATE through the
+    * deletion-vector (merge-on-read) paths — zero data files rewritten,
+    * the right mode when a trickle of DML lands on huge files. Default is
+    * copy-on-write, which reclaims storage (Delta's own guidance). */
+  private def morMode: Boolean =
+    spark.conf.getOption("spark.graft.sql.dml.mor").exists(_.toBoolean)
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeleteFromTable(GraftRelation(t, out), condition) =>
       exec(plan.nodeName) {
-        t.delete(targetColumn(condition, out))
+        val cond = targetColumn(condition, out)
+        if (morMode) t.deleteWithDV(cond) else t.delete(cond)
         ()
       }
     case UpdateTable(GraftRelation(t, out), assignments, condition) =>
@@ -59,7 +67,7 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           }
           name -> targetColumn(a.value, out)
         }
-        t.update(cond, set)
+        if (morMode) t.updateWithDV(cond, set) else t.update(cond, set)
         ()
       }
     case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,

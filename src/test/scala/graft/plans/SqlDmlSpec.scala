@@ -147,6 +147,25 @@ class SqlDmlSpec extends SparkTestBase {
       .exists(_.getString(1) == short))
   }
 
+  test("spark.graft.sql.dml.mor routes SQL DELETE/UPDATE through deletion vectors") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, id % 5 AS g FROM range(100)")
+    spark.conf.set("spark.graft.sql.dml.mor", "true")
+    try {
+      sql(s"DELETE FROM $t WHERE g = 3")
+      sql(s"UPDATE $t SET g = g + 100 WHERE g = 1")
+      assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 80)
+      assert(sql(s"SELECT count(*) FROM $t WHERE g = 101").head().getLong(0) == 20)
+      // MoR proof: the delete masked rows instead of rewriting — some
+      // active file carries a deletion vector
+      val path = GraftSql.warehousePath(spark).get + "/dml/" + t.split('.').last
+      val snap = graft.delta.DeltaTable.forPath(spark, path).snapshot()
+      assert(snap.activeFiles.exists(_.deletionVector.nonEmpty),
+        "expected a DV-masked file after MoR DML")
+    } finally spark.conf.unset("spark.graft.sql.dml.mor")
+  }
+
   test("graft_table_changes TVF serves the change feed through SQL") {
     setup()
     val t = freshTable()
