@@ -37,8 +37,30 @@ object Merge {
 
   final case class MergeResult(updated: Long, deleted: Long, inserted: Long, version: Long)
 
+  /** One `WHEN MATCHED [AND condition] THEN action` clause. Conditions are
+    * evaluated in the matched-row environment: target columns by name,
+    * source columns through the carried `__src` struct
+    * (`col("__src.<name>")`). */
+  final case class MergeClause(condition: Option[Column], action: MergeAction)
+
   def execute(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
-              matched: MergeAction, insertUnmatched: Boolean): MergeResult = {
+              matched: MergeAction, insertUnmatched: Boolean): MergeResult =
+    executeClauses(table, source, keyColumns, Seq(MergeClause(None, matched)),
+      if (insertUnmatched) Some(None) else None)
+
+  /**
+   * Key-equality MERGE with SQL's full matched-clause list: clauses are
+   * tried IN ORDER per matched row, the first whose condition is true
+   * applies, and a matched row satisfying no clause is left untouched
+   * (its file is not even rewritten unless another row in it matched a
+   * clause). `insert` is `None` for no NOT-MATCHED action, `Some(None)`
+   * for an unconditional INSERT, `Some(Some(cond))` for
+   * `WHEN NOT MATCHED AND cond THEN INSERT` (condition over source
+   * column names).
+   */
+  def executeClauses(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
+                     matchedClauses: Seq[MergeClause],
+                     insert: Option[Option[Column]]): MergeResult = {
     require(keyColumns.nonEmpty, "merge requires at least one key column")
     val spark = table.spark
     val snap = table.snapshot()
@@ -51,11 +73,18 @@ object Merge {
     // Source rows carried as one struct column to dodge name collisions.
     val srcCols = src.columns.toSeq
 
+    val insertUnmatched = insert.isDefined
+    def insertRows(base: DataFrame): DataFrame = insert.flatten match {
+      case Some(c) => base.filter(coalesce(c, lit(false)))
+      case None => base
+    }
+
     // Empty active set: `_metadata` cannot resolve on the empty relation
     // toDF returns, and semantically every source row is an insert.
     if (snap.activeFiles.isEmpty) {
       val inserted =
-        if (!insertUnmatched) 0L else writeInserts(table, snap, src, srcCols)
+        if (!insertUnmatched) 0L
+        else writeInserts(table, snap, insertRows(src), srcCols)
       return MergeResult(0L, 0L, inserted, table.version)
     }
 
@@ -65,26 +94,51 @@ object Merge {
     val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
     val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
 
-    // Which target files contain matches (these are the only ones rewritten)
-    // and how many rows matched — ONE pass over the target⟕source join
-    // instead of a distinct-collect plus a separate count. The file list is
-    // bounded by the table's file count (driver-side metadata by design, like
-    // the snapshot itself), and flows back into the plan as a broadcast
-    // semi-join — never a 50k-element In-expression.
+    // Which target files contain clause-affected matches (only those are
+    // rewritten) and the per-clause-kind row counts — ONE pass over the
+    // target⟕source join. The file list is bounded by the table's file
+    // count (driver-side metadata by design, like the snapshot itself),
+    // and flows back into the plan as a broadcast semi-join — never a
+    // 50k-element In-expression.
     val joined = target.join(packed, joinCond, "left_outer")
-    val (nMatched, matchedFiles) =
-      matchedCensus(joined.filter(col("__src").isNotNull))
+    val matchedRows = joined.filter(col("__src").isNotNull)
 
-    val (rewriteAdds, updated, deleted) =
-      if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
+    // First-true-wins effective conditions (null condition ⇒ not matched,
+    // SQL three-valued logic; unconditional clause ⇒ always true).
+    val effs: Seq[(Column, MergeAction)] = {
+      var priorNone: Column = lit(true)
+      matchedClauses.map { cl =>
+        val raw = cl.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+        val eff = priorNone && raw
+        priorNone = priorNone && !raw
+        (eff, cl.action)
+      }
+    }
+    val deleteEff = effs.collect { case (e, MergeAction.Delete) => e }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val updateEff = effs.collect { case (e, a) if a != MergeAction.Delete => e }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    // Census rides one aggregation: matched/deleted/updated counts per file.
+    val perFile = matchedRows.groupBy(col("__file")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
+      sum(when(updateEff, 1L).otherwise(0L)).as("__u")).collect()
+    val dels = perFile.iterator.map(_.getLong(2)).sum
+    val upds = perFile.iterator.map(_.getLong(3)).sum
+    // Only files holding a clause-AFFECTED row are rewritten: a file whose
+    // matched rows all fell through every clause keeps its data unchanged.
+    val touchedFiles = perFile.iterator
+      .filter(r => r.getLong(2) + r.getLong(3) > 0)
+      .map(_.getString(0)).toIndexedSeq
+
+    val rewriteAdds =
+      if (touchedFiles.isEmpty) Seq.empty[AddFile]
       else {
-        val inFiles = semiJoinFiles(joined, matchedFiles)
-        val rewritten = resolveMatched(inFiles, dataCols, srcCols, matched)
-        val dels = if (matched == MergeAction.Delete) nMatched else 0L
-        val upds = if (matched == MergeAction.Delete) 0L else nMatched
-        val adds = table.writeDataFiles(rewritten.drop("__file"),
+        val inFiles = semiJoinFiles(joined, touchedFiles)
+        val rewritten = resolveClauses(inFiles, dataCols, srcCols, effs, deleteEff)
+        table.writeDataFiles(rewritten.drop("__file"),
           snap.partitionColumns, snap.schema)
-        (adds, upds, dels)
       }
 
     // Inserts: source rows with no key match in the WHOLE target. Written
@@ -97,7 +151,8 @@ object Merge {
     val insertFiles =
       if (!insertUnmatched) Nil
       else writeInsertFiles(table, snap,
-        alignToSchema(antiJoinUnmatched(table, snap, src, keyColumns), schema, srcCols))
+        alignToSchema(insertRows(antiJoinUnmatched(table, snap, src, keyColumns)),
+          schema, srcCols))
     val inserted = insertFiles.map(_._2).sum
 
     // ONE commit covering the rewrite AND the inserts: MERGE is atomic, so
@@ -105,42 +160,68 @@ object Merge {
     // jobs — may expose updates-without-inserts (the half-merged state the
     // model-based property spec caught when these were two commits).
     def cdcParts: Seq[DataFrame] = {
-      val matchedTarget = joined.filter(col("__src").isNotNull)
-      val matchedPart: Seq[DataFrame] =
-        if (nMatched == 0) Nil
-        else matched match {
-          case MergeAction.Delete =>
-            Seq(matchedTarget.select(dataCols.map(col): _*)
-              .withColumn(Cdc.ChangeType, lit("delete")))
-          case _ =>
-            val postCols = matched match {
-              case MergeAction.UpdateSet(set) =>
-                dataCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c)))
-              case _ => dataCols.map { c =>
-                if (srcCols.contains(c)) col(s"__src.$c").as(c) else col(c) }
-            }
-            Seq(
-              matchedTarget.select(dataCols.map(col): _*)
-                .withColumn(Cdc.ChangeType, lit("update_preimage")),
-              matchedTarget.select(postCols: _*)
-                .withColumn(Cdc.ChangeType, lit("update_postimage")))
+      val deletePart: Seq[DataFrame] =
+        if (dels == 0) Nil
+        else Seq(matchedRows.filter(deleteEff).select(dataCols.map(col): _*)
+          .withColumn(Cdc.ChangeType, lit("delete")))
+      val updatePart: Seq[DataFrame] =
+        if (upds == 0) Nil
+        else {
+          val updated = matchedRows.filter(updateEff)
+          Seq(
+            updated.select(dataCols.map(col): _*)
+              .withColumn(Cdc.ChangeType, lit("update_preimage")),
+            updated.select(postImageCols(dataCols, srcCols, effs): _*)
+              .withColumn(Cdc.ChangeType, lit("update_postimage")))
         }
       val insertPart =
         if (insertFiles.isEmpty) Nil
-        else Seq(alignToSchema(antiJoinUnmatched(table, snap, src, keyColumns),
+        else Seq(alignToSchema(
+            insertRows(antiJoinUnmatched(table, snap, src, keyColumns)),
             schema, srcCols)
           .withColumn(Cdc.ChangeType, lit("insert")))
-      matchedPart ++ insertPart
+      deletePart ++ updatePart ++ insertPart
     }
-    if (matchedFiles.nonEmpty) {
-      val v = table.commitFileRewrite(snap, matchedFiles.toSet,
+    if (touchedFiles.nonEmpty) {
+      val v = table.commitFileRewrite(snap, touchedFiles.toSet,
         rewriteAdds ++ insertFiles.map(_._1), "MERGE")
       captureMergeCdc(table, snap, v, cdcParts)
     } else if (insertFiles.nonEmpty) {
       val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT")
       captureMergeCdc(table, snap, v, cdcParts)
     }
-    MergeResult(updated, deleted, inserted, table.version)
+    MergeResult(upds, dels, inserted, table.version)
+  }
+
+  /** Per-column post-image under the clause chain: outermost `when` is the
+    * first clause (first-true-wins), fallthrough keeps the target value.
+    * Delete clauses contribute nothing here — deletion is the row filter. */
+  private def postImageCols(dataCols: Seq[String], srcCols: Seq[String],
+                            effs: Seq[(Column, MergeAction)]): Seq[Column] =
+    dataCols.map { c =>
+      effs.foldRight(col(c)) { case ((eff, action), acc) =>
+        action match {
+          case MergeAction.Delete => acc
+          case MergeAction.UpdateAll =>
+            if (srcCols.contains(c)) when(eff, col(s"__src.$c")).otherwise(acc)
+            else acc
+          case MergeAction.UpdateSet(set) =>
+            set.get(c).map(e => when(eff, e).otherwise(acc)).getOrElse(acc)
+        }
+      }.as(c)
+    }
+
+  /** The clause-chain rewrite of the touched files: delete-effective rows
+    * drop, update-effective rows take their first clause's values, rows
+    * matching no clause (and unmatched rows) pass through verbatim. */
+  private def resolveClauses(inFiles: DataFrame, dataCols: Seq[String],
+                             srcCols: Seq[String],
+                             effs: Seq[(Column, MergeAction)],
+                             deleteEff: Column): DataFrame = {
+    val matchedC = col("__src").isNotNull
+    inFiles.filter(!(matchedC && deleteEff))
+      .select(postImageCols(dataCols, srcCols,
+        effs.map { case (e, a) => (matchedC && e, a) }): _*)
   }
 
   /** The matched-path rewrite: `inFiles` is the target restricted to the

@@ -109,26 +109,37 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     refuseSubqueries(cond)
     val sourceOut = source.outputSet
     val srcDf = Shims.ofRows(spark, source)
-    val srcNames = srcDf.columns.toSet
 
-    // INSERT side: absent, or one unconditional name-aligned insert.
-    val insertUnmatched = notMatchedActions match {
-      case Seq() => false
-      case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, assigns)) =>
-        val aligned = assigns.forall { a =>
-          (a.key, stripCast(a.value)) match {
-            case (k: AttributeReference, v: AttributeReference) =>
-              k.name == v.name && sourceOut.contains(v)
-            case _ => false
-          }
-        }
-        if (!aligned) throw new ValidationException(
-          "only name-aligned INSERT (INSERT * / INSERT (c…) VALUES (s.c…)) is supported")
-        true
-      case other => throw new ValidationException(
-        s"unsupported NOT MATCHED actions: $other")
+    /** NOT-MATCHED condition environment: plain source column names. */
+    def sourceColumn(e: Expression): Column = {
+      refuseSubqueries(e)
+      Shims.column(e.transform {
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+      })
     }
+    def requireAligned(assigns: Seq[Assignment]): Unit = {
+      val aligned = assigns.forall { a =>
+        (a.key, stripCast(a.value)) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name && sourceOut.contains(v)
+          case _ => false
+        }
+      }
+      if (!aligned) throw new ValidationException(
+        "only name-aligned INSERT (INSERT * / INSERT (c…) VALUES (s.c…)) is supported")
+    }
+    // INSERT side: absent, or ONE (optionally conditional) name-aligned insert.
+    val insert: Option[Option[Column]] = notMatchedActions match {
+      case Seq() => None
+      case Seq(InsertStarAction(c)) => Some(c.map(sourceColumn))
+      case Seq(InsertAction(c, assigns)) =>
+        requireAligned(assigns)
+        Some(c.map(sourceColumn))
+      case other => throw new ValidationException(
+        s"at most one NOT MATCHED action is supported: $other")
+    }
+    val insertUnmatched = insert.isDefined
 
     // MATCHED side → MergeAction.
     def updateSet(assigns: Seq[Assignment]): Merge.MergeAction = {
@@ -151,36 +162,46 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         name -> mergeValueColumn(a.value, targetOut, sourceOut)
       }.toMap)
     }
-    val matchedOpt: Option[Merge.MergeAction] = matchedActions match {
-      case Seq() => None
-      case Seq(DeleteAction(None)) => Some(Merge.MergeAction.Delete)
-      case Seq(UpdateStarAction(None)) => Some(Merge.MergeAction.UpdateAll)
-      case Seq(UpdateAction(None, assigns, _)) => Some(updateSet(assigns))
+    // MATCHED side: any number of (optionally conditional) clauses, tried
+    // in order, first-true-wins — SQL MERGE semantics, carried by
+    // [[Merge.executeClauses]]. Clause conditions live in the matched-row
+    // env (target cols + __src struct), same as UPDATE SET values.
+    def mergeCond(e: Expression): Column = mergeValueColumn(e, targetOut, sourceOut)
+    val clauses: Seq[Merge.MergeClause] = matchedActions.map {
+      case DeleteAction(c) =>
+        Merge.MergeClause(c.map(mergeCond), Merge.MergeAction.Delete)
+      case UpdateStarAction(c) =>
+        Merge.MergeClause(c.map(mergeCond), Merge.MergeAction.UpdateAll)
+      case UpdateAction(c, assigns, _) =>
+        Merge.MergeClause(c.map(mergeCond), updateSet(assigns))
       case other => throw new ValidationException(
-        s"unsupported MATCHED actions (one unconditional UPDATE/DELETE): $other")
+        s"unsupported MATCHED action: $other")
     }
 
     val keys = equiKeys(cond, targetOut, sourceOut)
-    matchedOpt match {
-      case None =>
-        // insert-only MERGE: append source rows with no key match
-        if (!insertUnmatched) throw new ValidationException(
-          "MERGE with no actions is a no-op; refusing")
-        val ks = keys.getOrElse(throw new ValidationException(
-          "insert-only MERGE requires an equality ON condition"))
-        val unmatched = srcDf.join(t.toDF().select(ks.map(col): _*),
-          ks.map(k => srcDf(k) <=> col(k)).reduce(_ && _), "left_anti")
-        t.write(unmatched, "append")
+    if (clauses.isEmpty) {
+      // insert-only MERGE: executeClauses with no matched clauses = the
+      // anti-join + append, same atomic commit path
+      if (!insertUnmatched) throw new ValidationException(
+        "MERGE with no actions is a no-op; refusing")
+      val ks = keys.getOrElse(throw new ValidationException(
+        "insert-only MERGE requires an equality ON condition"))
+      Merge.executeClauses(t, srcDf, ks, Nil, insert)
+      ()
+    } else keys match {
+      case Some(ks) =>
+        Merge.executeClauses(t, srcDf, ks, clauses, insert)
         ()
-      case Some(action) => keys match {
-        case Some(ks) =>
-          Merge.execute(t, srcDf, ks, action, insertUnmatched)
-          ()
-        case None =>
-          Merge.executeCondition(t, srcDf,
-            aliasedCondition(cond, targetOut, sourceOut), action, insertUnmatched)
-          ()
-      }
+      case None =>
+        // theta path: single unconditional clause only
+        clauses match {
+          case Seq(Merge.MergeClause(None, action)) =>
+            Merge.executeCondition(t, srcDf,
+              aliasedCondition(cond, targetOut, sourceOut), action, insertUnmatched)
+            ()
+          case _ => throw new ValidationException(
+            "conditional/multiple MATCHED clauses require an equality ON condition")
+        }
     }
   }
 
@@ -198,15 +219,20 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       case CAnd(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    val keys = split(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
+    // The analyzer wraps type-coerced keys in casts (BIGINT target vs INT
+    // source literal) — strip them: our key join re-coerces identically.
+    val keys = split(cond).map(e => (e match {
+      case EqualTo(l, r) => Some((stripCast(l), stripCast(r)))
+      case _ => None
+    }) match {
+      case Some((a: AttributeReference, b: AttributeReference))
           if targetOut.contains(a) && sourceOut.contains(b) && a.name == b.name =>
         Some(a.name)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
+      case Some((b: AttributeReference, a: AttributeReference))
           if targetOut.contains(a) && sourceOut.contains(b) && a.name == b.name =>
         Some(a.name)
       case _ => None
-    }
+    })
     if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten.distinct)
     else None
   }

@@ -195,6 +195,41 @@ class SqlDmlSpec extends SparkTestBase {
     assert(ops.exists(_._2 == "WRITE") && ops.exists(_._2 == "DELETE"), ops.mkString(","))
   }
 
+  test("conditional multi-clause MERGE: first-true clause wins per row") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 'keep', 10), (2, 'drop', 20), (3, 'bump', 30), (4, 'x', 40)")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES
+           |         (2, 'whatever', 0), (3, 'src3', 5), (4, 'src4', 7), (9, 'new', 90)
+           |       AS s(id, v, n)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED AND tgt.v = 'drop' THEN DELETE
+           |WHEN MATCHED AND tgt.v = 'bump' THEN UPDATE SET n = tgt.n + src.n
+           |WHEN MATCHED AND src.v = 'src4' THEN UPDATE SET *
+           |WHEN NOT MATCHED AND src.n > 50 THEN INSERT *""".stripMargin)
+    val rows = sql(s"SELECT id, v, n FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (1L, "keep", 10L),  // matched nothing? not in source → untouched
+      (3L, "bump", 35L),  // second clause: n = 30 + 5
+      (4L, "src4", 7L),   // third clause: UPDATE SET *
+      (9L, "new", 90L)))  // conditional insert (n=90 > 50); id=2 deleted
+  }
+
+  test("conditional NOT MATCHED insert filters the source") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id FROM range(3)")
+    sql(s"""MERGE INTO $t
+           |USING (SELECT id FROM range(10)) src
+           |ON $t.id = src.id
+           |WHEN NOT MATCHED AND src.id % 2 = 0 THEN INSERT *""".stripMargin)
+    val ids = sql(s"SELECT id FROM $t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 1L, 2L, 4L, 6L, 8L))
+  }
+
   test("unsupported MERGE shapes fail with a clear error") {
     setup()
     val t = freshTable()
@@ -204,9 +239,9 @@ class SqlDmlSpec extends SparkTestBase {
       sql(s"""MERGE INTO $t
              |USING (SELECT 1 AS id, 'y' AS v) src
              |ON $t.id = src.id
-             |WHEN MATCHED AND src.v = 'y' THEN UPDATE SET *
-             |WHEN MATCHED THEN DELETE""".stripMargin)
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.toLowerCase.contains("matched"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("source"), e.getMessage)
   }
 }
