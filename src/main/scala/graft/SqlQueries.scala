@@ -95,6 +95,30 @@ object SqlQueries {
              |FROM $t ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Conditional multi-clause MERGE: DELETE / two conditional UPDATEs /
+    * conditional INSERT, first-true-wins per row — the full SQL MERGE
+    * clause algebra through one statement. */
+  def sqlMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mcl")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""MERGE INTO $t AS tgt
+             |USING (
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM $v WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM $v WHERE c_custkey % 50 = 0
+             |) AS src
+             |ON tgt.c_custkey = src.c_custkey
+             |WHEN MATCHED AND tgt.c_mktsegment = 'BUILDING' THEN DELETE
+             |WHEN MATCHED AND tgt.c_acctbal < 0 THEN UPDATE SET c_acctbal = 0
+             |WHEN MATCHED THEN UPDATE SET c_acctbal = tgt.c_acctbal + 1
+             |WHEN NOT MATCHED AND src.c_acctbal >= 0 THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
   /** VERSION AS OF through SQL: CTAS (v0 create + v1 data), DELETE (v2),
     * then time-travel back to the pre-delete version. */
   def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
@@ -140,7 +164,8 @@ object SqlQueries {
     "s3_sql_merge_upsert" -> (sqlMergeUpsert(_, _)),
     "s4_sql_merge_expr" -> (sqlMergeExpr(_, _)),
     "s5_sql_time_travel" -> (sqlTimeTravel(_, _)),
-    "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)))
+    "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
+    "s8_sql_merge_clauses" -> (sqlMergeClauses(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // d7's post-state algebra, driven end-to-end through SQL text
@@ -185,6 +210,20 @@ object SqlQueries {
     "s5_sql_time_travel" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s8_sql_merge_clauses" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 3 = 0 AND c_acctbal < 0 THEN CAST(0 AS DOUBLE)
+        |         WHEN c_custkey % 3 = 0 THEN c_acctbal + 1
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 3 = 0 AND c_mktsegment = 'BUILDING')
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 50 = 0 AND c_acctbal >= 0) m
+        |ORDER BY c_custkey""".stripMargin,
 
     "s6_sql_insert_overwrite" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
