@@ -119,6 +119,25 @@ object SqlQueries {
              |FROM $t ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Sync-to-source MERGE: UPDATE SET * on matches plus NOT MATCHED BY
+    * SOURCE DELETE — after the statement the table IS the source. */
+  def sqlMergeSync(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "msy")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""MERGE INTO $t AS tgt
+             |USING (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |         c_acctbal + 10 AS c_acctbal, c_mktsegment
+             |  FROM $v WHERE c_custkey % 4 = 1
+             |) AS src
+             |ON tgt.c_custkey = src.c_custkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
   /** VERSION AS OF through SQL: CTAS (v0 create + v1 data), DELETE (v2),
     * then time-travel back to the pre-delete version. */
   def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
@@ -165,7 +184,8 @@ object SqlQueries {
     "s4_sql_merge_expr" -> (sqlMergeExpr(_, _)),
     "s5_sql_time_travel" -> (sqlTimeTravel(_, _)),
     "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
-    "s8_sql_merge_clauses" -> (sqlMergeClauses(_, _)))
+    "s8_sql_merge_clauses" -> (sqlMergeClauses(_, _)),
+    "s9_sql_merge_sync" -> (sqlMergeSync(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // d7's post-state algebra, driven end-to-end through SQL text
@@ -228,5 +248,12 @@ object SqlQueries {
     "s6_sql_insert_overwrite" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part WHERE p_size > 25
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // post-sync state = exactly the (balance-bumped) source slice
+    "s9_sql_merge_sync" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  c_acctbal + 10 AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 4 = 1
+        |ORDER BY c_custkey""".stripMargin)
 }

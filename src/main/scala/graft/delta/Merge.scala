@@ -56,11 +56,20 @@ object Merge {
    * clause). `insert` is `None` for no NOT-MATCHED action, `Some(None)`
    * for an unconditional INSERT, `Some(Some(cond))` for
    * `WHEN NOT MATCHED AND cond THEN INSERT` (condition over source
-   * column names).
+   * column names). `notMatchedBySource` clauses apply to TARGET rows with
+   * no source match (conditions/assignments over target columns only;
+   * `UpdateAll` is meaningless there and refused) — note the scale
+   * asymmetry: matched clauses rewrite only files containing matches,
+   * while an unconditional not-matched-by-source clause can touch every
+   * file (inherent to the operation — it reads "sync the whole table to
+   * the source").
    */
   def executeClauses(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
                      matchedClauses: Seq[MergeClause],
-                     insert: Option[Option[Column]]): MergeResult = {
+                     insert: Option[Option[Column]],
+                     notMatchedBySource: Seq[MergeClause] = Nil): MergeResult = {
+    require(notMatchedBySource.forall(_.action != MergeAction.UpdateAll),
+      "NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row to copy)")
     require(keyColumns.nonEmpty, "merge requires at least one key column")
     val spark = table.spark
     val snap = table.snapshot()
@@ -101,26 +110,32 @@ object Merge {
     // and flows back into the plan as a broadcast semi-join — never a
     // 50k-element In-expression.
     val joined = target.join(packed, joinCond, "left_outer")
-    val matchedRows = joined.filter(col("__src").isNotNull)
+    val matchedC = col("__src").isNotNull
 
     // First-true-wins effective conditions (null condition ⇒ not matched,
-    // SQL three-valued logic; unconditional clause ⇒ always true).
-    val effs: Seq[(Column, MergeAction)] = {
+    // SQL three-valued logic; unconditional clause ⇒ always true). The
+    // matched chain is gated on a source match, the not-matched-by-source
+    // chain on its absence — together one per-row clause list over the
+    // full outer-joined target.
+    def chain(clauses: Seq[MergeClause], gate: Column): Seq[(Column, MergeAction)] = {
       var priorNone: Column = lit(true)
-      matchedClauses.map { cl =>
+      clauses.map { cl =>
         val raw = cl.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
         val eff = priorNone && raw
         priorNone = priorNone && !raw
-        (eff, cl.action)
+        (gate && eff, cl.action)
       }
     }
+    val effs: Seq[(Column, MergeAction)] =
+      chain(matchedClauses, matchedC) ++ chain(notMatchedBySource, !matchedC)
     val deleteEff = effs.collect { case (e, MergeAction.Delete) => e }
       .reduceOption(_ || _).getOrElse(lit(false))
     val updateEff = effs.collect { case (e, a) if a != MergeAction.Delete => e }
       .reduceOption(_ || _).getOrElse(lit(false))
 
-    // Census rides one aggregation: matched/deleted/updated counts per file.
-    val perFile = matchedRows.groupBy(col("__file")).agg(
+    // Census rides one aggregation over ALL target rows (each appears once:
+    // the source side is key-deduped): deleted/updated counts per file.
+    val perFile = joined.groupBy(col("__file")).agg(
       count(lit(1)).as("__n"),
       sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
       sum(when(updateEff, 1L).otherwise(0L)).as("__u")).collect()
@@ -136,7 +151,8 @@ object Merge {
       if (touchedFiles.isEmpty) Seq.empty[AddFile]
       else {
         val inFiles = semiJoinFiles(joined, touchedFiles)
-        val rewritten = resolveClauses(inFiles, dataCols, srcCols, effs, deleteEff)
+        val rewritten = inFiles.filter(!deleteEff)
+          .select(postImageCols(dataCols, srcCols, effs): _*)
         table.writeDataFiles(rewritten.drop("__file"),
           snap.partitionColumns, snap.schema)
       }
@@ -162,12 +178,12 @@ object Merge {
     def cdcParts: Seq[DataFrame] = {
       val deletePart: Seq[DataFrame] =
         if (dels == 0) Nil
-        else Seq(matchedRows.filter(deleteEff).select(dataCols.map(col): _*)
+        else Seq(joined.filter(deleteEff).select(dataCols.map(col): _*)
           .withColumn(Cdc.ChangeType, lit("delete")))
       val updatePart: Seq[DataFrame] =
         if (upds == 0) Nil
         else {
-          val updated = matchedRows.filter(updateEff)
+          val updated = joined.filter(updateEff)
           Seq(
             updated.select(dataCols.map(col): _*)
               .withColumn(Cdc.ChangeType, lit("update_preimage")),
@@ -211,18 +227,6 @@ object Merge {
       }.as(c)
     }
 
-  /** The clause-chain rewrite of the touched files: delete-effective rows
-    * drop, update-effective rows take their first clause's values, rows
-    * matching no clause (and unmatched rows) pass through verbatim. */
-  private def resolveClauses(inFiles: DataFrame, dataCols: Seq[String],
-                             srcCols: Seq[String],
-                             effs: Seq[(Column, MergeAction)],
-                             deleteEff: Column): DataFrame = {
-    val matchedC = col("__src").isNotNull
-    inFiles.filter(!(matchedC && deleteEff))
-      .select(postImageCols(dataCols, srcCols,
-        effs.map { case (e, a) => (matchedC && e, a) }): _*)
-  }
 
   /** The matched-path rewrite: `inFiles` is the target restricted to the
     * rewritten files, left-joined so matched rows carry their source row as

@@ -104,8 +104,6 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
                        matchedActions: Seq[MergeAction],
                        notMatchedActions: Seq[MergeAction],
                        notMatchedBySourceActions: Seq[MergeAction]): Unit = {
-    if (notMatchedBySourceActions.nonEmpty) throw new ValidationException(
-      "WHEN NOT MATCHED BY SOURCE is not supported")
     refuseSubqueries(cond)
     val sourceOut = source.outputSet
     val srcDf = Shims.ofRows(spark, source)
@@ -178,8 +176,25 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         s"unsupported MATCHED action: $other")
     }
 
+    // NOT MATCHED BY SOURCE: target-side clauses (DELETE / UPDATE SET with
+    // target-only expressions), carried on the same executeClauses chain.
+    val nmsClauses: Seq[Merge.MergeClause] = notMatchedBySourceActions.map {
+      case DeleteAction(c) =>
+        Merge.MergeClause(c.map(mergeCond), Merge.MergeAction.Delete)
+      case UpdateAction(c, assigns, _) =>
+        Merge.MergeClause(c.map(mergeCond), updateSet(assigns))
+      case other => throw new ValidationException(
+        s"unsupported NOT MATCHED BY SOURCE action: $other")
+    }
+
     val keys = equiKeys(cond, targetOut, sourceOut)
-    if (clauses.isEmpty) {
+    if (nmsClauses.nonEmpty && keys.isEmpty) throw new ValidationException(
+      "NOT MATCHED BY SOURCE requires an equality ON condition")
+    if (clauses.isEmpty && nmsClauses.nonEmpty) {
+      val ks = keys.get
+      Merge.executeClauses(t, srcDf, ks, Nil, insert, nmsClauses)
+      ()
+    } else if (clauses.isEmpty) {
       // insert-only MERGE: executeClauses with no matched clauses = the
       // anti-join + append, same atomic commit path
       if (!insertUnmatched) throw new ValidationException(
@@ -190,7 +205,7 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       ()
     } else keys match {
       case Some(ks) =>
-        Merge.executeClauses(t, srcDf, ks, clauses, insert)
+        Merge.executeClauses(t, srcDf, ks, clauses, insert, nmsClauses)
         ()
       case None =>
         // theta path: single unconditional clause only

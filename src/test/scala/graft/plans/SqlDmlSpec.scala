@@ -230,18 +230,49 @@ class SqlDmlSpec extends SparkTestBase {
     assert(ids == Seq(0L, 1L, 2L, 4L, 6L, 8L))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE syncs the target to the source") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (2, 'B'), (5, 'E') AS s(id, v)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND tgt.id > 1 THEN DELETE""".stripMargin)
+    val rows = sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 1 kept (NMS condition false), 2 updated, 3/4 deleted, 5 inserted
+    assert(rows == Seq((1L, "a"), (2L, "B"), (5L, "E")))
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE patches only source-absent rows") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT 1 AS id) AS src
+           |ON tgt.id = src.id
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(tgt.v, '-stale')""".stripMargin)
+    val rows = sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b-stale")))
+  }
+
   test("unsupported MERGE shapes fail with a clear error") {
     setup()
     val t = freshTable()
     sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
     sql(s"INSERT INTO $t VALUES (1, 'x')")
     val e = intercept[Exception] {
-      sql(s"""MERGE INTO $t
+      sql(s"""MERGE INTO $t AS tgt
              |USING (SELECT 1 AS id, 'y' AS v) src
-             |ON $t.id = src.id
-             |WHEN MATCHED THEN UPDATE SET *
-             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+             |ON tgt.id > src.id
+             |WHEN MATCHED AND src.v = 'y' THEN UPDATE SET v = src.v
+             |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.toLowerCase.contains("source"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("equality on"), e.getMessage)
   }
 }
