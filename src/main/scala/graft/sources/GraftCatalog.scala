@@ -152,14 +152,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new ValidationException(s"rename $oldIdent -> $newIdent failed")
   }
 
-  /** ALTER TABLE: column rename/drop ride the column-mapping machinery;
-    * SET/UNSET TBLPROPERTIES ride `updateConfiguration`. Anything else
-    * (type changes, reordering) is refused. */
+  /** ALTER TABLE: ADD COLUMNS rides the write path's additive schema merge
+    * (a metadata-only commit — no data rewritten, old files read the new
+    * column as null); column rename/drop ride the column-mapping
+    * machinery; SET/UNSET TBLPROPERTIES ride `updateConfiguration`.
+    * Anything else (type changes, reordering) is refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     val dt = DeltaTable.forPath(spark, p.toString)
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested add unsupported")
+        val extended = dt.toDF().schema.add(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, a.isNullable))
+        dt.write(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], extended), "append")
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested rename unsupported")
         dt.renameColumn(r.fieldNames.head, r.newName)

@@ -135,6 +135,23 @@ class SqlDmlSpec extends SparkTestBase {
     assert(df.head().getString(0) == "7" && v1.head().getString(0) == "7")
   }
 
+  test("ALTER TABLE ADD/RENAME COLUMN and TBLPROPERTIES through SQL") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a')")
+    sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    // old rows read the new column as null; new rows carry it
+    sql(s"INSERT INTO $t VALUES (2, 'b', 1.5)")
+    val rows = sql(s"SELECT id, v, score FROM $t ORDER BY id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 1.5)
+    sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    assert(sql(s"SELECT label FROM $t WHERE id = 1").head().getString(0) == "a")
+    sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.appendOnly' = 'false')")
+    assert(sql(s"SHOW TBLPROPERTIES $t").collect()
+      .exists(r => r.getString(0) == "delta.appendOnly" && r.getString(1) == "false"))
+  }
+
   test("DROP TABLE and SHOW TABLES") {
     setup()
     val t = freshTable()
