@@ -48,12 +48,20 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   private def morMode: Boolean =
     spark.conf.getOption("spark.graft.sql.dml.mor").exists(_.toBoolean)
 
+  /** The DML cores throw on zero matched rows (reference-API parity, the
+    * d-gates pin it); SQL semantics say 0 affected rows is a SUCCESS —
+    * absorb exactly that error here. */
+  private def noopOnNoMatch(body: => Unit): Unit =
+    try body catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.endsWith("matched no rows") => ()
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeleteFromTable(GraftRelation(t, out), condition) =>
       exec(plan.nodeName) {
         val cond = targetColumn(condition, out)
-        if (morMode) t.deleteWithDV(cond) else t.delete(cond)
-        ()
+        noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
       }
     case UpdateTable(GraftRelation(t, out), assignments, condition) =>
       exec(plan.nodeName) {
@@ -67,12 +75,15 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           }
           name -> targetColumn(a.value, out)
         }
-        if (morMode) t.updateWithDV(cond, set) else t.update(cond, set)
-        ()
+        noopOnNoMatch { if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
       }
     case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,
         matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
       exec(plan.nodeName) {
+        // refuse rather than silently align-to-target what the user asked
+        // to evolve
+        if (m.withSchemaEvolution) throw new ValidationException(
+          "MERGE ... WITH SCHEMA EVOLUTION is not supported")
         runMerge(t, targetOut, source, cond, matchedActions,
           notMatchedActions, notMatchedBySourceActions)
       }

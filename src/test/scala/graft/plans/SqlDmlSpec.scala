@@ -39,6 +39,15 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t WHERE g = 3").head().getLong(0) == 0)
   }
 
+  test("DELETE/UPDATE matching zero rows is a SQL no-op, not an error") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id FROM range(5)")
+    sql(s"DELETE FROM $t WHERE id > 100") // matches nothing
+    sql(s"UPDATE $t SET id = id + 1 WHERE id > 100")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5)
+  }
+
   test("UPDATE SET with expressions sees the OLD row on every RHS") {
     setup()
     val t = freshTable()
@@ -150,6 +159,17 @@ class SqlDmlSpec extends SparkTestBase {
     sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.appendOnly' = 'false')")
     assert(sql(s"SHOW TBLPROPERTIES $t").collect()
       .exists(r => r.getString(0) == "delta.appendOnly" && r.getString(1) == "false"))
+  }
+
+  test("DataFrameWriterV2: df.writeTo(...).create/append through the catalog") {
+    setup()
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo(t).create()
+    Seq((3L, "c")).toDF("id", "v").writeTo(t).append()
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+    assert(spark.table(t).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
   }
 
   test("DROP TABLE and SHOW TABLES") {
