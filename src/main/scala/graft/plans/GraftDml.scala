@@ -396,6 +396,39 @@ object GraftSql {
         .toDF("version", "timestamp_ms", "operation", "parameters")
         .queryExecution.analyzed
     }
+    // Maintenance verbs for SQL-only users — the TVF analog of Delta's
+    // VACUUM / OPTIMIZE statements (which need a parser extension Spark
+    // only applies at session build; a table function works on any
+    // session). The side effect runs at RESOLUTION and the returned
+    // single-row metrics are what the query scans.
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_vacuum",
+      "graft_vacuum(table[, retentionHours]) - reclaim unreferenced files") { args =>
+      if (args.isEmpty || args.size > 2) throw new graft.delta.ValidationException(
+        "graft_vacuum(table[, retentionHours])")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val retention = args.lift(1).map(litString(_, "retentionHours").toDouble)
+        .getOrElse(168.0)
+      val t = DeltaTable.forPath(spark, path)
+      val r = graft.delta.Maintenance.vacuum(t, retention)
+      import spark.implicits._
+      Seq((r.filesDeleted, r.bytesFreed))
+        .toDF("files_deleted", "bytes_freed")
+        .queryExecution.analyzed
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_compact", "graft_compact(table) - bin-pack small files") { args =>
+      if (args.size != 1) throw new graft.delta.ValidationException(
+        "graft_compact(table)")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val t = DeltaTable.forPath(spark, path)
+      val r = graft.delta.Maintenance.compact(t,
+        graft.delta.Maintenance.CompactionConfig(minFilesToCompact = 2))
+      import spark.implicits._
+      Seq((r.filesCompacted, r.filesCreated))
+        .toDF("files_compacted", "files_created")
+        .queryExecution.analyzed
+    }
   }
 
   /** Idempotently enable the catalog + SQL DML on a live session; returns

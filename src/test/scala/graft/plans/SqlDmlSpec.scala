@@ -219,6 +219,21 @@ class SqlDmlSpec extends SparkTestBase {
     assert(del == Set((2L, "delete")))
   }
 
+  test("graft_compact and graft_vacuum TVFs run maintenance through SQL") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    (0 until 4).foreach(i => sql(s"INSERT INTO $t VALUES ($i)")) // 4 tiny files
+    val ref = t.stripPrefix(s"$cat.")
+    val c = sql(s"SELECT * FROM graft_compact('$ref')").head()
+    assert(c.getLong(0) >= 2, s"expected files compacted, got $c")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4)
+    // vacuum with default retention deletes nothing young, but must run
+    val v = sql(s"SELECT files_deleted, bytes_freed FROM graft_vacuum('$ref')").head()
+    assert(v.getLong(0) == 0)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4)
+  }
+
   test("graft_history TVF lists the commit sequence") {
     setup()
     val t = freshTable()
