@@ -135,10 +135,14 @@ object Merge {
 
     // Census rides one aggregation over ALL target rows (each appears once:
     // the source side is key-deduped): deleted/updated counts per file.
-    val perFile = joined.groupBy(col("__file")).agg(
-      count(lit(1)).as("__n"),
-      sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
-      sum(when(updateEff, 1L).otherwise(0L)).as("__u")).collect()
+    // Insert-only merges (no clauses at all) skip it — nothing can be
+    // affected, and the census would be a wasted full-table pass.
+    val perFile =
+      if (effs.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else joined.groupBy(col("__file")).agg(
+        count(lit(1)).as("__n"),
+        sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
+        sum(when(updateEff, 1L).otherwise(0L)).as("__u")).collect()
     val dels = perFile.iterator.map(_.getLong(2)).sum
     val upds = perFile.iterator.map(_.getLong(3)).sum
     // Only files holding a clause-AFFECTED row are rewritten: a file whose

@@ -19,9 +19,10 @@ import graft.sources.GraftTable
  * tables onto the existing transactional machinery:
  *
  *  - `DELETE FROM t WHERE c`        → [[DeltaTable.delete(condition:*]]
+ *    (or the DV path under `spark.graft.sql.dml.mor=true`)
  *  - `UPDATE t SET a=e WHERE c`     → [[DeltaTable.update(condition:*]]
- *  - `MERGE INTO t USING s ON cond` → [[Merge.execute]] (key-equality `ON`)
- *                                     or [[Merge.executeCondition]] (theta)
+ *  - `MERGE INTO t USING s ON cond` → [[Merge.executeClauses]]
+ *    (key-equality `ON`) or [[Merge.executeCondition]] (theta)
  *
  * Spark itself plans none of these for plain DSv2 tables (it requires the
  * row-level-operations API); `experimental.extraStrategies` run BEFORE the
@@ -31,13 +32,14 @@ import graft.sources.GraftTable
  * [[GraftSql.ensure]] (runtime) or [[GraftSparkSessionExtension]]
  * (`spark.sql.extensions`).
  *
- * Supported MERGE shape (the reference's own merge semantics,
- * src/cdc/index.ts:1937-2005): at most one unconditional matched action
- * (`UPDATE SET *` / `UPDATE SET c=e` / `DELETE`), at most one
- * unconditional `NOT MATCHED THEN INSERT` whose assignments are
- * name-aligned with the source (`INSERT *`). Conditional actions,
- * not-matched-by-source actions, and subqueries in conditions are
- * refused with a clear error.
+ * Supported MERGE shapes on the key-equality path: any number of
+ * conditional `WHEN MATCHED THEN UPDATE SET * / SET c=e / DELETE` clauses
+ * (first-true-wins), one optionally-conditional name-aligned
+ * `WHEN NOT MATCHED THEN INSERT`, and `WHEN NOT MATCHED BY SOURCE THEN
+ * UPDATE/DELETE`. The theta path carries one unconditional matched
+ * clause. Refused with clear errors: subqueries in conditions,
+ * non-name-aligned inserts, `WITH SCHEMA EVOLUTION`. Zero-match
+ * DELETE/UPDATE is a SQL no-op, not the programmatic API's error.
  */
 final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 
