@@ -149,6 +149,23 @@ object SqlQueries {
              |FROM $t VERSION AS OF 1 ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Partitioned CREATE TABLE through SQL, partition-pruned read back —
+    * the SQL twin of the programmatic d5 gate: Hive layout on disk, the
+    * equality predicate prunes to one partition's files before Spark
+    * plans the scan. */
+  def sqlPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "prt")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+             |  event_type STRING, value DOUBLE, props STRING)
+             |PARTITIONED BY (event_type)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, ts, user_id, event_type, value, props FROM $v""".stripMargin)
+    s.sql(s"""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM $t WHERE event_type = 'purchase' AND value > 50
+             |ORDER BY event_id""".stripMargin)
+  }
+
   /** INSERT OVERWRITE replaces the table contents in one commit. */
   def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
     val t = fresh(s, "iow")
@@ -185,7 +202,8 @@ object SqlQueries {
     "s5_sql_time_travel" -> (sqlTimeTravel(_, _)),
     "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "s8_sql_merge_clauses" -> (sqlMergeClauses(_, _)),
-    "s9_sql_merge_sync" -> (sqlMergeSync(_, _)))
+    "s9_sql_merge_sync" -> (sqlMergeSync(_, _)),
+    "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // d7's post-state algebra, driven end-to-end through SQL text
@@ -255,5 +273,10 @@ object SqlQueries {
       """SELECT c_custkey, c_name, c_nationkey,
         |  c_acctbal + 10 AS c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 4 = 1
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "s10_sql_partitioned" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'purchase' AND value > 50
+        |ORDER BY event_id""".stripMargin)
 }

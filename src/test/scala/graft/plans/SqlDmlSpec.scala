@@ -172,6 +172,25 @@ class SqlDmlSpec extends SparkTestBase {
       Seq(1L, 2L, 3L))
   }
 
+  test("PARTITIONED BY creates a Hive-layout table; predicates prune files") {
+    setup()
+    val t = freshTable()
+    sql(s"""CREATE TABLE $t (id BIGINT, grp STRING) PARTITIONED BY (grp)""")
+    sql(s"INSERT INTO $t SELECT id, concat('g', id % 3) AS grp FROM range(90)")
+    // Hive layout on disk: one directory per partition value
+    val path = GraftSql.warehousePath(spark).get + "/dml/" + t.split('.').last
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("grp="))
+    assert(dirs.toSet == Set("grp=g0", "grp=g1", "grp=g2"), dirs.mkString(","))
+    // partition-pruned read through SQL: only g1's rows
+    assert(sql(s"SELECT count(*) FROM $t WHERE grp = 'g1'").head().getLong(0) == 30)
+    // the pruner keeps file-count pressure off the scan: one partition dir read
+    val dt = graft.delta.DeltaTable.forPath(spark, path)
+    val pruned = dt.scanState(None,
+      org.json4s.jackson.JsonMethods.parse("""{"grp":"g1"}"""))
+    assert(pruned.activeFiles.nonEmpty &&
+      pruned.activeFiles.forall(_.partitionValues.get("grp").contains("g1")))
+  }
+
   test("DROP TABLE and SHOW TABLES") {
     setup()
     val t = freshTable()
