@@ -218,7 +218,15 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       ()
     } else keys match {
       case Some(ks) =>
-        Merge.executeClauses(t, srcDf, ks, clauses, insert, nmsClauses)
+        // the MoR twin exists for the single-unconditional-clause shape;
+        // clause chains stay CoW (no DV-mask form for partial rewrites)
+        (clauses, nmsClauses) match {
+          case (Seq(Merge.MergeClause(None, action)), Nil)
+              if morMode && insert.forall(_.isEmpty) =>
+            Merge.executeMoR(t, srcDf, ks, action, insertUnmatched)
+          case _ =>
+            Merge.executeClauses(t, srcDf, ks, clauses, insert, nmsClauses)
+        }
         ()
       case None =>
         // theta path: single unconditional clause only

@@ -219,6 +219,14 @@ class SqlDmlSpec extends SparkTestBase {
       val snap = graft.delta.DeltaTable.forPath(spark, path).snapshot()
       assert(snap.activeFiles.exists(_.deletionVector.nonEmpty),
         "expected a DV-masked file after MoR DML")
+      // single-clause MERGE also rides the MoR twin under the flag
+      sql(s"""MERGE INTO $t USING (SELECT id FROM range(2)) src
+             |ON $t.id = src.id
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 78)
+      val hist = sql(s"SELECT operation FROM graft_history('dml.${t.split('.').last}')")
+        .collect().map(_.getString(0))
+      assert(hist.count(_ == "MERGE") >= 1, hist.mkString(","))
     } finally spark.conf.unset("spark.graft.sql.dml.mor")
   }
 
