@@ -204,7 +204,22 @@ final class InMemoryFileSystem extends FileSystem {
         children += (if (slash < 0) kk else prefix + rest.substring(0, slash))
       }
     }
-    children.iterator.map(c => getFileStatus(qualify(c))).toArray
+    // Statuses come straight from the key map — NOT via per-child
+    // getFileStatus: (a) an entry can vanish between the enumeration and a
+    // re-stat (a racer deleting its checkpoint temp dir — skip it; the
+    // Hadoop contract only demands FileNotFound when the LISTED DIRECTORY
+    // itself is gone), and (b) a real object store's LIST returns object
+    // metadata inline, so a listing must not pay one injected-HEAD RTT per
+    // entry under the latency soak.
+    children.iterator.flatMap { c =>
+      val f = store.files.get(c)
+      if (f != null)
+        Iterator.single(new FileStatus(f.bytes.length.toLong, false, 1,
+          BlockSize, f.modTime, qualify(c)))
+      else if (isDir(c))
+        Iterator.single(new FileStatus(0, true, 1, BlockSize, 0L, qualify(c)))
+      else Iterator.empty // vanished mid-listing
+    }.toArray
   }
 
   override def mkdirs(p: Path, permission: FsPermission): Boolean = {
