@@ -113,6 +113,24 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t VERSION AS OF 0").head().getLong(0) == 0)
   }
 
+  test("SELECT ... TIMESTAMP AS OF resolves the pre-change state") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)") // v0
+    sql(s"INSERT INTO $t SELECT id FROM range(10)") // v1
+    // commit timestamps are millisecond-granular: ensure v2 lands strictly later
+    Thread.sleep(1100)
+    sql(s"DELETE FROM $t WHERE id >= 5") // v2
+    val path = GraftSql.warehousePath(spark).get + "/dml/" + t.split('.').last
+    val v1Ms = graft.delta.DeltaTable.forPath(spark, path).commitTimestamp(1)
+    val lit = java.time.Instant.ofEpochMilli(v1Ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) == 10, s"state at v1's own timestamp must be v1")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5)
+  }
+
   test("INSERT OVERWRITE replaces table contents in one commit") {
     setup()
     val t = freshTable()
