@@ -193,7 +193,72 @@ object SqlQueries {
              |ORDER BY _change_type, event_id""".stripMargin)
   }
 
+  /** Expression INSERT lists + MULTIPLE conditional NOT MATCHED clauses
+    * (round-10 generality): a matched expression update, then three
+    * first-true-wins insert clauses with explicit column lists — columns
+    * omitted from a winning clause's list land NULL (SQL semantics). */
+  def sqlMergeInsertExpr(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mie")
+    val v = view(s, dir, "part")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""MERGE INTO $t AS tgt
+             |USING (
+             |  SELECT CASE WHEN p_partkey % 8 = 0 THEN p_partkey
+             |              ELSE p_partkey + 5000000 END AS k,
+             |         p_size AS sz, p_retailprice AS pr
+             |  FROM $v WHERE p_partkey % 4 = 0
+             |) AS src
+             |ON tgt.p_partkey = src.k
+             |WHEN MATCHED THEN UPDATE SET p_retailprice = src.pr + src.sz
+             |WHEN NOT MATCHED AND src.sz >= 30 THEN
+             |  INSERT (p_partkey, p_size, p_retailprice) VALUES (src.k, src.sz + 100, src.pr * 2)
+             |WHEN NOT MATCHED AND src.sz >= 10 THEN
+             |  INSERT (p_partkey, p_size) VALUES (src.k, src.sz)
+             |WHEN NOT MATCHED THEN
+             |  INSERT (p_partkey, p_retailprice) VALUES (src.k, -src.pr)""".stripMargin)
+    s.sql(s"""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+             |FROM $t ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** Differently-named merge keys (`ON tgt.c_custkey = src.src_key`) with
+    * a conditional clause chain — an ordinary equi-join merge even though
+    * the two sides share no column names (round-10 generality). */
+  def sqlMergeRenamedKeys(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mrk")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""MERGE INTO $t AS tgt
+             |USING (
+             |  SELECT c_custkey AS src_key, c_acctbal AS bal
+             |  FROM $v WHERE c_custkey % 5 = 0
+             |) AS src
+             |ON tgt.c_custkey = src.src_key
+             |WHEN MATCHED AND tgt.c_acctbal < 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET c_acctbal = tgt.c_acctbal + src.bal""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Subquery predicate in DELETE (round-10 generality): the reference-era
+    * "delete what matches this other collection" shape, lowered to the
+    * join-shaped merge core (never a collected IN-list). */
+  def sqlDeleteSubquery(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dsq")
+    val v = view(s, dir, "orders")
+    val cv = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""DELETE FROM $t
+             |WHERE o_custkey IN (SELECT c_custkey FROM $cv WHERE c_mktsegment = 'BUILDING')
+             |  AND o_totalprice < 100000""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_sql_merge_insert_expr" -> (sqlMergeInsertExpr(_, _)),
+    "s12_sql_merge_renamed_keys" -> (sqlMergeRenamedKeys(_, _)),
+    "s13_sql_delete_subquery" -> (sqlDeleteSubquery(_, _)),
     "s7_sql_table_changes" -> (sqlTableChanges(_, _)),
     "s1_sql_delete" -> (sqlDelete(_, _)),
     "s2_sql_update" -> (sqlUpdate(_, _)),
@@ -206,6 +271,40 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s11_sql_merge_insert_expr" ->
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |    CASE WHEN p_partkey % 8 = 0 THEN p_retailprice + p_size
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 5000000, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR),
+        |    CASE WHEN p_size >= 30 THEN p_size + 100
+        |         WHEN p_size >= 10 THEN p_size
+        |         ELSE CAST(NULL AS INTEGER) END,
+        |    CASE WHEN p_size >= 30 THEN p_retailprice * 2
+        |         WHEN p_size >= 10 THEN CAST(NULL AS DOUBLE)
+        |         ELSE -p_retailprice END
+        |  FROM part WHERE p_partkey % 4 = 0 AND p_partkey % 8 <> 0) m
+        |ORDER BY p_partkey""".stripMargin,
+
+    "s12_sql_merge_renamed_keys" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 5 = 0 AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "s13_sql_delete_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_custkey IN (SELECT c_custkey FROM customer
+        |                         WHERE c_mktsegment = 'BUILDING')
+        |           AND o_totalprice < 100000)
+        |ORDER BY o_orderkey""".stripMargin,
     // d7's post-state algebra, driven end-to-end through SQL text
     "s7_sql_table_changes" ->
       """SELECT * FROM (

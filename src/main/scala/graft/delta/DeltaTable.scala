@@ -766,7 +766,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val pred = predOf(snap.schema)
     val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
-      throw new IllegalArgumentException("delete matched no rows")
+      throw new NoMatchedRowsException("delete")
 
     val matchedSet = matchedFiles.toSet
     val inMatched = matchedFilesDF(snap, candidates, matchedFiles)
@@ -817,7 +817,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val pred = predOf(snap.schema)
     val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
-      throw new IllegalArgumentException("delete matched no rows")
+      throw new NoMatchedRowsException("delete")
     val matchedRows = matchedFilesDF(snap, candidates, matchedFiles)
       .filter(pred)
     val dvByPath: Map[String, Array[Byte]] = matchedRows
@@ -938,7 +938,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val updates = setOf(snap.schema)
     val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
-      throw new IllegalArgumentException("update matched no rows")
+      throw new NoMatchedRowsException("update")
     val matchedRows = matchedFilesDF(snap, candidates, matchedFiles)
       .filter(pred)
     val dvByPath: Map[String, Array[Byte]] = matchedRows
@@ -1011,7 +1011,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val updates = setOf(snap.schema)
     val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     if (nMatched == 0)
-      throw new IllegalArgumentException("update matched no rows")
+      throw new NoMatchedRowsException("update")
 
     val base = matchedFilesDF(snap, candidates, matchedFiles)
     // ONE projection, every RHS against the input row: sequential

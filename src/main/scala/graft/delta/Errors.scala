@@ -65,6 +65,15 @@ final class CdcException(message: String, cause: Throwable = null)
 final class ValidationException(message: String)
   extends DeltaException(message, "VALIDATION_ERROR")
 
+/** A DELETE/UPDATE matched zero rows. The programmatic API throws this
+  * (reference-API parity: the reference errors on no-op DML); the SQL
+  * front door catches exactly this TYPE and treats it as a 0-row success
+  * (SQL semantics). Subclasses IllegalArgumentException so pre-existing
+  * callers that caught IAE keep working; the SQL layer must NOT match on
+  * message text — a reworded message cannot change SQL no-op semantics. */
+final class NoMatchedRowsException(op: String)
+  extends IllegalArgumentException(s"$op matched no rows")
+
 /** The table's protocol demands reader/writer features this engine does
   * not implement (north-star — Delta's InvalidProtocolVersionException;
   * refusing beats silently-wrong reads or contract-breaking writes). */

@@ -43,65 +43,108 @@ object Merge {
     * (`col("__src.<name>")`). */
   final case class MergeClause(condition: Option[Column], action: MergeAction)
 
+  /** One `WHEN NOT MATCHED [AND condition] THEN INSERT …` clause.
+    * Conditions are over plain SOURCE column names. `values = None` is
+    * `INSERT *` (every same-named source column, others null);
+    * `values = Some(map)` is `INSERT (cols) VALUES (exprs)` — per-target-
+    * column expressions over source names, and target columns ABSENT from
+    * the map become NULL (SQL column-list semantics). Multiple clauses are
+    * tried in order, first-true-wins, like the matched side. */
+  final case class InsertClause(condition: Option[Column],
+                                values: Option[Map[String, Column]] = None)
+
   def execute(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
               matched: MergeAction, insertUnmatched: Boolean): MergeResult =
-    executeClauses(table, source, keyColumns, Seq(MergeClause(None, matched)),
-      if (insertUnmatched) Some(None) else None)
+    executeClauses(table, source, keyColumns.map(k => (k, k)),
+      Seq(MergeClause(None, matched)),
+      if (insertUnmatched) Seq(InsertClause(None)) else Nil)
 
   /**
    * Key-equality MERGE with SQL's full matched-clause list: clauses are
    * tried IN ORDER per matched row, the first whose condition is true
    * applies, and a matched row satisfying no clause is left untouched
    * (its file is not even rewritten unless another row in it matched a
-   * clause). `insert` is `None` for no NOT-MATCHED action, `Some(None)`
-   * for an unconditional INSERT, `Some(Some(cond))` for
-   * `WHEN NOT MATCHED AND cond THEN INSERT` (condition over source
-   * column names). `notMatchedBySource` clauses apply to TARGET rows with
-   * no source match (conditions/assignments over target columns only;
-   * `UpdateAll` is meaningless there and refused) — note the scale
+   * clause). Keys are (targetColumn, sourceColumn) PAIRS — the two sides
+   * need not share names (`ON t.o_orderkey = s.src_key`). `inserts` is
+   * the ordered `WHEN NOT MATCHED` clause list (see [[InsertClause]]),
+   * also first-true-wins. `notMatchedBySource` clauses apply to TARGET
+   * rows with no source match (conditions/assignments over target columns
+   * only; `UpdateAll` is meaningless there and refused) — note the scale
    * asymmetry: matched clauses rewrite only files containing matches,
    * while an unconditional not-matched-by-source clause can touch every
    * file (inherent to the operation — it reads "sync the whole table to
    * the source").
+   *
+   * `sqlSemantics = false` (programmatic API, reference parity): the
+   * source is key-deduped first-occurrence-wins and keys join null-SAFE
+   * (`<=>`). `sqlSemantics = true` (the SQL front door): no silent dedup —
+   * multiple source rows matching one target row raise a MERGE
+   * cardinality violation, duplicate UNMATCHED source rows all insert,
+   * and keys join with plain `=` (a null-key source row matches nothing
+   * and inserts; a null-key target row is NOT MATCHED BY SOURCE).
    */
-  def executeClauses(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
+  def executeClauses(table: DeltaTable, source: DataFrame,
+                     keyPairs: Seq[(String, String)],
                      matchedClauses: Seq[MergeClause],
-                     insert: Option[Option[Column]],
-                     notMatchedBySource: Seq[MergeClause] = Nil): MergeResult = {
+                     inserts: Seq[InsertClause],
+                     notMatchedBySource: Seq[MergeClause] = Nil,
+                     sqlSemantics: Boolean = false): MergeResult = {
     require(notMatchedBySource.forall(_.action != MergeAction.UpdateAll),
       "NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row to copy)")
-    require(keyColumns.nonEmpty, "merge requires at least one key column")
+    require(keyPairs.nonEmpty, "merge requires at least one key column")
     val spark = table.spark
     val snap = table.snapshot()
     val schema = snap.schema
     val dataCols = schema.fieldNames.toSeq
-    require(keyColumns.forall(dataCols.contains), s"keys must exist in table: $keyColumns")
+    val tgtKeys = keyPairs.map(_._1)
+    val srcKeys = keyPairs.map(_._2)
+    require(tgtKeys.forall(dataCols.contains), s"keys must exist in table: $tgtKeys")
+    require(srcKeys.forall(source.columns.contains),
+      s"keys must exist in source: $srcKeys")
+    def keyEq(l: Column, r: Column): Column = if (sqlSemantics) l === r else l <=> r
 
-    // First-match semantics: one source row per key.
-    val src = source.dropDuplicates(keyColumns)
+    // First-match semantics (programmatic API): one source row per key.
+    // SQL keeps every source row and errors on ambiguous matches below.
+    val src = if (sqlSemantics) source else source.dropDuplicates(srcKeys)
     // Source rows carried as one struct column to dodge name collisions.
     val srcCols = src.columns.toSeq
 
-    val insertUnmatched = insert.isDefined
-    def insertRows(base: DataFrame): DataFrame = insert.flatten match {
-      case Some(c) => base.filter(coalesce(c, lit(false)))
-      case None => base
-    }
+    val insertUnmatched = inserts.nonEmpty
 
     // Empty active set: `_metadata` cannot resolve on the empty relation
     // toDF returns, and semantically every source row is an insert.
     if (snap.activeFiles.isEmpty) {
       val inserted =
         if (!insertUnmatched) 0L
-        else writeInserts(table, snap, insertRows(src), srcCols)
+        else commitInsertRows(table, snap, buildInserts(src, inserts, schema, srcCols))
       return MergeResult(0L, 0L, inserted, table.version)
     }
 
+    // SQL MERGE cardinality: >1 source row matching the SAME target row is
+    // an error, not a nondeterministic pick. With key-equality matching
+    // that is exactly "a duplicated source key that exists in the target" —
+    // one aggregation over the source + a semi-join against the distinct
+    // target keys (both bounded by the smaller side; no all-pairs work).
+    if (sqlSemantics && matchedClauses.nonEmpty) {
+      val dups = src.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .select(keyPairs.map { case (tk, sk) => col(sk).as(s"__dk_$tk") }: _*)
+      val inTarget = dups.join(
+        table.toDF(snap).select(tgtKeys.map(col): _*),
+        keyPairs.map { case (tk, _) => keyEq(col(tk), col(s"__dk_$tk")) }.reduce(_ && _),
+        "left_semi").head(1)
+      if (inTarget.nonEmpty) throw new ValidationException(
+        "MERGE cardinality violation: multiple source rows match the same " +
+          s"target row (duplicate source key ${inTarget.head})")
+    }
+
     val packed = src.select(
-      struct(srcCols.map(col): _*).as("__src") +: keyColumns.map(k => col(k).as(s"__k_$k")): _*)
+      struct(srcCols.map(col): _*).as("__src") +:
+        keyPairs.map { case (tk, sk) => col(sk).as(s"__k_$tk") }: _*)
 
     val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
-    val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val joinCond = keyPairs.map { case (tk, _) =>
+      keyEq(col(tk), col(s"__k_$tk")) }.reduce(_ && _)
 
     // Which target files contain clause-affected matches (only those are
     // rewritten) and the per-clause-kind row counts — ONE pass over the
@@ -117,15 +160,9 @@ object Merge {
     // matched chain is gated on a source match, the not-matched-by-source
     // chain on its absence — together one per-row clause list over the
     // full outer-joined target.
-    def chain(clauses: Seq[MergeClause], gate: Column): Seq[(Column, MergeAction)] = {
-      var priorNone: Column = lit(true)
-      clauses.map { cl =>
-        val raw = cl.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-        val eff = priorNone && raw
-        priorNone = priorNone && !raw
-        (gate && eff, cl.action)
-      }
-    }
+    def chain(clauses: Seq[MergeClause], gate: Column): Seq[(Column, MergeAction)] =
+      firstTrueWins(clauses.map(_.condition))
+        .zip(clauses.map(_.action)).map { case (eff, a) => (gate && eff, a) }
     val effs: Seq[(Column, MergeAction)] =
       chain(matchedClauses, matchedC) ++ chain(notMatchedBySource, !matchedC)
     val deleteEff = effs.collect { case (e, MergeAction.Delete) => e }
@@ -171,8 +208,8 @@ object Merge {
     val insertFiles =
       if (!insertUnmatched) Nil
       else writeInsertFiles(table, snap,
-        alignToSchema(insertRows(antiJoinUnmatched(table, snap, src, keyColumns)),
-          schema, srcCols))
+        buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
+          inserts, schema, srcCols))
     val inserted = insertFiles.map(_._2).sum
 
     // ONE commit covering the rewrite AND the inserts: MERGE is atomic, so
@@ -196,9 +233,9 @@ object Merge {
         }
       val insertPart =
         if (insertFiles.isEmpty) Nil
-        else Seq(alignToSchema(
-            insertRows(antiJoinUnmatched(table, snap, src, keyColumns)),
-            schema, srcCols)
+        else Seq(
+          buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
+            inserts, schema, srcCols)
           .withColumn(Cdc.ChangeType, lit("insert")))
       deletePart ++ updatePart ++ insertPart
     }
@@ -211,6 +248,45 @@ object Merge {
       captureMergeCdc(table, snap, v, cdcParts)
     }
     MergeResult(upds, dels, inserted, table.version)
+  }
+
+  /** SQL clause-order semantics as Columns: effective condition of clause i
+    * is "condition i is TRUE and every earlier condition was not true"
+    * (`coalesce(c, false)` realizes three-valued logic; an absent condition
+    * is always-true and absorbs everything after it). */
+  private def firstTrueWins(conds: Seq[Option[Column]]): Seq[Column] = {
+    var priorNone: Column = lit(true)
+    conds.map { c =>
+      val raw = c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+      val eff = priorNone && raw
+      priorNone = priorNone && !raw
+      eff
+    }
+  }
+
+  /** The NOT-MATCHED side as one distributed projection: filter the
+    * unmatched source rows to those some insert clause accepts, then build
+    * each TARGET column as the first-true-wins CASE over the clauses'
+    * value expressions — `INSERT *` clauses copy same-named source columns,
+    * explicit column lists evaluate their expressions, and target columns
+    * a winning clause does not set come out NULL (SQL semantics). Output is
+    * aligned (cast) to the table schema. */
+  private def buildInserts(unmatched: DataFrame, inserts: Seq[InsertClause],
+                           schema: org.apache.spark.sql.types.StructType,
+                           srcCols: Seq[String]): DataFrame = {
+    require(inserts.nonEmpty, "buildInserts requires at least one insert clause")
+    val effs = firstTrueWins(inserts.map(_.condition)).zip(inserts.map(_.values))
+    val any = effs.map(_._1).reduce(_ || _)
+    val cols = schema.fields.toSeq.map { f =>
+      effs.foldRight(lit(null).cast(f.dataType)) { case ((eff, values), acc) =>
+        val v: Option[Column] = values match {
+          case None => if (srcCols.contains(f.name)) Some(col(f.name)) else None
+          case Some(m) => m.get(f.name)
+        }
+        v.map(e => when(eff, e).otherwise(acc)).getOrElse(acc)
+      }.cast(f.dataType).as(f.name)
+    }
+    unmatched.filter(any).select(cols: _*)
   }
 
   /** Per-column post-image under the clause chain: outermost `when` is the
@@ -492,82 +568,133 @@ object Merge {
    */
   def executeMoR(table: DeltaTable, source: DataFrame, keyColumns: Seq[String],
                  matched: MergeAction = MergeAction.UpdateAll,
-                 insertUnmatched: Boolean = true): MergeResult = {
-    require(keyColumns.nonEmpty, "merge requires at least one key column")
+                 insertUnmatched: Boolean = true): MergeResult =
+    executeClausesMoR(table, source, keyColumns.map(k => (k, k)),
+      Seq(MergeClause(None, matched)),
+      if (insertUnmatched) Seq(InsertClause(None)) else Nil)
+
+  /**
+   * The clause-chain MoR twin of [[executeClauses]]: full SQL MERGE
+   * semantics — conditional multi-clause matched side, NOT MATCHED BY
+   * SOURCE, multiple conditional inserts, the same `sqlSemantics` contract
+   * — with ZERO target files rewritten. Every clause-AFFECTED target row
+   * (deleted OR updated) is DV-masked in its file; updated rows' post-
+   * images and the unmatched-source inserts land as appended files; all of
+   * it one atomic `commitDvMask`. Rows a clause chain leaves untouched
+   * cost nothing — their files aren't even masked.
+   */
+  def executeClausesMoR(table: DeltaTable, source: DataFrame,
+                        keyPairs: Seq[(String, String)],
+                        matchedClauses: Seq[MergeClause],
+                        inserts: Seq[InsertClause],
+                        notMatchedBySource: Seq[MergeClause] = Nil,
+                        sqlSemantics: Boolean = false): MergeResult = {
+    require(notMatchedBySource.forall(_.action != MergeAction.UpdateAll),
+      "NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row to copy)")
+    require(keyPairs.nonEmpty, "merge requires at least one key column")
     val snap = table.snapshot()
     val schema = snap.schema
     val dataCols = schema.fieldNames.toSeq
-    require(keyColumns.forall(dataCols.contains), s"keys must exist in table: $keyColumns")
-    val src = source.dropDuplicates(keyColumns)
+    val tgtKeys = keyPairs.map(_._1)
+    val srcKeys = keyPairs.map(_._2)
+    require(tgtKeys.forall(dataCols.contains), s"keys must exist in table: $tgtKeys")
+    def keyEq(l: Column, r: Column): Column = if (sqlSemantics) l === r else l <=> r
+    val src = if (sqlSemantics) source else source.dropDuplicates(srcKeys)
     val srcCols = src.columns.toSeq
+    val insertUnmatched = inserts.nonEmpty
     if (snap.activeFiles.isEmpty) {
       val inserted =
-        if (!insertUnmatched) 0L else writeInserts(table, snap, src, srcCols)
+        if (!insertUnmatched) 0L
+        else commitInsertRows(table, snap, buildInserts(src, inserts, schema, srcCols))
       return MergeResult(0L, 0L, inserted, table.version)
     }
+    if (sqlSemantics && matchedClauses.nonEmpty) {
+      val dups = src.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .select(keyPairs.map { case (tk, sk) => col(sk).as(s"__dk_$tk") }: _*)
+      val inTarget = dups.join(
+        table.toDF(snap).select(tgtKeys.map(col): _*),
+        keyPairs.map { case (tk, _) => keyEq(col(tk), col(s"__dk_$tk")) }.reduce(_ && _),
+        "left_semi").head(1)
+      if (inTarget.nonEmpty) throw new ValidationException(
+        "MERGE cardinality violation: multiple source rows match the same " +
+          s"target row (duplicate source key ${inTarget.head})")
+    }
     val packed = src.select(
-      struct(srcCols.map(col): _*).as("__src") +: keyColumns.map(k => col(k).as(s"__k_$k")): _*)
+      struct(srcCols.map(col): _*).as("__src") +:
+        keyPairs.map { case (tk, sk) => col(sk).as(s"__k_$tk") }: _*)
     val target = table.toDF(snap)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__ri", col("_metadata.row_index"))
-    val joinCond = keyColumns.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    val matchedRows = target.join(packed, joinCond, "inner")
-    val dvRows = matchedRows
+    val joinCond = keyPairs.map { case (tk, _) =>
+      keyEq(col(tk), col(s"__k_$tk")) }.reduce(_ && _)
+    val joined = target.join(packed, joinCond, "left_outer")
+    val matchedC = col("__src").isNotNull
+    def chain(clauses: Seq[MergeClause], gate: Column): Seq[(Column, MergeAction)] =
+      firstTrueWins(clauses.map(_.condition))
+        .zip(clauses.map(_.action)).map { case (eff, a) => (gate && eff, a) }
+    val effs: Seq[(Column, MergeAction)] =
+      chain(matchedClauses, matchedC) ++ chain(notMatchedBySource, !matchedC)
+    val deleteEff = effs.collect { case (e, MergeAction.Delete) => e }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val updateEff = effs.collect { case (e, a) if a != MergeAction.Delete => e }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    // ONE pass builds the per-file mask bitmaps AND the clause-kind counts:
+    // affected = masked out of the old file, whether the clause deletes the
+    // row or replaces it (the replacement is an appended post-image).
+    val dvRows = joined.filter(deleteEff || updateEff)
       .groupBy(col("__file"))
       .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"),
-        count(lit(1)).as("__n"))
+        sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
+        sum(when(updateEff, 1L).otherwise(0L)).as("__u"))
       .collect()
-    val nMatched = dvRows.map(_.getLong(2)).sum
+    val dels = dvRows.iterator.map(_.getLong(2)).sum
+    val upds = dvRows.iterator.map(_.getLong(3)).sum
+    val nMasked = dels + upds
     val dvByPath: Map[String, Array[Byte]] = dvRows.map(r =>
       new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
         r.getAs[Array[Byte]](1)).toMap
-    val images: Option[DataFrame] = matched match {
-      case MergeAction.Delete => None
-      case MergeAction.UpdateAll => Some(matchedRows.select(dataCols.map { c =>
-        if (srcCols.contains(c)) col(s"__src.$c").as(c) else col(c)
-      }: _*))
-      case MergeAction.UpdateSet(set) => Some(matchedRows.select(dataCols.map { c =>
-        set.get(c).map(_.as(c)).getOrElse(col(c))
-      }: _*))
-    }
     val imageAdds =
-      if (nMatched == 0) Nil
-      else images.toSeq.flatMap(df =>
-        table.writeDataFiles(df, snap.partitionColumns, snap.schema))
+      if (upds == 0) Nil
+      else table.writeDataFiles(
+        joined.filter(updateEff).select(postImageCols(dataCols, srcCols, effs): _*),
+        snap.partitionColumns, snap.schema)
     val insertsAligned =
       if (!insertUnmatched) None
-      else Some(alignToSchema(antiJoinUnmatched(table, snap, src, keyColumns),
-        schema, srcCols))
+      else Some(buildInserts(
+        antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
+        inserts, schema, srcCols))
     val insertAdds = insertsAligned.toSeq.flatMap(df =>
       table.writeDataFiles(df, snap.partitionColumns, snap.schema))
     val inserted = insertAdds
       .flatMap(_.stats.flatMap(FileStats.fromJsonString)).map(_.numRecords).sum
-    if (nMatched == 0 && insertAdds.isEmpty)
+    if (nMasked == 0 && insertAdds.isEmpty)
       return MergeResult(0L, 0L, 0L, table.version)
     val v =
-      if (nMatched == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
-      else table.commitDvMask(snap, dvByPath, imageAdds ++ insertAdds, "MERGE", nMatched)
+      if (nMasked == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
+      else table.commitDvMask(snap, dvByPath,
+        imageAdds ++ insertAdds, "MERGE", nMasked)
     captureMergeCdc(table, snap, v, {
-      val matchedPart: Seq[DataFrame] =
-        if (nMatched == 0) Nil
-        else images match {
-          case None => // Delete action: no post-images exist
-            Seq(matchedRows.select(dataCols.map(col): _*)
-              .withColumn(Cdc.ChangeType, lit("delete")))
-          case Some(post) => Seq(
-            matchedRows.select(dataCols.map(col): _*)
+      val deletePart: Seq[DataFrame] =
+        if (dels == 0) Nil
+        else Seq(joined.filter(deleteEff).select(dataCols.map(col): _*)
+          .withColumn(Cdc.ChangeType, lit("delete")))
+      val updatePart: Seq[DataFrame] =
+        if (upds == 0) Nil
+        else {
+          val updated = joined.filter(updateEff)
+          Seq(
+            updated.select(dataCols.map(col): _*)
               .withColumn(Cdc.ChangeType, lit("update_preimage")),
-            post.withColumn(Cdc.ChangeType, lit("update_postimage")))
+            updated.select(postImageCols(dataCols, srcCols, effs): _*)
+              .withColumn(Cdc.ChangeType, lit("update_postimage")))
         }
       val insertPart = insertsAligned.filter(_ => inserted > 0)
         .map(_.withColumn(Cdc.ChangeType, lit("insert"))).toSeq
-      matchedPart ++ insertPart
+      deletePart ++ updatePart ++ insertPart
     })
-    val (upd, del) = matched match {
-      case MergeAction.Delete => (0L, nMatched)
-      case _ => (nMatched, 0L)
-    }
-    MergeResult(upd, del, inserted, v)
+    MergeResult(upds, dels, inserted, v)
   }
 
   private def alignToSchema(newRows: DataFrame, schema: org.apache.spark.sql.types.StructType,
@@ -578,10 +705,14 @@ object Merge {
     }.toIndexedSeq: _*)
 
   private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,
-                                src: DataFrame, keyColumns: Seq[String]): DataFrame = {
+                                src: DataFrame, keyPairs: Seq[(String, String)],
+                                sqlSemantics: Boolean = false): DataFrame = {
     val targetKeys = table.toDF(snap)
-      .select(keyColumns.map(k => col(k).as(s"__tk_$k")): _*).distinct()
-    val antiCond = keyColumns.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+      .select(keyPairs.map { case (tk, _) => col(tk).as(s"__tk_$tk") }: _*).distinct()
+    val antiCond = keyPairs.map { case (tk, sk) =>
+      if (sqlSemantics) col(sk) === col(s"__tk_$tk")
+      else col(sk) <=> col(s"__tk_$tk")
+    }.reduce(_ && _)
     src.join(targetKeys, antiCond, "left_anti")
   }
 
@@ -676,7 +807,7 @@ object Merge {
       }
 
     val insertFiles = {
-      val newRows = antiJoinUnmatched(table, snap, src, keyColumns)
+      val newRows = antiJoinUnmatched(table, snap, src, keyColumns.map(k => (k, k)))
       val shaped = newRows.flatMap(r => whenNotMatched(r))(Encoders.row(schema))
       writeInsertFiles(table, snap, shaped.toDF())
     }
@@ -704,7 +835,7 @@ object Merge {
         }(Encoders.row(cdcSchema)).toDF())
       val insertPart =
         if (insertFiles.isEmpty) Nil
-        else Seq(antiJoinUnmatched(table, snap, src, keyColumns)
+        else Seq(antiJoinUnmatched(table, snap, src, keyColumns.map(k => (k, k)))
           .flatMap(r => whenNotMatched(r))(Encoders.row(schema)).toDF()
           .withColumn(Cdc.ChangeType, lit("insert")))
       matchedPart ++ insertPart

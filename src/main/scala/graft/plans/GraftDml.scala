@@ -52,23 +52,29 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 
   /** The DML cores throw on zero matched rows (reference-API parity, the
     * d-gates pin it); SQL semantics say 0 affected rows is a SUCCESS —
-    * absorb exactly that error here. */
+    * absorb exactly that TYPED error here (matching on message text would
+    * let a reworded message silently re-enable error-on-zero-match). */
   private def noopOnNoMatch(body: => Unit): Unit =
-    try body catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.endsWith("matched no rows") => ()
-    }
+    try body catch { case _: graft.delta.NoMatchedRowsException => () }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeleteFromTable(GraftRelation(t, out), condition) =>
       exec(plan.nodeName) {
-        val cond = targetColumn(condition, out)
-        noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
+        inSubqueryLowering(condition, out) match {
+          case Some((subDf, pairs, resid)) =>
+            // `DELETE FROM t WHERE k IN (SELECT ...)` = a matched-DELETE
+            // merge against the materialized subquery side — the same
+            // join-shaped pruned core as MERGE, never a collected IN-list.
+            runSubqueryDml(t, subDf, pairs,
+              Merge.MergeClause(resid.map(targetColumn(_, out)),
+                Merge.MergeAction.Delete))
+          case None =>
+            val cond = targetColumn(condition, out)
+            noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
+        }
       }
     case UpdateTable(GraftRelation(t, out), assignments, condition) =>
       exec(plan.nodeName) {
-        val cond = condition.map(targetColumn(_, out))
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
         val set = assignments.map { a =>
           val name = a.key match {
             case ar: AttributeReference => ar.name
@@ -77,7 +83,16 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           }
           name -> targetColumn(a.value, out)
         }
-        noopOnNoMatch { if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
+        condition.flatMap(inSubqueryLowering(_, out)) match {
+          case Some((subDf, pairs, resid)) =>
+            runSubqueryDml(t, subDf, pairs,
+              Merge.MergeClause(resid.map(targetColumn(_, out)),
+                Merge.MergeAction.UpdateSet(set.toMap)))
+          case None =>
+            val cond = condition.map(targetColumn(_, out))
+              .getOrElse(org.apache.spark.sql.functions.lit(true))
+            noopOnNoMatch { if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
+        }
       }
     case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,
         matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
@@ -89,6 +104,8 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         runMerge(t, targetOut, source, cond, matchedActions,
           notMatchedActions, notMatchedBySourceActions)
       }
+    case GraftMaintenanceNode(name, out, run) =>
+      Seq(GraftMaintenanceExec(name, out, spark, run))
     case _ => Nil
   }
 
@@ -110,6 +127,60 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       throw new ValidationException(
         "subqueries in DML conditions are not supported")
 
+  /** `cond` as a conjunction containing EXACTLY ONE uncorrelated
+    * `(cols) IN (subquery)` over target columns, plus any subquery-free
+    * residual conjuncts → (materialized subquery side, key pairs,
+    * residual). The subquery side is projected to fresh collision-proof
+    * names, de-duplicated, and null-DROPPED — a NULL in an IN list never
+    * makes the predicate TRUE, so the plain-equality join core then
+    * reproduces IN's ternary logic exactly. Correlated subqueries, NOT IN
+    * (whose null semantics an equi-anti-join cannot mimic), EXISTS, and
+    * subqueries under OR are refused with the shape in the message. */
+  private def inSubqueryLowering(cond: Expression, out: AttributeSet)
+      : Option[(org.apache.spark.sql.DataFrame, Seq[(String, String)],
+                Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val (withSub, plain) =
+      split(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    withSub match {
+      case Seq() => None
+      case Seq(InSubquery(values, lq: ListQuery)) if lq.outerAttrs.isEmpty =>
+        val attrs = values.map {
+          case a: AttributeReference if out.contains(a) => a
+          case other => throw new ValidationException(
+            "only plain target columns are supported on the left of " +
+              s"IN (subquery) in DML conditions: $other")
+        }
+        val names = attrs.indices.map(i => s"__sq$i")
+        val subDf = Shims.ofRows(spark, lq.plan).toDF(names: _*)
+          .na.drop().distinct()
+        Some((subDf, attrs.map(_.name).zip(names), plain.reduceOption(CAnd)))
+      case other => throw new ValidationException(
+        "only a single uncorrelated `col IN (SELECT ...)` conjunct is " +
+          s"supported in DML conditions; got: ${other.mkString(" AND ")}")
+    }
+  }
+
+  /** Run a subquery-predicate DELETE/UPDATE as a single-clause merge
+    * against the subquery side (CoW, or the DV twin under
+    * `spark.graft.sql.dml.mor=true`). Zero matches is a SQL no-op by
+    * construction — merge does not raise on an empty matched set. */
+  private def runSubqueryDml(t: DeltaTable, subDf: org.apache.spark.sql.DataFrame,
+                             pairs: Seq[(String, String)],
+                             clause: Merge.MergeClause): Unit = {
+    if (morMode)
+      Merge.executeClausesMoR(t, subDf, pairs, Seq(clause), Nil, Nil,
+        sqlSemantics = true)
+    else
+      Merge.executeClauses(t, subDf, pairs, Seq(clause), Nil, Nil,
+        sqlSemantics = true)
+    ()
+  }
+
   // ---- MERGE lowering ------------------------------------------------------
 
   private def runMerge(t: DeltaTable, targetOut: AttributeSet,
@@ -129,48 +200,53 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           UnresolvedAttribute.quoted(a.name)
       })
     }
-    def requireAligned(assigns: Seq[Assignment]): Unit = {
-      val aligned = assigns.forall { a =>
-        (a.key, stripCast(a.value)) match {
-          case (k: AttributeReference, v: AttributeReference) =>
-            k.name == v.name && sourceOut.contains(v)
-          case _ => false
-        }
-      }
-      if (!aligned) throw new ValidationException(
-        "only name-aligned INSERT (INSERT * / INSERT (c…) VALUES (s.c…)) is supported")
-    }
-    // INSERT side: absent, or ONE (optionally conditional) name-aligned insert.
-    val insert: Option[Option[Column]] = notMatchedActions match {
-      case Seq() => None
-      case Seq(InsertStarAction(c)) => Some(c.map(sourceColumn))
-      case Seq(InsertAction(c, assigns)) =>
-        requireAligned(assigns)
-        Some(c.map(sourceColumn))
+    def assignName(a: Assignment): String = a.key match {
+      case ar: AttributeReference => ar.name
       case other => throw new ValidationException(
-        s"at most one NOT MATCHED action is supported: $other")
+        s"assignment to a non-column target is not supported: $other")
     }
-    val insertUnmatched = insert.isDefined
+    /** Every assignment is `t.c := s.c` (same name, source attr). */
+    def nameAligned(assigns: Seq[Assignment]): Boolean = assigns.forall { a =>
+      (a.key, stripCast(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference) =>
+          k.name == v.name && sourceOut.contains(v)
+        case _ => false
+      }
+    }
+    val targetNames = targetOut.map(_.name).toSet
+    // INSERT side: any number of (optionally conditional) clauses, tried
+    // first-true-wins like the matched side. An explicit column list
+    // lowers to a per-target-column value map — target columns OMITTED
+    // from the list come out NULL (SQL semantics), which the map encodes
+    // by absence. INSERT * (or a name-aligned full-coverage list) lowers
+    // to the cheaper star form.
+    val inserts: Seq[Merge.InsertClause] = notMatchedActions.map {
+      case InsertStarAction(c) => Merge.InsertClause(c.map(sourceColumn), None)
+      case InsertAction(c, assigns)
+          if nameAligned(assigns) && assigns.map(assignName).toSet == targetNames =>
+        Merge.InsertClause(c.map(sourceColumn), None)
+      case InsertAction(c, assigns) =>
+        Merge.InsertClause(c.map(sourceColumn),
+          Some(assigns.map(a => assignName(a) -> sourceColumn(a.value)).toMap))
+      case other => throw new ValidationException(
+        s"unsupported NOT MATCHED action: $other")
+    }
+    val insertUnmatched = inserts.nonEmpty
 
     // MATCHED side → MergeAction.
     def updateSet(assigns: Seq[Assignment]): Merge.MergeAction = {
       // UPDATE SET * resolves to one assignment per target column, each
-      // `t.c := s.c` — detect and use the cheaper UpdateAll path
-      val starLike = assigns.forall { a =>
-        (a.key, stripCast(a.value)) match {
-          case (k: AttributeReference, v: AttributeReference) =>
-            k.name == v.name && sourceOut.contains(v)
-          case _ => false
-        }
-      }
-      if (starLike && assigns.nonEmpty) Merge.MergeAction.UpdateAll
+      // `t.c := s.c` — but ONLY a list covering EVERY target column is
+      // star-shaped. Spark aligns assignments to full target width solely
+      // for SupportsRowLevelOperations tables, which this is not, so a
+      // partial `SET n = src.n` arrives partial and must stay UpdateSet —
+      // promoting it would silently overwrite every same-named unassigned
+      // column with source values.
+      val starLike = assigns.nonEmpty && nameAligned(assigns) &&
+        assigns.map(assignName).toSet == targetNames
+      if (starLike) Merge.MergeAction.UpdateAll
       else Merge.MergeAction.UpdateSet(assigns.map { a =>
-        val name = a.key match {
-          case ar: AttributeReference => ar.name
-          case other => throw new ValidationException(
-            s"UPDATE of a non-column target is not supported: $other")
-        }
-        name -> mergeValueColumn(a.value, targetOut, sourceOut)
+        assignName(a) -> mergeValueColumn(a.value, targetOut, sourceOut)
       }.toMap)
     }
     // MATCHED side: any number of (optionally conditional) clauses, tried
@@ -203,40 +279,32 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     val keys = equiKeys(cond, targetOut, sourceOut)
     if (nmsClauses.nonEmpty && keys.isEmpty) throw new ValidationException(
       "NOT MATCHED BY SOURCE requires an equality ON condition")
-    if (clauses.isEmpty && nmsClauses.nonEmpty) {
-      val ks = keys.get
-      Merge.executeClauses(t, srcDf, ks, Nil, insert, nmsClauses)
-      ()
-    } else if (clauses.isEmpty) {
-      // insert-only MERGE: executeClauses with no matched clauses = the
-      // anti-join + append, same atomic commit path
-      if (!insertUnmatched) throw new ValidationException(
-        "MERGE with no actions is a no-op; refusing")
-      val ks = keys.getOrElse(throw new ValidationException(
-        "insert-only MERGE requires an equality ON condition"))
-      Merge.executeClauses(t, srcDf, ks, Nil, insert)
-      ()
-    } else keys match {
+    if (clauses.isEmpty && nmsClauses.isEmpty && !insertUnmatched)
+      throw new ValidationException("MERGE with no actions is a no-op; refusing")
+    keys match {
       case Some(ks) =>
-        // the MoR twin exists for the single-unconditional-clause shape;
-        // clause chains stay CoW (no DV-mask form for partial rewrites)
-        (clauses, nmsClauses) match {
-          case (Seq(Merge.MergeClause(None, action)), Nil)
-              if morMode && insert.forall(_.isEmpty) =>
-            Merge.executeMoR(t, srcDf, ks, action, insertUnmatched)
-          case _ =>
-            Merge.executeClauses(t, srcDf, ks, clauses, insert, nmsClauses)
-        }
+        // Full clause algebra on the key path, SQL semantics (cardinality
+        // violation on ambiguous matches, plain `=` key nulls, duplicate
+        // unmatched rows all insert). `spark.graft.sql.dml.mor=true`
+        // routes the SAME clause chain through the DV-mask twin — zero
+        // target files rewritten.
+        if (morMode)
+          Merge.executeClausesMoR(t, srcDf, ks, clauses, inserts, nmsClauses,
+            sqlSemantics = true)
+        else
+          Merge.executeClauses(t, srcDf, ks, clauses, inserts, nmsClauses,
+            sqlSemantics = true)
         ()
       case None =>
-        // theta path: single unconditional clause only
-        clauses match {
-          case Seq(Merge.MergeClause(None, action)) =>
+        // theta path: single unconditional matched clause, star insert only
+        (clauses, inserts) match {
+          case (Seq(Merge.MergeClause(None, action)),
+                Seq() | Seq(Merge.InsertClause(None, None))) =>
             Merge.executeCondition(t, srcDf,
               aliasedCondition(cond, targetOut, sourceOut), action, insertUnmatched)
             ()
           case _ => throw new ValidationException(
-            "conditional/multiple MATCHED clauses require an equality ON condition")
+            "conditional/multiple clauses require an equality ON condition")
         }
     }
   }
@@ -246,11 +314,13 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     case _ => e
   }
 
-  /** `ON` conditions that are pure conjunctions of same-name
-    * target-column = source-column equalities → key-column list for the
-    * shuffle-free-resolution key path; anything else → None (theta path). */
+  /** `ON` conditions that are pure conjunctions of target-column =
+    * source-column equalities → (targetName, sourceName) key pairs for the
+    * key-join merge path — the two sides need NOT share names
+    * (`ON t.o_orderkey = s.src_key` is an ordinary equi-join merge);
+    * anything else → None (theta path). */
   private def equiKeys(cond: Expression, targetOut: AttributeSet,
-                       sourceOut: AttributeSet): Option[Seq[String]] = {
+                       sourceOut: AttributeSet): Option[Seq[(String, String)]] = {
     def split(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => split(l) ++ split(r)
       case x => Seq(x)
@@ -262,11 +332,11 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       case _ => None
     }) match {
       case Some((a: AttributeReference, b: AttributeReference))
-          if targetOut.contains(a) && sourceOut.contains(b) && a.name == b.name =>
-        Some(a.name)
+          if targetOut.contains(a) && sourceOut.contains(b) =>
+        Some((a.name, b.name))
       case Some((b: AttributeReference, a: AttributeReference))
-          if targetOut.contains(a) && sourceOut.contains(b) && a.name == b.name =>
-        Some(a.name)
+          if targetOut.contains(a) && sourceOut.contains(b) =>
+        Some((a.name, b.name))
       case _ => None
     })
     if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten.distinct)
@@ -313,6 +383,41 @@ private object GraftRelation {
     case SubqueryAlias(_, child) => unapply(child)
     case _ => None
   }
+}
+
+/** Resolved logical leaf for a maintenance TVF (`graft_vacuum` /
+  * `graft_compact`): carries the side effect as a thunk so RESOLUTION is
+  * free — `EXPLAIN SELECT * FROM graft_vacuum('t')` plans this node
+  * without vacuuming; the verb runs only when the query executes
+  * ([[GraftMaintenanceExec]]). */
+final case class GraftMaintenanceNode(opName: String,
+    override val output: Seq[Attribute],
+    @transient run: () => Seq[InternalRow])
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = 64)
+  override def simpleString(maxFields: Int): String = s"GraftMaintenance($opName)"
+}
+
+/** Physical twin of [[GraftMaintenanceNode]]: the thunk runs at most once,
+  * at EXECUTION time (first `executeCollect`/`doExecute`), and its one-row
+  * metrics are the scan output. */
+final case class GraftMaintenanceExec(opName: String,
+                                      override val output: Seq[Attribute],
+                                      @transient spark: SparkSession,
+                                      @transient run: () => Seq[InternalRow])
+  extends LeafExecNode {
+  @transient private lazy val result: Array[InternalRow] = {
+    // downstream operators require UnsafeRow (SparkPlan.getByteArrayRdd
+    // casts) — project the generic metric rows once
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(output.map(_.dataType).toArray)
+    run().map(r => proj(r).copy(): InternalRow).toArray
+  }
+  override def executeCollect(): Array[InternalRow] = result
+  override protected def doExecute(): RDD[InternalRow] =
+    spark.sparkContext.parallelize(result.toIndexedSeq, 1)
+  override def simpleString(maxFields: Int): String = s"GraftMaintenanceExec($opName)"
 }
 
 /** Leaf node that runs the side effect once (eager command execution calls
@@ -409,8 +514,11 @@ object GraftSql {
     // Maintenance verbs for SQL-only users — the TVF analog of Delta's
     // VACUUM / OPTIMIZE statements (which need a parser extension Spark
     // only applies at session build; a table function works on any
-    // session). The side effect runs at RESOLUTION and the returned
-    // single-row metrics are what the query scans.
+    // session). The side effect is DEFERRED to query execution via
+    // [[GraftMaintenanceNode]] — EXPLAIN (or a resolved-but-never-run
+    // query) does NOT vacuum/compact; only args validate at resolution.
+    def longAttrs(names: String*): Seq[Attribute] = names.map(n =>
+      AttributeReference(n, org.apache.spark.sql.types.LongType, nullable = false)())
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
       "graft_vacuum",
       "graft_vacuum(table[, retentionHours]) - reclaim unreferenced files") { args =>
@@ -419,25 +527,25 @@ object GraftSql {
       val path = resolveTableRef(spark, litString(args.head, "table"))
       val retention = args.lift(1).map(litString(_, "retentionHours").toDouble)
         .getOrElse(168.0)
-      val t = DeltaTable.forPath(spark, path)
-      val r = graft.delta.Maintenance.vacuum(t, retention)
-      import spark.implicits._
-      Seq((r.filesDeleted, r.bytesFreed))
-        .toDF("files_deleted", "bytes_freed")
-        .queryExecution.analyzed
+      GraftMaintenanceNode("graft_vacuum",
+        longAttrs("files_deleted", "bytes_freed"), () => {
+          val r = graft.delta.Maintenance.vacuum(
+            DeltaTable.forPath(spark, path), retention)
+          Seq(InternalRow(r.filesDeleted.toLong, r.bytesFreed))
+        })
     }
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
       "graft_compact", "graft_compact(table) - bin-pack small files") { args =>
       if (args.size != 1) throw new graft.delta.ValidationException(
         "graft_compact(table)")
       val path = resolveTableRef(spark, litString(args.head, "table"))
-      val t = DeltaTable.forPath(spark, path)
-      val r = graft.delta.Maintenance.compact(t,
-        graft.delta.Maintenance.CompactionConfig(minFilesToCompact = 2))
-      import spark.implicits._
-      Seq((r.filesCompacted, r.filesCreated))
-        .toDF("files_compacted", "files_created")
-        .queryExecution.analyzed
+      GraftMaintenanceNode("graft_compact",
+        longAttrs("files_compacted", "files_created"), () => {
+          val r = graft.delta.Maintenance.compact(
+            DeltaTable.forPath(spark, path),
+            graft.delta.Maintenance.CompactionConfig(minFilesToCompact = 2))
+          Seq(InternalRow(r.filesCompacted.toLong, r.filesCreated.toLong))
+        })
     }
   }
 

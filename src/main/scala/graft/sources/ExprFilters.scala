@@ -46,7 +46,12 @@ object ExprFilters {
     import org.apache.spark.sql.types._
     val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
       IntegerType -> 3, LongType -> 4)
-    (rank.contains(from) && (rank.get(to).exists(_ >= rank(from)) || to == DoubleType)) ||
+    // long→double is NOT value-preserving above 2^53: `longCol = <double
+    // literal>` compared against exact long stats could skip a file whose
+    // rows satisfy the cast predicate — only int-and-narrower may unwrap
+    // into a double comparison
+    (rank.contains(from) && (rank.get(to).exists(_ >= rank(from)) ||
+      (to == DoubleType && rank(from) <= rank(IntegerType)))) ||
       (from == FloatType && to == DoubleType)
   }
 

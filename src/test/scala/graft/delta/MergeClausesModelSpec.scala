@@ -78,7 +78,8 @@ class MergeClausesModelSpec extends SparkTestBase {
           if (!useNms) Nil
           else Seq(Merge.MergeClause(Some(col("k") === 0), Merge.MergeAction.Delete))
 
-        Merge.executeClauses(t, srcDf, Seq("id"), mergeClauses, insertCond, nms)
+        Merge.executeClauses(t, srcDf, Seq("id" -> "id"), mergeClauses,
+          insertCond.toSeq.map(c => Merge.InsertClause(c)), nms)
 
         // ---- model: matched rows take their first-true clause ----
         model = pre.flatMap { case (id, (k, n)) =>

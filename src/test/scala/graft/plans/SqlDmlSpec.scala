@@ -372,4 +372,203 @@ class SqlDmlSpec extends SparkTestBase {
     }
     assert(e.getMessage.toLowerCase.contains("equality on"), e.getMessage)
   }
+
+  test("INSERT (cols) VALUES (exprs): expressions evaluate, omitted columns NULL") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 'a', 10)")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (1, 7), (2, 8) AS s(k, x)) AS src
+           |ON tgt.id = src.k
+           |WHEN MATCHED THEN UPDATE SET n = src.x
+           |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (src.k, src.x * 10 + 1)""".stripMargin)
+    val rows = sql(s"SELECT id, v, n FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    // id=2 inserted with expression value; v NOT in the column list → NULL
+    assert(rows == Seq((1L, "a", 7L), (2L, null, 81L)))
+  }
+
+  test("multiple conditional NOT MATCHED clauses: first-true-wins") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, tag STRING, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (0, 'seed', 0)")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT id, id * 10 AS x FROM range(1, 5)) AS src
+           |ON tgt.id = src.id
+           |WHEN NOT MATCHED AND src.x >= 30 THEN INSERT (id, tag, n) VALUES (src.id, 'big', src.x)
+           |WHEN NOT MATCHED AND src.id % 2 = 0 THEN INSERT (id, tag) VALUES (src.id, 'even')
+           |WHEN NOT MATCHED AND src.id = 1 THEN INSERT (id, n) VALUES (src.id, -1)""".stripMargin)
+    val rows = sql(s"SELECT id, tag, n FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -999L else r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (0L, "seed", 0L),
+      (1L, null, -1L),     // only third clause: n set, tag omitted → NULL
+      (2L, "even", -999L), // second clause: n omitted → NULL
+      (3L, "big", 30L),    // first clause wins (x=30) before the parity clause
+      (4L, "big", 40L)))   // first clause
+  }
+
+  test("differently-named equi-keys ride the clause path (ON t.id = s.src_id)") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (1, 100), (3, 300), (9, 900)
+           |       AS s(src_id, amt)) AS src
+           |ON tgt.id = src.src_id
+           |WHEN MATCHED AND tgt.n < 15 THEN UPDATE SET n = src.amt
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (src.src_id, src.amt)""".stripMargin)
+    val rows = sql(s"SELECT id, v, n FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    // 1 updated (n<15), 2 untouched, 3 deleted, 9 inserted
+    assert(rows == Seq((1L, "a", 100L), (2L, "b", 20L), (9L, null, 900L)))
+  }
+
+  test("partial UPDATE SET with a full-width source does not clobber unassigned columns") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 'orig', 10)")
+    // source carries ALL target column names with different values; the
+    // assignment list covers only n — v must stay 'orig' (a starLike
+    // over-promotion to UPDATE SET * would overwrite it with 'evil')
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (1, 'evil', 99) AS s(id, v, n)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET n = src.n""".stripMargin)
+    val r = sql(s"SELECT v, n FROM $t WHERE id = 1").head()
+    assert(r.getString(0) == "orig" && r.getLong(1) == 99L)
+  }
+
+  test("SQL MERGE raises a cardinality violation on ambiguous matches") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO $t AS tgt
+             |USING (SELECT * FROM VALUES (1, 5), (1, 6) AS s(id, x)) AS src
+             |ON tgt.id = src.id
+             |WHEN MATCHED THEN UPDATE SET n = src.x""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"), e.getMessage)
+    // duplicate keys that match NOTHING are fine — and both insert
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (7, 70), (7, 71) AS s(id, x)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET n = src.x
+           |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (src.id, src.x)""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id = 7").head().getLong(0) == 2)
+  }
+
+  test("SQL MERGE key nulls: null-key source row inserts, never matches") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (NULL, 'nullrow')")
+    sql(s"""MERGE INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (CAST(NULL AS BIGINT), 'fromsrc') AS s(id, v)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND tgt.id IS NULL THEN UPDATE SET v = 'nms'""".stripMargin)
+    val rows = sql(s"SELECT v FROM $t ORDER BY v").collect().map(_.getString(0)).toSeq
+    // SQL `=` never matches NULL: target null row hits NMS, source null row inserts
+    assert(rows == Seq("a", "fromsrc", "nms"))
+  }
+
+  test("clause-chain MERGE under MoR: DV-masked, zero files rewritten") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING, n BIGINT)")
+    sql(s"INSERT INTO $t SELECT id, concat('v', id), id * 10 FROM range(100)")
+    val path = GraftSql.warehousePath(spark).get + "/dml/" + t.split('.').last
+    val before = graft.delta.DeltaTable.forPath(spark, path).snapshot()
+      .activeFiles.map(_.path).toSet
+    spark.conf.set("spark.graft.sql.dml.mor", "true")
+    try {
+      sql(s"""MERGE INTO $t AS tgt
+             |USING (SELECT id, id * 3 AS x FROM range(50, 110)) AS src
+             |ON tgt.id = src.id
+             |WHEN MATCHED AND tgt.id % 2 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET n = src.x
+             |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (src.id, src.x)""".stripMargin)
+    } finally spark.conf.unset("spark.graft.sql.dml.mor")
+    val snap = graft.delta.DeltaTable.forPath(spark, path).snapshot()
+    // every pre-merge file is still active (DV-masked, not rewritten)...
+    assert(before.subsetOf(snap.activeFiles.map(_.path).toSet),
+      "MoR clause merge must not rewrite existing files")
+    assert(snap.activeFiles.exists(_.deletionVector.nonEmpty),
+      "expected DV-masked files after MoR clause merge")
+    // ...and the post-state is the clause-chain semantics
+    val got = sql(s"SELECT id, n FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = ((0L until 50L).map(i => (i, i * 10)) ++           // untouched
+      (50L until 100L).filter(_ % 2 != 0).map(i => (i, i * 3)) ++ // updated odds
+      (100L until 110L).map(i => (i, i * 3))).sortBy(_._1)        // inserted
+    assert(got == want)
+  }
+
+  test("maintenance TVF side effects run at EXECUTION, not resolution (EXPLAIN is free)") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    (0 until 3).foreach(i => sql(s"INSERT INTO $t VALUES ($i)")) // 3 tiny files
+    val ref = t.stripPrefix(s"$cat.")
+    def ops: Seq[String] =
+      sql(s"SELECT operation FROM graft_history('$ref')").collect()
+        .map(_.getString(0)).toSeq
+    // EXPLAIN resolves and plans the TVF — it must NOT compact
+    val plan = sql(s"EXPLAIN SELECT * FROM graft_compact('$ref')").head().getString(0)
+    assert(plan.contains("GraftMaintenance"), plan)
+    assert(!ops.contains("COMPACT"), s"EXPLAIN must not run the verb: $ops")
+    // executing the same query DOES
+    assert(sql(s"SELECT * FROM graft_compact('$ref')").head().getLong(0) >= 2)
+    assert(ops.contains("COMPACT"), ops)
+  }
+
+  test("DELETE/UPDATE with IN (subquery) predicates lower to the join-shaped cores") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, id % 10 AS g FROM range(100)")
+    sql(s"CREATE TABLE $aux AS SELECT id * 2 AS k FROM range(10)") // 0,2,..,18
+    // subquery + residual conjunct: delete even ids < 20 with g in {0,2,..}
+    sql(s"DELETE FROM $t WHERE id IN (SELECT k FROM $aux) AND g >= 4")
+    // deleted: ids in {0..18 even} with id%10 >= 4 → 4,6,8,14,16,18
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 94)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (4,6,8,14,16,18)").head().getLong(0) == 0)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (0,2,10,12)").head().getLong(0) == 4)
+    // UPDATE through a subquery predicate
+    sql(s"UPDATE $t SET g = g + 100 WHERE id IN (SELECT k + 1 FROM $aux)")
+    assert(sql(s"SELECT count(*) FROM $t WHERE g >= 100").head().getLong(0) == 10)
+    // zero-match subquery DML is a SQL no-op
+    sql(s"DELETE FROM $t WHERE id IN (SELECT k + 1000 FROM $aux)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 94)
+    // NULLs in the subquery result never make IN true
+    sql(s"UPDATE $t SET g = -1 WHERE id IN (SELECT CAST(NULL AS BIGINT) FROM $aux)")
+    assert(sql(s"SELECT count(*) FROM $t WHERE g = -1").head().getLong(0) == 0)
+    // NOT IN: null-trap semantics an equi-anti-join cannot mimic — refused
+    val e = intercept[Exception] {
+      sql(s"DELETE FROM $t WHERE id NOT IN (SELECT k FROM $aux)")
+    }
+    assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
+  }
+
+  test("zero-match DML signals by TYPE, not message text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nomatch").toString
+    val t = graft.delta.DeltaTable.forPath(spark, dir)
+    import spark.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "v"))
+    // programmatic API parity: still an IllegalArgumentException subclass
+    val e = intercept[graft.delta.NoMatchedRowsException] {
+      t.delete(org.apache.spark.sql.functions.col("id") > 100)
+    }
+    assert(e.isInstanceOf[IllegalArgumentException])
+  }
 }

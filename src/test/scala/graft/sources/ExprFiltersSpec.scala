@@ -62,6 +62,16 @@ class ExprFiltersSpec extends AnyFunSuite {
     // narrowing long→int is NOT value-preserving either
     val la = AttributeReference("l", LongType)()
     assert(ExprFilters.pruneJson(EqualTo(Cast(la, IntegerType), Literal(5))) == JNothing)
+    // long→double loses precision above 2^53: `CAST(l AS DOUBLE) = 2^53`
+    // is true for BOTH 2^53 and 2^53+1, but the unwrapped long comparison
+    // against exact stats would skip the file holding only 2^53+1
+    import org.apache.spark.sql.types.DoubleType
+    assert(ExprFilters.pruneJson(
+      EqualTo(Cast(la, DoubleType), Literal(9007199254740992.0))) == JNothing)
+    // int→double IS exact (53-bit mantissa covers ints): still unwraps
+    assert(j(ExprFilters.pruneJson(
+      EqualTo(Cast(ia, DoubleType), Literal(5.0)))) ==
+      """{"$and":[{"a":{"$eq":5.0}}]}""")
     // unresolved cast: conservatively no pruning
     assert(ExprFilters.pruneJson(col("a").cast(LongType) === 5L) == JNothing)
   }
