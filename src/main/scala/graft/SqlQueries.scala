@@ -255,10 +255,34 @@ object SqlQueries {
              |FROM $t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** `MERGE ... WITH SCHEMA EVOLUTION` (round-10): the source carries a
+    * column the target lacks; the merge widens the table additively
+    * (metadata-only), matched rows take the new column from the source,
+    * pre-existing unmatched rows read it as NULL. */
+  def sqlMergeSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mse")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT c_custkey, c_name, c_acctbal FROM $v")
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS tgt
+             |USING (
+             |  SELECT c_custkey, c_name, c_acctbal + 5 AS c_acctbal, c_nationkey
+             |  FROM $v WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+             |  FROM $v WHERE c_custkey % 40 = 0
+             |) AS src
+             |ON tgt.c_custkey = src.c_custkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, c_acctbal, c_nationkey
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_sql_merge_insert_expr" -> (sqlMergeInsertExpr(_, _)),
     "s12_sql_merge_renamed_keys" -> (sqlMergeRenamedKeys(_, _)),
     "s13_sql_delete_subquery" -> (sqlDeleteSubquery(_, _)),
+    "s14_sql_merge_schema_evolution" -> (sqlMergeSchemaEvolution(_, _)),
     "s7_sql_table_changes" -> (sqlTableChanges(_, _)),
     "s1_sql_delete" -> (sqlDelete(_, _)),
     "s2_sql_update" -> (sqlUpdate(_, _)),
@@ -305,6 +329,18 @@ object SqlQueries {
         |                         WHERE c_mktsegment = 'BUILDING')
         |           AND o_totalprice < 100000)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "s14_sql_merge_schema_evolution" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 5 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_nationkey
+        |         ELSE CAST(NULL AS INTEGER) END AS c_nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+        |  FROM customer WHERE c_custkey % 40 = 0) m
+        |ORDER BY c_custkey""".stripMargin,
     // d7's post-state algebra, driven end-to-end through SQL text
     "s7_sql_table_changes" ->
       """SELECT * FROM (

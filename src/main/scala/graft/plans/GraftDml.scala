@@ -32,13 +32,17 @@ import graft.sources.GraftTable
  * [[GraftSql.ensure]] (runtime) or [[GraftSparkSessionExtension]]
  * (`spark.sql.extensions`).
  *
- * Supported MERGE shapes on the key-equality path: any number of
- * conditional `WHEN MATCHED THEN UPDATE SET * / SET c=e / DELETE` clauses
- * (first-true-wins), one optionally-conditional name-aligned
- * `WHEN NOT MATCHED THEN INSERT`, and `WHEN NOT MATCHED BY SOURCE THEN
- * UPDATE/DELETE`. The theta path carries one unconditional matched
- * clause. Refused with clear errors: subqueries in conditions,
- * non-name-aligned inserts, `WITH SCHEMA EVOLUTION`. Zero-match
+ * Supported MERGE shapes on the key-equality path (keys need not share
+ * names across the two sides): any number of conditional `WHEN MATCHED
+ * THEN UPDATE SET * / SET c=e / DELETE` clauses (first-true-wins), any
+ * number of conditional `WHEN NOT MATCHED THEN INSERT` clauses
+ * (`INSERT *` or expression column lists; omitted columns NULL),
+ * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`, and `WITH SCHEMA
+ * EVOLUTION` (via the AUTOMATIC_SCHEMA_EVOLUTION capability). DELETE and
+ * UPDATE additionally accept one uncorrelated `IN (subquery)` conjunct,
+ * lowered to the join-shaped merge core. The theta path carries one
+ * unconditional matched clause. Refused with clear errors: correlated /
+ * NOT-IN / EXISTS subqueries, subqueries under OR. Zero-match
  * DELETE/UPDATE is a SQL no-op, not the programmatic API's error.
  */
 final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
@@ -97,12 +101,8 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,
         matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
       exec(plan.nodeName) {
-        // refuse rather than silently align-to-target what the user asked
-        // to evolve
-        if (m.withSchemaEvolution) throw new ValidationException(
-          "MERGE ... WITH SCHEMA EVOLUTION is not supported")
         runMerge(t, targetOut, source, cond, matchedActions,
-          notMatchedActions, notMatchedBySourceActions)
+          notMatchedActions, notMatchedBySourceActions, m.withSchemaEvolution)
       }
     case GraftMaintenanceNode(name, out, run) =>
       Seq(GraftMaintenanceExec(name, out, spark, run))
@@ -187,10 +187,34 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
                        source: LogicalPlan, cond: Expression,
                        matchedActions: Seq[MergeAction],
                        notMatchedActions: Seq[MergeAction],
-                       notMatchedBySourceActions: Seq[MergeAction]): Unit = {
+                       notMatchedBySourceActions: Seq[MergeAction],
+                       schemaEvolution: Boolean = false): Unit = {
     refuseSubqueries(cond)
     val sourceOut = source.outputSet
     val srcDf = Shims.ofRows(spark, source)
+
+    // `WITH SCHEMA EVOLUTION`: widen the table ADDITIVELY with the
+    // source-only columns (nullable, metadata-only commit through the
+    // write path's schema merge — old files read the new columns as null)
+    // before the merge snapshots. Existing column types are never touched:
+    // the table keeps the wider type and the source casts at write (Delta
+    // semantics — deliberately NOT Spark's AUTOMATIC_SCHEMA_EVOLUTION
+    // capability contract, which would retype columns to match the
+    // source). Star actions then cover the evolved columns, because the
+    // merge core resolves UpdateAll/INSERT * against the POST-widening
+    // snapshot while starLike-detection compares against the pre-widening
+    // resolved target.
+    if (schemaEvolution) {
+      val targetNames = targetOut.map(_.name).toSet
+      val extras = srcDf.schema.fields.toSeq
+        .filterNot(f => targetNames.contains(f.name))
+      if (extras.nonEmpty) {
+        val extended = org.apache.spark.sql.types.StructType(
+          t.toDF().schema.fields.toSeq ++ extras.map(_.copy(nullable = true)))
+        t.write(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extended), "append")
+      }
+    }
 
     /** NOT-MATCHED condition environment: plain source column names. */
     def sourceColumn(e: Expression): Column = {

@@ -179,6 +179,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         dt.updateConfiguration(Map(s.property -> s.value))
       case u: TableChange.RemoveProperty =>
         dt.updateConfiguration(Map(u.property -> null))
+      // Same-type "change" is a no-op; a REAL type change would rewrite or
+      // upcast-on-read every existing file — refused with the actionable
+      // alternative.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested type change unsupported")
+        val cur = dt.toDF().schema(u.fieldNames.head).dataType
+        if (cur != u.newDataType)
+          throw new ValidationException(
+            s"type change ${u.fieldNames.head}: $cur -> ${u.newDataType} is not " +
+              "supported; cast the written data to the table's type instead")
       case other => throw new ValidationException(
         s"unsupported ALTER TABLE change: $other")
     }
@@ -258,6 +268,15 @@ final class GraftTable(val delta: DeltaTable, identName: String,
 
   override def schema(): StructType = relation.schema
 
+  // NOT declared: AUTOMATIC_SCHEMA_EVOLUTION. Spark's
+  // ResolveMergeIntoSchemaEvolution proposes UpdateColumnType to the
+  // SOURCE's type whenever the two sides' types differ AT ALL (an int
+  // literal source against a bigint column proposes narrowing bigint→int)
+  // and fails the merge unless the catalog fully applies it — the wrong
+  // contract for Delta semantics, where the table keeps the wider type.
+  // `MERGE ... WITH SCHEMA EVOLUTION` is instead handled by
+  // [[graft.plans.GraftDmlStrategy]], which widens additively (new source
+  // columns only) and leaves existing column types alone.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)

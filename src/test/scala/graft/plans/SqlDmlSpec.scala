@@ -560,6 +560,33 @@ class SqlDmlSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
   }
 
+  test("MERGE ... WITH SCHEMA EVOLUTION adds source-only columns additively") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS tgt
+           |USING (SELECT * FROM VALUES (2, 'B', 20L), (3, 'C', 30L)
+           |       AS s(id, v, extra)) AS src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql(s"SELECT id, v, extra FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // pre-existing unmatched row reads NULL for the evolved column
+    assert(rows == Seq((1L, "a", -1L), (2L, "B", 20L), (3L, "C", 30L)))
+    // WITHOUT the clause, the same merge must NOT evolve (extra ignored)
+    val t2 = freshTable()
+    sql(s"CREATE TABLE $t2 (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $t2 VALUES (1, 'a')")
+    sql(s"""MERGE INTO $t2 AS tgt
+           |USING (SELECT * FROM VALUES (9, 'Z', 99L) AS s(id, v, extra)) AS src
+           |ON tgt.id = src.id
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql(s"SELECT * FROM $t2").schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("zero-match DML signals by TYPE, not message text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nomatch").toString
     val t = graft.delta.DeltaTable.forPath(spark, dir)
