@@ -441,7 +441,7 @@ object NorthStarQueries {
         .writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name)
+      graft.streaming.Streams.drainMemorySink(s, name)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus"))
@@ -473,7 +473,7 @@ object NorthStarQueries {
         .writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name)
+      graft.streaming.Streams.drainMemorySink(s, name)
         .select(col(graft.delta.Cdc.ChangeType), col("event_id"), col("user_id"),
           col("event_type"), col("value"))
         .orderBy(col(graft.delta.Cdc.ChangeType), col("event_id"))
@@ -514,7 +514,7 @@ object NorthStarQueries {
         .writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name)
+      graft.streaming.Streams.drainMemorySink(s, name)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),

@@ -125,18 +125,8 @@ object Merge {
     // that is exactly "a duplicated source key that exists in the target" —
     // one aggregation over the source + a semi-join against the distinct
     // target keys (both bounded by the smaller side; no all-pairs work).
-    if (sqlSemantics && matchedClauses.nonEmpty) {
-      val dups = src.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1)
-        .select(keyPairs.map { case (tk, sk) => col(sk).as(s"__dk_$tk") }: _*)
-      val inTarget = dups.join(
-        table.toDF(snap).select(tgtKeys.map(col): _*),
-        keyPairs.map { case (tk, _) => keyEq(col(tk), col(s"__dk_$tk")) }.reduce(_ && _),
-        "left_semi").head(1)
-      if (inTarget.nonEmpty) throw new ValidationException(
-        "MERGE cardinality violation: multiple source rows match the same " +
-          s"target row (duplicate source key ${inTarget.head})")
-    }
+    if (sqlSemantics && matchedClauses.nonEmpty)
+      checkCardinality(table, snap, src, keyPairs, keyEq)
 
     val packed = src.select(
       struct(srcCols.map(col): _*).as("__src") +:
@@ -248,6 +238,30 @@ object Merge {
       captureMergeCdc(table, snap, v, cdcParts)
     }
     MergeResult(upds, dels, inserted, table.version)
+  }
+
+  /** SQL MERGE cardinality: >1 source row matching the SAME target row is
+    * an error, not a nondeterministic pick. With key-equality matching that
+    * is exactly "a duplicated source key that exists in the target". Cost
+    * shape: ONE aggregation over the source finds duplicated keys (usually
+    * zero — the overwhelmingly common case pays nothing else); only when
+    * duplicates exist does a semi-join against the column-pruned distinct
+    * target keys decide whether any of them actually matches. */
+  private def checkCardinality(table: DeltaTable, snap: Snapshot, src: DataFrame,
+                               keyPairs: Seq[(String, String)],
+                               keyEq: (Column, Column) => Column): Unit = {
+    val srcKeys = keyPairs.map(_._2)
+    val dups = src.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(keyPairs.map { case (tk, sk) => col(sk).as(s"__dk_$tk") }: _*)
+    if (dups.head(1).isEmpty) return
+    val inTarget = dups.join(
+      table.toDF(snap).select(keyPairs.map { case (tk, _) => col(tk) }: _*),
+      keyPairs.map { case (tk, _) => keyEq(col(tk), col(s"__dk_$tk")) }.reduce(_ && _),
+      "left_semi").head(1)
+    if (inTarget.nonEmpty) throw new ValidationException(
+      "MERGE cardinality violation: multiple source rows match the same " +
+        s"target row (duplicate source key ${inTarget.head})")
   }
 
   /** SQL clause-order semantics as Columns: effective condition of clause i
@@ -608,18 +622,8 @@ object Merge {
         else commitInsertRows(table, snap, buildInserts(src, inserts, schema, srcCols))
       return MergeResult(0L, 0L, inserted, table.version)
     }
-    if (sqlSemantics && matchedClauses.nonEmpty) {
-      val dups = src.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1)
-        .select(keyPairs.map { case (tk, sk) => col(sk).as(s"__dk_$tk") }: _*)
-      val inTarget = dups.join(
-        table.toDF(snap).select(tgtKeys.map(col): _*),
-        keyPairs.map { case (tk, _) => keyEq(col(tk), col(s"__dk_$tk")) }.reduce(_ && _),
-        "left_semi").head(1)
-      if (inTarget.nonEmpty) throw new ValidationException(
-        "MERGE cardinality violation: multiple source rows match the same " +
-          s"target row (duplicate source key ${inTarget.head})")
-    }
+    if (sqlSemantics && matchedClauses.nonEmpty)
+      checkCardinality(table, snap, src, keyPairs, keyEq)
     val packed = src.select(
       struct(srcCols.map(col): _*).as("__src") +:
         keyPairs.map { case (tk, sk) => col(sk).as(s"__k_$tk") }: _*)

@@ -65,7 +65,27 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally statePartitions.foreach(_ => spark.conf.set(key, old))
-    spark.table(name)
+    drainMemorySink(spark, name)
+  }
+
+  /** Materialize a FINISHED memory-sink query's table into a standalone
+    * local DataFrame, then drop the sink's temp view and unload all
+    * streaming state (providers + the background maintenance thread;
+    * both restart lazily on the next stateful query). A memory sink
+    * already lives on the driver, so the collect adds no new scale hazard
+    * — what this bounds is the sink's LIFETIME: without it every finished
+    * streaming query leaves its sink rows registered forever and its
+    * state-store providers under periodic background maintenance, taxing
+    * whatever runs next in the same session (the round-9 bench artifact
+    * showed exactly that: unrelated queries inflating when run after the
+    * streaming gates). */
+  def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val sink = spark.table(name)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val schema = sink.schema
+    spark.catalog.dropTempView(name)
+    org.apache.spark.sql.graft.Shims.unloadStreamingState()
+    spark.createDataFrame(rows, schema)
   }
 
   /**

@@ -25,6 +25,14 @@ object Shims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Unload every loaded streaming state-store provider and stop the
+    * background maintenance thread; both restart lazily when the next
+    * stateful query starts. Finished queries otherwise leave their
+    * providers loaded and under periodic maintenance for the session's
+    * lifetime. `private[sql]` in Spark, hence the shim. */
+  def unloadStreamingState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Register a SQL table-valued function on a LIVE session — the runtime
     * twin of `SparkSessionExtensions.injectTableFunction` (which only works
     * at session build time). */
