@@ -23,7 +23,10 @@ object DeltaQueries {
     t.write(t_(s, dir, "lineitem"))
     t.query("""{"l_returnflag":"A","l_quantity":{"$gte":45}}""")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
+      // order by the FULL projection so the sort is total and the oracle
+      // compare is deterministic at every SF (ties broke by luck below sf1)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
   }
 
   /** Copy-on-write delete, then full scan of the survivors. */
@@ -401,7 +404,7 @@ object DeltaQueries {
     "d1_delta_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
 
     "d2_delta_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

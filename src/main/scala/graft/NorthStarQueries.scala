@@ -110,6 +110,23 @@ object NorthStarQueries {
     (liName, oName)
   }
 
+  /** Streaming parquet source over the sf dir's events table, robust to
+    * BOTH on-disk layouts: the driver ships events as a single FILE
+    * (`events.parquet`) — the file-stream source needs a directory scan
+    * plus a leaf-name glob to reach it — while locally generated scale-up
+    * data (graft.tools.ScaleUp) writes a parquet DIRECTORY of part files,
+    * where that same glob matches nothing (`pathGlobFilter` filters LEAF
+    * file names, so `part-*.parquet` leaves never match "events.parquet"
+    * and the stream silently reads zero rows). There the directory itself
+    * is the path. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val p = s"$dir/events.parquet"
+    val schema = s.read.parquet(p).schema
+    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Build (once per session × sf dir) the time-ordered streaming source
     * for n23: three real slices plus two far-future watermark sentinels,
     * mtimes pinned strictly ascending. Reusing the directory across bench
@@ -225,15 +242,9 @@ object NorthStarQueries {
 
     // ---- event-time streaming: tumbling-window counts (memory sink) ----
     "n7_stream_window" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       // Watermarks require tz-aware TIMESTAMP; the session is UTC so casting
       // the output back to NTZ matches the oracle's naive timestamps.
-      // The file stream source requires a directory path; select the events
-      // file from the sf directory with a glob filter.
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .transform(Tables.tsLtz)
+      val stream = eventsStream(s, dir).transform(Tables.tsLtz)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -256,10 +267,7 @@ object NorthStarQueries {
     // Each event lands in exactly duration/slide = 2 overlapping windows;
     // the oracle materializes both window starts per event and aggregates.
     "n10_sliding_window" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(Tables.tsLtz)
+      val stream = eventsStream(s, dir).transform(Tables.tsLtz)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -274,10 +282,7 @@ object NorthStarQueries {
     // The streaming analog of exact dedup for continuous ingestion; emits
     // each (user_id, event_type) pair once, state bounded by the watermark.
     "n11_stream_dedup" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(Tables.tsLtz)
+      val stream = eventsStream(s, dir).transform(Tables.tsLtz)
       val dedup = stream
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
@@ -293,10 +298,7 @@ object NorthStarQueries {
     "n12_stateful_counts" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.GroupStateTimeout
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val users = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select(col("user_id")).as[Long]
+      val users = eventsStream(s, dir).select(col("user_id")).as[Long]
       val counted = users.groupByKey(identity)
         .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
           (user, rows, state) =>
@@ -357,10 +359,7 @@ object NorthStarQueries {
     // time bounds emit eagerly; the watermark bounds join state, so state
     // size follows the time window, not the stream length. ----
     "n17_stream_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(Tables.tsLtz)
+      def src = eventsStream(s, dir).transform(Tables.tsLtz)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"),
           col("event_id").as("click_id"))

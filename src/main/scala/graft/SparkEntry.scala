@@ -100,7 +100,11 @@ object SparkEntry {
           """{"l_shipdate":{"$gte":"1995-06-01","$lte":"1996-06-30"},"l_returnflag":"R"}""",
           li.schema))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // full-projection sort: (l_orderkey, l_linenumber) is not unique in
+        // the driver testdata, so ties must be totally ordered for the
+        // oracle compare to be deterministic at every SF
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
     }),
 
     // ---- north-star: 3-way join + group + top-k (TPC-H Q3 shape) ----
@@ -293,7 +297,7 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate <= TIMESTAMP '1996-06-30'
         |  AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q3_join_topk" ->
       """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
