@@ -278,7 +278,43 @@ object SqlQueries {
              |FROM $t ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS predicates in DML (round-10): the
+    * analyzer pulls the correlation equality into the subquery's joinCond;
+    * both verbs lower onto the join-shaped merge core (matched clause for
+    * EXISTS, not-matched-by-source for NOT EXISTS). */
+  def sqlDmlExists(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dex")
+    val v = view(s, dir, "orders")
+    val cv = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""DELETE FROM $t
+             |WHERE EXISTS (SELECT 1 FROM $cv c
+             |              WHERE c.c_custkey = $t.o_custkey AND c.c_acctbal < 0)""".stripMargin)
+    s.sql(s"""UPDATE $t SET o_orderpriority = 'STALE'
+             |WHERE NOT EXISTS (SELECT 1 FROM $cv c
+             |                  WHERE c.c_custkey = $t.o_custkey
+             |                    AND c.c_mktsegment = 'BUILDING')""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** NOT IN (subquery) DELETE (round-10): anti-join lowering with the
+    * null-probe guard; the subquery side here is null-free so the verb
+    * behaves as a plain anti-join — the null no-op twin is spec-covered. */
+  def sqlDeleteNotIn(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dni")
+    val v = view(s, dir, "part")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""DELETE FROM $t
+             |WHERE p_partkey NOT IN (SELECT p_partkey FROM $v WHERE p_size <= 30)""".stripMargin)
+    s.sql(s"""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+             |FROM $t ORDER BY p_partkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
+    "s16_sql_delete_not_in" -> (sqlDeleteNotIn(_, _)),
     "s11_sql_merge_insert_expr" -> (sqlMergeInsertExpr(_, _)),
     "s12_sql_merge_renamed_keys" -> (sqlMergeRenamedKeys(_, _)),
     "s13_sql_delete_subquery" -> (sqlDeleteSubquery(_, _)),
@@ -295,6 +331,21 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s15_sql_dml_exists" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'BUILDING')
+        |       THEN o_orderpriority ELSE 'STALE' END AS o_orderpriority
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s16_sql_delete_not_in" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_size <= 30
+        |ORDER BY p_partkey""".stripMargin,
+
     "s11_sql_merge_insert_expr" ->
       """SELECT * FROM (
         |  SELECT p_partkey, p_name, p_brand, p_type, p_size,

@@ -64,14 +64,13 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeleteFromTable(GraftRelation(t, out), condition) =>
       exec(plan.nodeName) {
-        inSubqueryLowering(condition, out) match {
-          case Some((subDf, pairs, resid)) =>
-            // `DELETE FROM t WHERE k IN (SELECT ...)` = a matched-DELETE
-            // merge against the materialized subquery side — the same
-            // join-shaped pruned core as MERGE, never a collected IN-list.
-            runSubqueryDml(t, subDf, pairs,
-              Merge.MergeClause(resid.map(targetColumn(_, out)),
-                Merge.MergeAction.Delete))
+        subqueryLowering(condition, out) match {
+          case Some(sq) =>
+            // `DELETE FROM t WHERE k IN (SELECT ...)` (and EXISTS / NOT
+            // IN / NOT EXISTS) = a single-clause merge against the
+            // materialized subquery side — the same join-shaped pruned
+            // core as MERGE, never a collected IN-list.
+            runSubqueryDml(t, out, sq, Merge.MergeAction.Delete)
           case None =>
             val cond = targetColumn(condition, out)
             noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
@@ -87,11 +86,9 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           }
           name -> targetColumn(a.value, out)
         }
-        condition.flatMap(inSubqueryLowering(_, out)) match {
-          case Some((subDf, pairs, resid)) =>
-            runSubqueryDml(t, subDf, pairs,
-              Merge.MergeClause(resid.map(targetColumn(_, out)),
-                Merge.MergeAction.UpdateSet(set.toMap)))
+        condition.flatMap(subqueryLowering(_, out)) match {
+          case Some(sq) =>
+            runSubqueryDml(t, out, sq, Merge.MergeAction.UpdateSet(set.toMap))
           case None =>
             val cond = condition.map(targetColumn(_, out))
               .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -127,59 +124,151 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       throw new ValidationException(
         "subqueries in DML conditions are not supported")
 
-  /** `cond` as a conjunction containing EXACTLY ONE uncorrelated
-    * `(cols) IN (subquery)` over target columns, plus any subquery-free
-    * residual conjuncts → (materialized subquery side, key pairs,
-    * residual). The subquery side is projected to fresh collision-proof
-    * names, de-duplicated, and null-DROPPED — a NULL in an IN list never
-    * makes the predicate TRUE, so the plain-equality join core then
-    * reproduces IN's ternary logic exactly. Correlated subqueries, NOT IN
-    * (whose null semantics an equi-anti-join cannot mimic), EXISTS, and
-    * subqueries under OR are refused with the shape in the message. */
-  private def inSubqueryLowering(cond: Expression, out: AttributeSet)
-      : Option[(org.apache.spark.sql.DataFrame, Seq[(String, String)],
-                Option[Expression])] = {
-    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+  /** A lowered subquery-predicate DML shape (see [[subqueryLowering]]). */
+  private sealed trait SubqueryPlan
+  /** The predicate is statically FALSE for every row (NOT IN over a
+    * subquery that yields a NULL) — the whole statement is a no-op. */
+  private case object SubqueryNoop extends SubqueryPlan
+  /** Join-shaped lowering: `anti = false` applies the DML action to target
+    * rows WITH a key match in `subDf` (IN / EXISTS); `anti = true` to rows
+    * WITHOUT one (NOT EXISTS / NOT IN, via the not-matched-by-source
+    * clause). `keyNotNullGuard` adds `key IS NOT NULL` to the action's
+    * condition — NOT IN is never TRUE for a NULL probe value, which the
+    * anti-join alone cannot express. */
+  private final case class SubqueryJoin(subDf: org.apache.spark.sql.DataFrame,
+                                        pairs: Seq[(String, String)],
+                                        residual: Option[Expression],
+                                        anti: Boolean,
+                                        keyNotNullGuard: Boolean) extends SubqueryPlan
+
+  /** Lower `cond` when it is a conjunction containing EXACTLY ONE subquery
+    * conjunct of a join-expressible shape, plus any subquery-free residual
+    * conjuncts. Supported shapes:
+    *
+    *  - `(cols) IN (SELECT …)` (uncorrelated): the subquery side is
+    *    de-duplicated and null-DROPPED (a NULL in an IN list never makes
+    *    the predicate TRUE), then a plain-equality matched join reproduces
+    *    IN's ternary logic exactly;
+    *  - `(cols) NOT IN (SELECT …)`: if the subquery yields any NULL the
+    *    statement is a no-op (`x <> NULL` is never TRUE → the NOT IN is
+    *    never TRUE); otherwise an anti join with a `key IS NOT NULL`
+    *    guard (a NULL probe is likewise never TRUE);
+    *  - `EXISTS (SELECT … WHERE sub.k = t.k [AND …])`: the analyzer pulls
+    *    the correlated equalities into the Exists' joinCond — those become
+    *    the key pairs, the subquery's residual predicates stay inside its
+    *    plan, and the match is a matched join;
+    *  - `NOT EXISTS (…)`: same, as an anti join (NULL-key target rows have
+    *    no match, so they DO satisfy NOT EXISTS — plain `=` join gives
+    *    exactly that).
+    *
+    * Refused with the shape in the message: correlated IN, non-equality
+    * correlation, subqueries under OR, more than one subquery conjunct. */
+  private def subqueryLowering(cond: Expression, out: AttributeSet)
+      : Option[SubqueryPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, Not}
     def split(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
     val (withSub, plain) =
       split(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    val residual = plain.reduceOption(CAnd)
+
+    /** (cols) IN/NOT IN probe attrs: plain target columns only. */
+    def probeAttrs(values: Seq[Expression]): Seq[AttributeReference] = values.map {
+      case a: AttributeReference if out.contains(a) => a
+      case other => throw new ValidationException(
+        "only plain target columns are supported on the left of " +
+          s"IN (subquery) in DML conditions: $other")
+    }
+    def freshNames(n: Int): Seq[String] = (0 until n).map(i => s"__sq$i")
+    /** Correlated-EXISTS joinCond conjuncts → (targetAttr, subAttr). */
+    def existsPairs(joinCond: Seq[Expression], sub: LogicalPlan)
+        : Seq[(AttributeReference, Attribute)] = joinCond.map { c =>
+      (c match {
+        case EqualTo(l, r) => Some((stripCast(l), stripCast(r)))
+        case _ => None
+      }) match {
+        case Some((a: AttributeReference, b: AttributeReference))
+            if out.contains(a) && sub.outputSet.contains(b) => (a, b)
+        case Some((b: AttributeReference, a: AttributeReference))
+            if out.contains(a) && sub.outputSet.contains(b) => (a, b)
+        case _ => throw new ValidationException(
+          "only equality correlation (sub.col = target.col) is supported " +
+            s"in EXISTS predicates of DML conditions: $c")
+      }
+    }
+    def existsJoin(e: Exists, anti: Boolean): SubqueryPlan = {
+      if (e.joinCond.isEmpty) throw new ValidationException(
+        "uncorrelated EXISTS in DML conditions is not supported")
+      val pairs = existsPairs(e.joinCond, e.plan)
+      val names = freshNames(pairs.size)
+      val projected = Shims.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          pairs.map(_._2.asInstanceOf[Attribute]).toIndexedSeq, e.plan))
+        .toDF(names: _*).na.drop().distinct()
+      SubqueryJoin(projected, pairs.map(_._1.name).zip(names), residual,
+        anti = anti, keyNotNullGuard = false)
+    }
+
     withSub match {
       case Seq() => None
       case Seq(InSubquery(values, lq: ListQuery)) if lq.outerAttrs.isEmpty =>
-        val attrs = values.map {
-          case a: AttributeReference if out.contains(a) => a
-          case other => throw new ValidationException(
-            "only plain target columns are supported on the left of " +
-              s"IN (subquery) in DML conditions: $other")
-        }
-        val names = attrs.indices.map(i => s"__sq$i")
+        val attrs = probeAttrs(values)
+        val names = freshNames(attrs.size)
         val subDf = Shims.ofRows(spark, lq.plan).toDF(names: _*)
           .na.drop().distinct()
-        Some((subDf, attrs.map(_.name).zip(names), plain.reduceOption(CAnd)))
+        Some(SubqueryJoin(subDf, attrs.map(_.name).zip(names), residual,
+          anti = false, keyNotNullGuard = false))
+      case Seq(Not(InSubquery(values, lq: ListQuery))) if lq.outerAttrs.isEmpty =>
+        val attrs = probeAttrs(values)
+        val names = freshNames(attrs.size)
+        val raw = Shims.ofRows(spark, lq.plan).toDF(names: _*)
+        // any NULL in the list ⇒ `x <> NULL` is unknown for every probe ⇒
+        // the NOT IN is never TRUE ⇒ statement-wide no-op. One short job.
+        val hasNull = raw.filter(names.map(col(_).isNull).reduce(_ || _))
+          .head(1).nonEmpty
+        if (hasNull) Some(SubqueryNoop)
+        else Some(SubqueryJoin(raw.distinct(), attrs.map(_.name).zip(names),
+          residual, anti = true, keyNotNullGuard = true))
+      case Seq(e: Exists) => Some(existsJoin(e, anti = false))
+      case Seq(Not(e: Exists)) => Some(existsJoin(e, anti = true))
       case other => throw new ValidationException(
-        "only a single uncorrelated `col IN (SELECT ...)` conjunct is " +
-          s"supported in DML conditions; got: ${other.mkString(" AND ")}")
+        "only a single IN/NOT IN (uncorrelated) or EXISTS/NOT EXISTS " +
+          "(equality-correlated) subquery conjunct is supported in DML " +
+          s"conditions; got: ${other.mkString(" AND ")}")
     }
   }
 
   /** Run a subquery-predicate DELETE/UPDATE as a single-clause merge
-    * against the subquery side (CoW, or the DV twin under
-    * `spark.graft.sql.dml.mor=true`). Zero matches is a SQL no-op by
-    * construction — merge does not raise on an empty matched set. */
-  private def runSubqueryDml(t: DeltaTable, subDf: org.apache.spark.sql.DataFrame,
-                             pairs: Seq[(String, String)],
-                             clause: Merge.MergeClause): Unit = {
-    if (morMode)
-      Merge.executeClausesMoR(t, subDf, pairs, Seq(clause), Nil, Nil,
-        sqlSemantics = true)
-    else
-      Merge.executeClauses(t, subDf, pairs, Seq(clause), Nil, Nil,
-        sqlSemantics = true)
-    ()
-  }
+    * against the subquery side — the matched clause for IN/EXISTS, the
+    * not-matched-by-source clause for NOT IN/NOT EXISTS (CoW, or the DV
+    * twin under `spark.graft.sql.dml.mor=true`). Zero matches is a SQL
+    * no-op by construction — merge does not raise on an empty set. */
+  private def runSubqueryDml(t: DeltaTable, out: AttributeSet,
+                             sq: SubqueryPlan, action: Merge.MergeAction): Unit =
+    sq match {
+      case SubqueryNoop => ()
+      case SubqueryJoin(subDf, pairs, residual, anti, guard) =>
+        val residCol = residual.map(targetColumn(_, out))
+        val guardCol =
+          if (!guard) None
+          else Some(pairs.map(p => col(p._1).isNotNull).reduce(_ && _))
+        val condCol = (guardCol, residCol) match {
+          case (Some(g), Some(r)) => Some(g && r)
+          case (g, r) => g.orElse(r)
+        }
+        val clause = Merge.MergeClause(condCol, action)
+        val (clauses, nms) =
+          if (anti) (Nil, Seq(clause)) else (Seq(clause), Nil)
+        if (morMode)
+          Merge.executeClausesMoR(t, subDf, pairs, clauses, Nil, nms,
+            sqlSemantics = true)
+        else
+          Merge.executeClauses(t, subDf, pairs, clauses, Nil, nms,
+            sqlSemantics = true)
+        ()
+    }
 
   // ---- MERGE lowering ------------------------------------------------------
 

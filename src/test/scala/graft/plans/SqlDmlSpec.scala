@@ -553,11 +553,44 @@ class SqlDmlSpec extends SparkTestBase {
     // NULLs in the subquery result never make IN true
     sql(s"UPDATE $t SET g = -1 WHERE id IN (SELECT CAST(NULL AS BIGINT) FROM $aux)")
     assert(sql(s"SELECT count(*) FROM $t WHERE g = -1").head().getLong(0) == 0)
-    // NOT IN: null-trap semantics an equi-anti-join cannot mimic — refused
+    // correlated IN stays refused with the shape in the message
     val e = intercept[Exception] {
-      sql(s"DELETE FROM $t WHERE id NOT IN (SELECT k FROM $aux)")
+      sql(s"DELETE FROM $t WHERE g IN (SELECT k FROM $aux WHERE k = $t.id)")
     }
-    assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("subquery conjunct"), e.getMessage)
+  }
+
+  test("EXISTS / NOT EXISTS / NOT IN subquery predicates in DML") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, id % 10 AS g FROM range(40)")
+    sql(s"CREATE TABLE $aux AS SELECT id * 4 AS k, id AS w FROM range(8)") // 0,4..28
+    // correlated EXISTS with a sub-side filter: delete ids in {16,20,24,28}∩(w>3 → k>=16)
+    sql(s"DELETE FROM $t WHERE EXISTS (SELECT 1 FROM $aux WHERE k = $t.id AND w > 3)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 36)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (16,20,24,28)").head().getLong(0) == 0)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (0,4,8,12)").head().getLong(0) == 4)
+    // NOT EXISTS with a residual conjunct: update rows with no aux match and id < 3
+    sql(s"UPDATE $t SET g = -5 WHERE NOT EXISTS (SELECT 1 FROM $aux WHERE k = $t.id) AND id < 3")
+    assert(sql(s"SELECT count(*) FROM $t WHERE g = -5").head().getLong(0) == 2) // ids 1,2 (0 matches aux)
+    // NOT IN over a null-free subquery = anti-join delete
+    val t2 = freshTable()
+    sql(s"CREATE TABLE $t2 AS SELECT id FROM range(10)")
+    sql(s"DELETE FROM $t2 WHERE id NOT IN (SELECT id * 2 FROM range(3))") // keep 0,2,4
+    assert(sql(s"SELECT id FROM $t2 ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 2L, 4L))
+    // NOT IN whose subquery yields a NULL is a statement-wide no-op
+    sql(s"DELETE FROM $t2 WHERE id NOT IN (SELECT CAST(NULL AS BIGINT) FROM range(2))")
+    assert(sql(s"SELECT count(*) FROM $t2").head().getLong(0) == 3)
+    // NOT IN never deletes a NULL probe row (x <> NULL is unknown)
+    val t3 = freshTable()
+    sql(s"CREATE TABLE $t3 (id BIGINT)")
+    sql(s"INSERT INTO $t3 VALUES (1), (2), (NULL)")
+    sql(s"DELETE FROM $t3 WHERE id NOT IN (SELECT id FROM range(2))") // list {0,1}
+    val left = sql(s"SELECT id FROM $t3").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(left == Seq(-1L, 1L)) // 2 deleted; NULL row and 1 kept
   }
 
   test("MERGE ... WITH SCHEMA EVOLUTION adds source-only columns additively") {
