@@ -312,7 +312,60 @@ object SqlQueries {
              |FROM $t ORDER BY p_partkey""".stripMargin)
   }
 
+  /** RESTORE through the `graft_restore` TVF (round-10): CTAS, destructive
+    * DELETE, then roll back to the pre-delete version — the final state
+    * must be bit-identical to the original table, which is exactly what
+    * the oracle recomputes. Also drives `graft_history` (version lookup)
+    * through SQL. */
+  def sqlRestore(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "rst")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    val ref = t.split('.').drop(1).mkString(".")
+    val v0 = s.sql(s"SELECT max(version) FROM graft_history('$ref')")
+      .head().getLong(0)
+    s.sql(s"DELETE FROM $t WHERE o_totalprice > 100000 OR o_orderstatus = 'F'")
+    s.sql(s"SELECT * FROM graft_restore('$ref', $v0)").collect()
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Exact dedup through the `graft_dedup` TVF (round-10): duplicate the
+    * whole table with a second INSERT, dedup back down, and read the
+    * survivors — one copy of every original row. */
+  def sqlDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "ddp")
+    val v = view(s, dir, "customer")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v")
+    val ref = t.split('.').drop(1).mkString(".")
+    s.sql(s"SELECT * FROM graft_dedup('$ref')").collect()
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Uncorrelated scalar subqueries in DML (round-10): folded to literals
+    * by one driver-side evaluation, then run through the plain
+    * (join-free, file-pruned) DELETE/UPDATE cores. Thresholds derive from
+    * `max` (exact — no summation-order drift), so Spark and DuckDB compute
+    * bit-identical doubles and the comparison classifies rows identically. */
+  def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "ssc")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"DELETE FROM $t WHERE o_totalprice > (SELECT 0.5 * max(o_totalprice) FROM $v)")
+    s.sql(s"""UPDATE $t SET o_orderpriority = 'LOW'
+             |WHERE o_totalprice < (SELECT 0.05 * max(o_totalprice) FROM $v)""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
+    "s17_sql_restore" -> (sqlRestore(_, _)),
+    "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
     "s16_sql_delete_not_in" -> (sqlDeleteNotIn(_, _)),
     "s11_sql_merge_insert_expr" -> (sqlMergeInsertExpr(_, _)),
@@ -331,6 +384,24 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s19_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  CASE WHEN o_totalprice < (SELECT 0.05 * max(o_totalprice) FROM orders)
+        |       THEN 'LOW' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE o_totalprice <= (SELECT 0.5 * max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s17_sql_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s18_sql_dedup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "s15_sql_dml_exists" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,

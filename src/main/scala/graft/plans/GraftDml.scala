@@ -61,9 +61,27 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   private def noopOnNoMatch(body: => Unit): Unit =
     try body catch { case _: graft.delta.NoMatchedRowsException => () }
 
+  /** Replace every uncorrelated scalar subquery in `e` with the literal it
+    * evaluates to — SQL scalar semantics: zero rows → NULL, more than one
+    * row → error. A scalar is the one subquery shape whose VALUE (not its
+    * row set) is the operand, so one driver-side evaluation per statement
+    * turns `SET x = (SELECT max(...))` / `WHERE p > (SELECT avg(...))`
+    * into constant-folded expressions the join-free DML cores (and the
+    * file pruner) handle natively. Correlated scalars stay refused. */
+  private def substituteScalars(e: Expression): Expression = e.transform {
+    case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+        if sq.outerAttrs.isEmpty =>
+      val rows = Shims.ofRows(spark, sq.plan).take(2)
+      if (rows.length > 1) throw new ValidationException(
+        "scalar subquery in a DML statement returned more than one row")
+      val v = rows.headOption.map(_.get(0)).orNull
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, sq.dataType)
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case DeleteFromTable(GraftRelation(t, out), condition) =>
+    case DeleteFromTable(GraftRelation(t, out), rawCondition) =>
       exec(plan.nodeName) {
+        val condition = substituteScalars(rawCondition)
         subqueryLowering(condition, out) match {
           case Some(sq) =>
             // `DELETE FROM t WHERE k IN (SELECT ...)` (and EXISTS / NOT
@@ -76,15 +94,16 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
         }
       }
-    case UpdateTable(GraftRelation(t, out), assignments, condition) =>
+    case UpdateTable(GraftRelation(t, out), assignments, rawCondition) =>
       exec(plan.nodeName) {
+        val condition = rawCondition.map(substituteScalars)
         val set = assignments.map { a =>
           val name = a.key match {
             case ar: AttributeReference => ar.name
             case other => throw new ValidationException(
               s"UPDATE of a non-column target is not supported: $other")
           }
-          name -> targetColumn(a.value, out)
+          name -> targetColumn(substituteScalars(a.value), out)
         }
         condition.flatMap(subqueryLowering(_, out)) match {
           case Some(sq) =>
@@ -658,6 +677,69 @@ object GraftSql {
             DeltaTable.forPath(spark, path),
             graft.delta.Maintenance.CompactionConfig(minFilesToCompact = 2))
           Seq(InternalRow(r.filesCompacted.toLong, r.filesCreated.toLong))
+        })
+    }
+    // State-changing verbs under the same deferred contract — the SQL
+    // analogs of Delta's RESTORE / OPTIMIZE ZORDER BY / dedup recipes /
+    // SHALLOW CLONE statements, so a SQL-only user can run every
+    // maintenance verb the programmatic API exposes.
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_restore",
+      "graft_restore(table, version) - roll the table back to a version") { args =>
+      if (args.size != 2) throw new graft.delta.ValidationException(
+        "graft_restore(table, version)")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val version = litLong(args(1), "version")
+      GraftMaintenanceNode("graft_restore",
+        longAttrs("rows_affected", "files_rewritten", "version"), () => {
+          val r = DeltaTable.forPath(spark, path).restore(version)
+          Seq(InternalRow(r.rowsAffected, r.filesRewritten, r.version))
+        })
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_zorder",
+      "graft_zorder(table, col[, col ...]) - rewrite clustered by Z-order") { args =>
+      if (args.size < 2) throw new graft.delta.ValidationException(
+        "graft_zorder(table, col[, col ...])")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val cols = args.tail.map(litString(_, "column"))
+      GraftMaintenanceNode("graft_zorder",
+        longAttrs("files_before", "files_after", "version"), () => {
+          val r = graft.delta.Maintenance.zOrderCluster(
+            DeltaTable.forPath(spark, path), cols)
+          Seq(InternalRow(r.filesBefore, r.filesAfter, r.version))
+        })
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_dedup",
+      "graft_dedup(table[, key ...]) - drop exact (or by-key) duplicate rows") { args =>
+      if (args.isEmpty) throw new graft.delta.ValidationException(
+        "graft_dedup(table[, key ...])")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val keys = args.tail.map(litString(_, "key"))
+      val strategy: graft.delta.Maintenance.DedupStrategy =
+        if (keys.isEmpty) graft.delta.Maintenance.DedupStrategy.Exact
+        else graft.delta.Maintenance.DedupStrategy.ByKey(keys)
+      GraftMaintenanceNode("graft_dedup",
+        longAttrs("rows_before", "rows_after", "version"), () => {
+          val r = graft.delta.Maintenance.deduplicate(
+            DeltaTable.forPath(spark, path), strategy)
+          Seq(InternalRow(r.rowsBefore, r.rowsAfter, r.version))
+        })
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_clone",
+      "graft_clone(table, targetPath[, deep]) - zero-copy (or deep) clone") { args =>
+      if (args.size < 2 || args.size > 3) throw new graft.delta.ValidationException(
+        "graft_clone(table, targetPath[, deep])")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val target = litString(args(1), "targetPath")
+      val deep = args.lift(2).exists(litString(_, "deep").toBoolean)
+      GraftMaintenanceNode("graft_clone",
+        longAttrs("source_version", "target_version"), () => {
+          val src = DeltaTable.forPath(spark, path)
+          val cloned = src.cloneTo(target, deep)
+          Seq(InternalRow(src.version, cloned.version))
         })
     }
   }

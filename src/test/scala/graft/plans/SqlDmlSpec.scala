@@ -292,6 +292,69 @@ class SqlDmlSpec extends SparkTestBase {
     assert(ops.exists(_._2 == "WRITE") && ops.exists(_._2 == "DELETE"), ops.mkString(","))
   }
 
+  test("graft_restore TVF rolls the table back; side effect deferred past EXPLAIN") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id FROM range(10)")
+    val ref = t.stripPrefix(s"$cat.")
+    val v0 = sql(s"SELECT max(version) FROM graft_history('$ref')").head().getLong(0)
+    sql(s"DELETE FROM $t WHERE id >= 5")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5)
+    val r = sql(s"SELECT * FROM graft_restore('$ref', $v0)").head()
+    assert(r.getLong(2) > v0, r.toString)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10)
+    // the deferred contract: EXPLAIN resolves+plans but must NOT restore
+    sql(s"DELETE FROM $t WHERE id >= 5")
+    sql(s"EXPLAIN SELECT * FROM graft_restore('$ref', $v0)").collect()
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 5)
+  }
+
+  test("graft_zorder TVF rewrites clustered by the key columns, content intact") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (a BIGINT, b BIGINT)")
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO $t SELECT id + ${i * 100}, id * 7 % 100 FROM range(100)"))
+    val ref = t.stripPrefix(s"$cat.")
+    val before = sql(s"SELECT sum(a) + sum(b) FROM $t").head().getLong(0)
+    val r = sql(s"SELECT * FROM graft_zorder('$ref', 'a', 'b')").head()
+    assert(r.getLong(0) >= 1 && r.getLong(1) >= 1, r.toString)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 300)
+    assert(sql(s"SELECT sum(a) + sum(b) FROM $t").head().getLong(0) == before)
+  }
+
+  test("graft_dedup TVF drops exact and by-key duplicates through SQL") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, id % 3 AS g FROM range(9)")
+    sql(s"INSERT INTO $t SELECT id, id % 3 AS g FROM range(9)") // exact dup of every row
+    val ref = t.stripPrefix(s"$cat.")
+    val r = sql(s"SELECT rows_before, rows_after FROM graft_dedup('$ref')").head()
+    assert(r.getLong(0) == 18 && r.getLong(1) == 9, r.toString)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 9)
+    val r2 = sql(s"SELECT rows_before, rows_after FROM graft_dedup('$ref', 'g')").head()
+    assert(r2.getLong(0) == 9 && r2.getLong(1) == 3, r2.toString)
+    assert(sql(s"SELECT count(DISTINCT g) FROM $t").head().getLong(0) == 3)
+  }
+
+  test("graft_clone TVF zero-copy clones to a path through SQL") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id FROM range(7)")
+    val ref = t.stripPrefix(s"$cat.")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clone-sql").toString
+    graft.TempDirs.deleteOnExit(dir)
+    val target = s"$dir/cloned"
+    val r = sql(s"SELECT * FROM graft_clone('$ref', '$target')").head()
+    assert(r.getLong(0) >= 0 && r.getLong(1) >= 0, r.toString)
+    val cloned = graft.delta.DeltaTable.forPath(spark, target)
+    assert(cloned.toDF().count() == 7)
+    // writes to the clone leave the source untouched (shallow isolation)
+    cloned.delete("""{"id":{"$gte":5}}""")
+    assert(cloned.toDF().count() == 5)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7)
+  }
+
   test("conditional multi-clause MERGE: first-true clause wins per row") {
     setup()
     val t = freshTable()
@@ -591,6 +654,29 @@ class SqlDmlSpec extends SparkTestBase {
     val left = sql(s"SELECT id FROM $t3").collect()
       .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
     assert(left == Seq(-1L, 1L)) // 2 deleted; NULL row and 1 kept
+  }
+
+  test("uncorrelated scalar subqueries fold to literals in UPDATE/DELETE") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(10)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k FROM range(4)") // max k = 3
+    // scalar in SET and in WHERE, composing in one statement
+    sql(s"UPDATE $t SET v = (SELECT max(k) * 100 FROM $aux) WHERE id > (SELECT max(k) FROM $aux)")
+    assert(sql(s"SELECT count(*) FROM $t WHERE v = 300.0").head().getLong(0) == 6) // ids 4..9
+    // scalar + IN-subquery conjunct in the same condition
+    sql(s"DELETE FROM $t WHERE id IN (SELECT k FROM $aux) AND id < (SELECT max(k) FROM $aux)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7) // 0,1,2 gone
+    // zero-row scalar → NULL → no row matches (ternary logic)
+    sql(s"DELETE FROM $t WHERE id > (SELECT k FROM $aux WHERE k > 100)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7)
+    // >1-row scalar → error, statement unapplied
+    val e = intercept[Exception] {
+      sql(s"DELETE FROM $t WHERE id > (SELECT k FROM $aux)")
+    }
+    assert(e.getMessage.toLowerCase.contains("more than one row"), e.getMessage)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 7)
   }
 
   test("MERGE ... WITH SCHEMA EVOLUTION adds source-only columns additively") {
