@@ -350,6 +350,26 @@ object SqlQueries {
     * (join-free, file-pruned) DELETE/UPDATE cores. Thresholds derive from
     * `max` (exact — no summation-order drift), so Spark and DuckDB compute
     * bit-identical doubles and the comparison classifies rows identically. */
+  /** Correlated scalar subqueries in DML: a zero-tuple-correct COUNT
+    * delete (orders with no lineitems go — unmatched keys see 0, not
+    * NULL) then a per-key aggregate assignment (max keeps the compare
+    * bit-stable across engines). Lowered to the clause-chain merge on the
+    * correlation key — matched rows read the subquery value through the
+    * source side, unmatched rows its zero-tuple substitution. */
+  def sqlCorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "scs")
+    val o = view(s, dir, "orders")
+    val l = view(s, dir, "lineitem")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $o")
+    s.sql(s"""DELETE FROM $t WHERE
+             |  (SELECT count(*) FROM $l WHERE $l.l_orderkey = $t.o_orderkey) = 0""".stripMargin)
+    s.sql(s"""UPDATE $t SET o_totalprice =
+             |  (SELECT max(l_extendedprice) FROM $l WHERE $l.l_orderkey = $t.o_orderkey)""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val t = fresh(s, "ssc")
     val v = view(s, dir, "orders")
@@ -364,6 +384,7 @@ object SqlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
+    "s20_sql_correlated_scalar" -> (sqlCorrelatedScalar(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -384,6 +405,15 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s20_sql_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  (SELECT max(l_extendedprice) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "s19_sql_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,

@@ -82,36 +82,60 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     case DeleteFromTable(GraftRelation(t, out), rawCondition) =>
       exec(plan.nodeName) {
         val condition = substituteScalars(rawCondition)
-        subqueryLowering(condition, out) match {
-          case Some(sq) =>
-            // `DELETE FROM t WHERE k IN (SELECT ...)` (and EXISTS / NOT
-            // IN / NOT EXISTS) = a single-clause merge against the
-            // materialized subquery side — the same join-shaped pruned
-            // core as MERGE, never a collected IN-list.
-            runSubqueryDml(t, out, sq, Merge.MergeAction.Delete)
-          case None =>
-            val cond = targetColumn(condition, out)
-            noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
+        correlatedScalarLowering(Seq(condition), out) match {
+          case Some(cs) =>
+            // `DELETE FROM t WHERE p > (SELECT agg(...) WHERE sub.k=t.k)`:
+            // a clause-chain merge on the correlation keys. Matched rows
+            // see the subquery VALUE through the source side; unmatched
+            // rows see the SQL-mandated NULL (so e.g. `> NULL` deletes
+            // nothing but `(SELECT ...) IS NULL` deletes exactly them).
+            runCorrelatedDml(t, cs,
+              _ => Merge.MergeAction.Delete, Some(condition))
+          case None => subqueryLowering(condition, out) match {
+            case Some(sq) =>
+              // `DELETE FROM t WHERE k IN (SELECT ...)` (and EXISTS / NOT
+              // IN / NOT EXISTS) = a single-clause merge against the
+              // materialized subquery side — the same join-shaped pruned
+              // core as MERGE, never a collected IN-list.
+              runSubqueryDml(t, out, sq, Merge.MergeAction.Delete)
+            case None =>
+              val cond = targetColumn(condition, out)
+              noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
+          }
         }
       }
     case UpdateTable(GraftRelation(t, out), assignments, rawCondition) =>
       exec(plan.nodeName) {
         val condition = rawCondition.map(substituteScalars)
-        val set = assignments.map { a =>
+        val assigns = assignments.map { a =>
           val name = a.key match {
             case ar: AttributeReference => ar.name
             case other => throw new ValidationException(
               s"UPDATE of a non-column target is not supported: $other")
           }
-          name -> targetColumn(substituteScalars(a.value), out)
+          name -> substituteScalars(a.value)
         }
-        condition.flatMap(subqueryLowering(_, out)) match {
-          case Some(sq) =>
-            runSubqueryDml(t, out, sq, Merge.MergeAction.UpdateSet(set.toMap))
+        correlatedScalarLowering(condition.toSeq ++ assigns.map(_._2), out) match {
+          case Some(cs) =>
+            // `UPDATE t SET x = (SELECT agg(...) WHERE sub.k=t.k)`: the
+            // matched clause assigns the per-key subquery value, the
+            // not-matched-by-source clause assigns its NULL substitution —
+            // together they cover every target row the WHERE admits, which
+            // is exactly SQL's row-at-a-time scalar-subquery semantics.
+            runCorrelatedDml(t, cs,
+              sub => Merge.MergeAction.UpdateSet(
+                assigns.map { case (n, v) => n -> sub(v) }.toMap),
+              condition)
           case None =>
-            val cond = condition.map(targetColumn(_, out))
-              .getOrElse(org.apache.spark.sql.functions.lit(true))
-            noopOnNoMatch { if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
+            val set = assigns.map { case (n, v) => n -> targetColumn(v, out) }
+            condition.flatMap(subqueryLowering(_, out)) match {
+              case Some(sq) =>
+                runSubqueryDml(t, out, sq, Merge.MergeAction.UpdateSet(set.toMap))
+              case None =>
+                val cond = condition.map(targetColumn(_, out))
+                  .getOrElse(org.apache.spark.sql.functions.lit(true))
+                noopOnNoMatch { if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
+            }
         }
       }
     case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,
@@ -288,6 +312,137 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             sqlSemantics = true)
         ()
     }
+
+  /** A lowered equality-correlated scalar subquery. `subDf` is the
+    * decorrelated subquery side (`__sqval` + one `__sqN` per correlation
+    * key), `pairs` the (targetCol, subCol) equality keys, and the two
+    * environments rewrite any statement expression containing the subquery
+    * into a merge-clause Column: `matched` routes the subquery VALUE
+    * through the source struct, `unmatched` substitutes the NULL a scalar
+    * subquery yields over an empty correlated set. */
+  private final case class CorrelatedScalar(
+      subDf: org.apache.spark.sql.DataFrame,
+      pairs: Seq[(String, String)],
+      matched: Expression => Column,
+      unmatched: Expression => Column)
+
+  /** Lower the single equality-correlated scalar subquery occurring in
+    * `exprs` (a DML statement's condition and/or assignment values), or
+    * None when there is none. By strategy time the optimizer has pulled
+    * the correlation into `joinCond` and appended the correlation columns
+    * to the subquery plan's output (its VALUE stays `output.head` — the
+    * invariant Spark's own correlated-scalar rewrite relies on), so the
+    * subquery side plans as an ordinary standalone DataFrame. Refused with
+    * the shape in the message: more than one distinct correlated scalar,
+    * non-equality correlation, and aggregate shapes whose zero-tuple value
+    * cannot be computed statically (see [[zeroTupleValue]]). */
+  private def correlatedScalarLowering(exprs: Seq[Expression],
+                                       out: AttributeSet)
+      : Option[CorrelatedScalar] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, OuterReference, ScalarSubquery}
+    val subs = exprs.flatMap(_.collect {
+      case s: ScalarSubquery if s.outerAttrs.nonEmpty => s
+    })
+    if (subs.isEmpty) return None
+    if (subs.map(_.exprId).distinct.size > 1) throw new ValidationException(
+      "at most one correlated scalar subquery is supported per DML statement")
+    val sq = subs.head
+    if (sq.joinCond.isEmpty || sq.plan.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[OuterReference]))))
+      throw new ValidationException(
+        "only equality-correlated scalar subqueries are supported in DML " +
+          "statements")
+    val pairs = sq.joinCond.map { c =>
+      (c match {
+        case EqualTo(l, r) => Some((stripCast(l), stripCast(r)))
+        case _ => None
+      }) match {
+        case Some((a: AttributeReference, b: AttributeReference))
+            if out.contains(a) && sq.plan.outputSet.contains(b) => (a, b)
+        case Some((b: AttributeReference, a: AttributeReference))
+            if out.contains(a) && sq.plan.outputSet.contains(b) => (a, b)
+        case _ => throw new ValidationException(
+          "only equality correlation (sub.col = target.col) is supported " +
+            s"in scalar subqueries of DML statements: $c")
+      }
+    }
+    val names = pairs.indices.map(i => s"__sq$i")
+    // NULL correlation keys never equality-match a target row, so they are
+    // dead weight on the join — drop them on the (small) subquery side.
+    val subDf = Shims.ofRows(spark, Project(
+      (sq.plan.output.head +: pairs.map(_._2.asInstanceOf[Attribute]))
+        .toIndexedSeq, sq.plan))
+      .toDF(("__sqval" +: names): _*)
+      .na.drop("any", names)
+    def build(e: Expression, value: Expression): Column = {
+      val substituted = e.transform {
+        case s: ScalarSubquery if s.exprId == sq.exprId => value
+      }
+      refuseSubqueries(substituted)
+      Shims.column(substituted.transform {
+        case a: AttributeReference if out.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+      })
+    }
+    Some(CorrelatedScalar(subDf, pairs.map(_._1.name).zip(names),
+      matched = build(_, UnresolvedAttribute(Seq("__src", "__sqval"))),
+      unmatched = build(_, Literal.create(zeroTupleValue(sq.plan), sq.dataType))))
+  }
+
+  /** What a correlated scalar subquery evaluates to for a target row with
+    * NO correlated match — the value driving the not-matched-by-source
+    * clause. A non-aggregate subquery yields no row → NULL. An aggregate
+    * yields the aggregate OVER ZERO TUPLES (NULL for max/min/avg/sum but
+    * 0 for COUNT — the classic count bug NULL substitution would get
+    * wrong), computed the way Spark's own correlated-scalar rewrite does:
+    * run the value expression over an empty relation, one driver-local
+    * job over zero rows. Decorrelation turned the scalar aggregate into a
+    * group-by over the correlation keys, so the recognized shape is a
+    * topmost Aggregate (modulo aliases) with no second aggregate below
+    * it; a HAVING between them (Filter over Aggregate) or a nested
+    * aggregate pipeline would need Spark's full zero-tuple interpreter
+    * and is refused instead. */
+  private def zeroTupleValue(plan: LogicalPlan): Any = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(plan) match {
+      case agg: Aggregate if !agg.child.exists(_.isInstanceOf[Aggregate]) =>
+        try Shims.ofRows(spark, Aggregate(Nil,
+            Seq(agg.aggregateExpressions.head), LocalRelation(agg.child.output)))
+          .head().get(0)
+        catch {
+          case scala.util.control.NonFatal(_) => throw new ValidationException(
+            "cannot compute the zero-tuple value of this correlated scalar " +
+              "subquery's aggregate; rewrite the DML as a MERGE")
+        }
+      case p if !p.exists(_.isInstanceOf[Aggregate]) => null
+      case _ => throw new ValidationException(
+        "correlated scalar subqueries with aggregates under HAVING or " +
+          "nested aggregate pipelines are not supported in DML statements")
+    }
+  }
+
+  /** Run a correlated-scalar DELETE/UPDATE as a two-clause merge on the
+    * correlation keys: the matched clause acts with the subquery value in
+    * scope, the not-matched-by-source clause with its NULL substitution.
+    * `sqlSemantics = true` keeps duplicate correlation keys an error for
+    * matched rows — exactly SQL's "scalar subquery returned more than one
+    * row", raised only when some target row would actually observe it. */
+  private def runCorrelatedDml(t: DeltaTable, cs: CorrelatedScalar,
+                               action: (Expression => Column) => Merge.MergeAction,
+                               condition: Option[Expression]): Unit = {
+    val m = Merge.MergeClause(condition.map(cs.matched), action(cs.matched))
+    val n = Merge.MergeClause(condition.map(cs.unmatched), action(cs.unmatched))
+    if (morMode)
+      Merge.executeClausesMoR(t, cs.subDf, cs.pairs, Seq(m), Nil, Seq(n),
+        sqlSemantics = true)
+    else
+      Merge.executeClauses(t, cs.subDf, cs.pairs, Seq(m), Nil, Seq(n),
+        sqlSemantics = true)
+    ()
+  }
 
   // ---- MERGE lowering ------------------------------------------------------
 

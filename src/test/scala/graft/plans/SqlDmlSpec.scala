@@ -717,4 +717,135 @@ class SqlDmlSpec extends SparkTestBase {
     }
     assert(e.isInstanceOf[IllegalArgumentException])
   }
+
+  test("UPDATE SET from a correlated scalar subquery; no match → NULL") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT, total DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 0.0), (2, 0.0), (3, 0.0)")
+    sql(s"CREATE TABLE $aux (k BIGINT, v DOUBLE)")
+    sql(s"INSERT INTO $aux VALUES (1, 5.0), (1, 7.0), (2, 11.0)") // no k=3
+    sql(s"UPDATE $t SET total = (SELECT max(v) FROM $aux WHERE $aux.k = $t.k)")
+    val got = sql(s"SELECT k, total FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq((1L, Some(7.0)), (2L, Some(11.0)), (3L, None)))
+  }
+
+  test("UPDATE correlated scalar: WHERE bounds the assignment, rows outside untouched") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(-1 AS DOUBLE) AS m FROM range(6)")
+    sql(s"CREATE TABLE $aux AS SELECT id % 3 AS k, CAST(id AS DOUBLE) AS v FROM range(9)")
+    // per-key max over aux: k=0→6, k=1→7, k=2→8; t keys 3..5 unmatched
+    sql(s"""UPDATE $t SET m = (SELECT max(v) FROM $aux WHERE $aux.k = $t.k)
+           |WHERE k % 2 = 0""".stripMargin)
+    val got = sql(s"SELECT k, m FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // k=0 matched+admitted → 6; k=2 → 8; k=4 admitted but unmatched → NULL;
+    // odd keys outside the WHERE keep -1
+    assert(got.toSeq == Seq((0L, Some(6.0)), (1L, Some(-1.0)), (2L, Some(8.0)),
+      (3L, Some(-1.0)), (4L, None), (5L, Some(-1.0))))
+  }
+
+  test("DELETE WHERE compares against a correlated scalar; unmatched rows survive") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT, price DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 10.0), (3, 10.0)")
+    sql(s"CREATE TABLE $aux (k BIGINT, v DOUBLE)")
+    sql(s"INSERT INTO $aux VALUES (1, 4.0), (2, 40.0)") // avg: k1=4, k2=40; no k=3
+    sql(s"DELETE FROM $t WHERE price > (SELECT avg(v) FROM $aux WHERE $aux.k = $t.k)")
+    // k=1: 10 > 4 → deleted; k=2: 10 > 40 → kept; k=3: 10 > NULL → kept
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 3L))
+  }
+
+  test("DELETE WHERE correlated scalar IS NULL deletes exactly the unmatched rows") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(5)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k, id AS v FROM range(3)")
+    sql(s"DELETE FROM $t WHERE (SELECT max(v) FROM $aux WHERE $aux.k = $t.k) IS NULL")
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 1L, 2L))
+  }
+
+  test("correlated scalar observed at >1 row per key is an error; unobserved duplicates are not") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT, x DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 0.0)")
+    sql(s"CREATE TABLE $aux (k BIGINT, v DOUBLE)")
+    // k=9 duplicated but no target row has k=9 → never observed, no error
+    sql(s"INSERT INTO $aux VALUES (1, 5.0), (9, 1.0), (9, 2.0)")
+    sql(s"UPDATE $t SET x = (SELECT v FROM $aux WHERE $aux.k = $t.k)")
+    assert(sql(s"SELECT x FROM $t").head().getDouble(0) == 5.0)
+    sql(s"INSERT INTO $aux VALUES (1, 6.0)") // now k=1 is ambiguous AND observed
+    val e = intercept[Exception] {
+      sql(s"UPDATE $t SET x = (SELECT v FROM $aux WHERE $aux.k = $t.k)")
+    }
+    assert(e.getMessage.toLowerCase.contains("multiple source rows") ||
+      e.getMessage.toLowerCase.contains("more than one row"), e.getMessage)
+  }
+
+  test("correlated COUNT sees 0 (not NULL) for unmatched rows — no count bug") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(5)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k FROM range(2)") // k = 0, 1
+    // `count(*) = 0` is TRUE exactly for keys absent from aux: the
+    // zero-tuple value is 0, not the NULL a naive substitution would use
+    sql(s"DELETE FROM $t WHERE (SELECT count(*) FROM $aux WHERE $aux.k = $t.k) = 0")
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 1L))
+    // and as an assignment: matched keys get their count, unmatched 0
+    val t2 = freshTable()
+    sql(s"CREATE TABLE $t2 AS SELECT id AS k, CAST(-1 AS BIGINT) AS c FROM range(3)")
+    val aux2 = freshTable()
+    sql(s"CREATE TABLE $aux2 AS SELECT id % 2 AS k FROM range(3)") // k0×2, k1×1
+    sql(s"UPDATE $t2 SET c = (SELECT count(*) FROM $aux2 WHERE $aux2.k = $t2.k)")
+    assert(sql(s"SELECT c FROM $t2 ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 1L, 0L))
+  }
+
+  test("correlated scalar DELETE under MoR: DV-masked, no files rewritten") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(10 AS DOUBLE) AS price FROM range(10)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(5, 15)")
+    val path = GraftSql.warehousePath(spark).get + "/dml/" + t.split('.').last
+    val before = graft.delta.DeltaTable.forPath(spark, path).snapshot()
+      .activeFiles.map(_.path).toSet
+    spark.conf.set("spark.graft.sql.dml.mor", "true")
+    try {
+      // keys 5..9 matched with v = k: 10 > k deletes 5..9? v=k so 10>v for k∈{5..9}
+      sql(s"DELETE FROM $t WHERE price > (SELECT max(v) FROM $aux WHERE $aux.k = $t.k)")
+    } finally spark.conf.unset("spark.graft.sql.dml.mor")
+    val snap = graft.delta.DeltaTable.forPath(spark, path).snapshot()
+    assert(before.subsetOf(snap.activeFiles.map(_.path).toSet),
+      "MoR correlated-scalar DELETE must not rewrite existing files")
+    assert(snap.activeFiles.exists(_.deletionVector.nonEmpty))
+    // unmatched keys 0..4 survive (10 > NULL never TRUE); matched 5..9 deleted
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("non-equality correlation in a scalar subquery is refused with a clear error") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(3)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(3)")
+    val e = intercept[Exception] {
+      sql(s"DELETE FROM $t WHERE 1.0 < (SELECT max(v) FROM $aux WHERE $aux.k < $t.k)")
+    }
+    assert(e.getMessage.toLowerCase.contains("correlat"), e.getMessage)
+  }
 }
