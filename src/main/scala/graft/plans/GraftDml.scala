@@ -39,11 +39,16 @@ import graft.sources.GraftTable
  * (`INSERT *` or expression column lists; omitted columns NULL),
  * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`, and `WITH SCHEMA
  * EVOLUTION` (via the AUTOMATIC_SCHEMA_EVOLUTION capability). DELETE and
- * UPDATE additionally accept one uncorrelated `IN (subquery)` conjunct,
- * lowered to the join-shaped merge core. The theta path carries one
- * unconditional matched clause. Refused with clear errors: correlated /
- * NOT-IN / EXISTS subqueries, subqueries under OR. Zero-match
- * DELETE/UPDATE is a SQL no-op, not the programmatic API's error.
+ * UPDATE additionally accept one subquery: an `IN` / `NOT IN`
+ * (uncorrelated) or `EXISTS` / `NOT EXISTS` (equality-correlated)
+ * conjunct, an uncorrelated scalar (folded to a literal), or an
+ * equality-correlated scalar (lowered to a clause-chain merge on the
+ * correlation keys with a zero-tuple substitution for unmatched rows) —
+ * all running the join-shaped merge cores. The theta path carries one
+ * unconditional matched clause. Refused with clear errors: non-equality
+ * correlation, subqueries under OR, more than one subquery conjunct.
+ * Zero-match DELETE/UPDATE is a SQL no-op, not the programmatic API's
+ * error.
  */
 final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 
