@@ -259,7 +259,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
  */
 final class GraftTable(val delta: DeltaTable, identName: String,
                        version: Option[Long], timestampMs: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with TruncatableTable {
+
+  /** `TRUNCATE TABLE t`: one overwrite commit carrying zero adds — every
+    * active file is removed atomically, schema and history retained (the
+    * pre-truncate state stays time-travelable, same as the programmatic
+    * overwrite path). */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    delta.write(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], delta.toDF().schema), "overwrite")
+    true
+  }
 
   private def relation: DeltaRelation =
     new DeltaRelation(SparkSession.active.sqlContext, delta, version, timestampMs)
