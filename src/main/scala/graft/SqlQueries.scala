@@ -370,6 +370,20 @@ object SqlQueries {
              |FROM $t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated IN in DML: membership tested per correlation group (here,
+    * "my lang is among the langs that have a >540-char doc in MY source"),
+    * lowered to one multi-key semi-join merge — correlation pairs join
+    * alongside the probe pair, no per-group re-execution anywhere. */
+  def sqlCorrelatedIn(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "sci")
+    val d = view(s, dir, "documents")
+    s.sql(s"CREATE TABLE $t AS SELECT doc_id, lang, source, n_chars FROM $d")
+    s.sql(s"""DELETE FROM $t WHERE lang IN
+             |  (SELECT d.lang FROM $d AS d
+             |   WHERE d.source = $t.source AND d.n_chars > 540)""".stripMargin)
+    s.sql(s"SELECT doc_id, lang, source, n_chars FROM $t ORDER BY doc_id")
+  }
+
   def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val t = fresh(s, "ssc")
     val v = view(s, dir, "orders")
@@ -385,6 +399,7 @@ object SqlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
     "s20_sql_correlated_scalar" -> (sqlCorrelatedScalar(_, _)),
+    "s21_sql_correlated_in" -> (sqlCorrelatedIn(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -405,6 +420,12 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s21_sql_correlated_in" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents t
+        |WHERE NOT (lang IN (SELECT d.lang FROM documents d
+        |                    WHERE d.source = t.source AND d.n_chars > 540))
+        |ORDER BY doc_id""".stripMargin,
+
     "s20_sql_correlated_scalar" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  (SELECT max(l_extendedprice) FROM lineitem

@@ -72,7 +72,8 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     * row set) is the operand, so one driver-side evaluation per statement
     * turns `SET x = (SELECT max(...))` / `WHERE p > (SELECT avg(...))`
     * into constant-folded expressions the join-free DML cores (and the
-    * file pruner) handle natively. Correlated scalars stay refused. */
+    * file pruner) handle natively. Correlated scalars take the
+    * clause-chain merge route in [[correlatedScalarLowering]] instead. */
   private def substituteScalars(e: Expression): Expression = e.transform {
     case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
         if sq.outerAttrs.isEmpty =>
@@ -243,7 +244,7 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             if out.contains(a) && sub.outputSet.contains(b) => (a, b)
         case _ => throw new ValidationException(
           "only equality correlation (sub.col = target.col) is supported " +
-            s"in EXISTS predicates of DML conditions: $c")
+            s"in EXISTS/IN predicates of DML conditions: $c")
       }
     }
     def existsJoin(e: Exists, anti: Boolean): SubqueryPlan = {
@@ -261,12 +262,23 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 
     withSub match {
       case Seq() => None
-      case Seq(InSubquery(values, lq: ListQuery)) if lq.outerAttrs.isEmpty =>
+      case Seq(InSubquery(values, lq: ListQuery)) =>
+        // Uncorrelated AND equality-correlated IN share one lowering: the
+        // correlation equalities (pulled into joinCond, their columns
+        // appended after the `values.size` probe columns of the
+        // decorrelated plan's output) simply join alongside the probe
+        // pairs. A NULL probe or NULL list value never makes IN TRUE, so
+        // dropping nulls + plain-equality matching is exact either way.
         val attrs = probeAttrs(values)
-        val names = freshNames(attrs.size)
-        val subDf = Shims.ofRows(spark, lq.plan).toDF(names: _*)
-          .na.drop().distinct()
-        Some(SubqueryJoin(subDf, attrs.map(_.name).zip(names), residual,
+        val corr = existsPairs(lq.joinCond, lq.plan)
+        val allTargets = attrs ++ corr.map(_._1)
+        val allSub = lq.plan.output.take(values.size) ++ corr.map(_._2)
+        val names = freshNames(allSub.size)
+        val subDf = Shims.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            allSub.toIndexedSeq, lq.plan))
+          .toDF(names: _*).na.drop().distinct()
+        Some(SubqueryJoin(subDf, allTargets.map(_.name).zip(names), residual,
           anti = false, keyNotNullGuard = false))
       case Seq(Not(InSubquery(values, lq: ListQuery))) if lq.outerAttrs.isEmpty =>
         val attrs = probeAttrs(values)

@@ -616,11 +616,14 @@ class SqlDmlSpec extends SparkTestBase {
     // NULLs in the subquery result never make IN true
     sql(s"UPDATE $t SET g = -1 WHERE id IN (SELECT CAST(NULL AS BIGINT) FROM $aux)")
     assert(sql(s"SELECT count(*) FROM $t WHERE g = -1").head().getLong(0) == 0)
-    // correlated IN stays refused with the shape in the message
-    val e = intercept[Exception] {
-      sql(s"DELETE FROM $t WHERE g IN (SELECT k FROM $aux WHERE k = $t.id)")
-    }
-    assert(e.getMessage.toLowerCase.contains("subquery conjunct"), e.getMessage)
+    // correlated IN runs through the same multi-key join core: the
+    // membership set here is {k | k = t.id}, so the delete hits exactly
+    // rows with g = id and id present in aux — ids 0 and 2 (10 and 12
+    // survive: their g is 0/2, not 10/12)
+    sql(s"DELETE FROM $t WHERE g IN (SELECT k FROM $aux WHERE k = $t.id)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 92)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (0, 2)").head().getLong(0) == 0)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (10, 12)").head().getLong(0) == 2)
   }
 
   test("EXISTS / NOT EXISTS / NOT IN subquery predicates in DML") {
@@ -835,6 +838,43 @@ class SqlDmlSpec extends SparkTestBase {
     // unmatched keys 0..4 survive (10 > NULL never TRUE); matched 5..9 deleted
     assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
       == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("correlated IN: membership is tested per correlation group") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t (k BIGINT, g BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 0), (2, 0), (1, 1), (3, 1)")
+    sql(s"CREATE TABLE $aux (x BIGINT, g BIGINT)")
+    sql(s"INSERT INTO $aux VALUES (1, 0), (3, 1)")
+    // k=1 is in group 0's list only; k=3 in group 1's only
+    sql(s"DELETE FROM $t WHERE k IN (SELECT x FROM $aux WHERE $aux.g = $t.g)")
+    val got = sql(s"SELECT k, g FROM $t ORDER BY g, k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 0L), (1L, 1L)))
+    // and in UPDATE, with a residual conjunct
+    sql(s"UPDATE $t SET k = -k WHERE k IN (SELECT x FROM $aux WHERE $aux.g = $t.g) AND g >= 0")
+    // survivors (2,0) and (1,1): k=1 IS in group 1's list {3}? no — only (1,1)
+    // has k=1, group 1 list is {3} → no match; (2,0) group 0 list {1} → no
+    assert(sql(s"SELECT count(*) FROM $t WHERE k < 0").head().getLong(0) == 0)
+    sql(s"INSERT INTO $aux VALUES (2, 0)")
+    sql(s"UPDATE $t SET k = -k WHERE k IN (SELECT x FROM $aux WHERE $aux.g = $t.g)")
+    val got2 = sql(s"SELECT k, g FROM $t ORDER BY g, k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((-2L, 0L), (1L, 1L)))
+  }
+
+  test("correlated NOT IN stays refused (per-group NULL semantics)") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k, id % 2 AS g FROM range(4)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS x, id % 2 AS g FROM range(2)")
+    val e = intercept[Exception] {
+      sql(s"DELETE FROM $t WHERE k NOT IN (SELECT x FROM $aux WHERE $aux.g = $t.g)")
+    }
+    assert(e.getMessage.toLowerCase.contains("subquery"), e.getMessage)
   }
 
   test("non-equality correlation in a scalar subquery is refused with a clear error") {
