@@ -271,14 +271,29 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         // dropping nulls + plain-equality matching is exact either way.
         val attrs = probeAttrs(values)
         val corr = existsPairs(lq.joinCond, lq.plan)
-        val allTargets = attrs ++ corr.map(_._1)
+        val allTargets = (attrs ++ corr.map(_._1)).map(_.name)
         val allSub = lq.plan.output.take(values.size) ++ corr.map(_._2)
         val names = freshNames(allSub.size)
-        val subDf = Shims.ofRows(spark,
+        val raw = Shims.ofRows(spark,
           org.apache.spark.sql.catalyst.plans.logical.Project(
             allSub.toIndexedSeq, lq.plan))
-          .toDF(names: _*).na.drop().distinct()
-        Some(SubqueryJoin(subDf, allTargets.map(_.name).zip(names), residual,
+          .toDF(names: _*)
+        // `t.c IN (SELECT s.a …) AND s.b = t.c` yields TWO pairs on t.c;
+        // the merge needs one join pair per target column, so equate the
+        // extra sub columns on the (small) subquery side and keep one.
+        val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+        var consolidated = raw
+        allTargets.zip(names).foreach { case (tn, sn) =>
+          seen.get(tn) match {
+            case None => seen.update(tn, sn)
+            case Some(first) =>
+              consolidated = consolidated.filter(col(first) === col(sn))
+          }
+        }
+        val kept = seen.toSeq
+        val subDf = consolidated.select(kept.map(p => col(p._2)): _*)
+          .na.drop().distinct()
+        Some(SubqueryJoin(subDf, kept, residual,
           anti = false, keyNotNullGuard = false))
       case Seq(Not(InSubquery(values, lq: ListQuery))) if lq.outerAttrs.isEmpty =>
         val attrs = probeAttrs(values)

@@ -178,4 +178,35 @@ class DmlPlanAuditSpec extends SparkTestBase {
       s"merge aggregated the file set into one collect_set cell: $collectSets")
     assert(t.toDF().filter($"s" === "merged").count() == 200)
   }
+
+  test("correlated-subquery SQL DML: no file-path In, no nested-loop join") {
+    val cat = graft.plans.GraftSql.ensure(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.audit")
+    val t = s"$cat.audit.corr"
+    val aux = s"$cat.audit.corraux"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(0 AS DOUBLE) AS x FROM range(1000)")
+    spark.sql(
+      s"CREATE TABLE $aux AS SELECT id % 100 AS k, CAST(id AS DOUBLE) AS v FROM range(500)")
+    val plans = capturing {
+      spark.sql(s"UPDATE $t SET x = (SELECT max(v) FROM $aux WHERE $aux.k = $t.k)")
+      spark.sql(
+        s"DELETE FROM $t WHERE k IN (SELECT k FROM $aux AS a WHERE a.v > 100 AND a.k = $t.k)")
+    }
+    assertNoFileIn(plans, "correlated DML")
+    // Both lowerings must plan equi-joins on the correlation keys — a
+    // nested-loop/cartesian here would be a per-target-row re-execution
+    // in disguise, the exact shape the merge lowering exists to avoid.
+    val phys = plans.map(_._2).map {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val loops = phys.flatMap(_.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    })
+    assert(loops.isEmpty,
+      s"correlated DML planned a nested-loop join: ${loops.take(2)}")
+    // and the semantics went through: every key <100 got its per-key max
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE x IS NULL").head().getLong(0) == 900)
+  }
 }
