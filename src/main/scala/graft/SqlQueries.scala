@@ -384,6 +384,20 @@ object SqlQueries {
     s.sql(s"SELECT doc_id, lang, source, n_chars FROM $t ORDER BY doc_id")
   }
 
+  /** TRUNCATE TABLE (one overwrite commit, zero adds) then refill: the
+    * final state must equal the refill alone — any pre-truncate row
+    * surviving, or the schema changing, breaks the oracle. */
+  def sqlTruncate(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "trc")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"TRUNCATE TABLE $t")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE o_orderstatus = 'O'")
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val t = fresh(s, "ssc")
     val v = view(s, dir, "orders")
@@ -400,6 +414,7 @@ object SqlQueries {
     "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
     "s20_sql_correlated_scalar" -> (sqlCorrelatedScalar(_, _)),
     "s21_sql_correlated_in" -> (sqlCorrelatedIn(_, _)),
+    "s22_sql_truncate" -> (sqlTruncate(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -420,6 +435,12 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s22_sql_truncate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "s21_sql_correlated_in" ->
       """SELECT doc_id, lang, source, n_chars FROM documents t
         |WHERE NOT (lang IN (SELECT d.lang FROM documents d
