@@ -384,6 +384,52 @@ object SqlQueries {
     s.sql(s"SELECT doc_id, lang, source, n_chars FROM $t ORDER BY doc_id")
   }
 
+  /** TWO subquery conjuncts, one of them under OR (round-10 generality):
+    * the specialized single-conjunct lowerings refuse this shape, so it
+    * routes through the general fallback — Spark's own subquery planner
+    * evaluates the whole predicate (semi-joins, no nested loop) and the
+    * admitted rows drive the pruned merge core by full-row matching. */
+  def sqlDeleteOrSubquery(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dos")
+    val o = view(s, dir, "orders")
+    val c = view(s, dir, "customer")
+    val l = view(s, dir, "lineitem")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $o")
+    s.sql(s"""DELETE FROM $t
+             |WHERE (o_custkey IN (SELECT c_custkey FROM $c
+             |                     WHERE c_mktsegment = 'BUILDING')
+             |       OR o_totalprice > 250000)
+             |  AND EXISTS (SELECT 1 FROM $l li
+             |              WHERE li.l_orderkey = $t.o_orderkey
+             |                AND li.l_quantity >= 45)""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated NOT IN with an EXPRESSION correlation (round-10
+    * generality): per-row membership lists keyed by `c_custkey % 5` — a
+    * shape no key-join lowering expresses (Spark itself plans it as a
+    * null-aware anti join), routed through the general fallback. The
+    * inner side is the 25-row nation table, so the planner's nested-loop
+    * anti join is 25 comparisons per row — the fallback inherits exactly
+    * the plan the same predicate costs in a SELECT. */
+  def sqlCorrelatedNotIn(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "cni")
+    val c = view(s, dir, "customer")
+    val n = view(s, dir, "nation")
+    s.sql(s"""CREATE TABLE $t AS
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $c""".stripMargin)
+    s.sql(s"""DELETE FROM $t
+             |WHERE c_nationkey NOT IN
+             |  (SELECT n.n_nationkey FROM $n n
+             |   WHERE n.n_regionkey = $t.c_custkey % 5
+             |     AND n.n_nationkey < 20)""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM $t ORDER BY c_custkey""".stripMargin)
+  }
+
   /** TRUNCATE TABLE (one overwrite commit, zero adds) then refill: the
     * final state must equal the refill alone — any pre-truncate row
     * surviving, or the schema changing, breaks the oracle. */
@@ -415,6 +461,8 @@ object SqlQueries {
     "s20_sql_correlated_scalar" -> (sqlCorrelatedScalar(_, _)),
     "s21_sql_correlated_in" -> (sqlCorrelatedIn(_, _)),
     "s22_sql_truncate" -> (sqlTruncate(_, _)),
+    "s23_sql_delete_or_subquery" -> (sqlDeleteOrSubquery(_, _)),
+    "s24_sql_correlated_not_in" -> (sqlCorrelatedNotIn(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -435,6 +483,27 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s23_sql_delete_or_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders t
+        |WHERE NOT ((o_custkey IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'BUILDING')
+        |            OR o_totalprice > 250000)
+        |           AND EXISTS (SELECT 1 FROM lineitem li
+        |                       WHERE li.l_orderkey = t.o_orderkey
+        |                         AND li.l_quantity >= 45))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s24_sql_correlated_not_in" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer t
+        |WHERE NOT (c_nationkey NOT IN
+        |  (SELECT n.n_nationkey FROM nation n
+        |   WHERE n.n_regionkey = t.c_custkey % 5
+        |     AND n.n_nationkey < 20))
+        |ORDER BY c_custkey""".stripMargin,
+
     "s22_sql_truncate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority

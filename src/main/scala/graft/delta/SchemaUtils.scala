@@ -29,6 +29,8 @@ object SchemaUtils {
     case (x: StructType, y: StructType) => scala.util.Try(merge(x, y)).toOption
     case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
       widen(xe, ye).map(e => ArrayType(e, xn || yn))
+    case (MapType(xk, xv, xn), MapType(yk, yv, yn)) =>
+      for { k <- widen(xk, yk); v <- widen(xv, yv) } yield MapType(k, v, xn || yn)
     case (x, y) =>
       (numericRank(x), numericRank(y)) match {
         case (Some(rx), Some(ry)) => Some(if (rx >= ry) x else y)

@@ -39,16 +39,23 @@ import graft.sources.GraftTable
  * (`INSERT *` or expression column lists; omitted columns NULL),
  * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`, and `WITH SCHEMA
  * EVOLUTION` (via the AUTOMATIC_SCHEMA_EVOLUTION capability). DELETE and
- * UPDATE additionally accept one subquery: an `IN` / `NOT IN`
+ * UPDATE accept ARBITRARY subqueries in their WHERE clause. The common
+ * shapes take specialized key-join lowerings: an `IN` / `NOT IN`
  * (uncorrelated) or `EXISTS` / `NOT EXISTS` (equality-correlated)
  * conjunct, an uncorrelated scalar (folded to a literal), or an
  * equality-correlated scalar (lowered to a clause-chain merge on the
  * correlation keys with a zero-tuple substitution for unmatched rows) —
- * all running the join-shaped merge cores. The theta path carries one
- * unconditional matched clause. Refused with clear errors: non-equality
- * correlation, subqueries under OR, more than one subquery conjunct.
- * Zero-match DELETE/UPDATE is a SQL no-op, not the programmatic API's
- * error.
+ * all running the join-shaped merge cores. Every OTHER shape (multiple
+ * subquery conjuncts, subqueries under OR, correlated [NOT] IN,
+ * non-equality correlation, aggregates under HAVING — in the WHERE *or*
+ * in UPDATE assignment values) routes through the general fallback
+ * ([[runGeneralFallback]]): Spark's own subquery planner evaluates the
+ * whole predicate (and any assignment values) in one pre-state pass and
+ * the admitted rows drive the merge cores by full-row matching. The
+ * theta MERGE path carries one unconditional matched clause. The one
+ * remaining refusal, with a clear error: the full-row fallback over a
+ * map-typed column (maps cannot be join keys). Zero-match DELETE/UPDATE
+ * is a SQL no-op, not the programmatic API's error.
  */
 final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 
@@ -85,32 +92,41 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case DeleteFromTable(GraftRelation(t, out), rawCondition) =>
+    case DeleteFromTable(rel @ GraftRelation(t, out), rawCondition) =>
       exec(plan.nodeName) {
         val condition = substituteScalars(rawCondition)
-        correlatedScalarLowering(Seq(condition), out) match {
-          case Some(cs) =>
-            // `DELETE FROM t WHERE p > (SELECT agg(...) WHERE sub.k=t.k)`:
-            // a clause-chain merge on the correlation keys. Matched rows
-            // see the subquery VALUE through the source side; unmatched
-            // rows see the SQL-mandated NULL (so e.g. `> NULL` deletes
-            // nothing but `(SELECT ...) IS NULL` deletes exactly them).
-            runCorrelatedDml(t, cs,
-              _ => Merge.MergeAction.Delete, Some(condition))
-          case None => subqueryLowering(condition, out) match {
-            case Some(sq) =>
-              // `DELETE FROM t WHERE k IN (SELECT ...)` (and EXISTS / NOT
-              // IN / NOT EXISTS) = a single-clause merge against the
-              // materialized subquery side — the same join-shaped pruned
-              // core as MERGE, never a collected IN-list.
-              runSubqueryDml(t, out, sq, Merge.MergeAction.Delete)
-            case None =>
-              val cond = targetColumn(condition, out)
-              noopOnNoMatch { if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
+        // Lowering (pure analysis) is separated from execution so a
+        // specialized-path REFUSAL can re-route to the general fallback
+        // without any risk of double-applying a partially-run statement.
+        val run: () => Unit =
+          try correlatedScalarLowering(Seq(condition), out) match {
+            case Some(cs) =>
+              // `DELETE FROM t WHERE p > (SELECT agg(...) WHERE sub.k=t.k)`:
+              // a clause-chain merge on the correlation keys. Matched rows
+              // see the subquery VALUE through the source side; unmatched
+              // rows see the SQL-mandated NULL (so e.g. `> NULL` deletes
+              // nothing but `(SELECT ...) IS NULL` deletes exactly them).
+              () => runCorrelatedDml(t, cs,
+                _ => Merge.MergeAction.Delete, Some(condition))
+            case None => subqueryLowering(condition, out) match {
+              case Some(sq) =>
+                // `DELETE FROM t WHERE k IN (SELECT ...)` (and EXISTS / NOT
+                // IN / NOT EXISTS) = a single-clause merge against the
+                // materialized subquery side — the same join-shaped pruned
+                // core as MERGE, never a collected IN-list.
+                () => runSubqueryDml(t, out, sq, Merge.MergeAction.Delete)
+              case None =>
+                val cond = targetColumn(condition, out)
+                () => noopOnNoMatch {
+                  if (morMode) t.deleteWithDV(cond) else t.delete(cond); () }
+            }
+          } catch {
+            case _: ValidationException if hasSubquery(condition) =>
+              () => generalSubqueryDml(t, rel, condition, Merge.MergeAction.Delete)
           }
-        }
+        run()
       }
-    case UpdateTable(GraftRelation(t, out), assignments, rawCondition) =>
+    case UpdateTable(rel @ GraftRelation(t, out), assignments, rawCondition) =>
       exec(plan.nodeName) {
         val condition = rawCondition.map(substituteScalars)
         val assigns = assignments.map { a =>
@@ -121,28 +137,39 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           }
           name -> substituteScalars(a.value)
         }
-        correlatedScalarLowering(condition.toSeq ++ assigns.map(_._2), out) match {
-          case Some(cs) =>
-            // `UPDATE t SET x = (SELECT agg(...) WHERE sub.k=t.k)`: the
-            // matched clause assigns the per-key subquery value, the
-            // not-matched-by-source clause assigns its NULL substitution —
-            // together they cover every target row the WHERE admits, which
-            // is exactly SQL's row-at-a-time scalar-subquery semantics.
-            runCorrelatedDml(t, cs,
-              sub => Merge.MergeAction.UpdateSet(
-                assigns.map { case (n, v) => n -> sub(v) }.toMap),
-              condition)
-          case None =>
-            val set = assigns.map { case (n, v) => n -> targetColumn(v, out) }
-            condition.flatMap(subqueryLowering(_, out)) match {
-              case Some(sq) =>
-                runSubqueryDml(t, out, sq, Merge.MergeAction.UpdateSet(set.toMap))
-              case None =>
-                val cond = condition.map(targetColumn(_, out))
-                  .getOrElse(org.apache.spark.sql.functions.lit(true))
-                noopOnNoMatch { if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
-            }
-        }
+        // The fallback evaluates WHERE and assignment VALUES alike with
+        // Spark's own subquery machinery in one pre-state pass, so ANY
+        // subquery shape on either side can re-route to it.
+        val canFallback = condition.exists(hasSubquery) ||
+          assigns.exists(a => hasSubquery(a._2))
+        val run: () => Unit =
+          try correlatedScalarLowering(condition.toSeq ++ assigns.map(_._2), out) match {
+            case Some(cs) =>
+              // `UPDATE t SET x = (SELECT agg(...) WHERE sub.k=t.k)`: the
+              // matched clause assigns the per-key subquery value, the
+              // not-matched-by-source clause assigns its NULL substitution —
+              // together they cover every target row the WHERE admits, which
+              // is exactly SQL's row-at-a-time scalar-subquery semantics.
+              () => runCorrelatedDml(t, cs,
+                sub => Merge.MergeAction.UpdateSet(
+                  assigns.map { case (n, v) => n -> sub(v) }.toMap),
+                condition)
+            case None =>
+              val set = assigns.map { case (n, v) => n -> targetColumn(v, out) }
+              condition.flatMap(subqueryLowering(_, out)) match {
+                case Some(sq) =>
+                  () => runSubqueryDml(t, out, sq, Merge.MergeAction.UpdateSet(set.toMap))
+                case None =>
+                  val cond = condition.map(targetColumn(_, out))
+                    .getOrElse(org.apache.spark.sql.functions.lit(true))
+                  () => noopOnNoMatch {
+                    if (morMode) t.updateWithDV(cond, set) else t.update(cond, set); () }
+              }
+          } catch {
+            case _: ValidationException if canFallback =>
+              () => generalSubqueryUpdate(t, rel, condition, assigns)
+          }
+        run()
       }
     case m @ MergeIntoTable(GraftRelation(t, targetOut), source, cond,
         matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
@@ -169,9 +196,96 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   }
 
   private def refuseSubqueries(e: Expression): Unit =
-    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+    if (hasSubquery(e))
       throw new ValidationException(
         "subqueries in DML conditions are not supported")
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** Last-resort lowering for ANY subquery shape in a DML condition that
+    * the specialized key-join paths refuse — multiple subquery conjuncts,
+    * subqueries under OR, correlated [NOT] IN, non-equality correlation,
+    * aggregates under HAVING. The whole predicate is evaluated by Spark's
+    * own subquery machinery (`Filter(cond, relation)` plans through the
+    * standard decorrelation/rewrite rules, so its cost and plan shape are
+    * exactly what the same predicate costs in a SELECT), and the DISTINCT
+    * full-row tuples it admits drive the same pruned merge cores as every
+    * other DML shape, matched by null-safe equality on EVERY column. A
+    * tuple matches exactly the rows that satisfied the predicate:
+    * duplicate rows agree on a deterministic predicate, so all-or-none of
+    * them match — SQL's multiset DELETE/UPDATE semantics. Versus the
+    * specialized paths this pays one extra pass over the target (the
+    * predicate evaluation) plus a full-width instead of key-width shuffle
+    * of the affected rows — the price of total generality, so the
+    * key-join lowerings stay the fast path and this never runs for the
+    * shapes they cover. Map-typed columns cannot be compared as join
+    * keys, so tables carrying one refuse with the original error. */
+  private def generalSubqueryDml(t: DeltaTable, relation: LogicalPlan,
+                                 cond: Expression,
+                                 action: Merge.MergeAction): Unit =
+    runGeneralFallback(t, relation, Some(cond), Nil, _ => action)
+
+  /** UPDATE twin of [[generalSubqueryDml]] that ALSO admits subqueries in
+    * the assignment VALUES: the new values are computed in the SAME
+    * pre-state pass as the predicate (a Project over the Filter — SQL
+    * evaluates both against the table's state before the statement), ride
+    * the source struct through the merge, and are assigned to matched
+    * rows. SQL's "scalar subquery returned more than one row" arises from
+    * Spark's own runtime check while the affected set is computed —
+    * before any mutation. */
+  private def generalSubqueryUpdate(t: DeltaTable, relation: LogicalPlan,
+                                    cond: Option[Expression],
+                                    assigns: Seq[(String, Expression)]): Unit =
+    runGeneralFallback(t, relation, cond, assigns.map(_._2), valueCols =>
+      Merge.MergeAction.UpdateSet(
+        assigns.map(_._1).zip(valueCols).toMap))
+
+  private def runGeneralFallback(t: DeltaTable, relation: LogicalPlan,
+                                 cond: Option[Expression],
+                                 values: Seq[Expression],
+                                 action: Seq[Column] => Merge.MergeAction): Unit = {
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    val mapCols = relation.output.filter(a => containsMap(a.dataType))
+    if (mapCols.nonEmpty) throw new ValidationException(
+      "this subquery shape requires full-row matching, which map-typed " +
+        s"columns cannot join on: ${mapCols.map(_.name).mkString(", ")}; " +
+        "rewrite the statement as a MERGE")
+    val rowNames = relation.output.indices.map(i => s"__gq$i")
+    val valNames = values.indices.map(i => s"__gv$i")
+    val filtered = cond.map(Filter(_, relation)).getOrElse(relation)
+    val projected = Project(
+      (relation.output ++ values.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.catalyst.expressions.Alias(v, s"__gv$i")()
+      }).toIndexedSeq, filtered)
+    // By strategy time the condition's subqueries are in PULLED-UP form
+    // (joinCond populated, correlation columns appended to the subquery
+    // output) — a shape the ANALYZER rejects if re-submitted directly.
+    // Running the optimizer first rewrites every subquery into joins
+    // (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery expect
+    // exactly this form), after which the plan is subquery-free and
+    // re-analyzes cleanly; the optimizer preserves output order, so the
+    // positional rename below stays valid.
+    val optimized = spark.sessionState.optimizer.execute(projected)
+    val affected = Shims.ofRows(spark, optimized)
+      .toDF((rowNames ++ valNames): _*).distinct()
+    val pairs = relation.output.map(_.name).zip(rowNames)
+    val valueCols = valNames.map(n =>
+      Shims.column(UnresolvedAttribute(Seq("__src", n))))
+    val clause = Merge.MergeClause(None, action(valueCols))
+    if (morMode)
+      Merge.executeClausesMoR(t, affected, pairs, Seq(clause), Nil, Nil,
+        sqlSemantics = false)
+    else
+      Merge.executeClauses(t, affected, pairs, Seq(clause), Nil, Nil,
+        sqlSemantics = false)
+    ()
+  }
 
   /** A lowered subquery-predicate DML shape (see [[subqueryLowering]]). */
   private sealed trait SubqueryPlan
@@ -416,9 +530,13 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           UnresolvedAttribute.quoted(a.name)
       })
     }
+    // Eager: the zero-tuple computation REFUSES aggregate pipelines it
+    // cannot evaluate statically, and that refusal must surface during
+    // LOWERING (so the general fallback can take over), not at run time.
+    val zeroTuple = Literal.create(zeroTupleValue(sq.plan), sq.dataType)
     Some(CorrelatedScalar(subDf, pairs.map(_._1.name).zip(names),
       matched = build(_, UnresolvedAttribute(Seq("__src", "__sqval"))),
-      unmatched = build(_, Literal.create(zeroTupleValue(sq.plan), sq.dataType))))
+      unmatched = build(_, zeroTuple)))
   }
 
   /** What a correlated scalar subquery evaluates to for a target row with

@@ -209,4 +209,36 @@ class DmlPlanAuditSpec extends SparkTestBase {
     // and the semantics went through: every key <100 got its per-key max
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE x IS NULL").head().getLong(0) == 900)
   }
+
+  test("general-fallback SQL DML: equality shapes plan hash joins, no file-path In") {
+    val cat = graft.plans.GraftSql.ensure(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.audit")
+    val t = s"$cat.audit.fb"
+    val a = s"$cat.audit.fba"
+    val b = s"$cat.audit.fbb"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(id AS DOUBLE) AS x FROM range(1000)")
+    spark.sql(s"CREATE TABLE $a AS SELECT id * 2 AS k FROM range(50)")   // evens < 100
+    spark.sql(s"CREATE TABLE $b AS SELECT id * 3 AS k FROM range(333)")  // 3k < 999
+    val plans = capturing {
+      // two subquery conjuncts, one under OR → the general full-row
+      // fallback; every subquery is equality-shaped, so the evaluation
+      // pass and the merge join must BOTH plan as hash/sort-merge joins
+      spark.sql(s"""DELETE FROM $t
+                   |WHERE (k IN (SELECT k FROM $a) OR x >= 900)
+                   |  AND EXISTS (SELECT 1 FROM $b WHERE $b.k = $t.k)""".stripMargin)
+    }
+    assertNoFileIn(plans, "fallback DML")
+    val phys = plans.map(_._2).map {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    val loops = phys.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    })
+    assert(loops.isEmpty,
+      s"general fallback planned a nested-loop join for equality shapes: ${loops.take(2)}")
+    // deleted: multiples of 6 below 100 (17) + multiples of 3 in [900,999] (34)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 949)
+  }
 }

@@ -865,27 +865,128 @@ class SqlDmlSpec extends SparkTestBase {
     assert(got2 == Seq((-2L, 0L), (1L, 1L)))
   }
 
-  test("correlated NOT IN stays refused (per-group NULL semantics)") {
+  test("correlated NOT IN routes through the general fallback, per-group NULL semantics intact") {
     setup()
     val t = freshTable()
     val aux = freshTable()
     sql(s"CREATE TABLE $t AS SELECT id AS k, id % 2 AS g FROM range(4)")
     sql(s"CREATE TABLE $aux AS SELECT id AS x, id % 2 AS g FROM range(2)")
-    val e = intercept[Exception] {
-      sql(s"DELETE FROM $t WHERE k NOT IN (SELECT x FROM $aux WHERE $aux.g = $t.g)")
-    }
-    assert(e.getMessage.toLowerCase.contains("subquery"), e.getMessage)
+    // group 0 list {0}, group 1 list {1}: rows (2,0) and (3,1) are NOT IN
+    sql(s"DELETE FROM $t WHERE k NOT IN (SELECT x FROM $aux WHERE $aux.g = $t.g)")
+    val got = sql(s"SELECT k, g FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 1L)))
+    // a NULL in ONE group's list blocks NOT IN for that group only
+    sql(s"INSERT INTO $aux VALUES (NULL, 0)")
+    sql(s"INSERT INTO $t VALUES (5, 0), (5, 1)")
+    sql(s"DELETE FROM $t WHERE k NOT IN (SELECT x FROM $aux WHERE $aux.g = $t.g)")
+    val got2 = sql(s"SELECT k, g FROM $t ORDER BY k, g").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (5,0): 5 NOT IN {0, NULL} is UNKNOWN → survives; (5,1): TRUE → deleted
+    assert(got2 == Seq((0L, 0L), (1L, 1L), (5L, 0L)))
   }
 
-  test("non-equality correlation in a scalar subquery is refused with a clear error") {
+  test("non-equality correlation in a scalar subquery runs through the general fallback") {
     setup()
     val t = freshTable()
     val aux = freshTable()
-    sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(3)")
-    sql(s"CREATE TABLE $aux AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(3)")
+    sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(4)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(4)")
+    // per-row running max over aux.k < t.k: k=0 → NULL (keep), k=1 → 0.0
+    // (keep), k=2 → 1.0 (keep, not <), k=3 → 2.0 (delete)
+    sql(s"DELETE FROM $t WHERE 1.0 < (SELECT max(v) FROM $aux WHERE $aux.k < $t.k)")
+    assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 1L, 2L))
+  }
+
+  test("multiple subquery conjuncts and subqueries under OR run through the general fallback") {
+    setup()
+    val t = freshTable()
+    val a = freshTable()
+    val b = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, id % 10 AS g FROM range(40)")
+    sql(s"CREATE TABLE $a AS SELECT id * 2 AS x FROM range(10)")    // evens 0..18
+    sql(s"CREATE TABLE $b AS SELECT id * 3 AS y FROM range(10)")    // 0,3..27
+    // two subquery conjuncts, one under OR with a plain predicate:
+    // delete ids that are (in a OR g=7) AND in b → even multiples of 3
+    // below 19 ({0,6,12,18}) plus {27} (g=7 via id=27, 27 in b)
+    sql(s"""DELETE FROM $t
+           |WHERE (id IN (SELECT x FROM $a) OR g = 7)
+           |  AND id IN (SELECT y FROM $b)""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 35)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (0,6,12,18,27)")
+      .head().getLong(0) == 0)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (2,3,9,17,21,24)")
+      .head().getLong(0) == 6)
+    // UPDATE through the same route: assignment over the OLD row, WHERE
+    // mixing EXISTS with NOT IN
+    sql(s"""UPDATE $t SET g = g + 100
+           |WHERE EXISTS (SELECT 1 FROM $a WHERE x = $t.id)
+           |  AND id NOT IN (SELECT y FROM $b)""".stripMargin)
+    // evens 0..18 minus b-members {0,6,12,18} minus already-deleted → 2,4,8,10,14,16
+    assert(sql(s"SELECT count(*) FROM $t WHERE g >= 100").head().getLong(0) == 6)
+    assert(sql(s"SELECT sum(g) FROM $t WHERE g >= 100").head().getLong(0)
+      == (2 + 4 + 8 + 0 + 4 + 6) + 600)
+    // zero-match through the fallback is a SQL no-op
+    sql(s"""DELETE FROM $t
+           |WHERE id IN (SELECT x + 1000 FROM $a)
+           |  AND id IN (SELECT y + 1000 FROM $b)""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 35)
+  }
+
+  test("subqueries in UPDATE assignment values run through the general fallback") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id AS k, CAST(0 AS DOUBLE) AS v FROM range(4)")
+    sql(s"CREATE TABLE $aux AS SELECT id AS k, CAST(id AS DOUBLE) AS w FROM range(4)")
+    // NON-equality-correlated scalar in the VALUE (running sum over
+    // aux.k < t.k) — the specialized correlated-scalar path refuses it
+    sql(s"UPDATE $t SET v = (SELECT sum(w) FROM $aux WHERE $aux.k < $t.k) WHERE k > 0")
+    val got = sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((0L, 0.0), (1L, 0.0), (2L, 1.0), (3L, 3.0)))
+    // TWO different correlated scalars across assignments, both reading
+    // the PRE-update row, computed together in one pass
+    sql(s"""UPDATE $t SET
+           |  v = (SELECT max(w) FROM $aux WHERE $aux.k = $t.k),
+           |  k = (SELECT count(*) FROM $aux WHERE $aux.k < $t.k) + 10 * $t.k""".stripMargin)
+    val got2 = sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == Seq((0L, 0.0), (11L, 1.0), (22L, 2.0), (33L, 3.0)))
+  }
+
+  test("correlated scalar under GROUP BY + HAVING runs through the general fallback") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t (g BIGINT, tag STRING)")
+    sql(s"INSERT INTO $t VALUES (0, 'a'), (1, 'b')")
+    sql(s"CREATE TABLE $aux (g BIGINT, w BIGINT)")
+    sql(s"INSERT INTO $aux VALUES (0, 1), (0, 2), (1, 5)")
+    // g=0: sum=3 with count 2 → passes HAVING → 3 >= 3 deletes;
+    // g=1: single row fails HAVING → scalar NULL → survives
+    sql(s"""DELETE FROM $t WHERE
+           |  (SELECT sum(w) FROM $aux WHERE $aux.g = $t.g
+           |   GROUP BY $aux.g HAVING count(*) > 1) >= 3""".stripMargin)
+    val got = sql(s"SELECT g, tag FROM $t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "b")))
+  }
+
+  test("general fallback refuses a map-typed column with a clear error") {
+    setup()
+    val t = freshTable()
+    val a = freshTable()
+    sql(s"CREATE TABLE $t AS SELECT id, map('k', id) AS m FROM range(4)")
+    sql(s"CREATE TABLE $a AS SELECT id AS x FROM range(2)")
     val e = intercept[Exception] {
-      sql(s"DELETE FROM $t WHERE 1.0 < (SELECT max(v) FROM $aux WHERE $aux.k < $t.k)")
+      sql(s"""DELETE FROM $t
+             |WHERE id IN (SELECT x FROM $a) AND id IN (SELECT x + 1 FROM $a)""".stripMargin)
     }
-    assert(e.getMessage.toLowerCase.contains("correlat"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("map"), e.getMessage)
+    // the specialized single-conjunct path still covers map-carrying tables
+    sql(s"DELETE FROM $t WHERE id IN (SELECT x FROM $a)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
   }
 }
