@@ -430,6 +430,62 @@ object SqlQueries {
              |FROM $t ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Metadata-only aggregate pushdown (round 10): COUNT(*)/COUNT(col)/
+    * MIN/MAX over an unfiltered graft table are answered from the log's
+    * per-file stats without scheduling a scan
+    * ([[graft.delta.StatsAggregates]]); the second table takes a
+    * deletion-vector DELETE first, so its COUNT(*) must subtract the DV
+    * cardinality exactly. Values must equal DuckDB computing the same
+    * aggregates the slow way — the pushdown is invisible except in cost
+    * (AggPushdownSpec proves the files are never read). o_totalprice
+    * (double) is deliberately absent: NaN-unsafe min/max refuse pushdown.
+    * The third table is PARTITIONED BY its status column: its aggregates
+    * fold `partitionValues` instead of stats (exact under DVs too). */
+  def sqlAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "agp")
+    val t2 = fresh(s, "agpdv")
+    val t3 = fresh(s, "agppart")
+    val o = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $o")
+    s.sql(s"CREATE TABLE $t2 AS SELECT * FROM $o")
+    s.sql(s"CREATE TABLE $t3 (o_orderkey BIGINT, o_orderstatus STRING) " +
+      "PARTITIONED BY (o_orderstatus)")
+    s.sql(s"INSERT INTO $t3 SELECT o_orderkey, o_orderstatus FROM $o")
+    s.conf.set("spark.graft.sql.dml.mor", "true")
+    try s.sql(s"DELETE FROM $t2 WHERE o_orderstatus = 'F'")
+    finally s.conf.unset("spark.graft.sql.dml.mor")
+    s.sql(s"""SELECT a.cnt, a.cnt_status, a.min_key, a.max_key,
+             |  a.min_date, a.max_date, a.min_prio, a.max_prio, b.cnt_after_dv,
+             |  c.min_part_status, c.max_part_status, c.cnt_part_status
+             |FROM (SELECT COUNT(*) AS cnt, COUNT(o_orderstatus) AS cnt_status,
+             |        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |        MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+             |        MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+             |      FROM $t) a
+             |CROSS JOIN (SELECT COUNT(*) AS cnt_after_dv FROM $t2) b
+             |CROSS JOIN (SELECT MIN(o_orderstatus) AS min_part_status,
+             |        MAX(o_orderstatus) AS max_part_status,
+             |        COUNT(o_orderstatus) AS cnt_part_status
+             |      FROM $t3) c""".stripMargin)
+  }
+
+  /** Bloom-indexed point DELETE (round 10): the table property enables
+    * per-file bloom sidecars ([[graft.delta.BloomIndex]]) BEFORE the
+    * insert, so the point deletes prune their file lists through blooms
+    * (zone maps cannot — the insert hash-distributes doc_id, every file
+    * spans the key space). The oracle sees only values; BloomIndexSpec
+    * proves the skipping and its never-lose-a-row property. */
+  def sqlBloomDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "blm")
+    val d = view(s, dir, "documents")
+    s.sql(s"CREATE TABLE $t AS SELECT doc_id, text, lang, source, n_chars FROM $d WHERE 1=0")
+    s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloomFilter.columns'='doc_id')")
+    s.sql(s"INSERT INTO $t SELECT doc_id, text, lang, source, n_chars FROM $d")
+    s.sql(s"DELETE FROM $t WHERE doc_id = 17")
+    s.sql(s"DELETE FROM $t WHERE doc_id IN (101, 202, 303)")
+    s.sql(s"SELECT doc_id, lang, source, n_chars FROM $t ORDER BY doc_id")
+  }
+
   /** TRUNCATE TABLE (one overwrite commit, zero adds) then refill: the
     * final state must equal the refill alone — any pre-truncate row
     * surviving, or the schema changing, breaks the oracle. */
@@ -463,6 +519,8 @@ object SqlQueries {
     "s22_sql_truncate" -> (sqlTruncate(_, _)),
     "s23_sql_delete_or_subquery" -> (sqlDeleteOrSubquery(_, _)),
     "s24_sql_correlated_not_in" -> (sqlCorrelatedNotIn(_, _)),
+    "s25_sql_agg_pushdown" -> (sqlAggPushdown(_, _)),
+    "s26_sql_bloom_delete" -> (sqlBloomDelete(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -483,6 +541,28 @@ object SqlQueries {
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s26_sql_bloom_delete" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (17, 101, 202, 303)
+        |ORDER BY doc_id""".stripMargin,
+
+    "s25_sql_agg_pushdown" ->
+      """SELECT a.cnt, a.cnt_status, a.min_key, a.max_key,
+        |  a.min_date, a.max_date, a.min_prio, a.max_prio, b.cnt_after_dv,
+        |  c.min_part_status, c.max_part_status, c.cnt_part_status
+        |FROM (SELECT COUNT(*) AS cnt, COUNT(o_orderstatus) AS cnt_status,
+        |        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |        MIN(CAST(o_orderdate AS TIMESTAMP)) AS min_date,
+        |        MAX(CAST(o_orderdate AS TIMESTAMP)) AS max_date,
+        |        MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+        |      FROM orders) a
+        |CROSS JOIN (SELECT COUNT(*) AS cnt_after_dv FROM orders
+        |            WHERE NOT (o_orderstatus = 'F')) b
+        |CROSS JOIN (SELECT MIN(o_orderstatus) AS min_part_status,
+        |        MAX(o_orderstatus) AS max_part_status,
+        |        COUNT(o_orderstatus) AS cnt_part_status
+        |      FROM orders) c""".stripMargin,
+
     "s23_sql_delete_or_subquery" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority

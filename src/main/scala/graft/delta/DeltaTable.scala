@@ -259,6 +259,29 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         val snap = snapshot(Some(target))
         snap.copy(activeFiles = FilePruner.prune(snap, filter))
     }
+  } match {
+    // bloom sidecar pass AFTER partition/zone-map pruning (either path):
+    // point predicates on indexed high-cardinality keys skip the files
+    // min/max cannot (see BloomIndex) — conservative no-op otherwise
+    case s if s.activeFiles.nonEmpty =>
+      s.copy(activeFiles = BloomIndex.prune(spark, tablePath, log.hadoopConf, s, filter))
+    case s => s
+  }
+
+  /** Planner dimensions — (onDiskBytes, exactRows) of the state at
+    * `versionOpt` after pruning `filter` ([[StatsAggregates.dimensions]]).
+    * None above the distributed-snapshot threshold: such tables sit orders
+    * of magnitude past any broadcast threshold, and materializing their
+    * file list on the driver just to report a size would break the
+    * O(1)-driver contract large tables get — the caller keeps Spark's
+    * assume-huge default, which is also the right planning answer. */
+  private[graft] def tableDimensions(versionOpt: Option[Long],
+                                     filter: org.json4s.JValue): Option[(Long, Option[Long])] = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    val big = log.readLastCheckpoint().filter(_._1 <= target)
+      .exists(_._2 >= distributedSnapshotThreshold)
+    if (big) None
+    else Some(StatsAggregates.dimensions(scanState(Some(target), filter)))
   }
 
   /** Metadata/protocol/txn-only snapshot (empty file list): cheap at any
@@ -515,7 +538,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
                                     schema: StructType): Seq[AddFile] = {
     // Constraints evaluate over LOGICAL names — observe before any
     // physical-name conversion below.
-    val constraints = checkConstraints(metaSnapshot())
+    val preSnap = metaSnapshot()
+    val constraints = checkConstraints(preSnap)
     val (obsOpt, dfC) =
       if (constraints.isEmpty) (None, df)
       else {
@@ -545,6 +569,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             s"${counts(n)} written row(s)")
       }
     }
+    // Bloom sidecars for every transactional write path (append, CoW
+    // rewrites, merge, compact) — after the constraint gate so doomed
+    // files never get indexed.
+    BloomIndex.buildSidecars(spark, tablePath, log.hadoopConf,
+      preSnap.configuration, schema, partCols, adds)
     adds
   }
 
@@ -1096,9 +1125,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     (rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
-  /** Remove an uncommitted data file (e.g. a zero-row part the writer made). */
-  private[delta] def deleteDataFile(rel: String): Unit =
+  /** Remove an uncommitted data file (e.g. a zero-row part the writer made)
+    * along with its bloom sidecar, if any. */
+  private[delta] def deleteDataFile(rel: String): Unit = {
     fs.delete(new Path(tablePath, rel), false)
+    fs.delete(new Path(tablePath, BloomIndex.sidecarRel(rel)), false)
+    ()
+  }
 
   /** Append-only commit of pre-written files (used by merge inserts).
     * Needs only the next version number — never any snapshot state. */

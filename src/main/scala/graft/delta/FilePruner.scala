@@ -136,7 +136,7 @@ object FilePruner {
     case _ => None
   }
 
-  private def compare(statVal: JValue, lit: JValue, dt: DataType): Option[Int] = dt match {
+  private[delta] def compare(statVal: JValue, lit: JValue, dt: DataType): Option[Int] = dt match {
     case _: NumericType =>
       for (a <- num(statVal); b <- num(lit)) yield a.compare(b)
     case StringType => (statVal, lit) match {

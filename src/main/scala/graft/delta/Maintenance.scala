@@ -469,8 +469,19 @@ object Maintenance {
   /** Delete absolute paths: a driver loop below 64, one fanned-out Spark job
     * above it — millions of reclaimable files are the norm after heavy
     * compaction at scale, and a serial driver loop is hours of wall clock
-    * on an object store. */
-  private def deletePaths(table: DeltaTable, paths: Seq[String]): Unit = {
+    * on an object store. Each reclaimed data file takes its bloom sidecar
+    * (if any) with it — sidecars are candidates nowhere else (only
+    * `.parquet` files are ever doomed), so active files' indexes are safe
+    * and orphaned ones cannot accumulate. */
+  private def deletePaths(table: DeltaTable, dataPaths: Seq[String]): Unit = {
+    val baseUri = table.tablePath.toUri.getPath
+    val paths = dataPaths ++ dataPaths.flatMap { p =>
+      val u = new Path(p).toUri.getPath
+      if (u.startsWith(baseUri + "/"))
+        Some(new Path(table.tablePath,
+          BloomIndex.sidecarRel(u.stripPrefix(baseUri + "/"))).toString)
+      else None // clone-referenced foreign file: its owner vacuums it
+    }
     if (paths.size <= 64) {
       paths.foreach(p => table.log.fs.delete(new Path(p), false))
     } else {

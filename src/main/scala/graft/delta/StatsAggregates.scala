@@ -1,0 +1,279 @@
+package graft.delta
+
+import org.apache.spark.sql.types._
+import org.json4s._
+
+/**
+ * Metadata-only aggregate evaluation from the transaction log's per-file
+ * stats: `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` over a whole
+ * table answered without touching a single data file.
+ *
+ * At 100 TB this is structural, not incremental: `SELECT COUNT(*) FROM t`
+ * otherwise schedules a scan over every file (Spark's parquet count still
+ * opens each footer), while the log already carries exact `numRecords` per
+ * file. The fold here is O(active files) on the driver — the same order of
+ * work as planning the scan it replaces (Spark's own FileIndex enumerates
+ * the file list on the driver too).
+ *
+ * Conservative by construction — `None` (refuse, fall back to the scan)
+ * unless EXACTNESS is provable:
+ *  - every active file must carry parseable stats with `numRecords`;
+ *  - `COUNT(*)` under deletion vectors subtracts the DV's exact
+ *    `cardinality`; a DV without a parseable cardinality refuses;
+ *  - `COUNT(col)` / `MIN` / `MAX` refuse when ANY file has a DV (deleted
+ *    rows could hold the extremum / be the non-null rows);
+ *  - `MIN`/`MAX` refuse float/double columns (file stats exclude NaN, but
+ *    Spark's `max` orders NaN above every value — a NaN row would make the
+ *    stats answer wrong), and need min+max present for every file that is
+ *    not provably all-null for the column (so dropped stats — long
+ *    strings, decimals, renamed-away columns in old files — refuse);
+ *  - partition columns carry no min/max stats but their values live in
+ *    `partitionValues`, one per file — and since EVERY row of a file
+ *    shares that value, partition-column `COUNT(col)`/`MIN`/`MAX` stay
+ *    exact even under DVs (any file with a surviving row still exhibits
+ *    its value; counts subtract DV cardinalities). Decoding is
+ *    type-gated: integral and date partition values fold; strings fold
+ *    only when all-ASCII (Java string order and Spark's UTF-8 binary
+ *    order agree there); anything else refuses.
+ *
+ * The reference engine has no metadata-only aggregate path (every query
+ * plans a scan, src/delta/table.ts:694); this is a Spark-side scale
+ * feature layered on the same stats the reference writes
+ * (src/delta/table.ts:1110-1147).
+ */
+object StatsAggregates {
+
+  /** One pushed aggregate, in output order. */
+  sealed trait StatAgg
+  case object CountStar extends StatAgg
+  final case class CountCol(name: String) extends StatAgg
+  final case class MinCol(name: String, dataType: DataType) extends StatAgg
+  final case class MaxCol(name: String, dataType: DataType) extends StatAgg
+
+  /** Test/inspection hook: how many aggregations were answered from
+    * metadata alone since JVM start (incremented once per answered query,
+    * not per aggregate). */
+  val answered = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** External-type result values for `aggs` over the snapshot's active
+    * files, or None when any aggregate cannot be answered exactly.
+    * Values use Spark's external row types (java.sql.Timestamp /
+    * java.sql.Date / LocalDateTime), matching what a V1 relation's
+    * Row-encoder conversion expects. */
+  def answer(snap: Snapshot, schema: StructType,
+             aggs: Seq[StatAgg]): Option[Seq[Any]] = {
+    val files = snap.activeFiles
+    // Stats must exist for every file — one statless file (foreign writer,
+    // pre-stats history) poisons exactness for every aggregate kind.
+    val stats: Seq[(AddFile, FileStats)] = files.map { f =>
+      f.parsedStats match {
+        case Some(st) => (f, st)
+        case None => return None
+      }
+    }
+    val partCols = snap.partitionColumns.toSet
+    val anyDv = files.exists(_.deletionVector.nonEmpty)
+
+    def dvCardinality(f: AddFile): Option[Long] = f.deletionVector match {
+      case None => Some(0L)
+      case Some(dv) => dv.obj.toMap.get("cardinality").collect {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+      }
+    }
+
+    def schemaField(name: String): Option[StructField] =
+      schema.fields.find(_.name == name)
+
+    def field(name: String): Option[StructField] =
+      schemaField(name).filterNot(f => partCols.contains(f.name))
+
+    def countStar(): Option[Any] = {
+      var total = 0L
+      stats.foreach { case (f, st) =>
+        dvCardinality(f) match {
+          case Some(c) => total += st.numRecords - c
+          case None => return None
+        }
+      }
+      Some(total)
+    }
+
+    def countCol(name: String): Option[Any] = {
+      if (partCols.contains(name)) return partCount(name)
+      if (anyDv || field(name).isEmpty) return None
+      var total = 0L
+      stats.foreach { case (_, st) =>
+        st.nullCount.get(name) match {
+          case Some(nc) => total += st.numRecords - nc
+          case None => return None
+        }
+      }
+      Some(total)
+    }
+
+    // ---- partition-column aggregates (exact even under DVs) ----------------
+
+    def partCount(name: String): Option[Any] = {
+      if (schemaField(name).isEmpty) return None
+      var total = 0L
+      stats.foreach { case (f, st) =>
+        f.partitionValues.get(name) match {
+          case None => return None // foreign writer omitted the value
+          case Some(PartitionPaths.NullMarker) => ()
+          case Some(_) => dvCardinality(f) match {
+            case Some(c) => total += st.numRecords - c
+            case None => return None
+          }
+        }
+      }
+      Some(total)
+    }
+
+    def partExtremum(name: String, wantMax: Boolean): Option[Any] = {
+      val f = schemaField(name).getOrElse(return None)
+      var best: Option[String] = None
+      def better(a: String, b: String): Option[String] = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          for (x <- scala.util.Try(BigInt(a)).toOption;
+               y <- scala.util.Try(BigInt(b)).toOption)
+            yield if ((x > y) == wantMax) a else b
+        case DateType =>
+          for (x <- scala.util.Try(java.time.LocalDate.parse(a)).toOption;
+               y <- scala.util.Try(java.time.LocalDate.parse(b)).toOption)
+            yield if ((x.isAfter(y)) == wantMax) a else b
+        case StringType =>
+          // Java string order == Spark UTF-8 binary order only for ASCII
+          if (a.forall(_ < 128) && b.forall(_ < 128))
+            Some(if ((a > b) == wantMax) a else b)
+          else None
+        case _ => None // other partition types: refuse
+      }
+      stats.foreach { case (file, st) =>
+        val surviving = dvCardinality(file) match {
+          case Some(c) => st.numRecords - c
+          case None => return None
+        }
+        if (surviving > 0) file.partitionValues.get(name) match {
+          case None => return None
+          case Some(PartitionPaths.NullMarker) => ()
+          case Some(v) => best = best match {
+            case None => Some(v)
+            case Some(b) => Some(better(v, b).getOrElse(return None))
+          }
+        }
+      }
+      best match {
+        case None => Some(null) // zero non-null rows table-wide: SQL NULL
+        case Some(s) => decodePartition(s, f.dataType)
+      }
+    }
+
+    def extremum(name: String, wantMax: Boolean): Option[Any] = {
+      if (partCols.contains(name)) return partExtremum(name, wantMax)
+      if (anyDv) return None
+      val f = field(name).getOrElse(return None)
+      f.dataType match {
+        case FloatType | DoubleType => return None // NaN ordering
+        case _ => ()
+      }
+      var best: Option[JValue] = None
+      stats.foreach { case (_, st) =>
+        val bound = (if (wantMax) st.maxValues else st.minValues).get(name)
+        bound match {
+          case Some(v) =>
+            best = best match {
+              case None => Some(v)
+              case Some(b) => FilePruner.compare(v, b, f.dataType) match {
+                case Some(c) => if ((wantMax && c > 0) || (!wantMax && c < 0)) Some(v) else Some(b)
+                case None => return None // incomparable stat forms
+              }
+            }
+          case None =>
+            // acceptable only when the file is PROVABLY all-null for the
+            // column (contributes nothing to min/max)
+            val allNull = st.nullCount.get(name).contains(st.numRecords)
+            if (!allNull) return None
+        }
+      }
+      best match {
+        case None => Some(null) // zero non-null rows table-wide: SQL NULL
+        case Some(j) => decode(j, f.dataType) // None = undecodable, refuse
+      }
+    }
+
+    val out = aggs.map {
+      case CountStar => countStar().getOrElse(return None)
+      case CountCol(n) => countCol(n).getOrElse(return None)
+      case MinCol(n, _) => extremum(n, wantMax = false).getOrElse(return None)
+      case MaxCol(n, _) => extremum(n, wantMax = true).getOrElse(return None)
+    }
+    answered.incrementAndGet()
+    Some(out)
+  }
+
+  /** Metadata fold of a snapshot's active files into planner dimensions:
+    * (onDiskBytes, exactRowCount). Bytes is always exact — `add.size` is
+    * mandatory in the log. Rows is None when any file lacks parseable
+    * `numRecords` or carries a DV without a parseable `cardinality`
+    * (estimates must not claim exactness they don't have; the caller
+    * reports "unknown" instead). O(active files) driver arithmetic — the
+    * same order as the file list scan planning enumerates anyway. */
+  def dimensions(snap: Snapshot): (Long, Option[Long]) = {
+    var bytes = 0L
+    var rows = 0L
+    var exact = true
+    snap.activeFiles.foreach { f =>
+      bytes += f.size
+      if (exact) f.parsedStats match {
+        case Some(st) =>
+          f.deletionVector.flatMap(_.obj.toMap.get("cardinality")) match {
+            case Some(JInt(n)) => rows += st.numRecords - n.toLong
+            case Some(JLong(n)) => rows += st.numRecords - n
+            case Some(_) => exact = false // DV present, cardinality unreadable
+            case None =>
+              if (f.deletionVector.isEmpty) rows += st.numRecords
+              else exact = false // DV object without a cardinality field
+          }
+        case None => exact = false
+      }
+    }
+    (bytes, if (exact) Some(rows) else None)
+  }
+
+  /** Hive partition-value string → Spark EXTERNAL value for `dt`; None
+    * refuses (unparseable for the declared type). Must mirror the
+    * writer's [[PartitionPaths]] encoding. */
+  private[delta] def decodePartition(s: String, dt: DataType): Option[Any] = dt match {
+    case ByteType => scala.util.Try(s.toByte: Any).toOption
+    case ShortType => scala.util.Try(s.toShort: Any).toOption
+    case IntegerType => scala.util.Try(s.toInt: Any).toOption
+    case LongType => scala.util.Try(s.toLong: Any).toOption
+    case StringType => Some(s)
+    case DateType =>
+      scala.util.Try(java.sql.Date.valueOf(java.time.LocalDate.parse(s)): Any).toOption
+    case _ => None
+  }
+
+  /** Log-canonical stat JSON → Spark EXTERNAL value for `dt`; None refuses
+    * (wrong stat form for the type). Forms must mirror
+    * `DeltaTable.statJValue` / `FooterStats.toJValue` exactly. */
+  private[delta] def decode(j: JValue, dt: DataType): Option[Any] = (dt, j) match {
+    case (ByteType, JInt(n)) => Some(n.toByte)
+    case (ShortType, JInt(n)) => Some(n.toShort)
+    case (IntegerType, JInt(n)) => Some(n.toInt)
+    case (LongType, JInt(n)) => Some(n.toLong)
+    case (StringType, JString(s)) => Some(s)
+    case (BooleanType, JBool(b)) => Some(b)
+    case (DateType, JString(s)) =>
+      scala.util.Try(java.sql.Date.valueOf(java.time.LocalDate.parse(s))).toOption
+    case (TimestampNTZType, JString(s)) =>
+      FilePruner.canonTs(s).map(java.time.LocalDateTime.parse(_, FilePruner.CanonFormat))
+    case (TimestampType, JString(s)) =>
+      FilePruner.canonTs(s).map { c =>
+        val ldt = java.time.LocalDateTime.parse(c, FilePruner.CanonFormat)
+        java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+      }
+    case _ => None
+  }
+}

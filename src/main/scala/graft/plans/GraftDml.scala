@@ -1070,6 +1070,11 @@ object GraftSql {
           spark.experimental.extraStrategies :+ new GraftDmlStrategy(spark)
         registerTableFunctions(spark)
       }
+      // "User Provided Optimizers" runs after V2ScanRelationPushDown — the
+      // placement GraftScanStatsRule needs (see its scaladoc).
+      if (!spark.experimental.extraOptimizations.contains(GraftScanStatsRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ GraftScanStatsRule
       CatalogName
     }
 }
@@ -1077,6 +1082,10 @@ object GraftSql {
 /** `spark.sql.extensions` entry point (build-time route). */
 class GraftSparkSessionExtension
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(session => new GraftDmlStrategy(session))
+    // Pre-CBO batch runs right after early scan pushdown — where the
+    // stats-forwarding rewrap must happen (see GraftScanStatsRule).
+    ext.injectPreCBORule(_ => GraftScanStatsRule)
+  }
 }

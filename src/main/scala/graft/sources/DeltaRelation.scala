@@ -52,6 +52,38 @@ final class DeltaRelation(
   override val schema: StructType =
     table.toDF(table.metaSnapshot(resolvedVersion())).schema
 
+  /** Metadata-only aggregate answer over this relation's (possibly
+    * time-traveled) snapshot — see [[graft.delta.StatsAggregates]]. None
+    * refuses (caller falls back to the ordinary scan). */
+  private[sources] def answerAggregates(
+      aggs: Seq[graft.delta.StatsAggregates.StatAgg]): Option[Seq[Any]] = {
+    val snap = table.scanState(resolvedVersion(), JNothing)
+    graft.delta.StatsAggregates.answer(snap, schema, aggs)
+  }
+
+  /** (estimatedBytes, exactRows) of this scan AFTER file pruning by
+    * `filters` — the DSv2 `SupportsReportStatistics` feed. Bytes are
+    * on-disk parquet scaled by `spark.sql.sources.fileCompressionFactor`
+    * (the knob Spark's own file sources honor for the columnar-on-disk vs
+    * in-memory gap). None above the distributed-snapshot threshold. */
+  private[sources] def scanDimensions(filters: Array[Filter]): Option[(Long, Option[Long])] =
+    table.tableDimensions(resolvedVersion(), DeltaRelation.pruneJson(filters))
+      .map { case (bytes, rows) => (DeltaRelation.scaleBytes(sqlContext, bytes), rows) }
+
+  /** Log-derived relation size: Spark's join planner consults
+    * `sizeInBytes` against `autoBroadcastJoinThreshold`, and the
+    * `BaseRelation` default is `defaultSizeInBytes` ("assume huge") — so
+    * without this override a kilobyte-sized dimension table stored as a
+    * graft table would NEVER be auto-broadcast and every join against it
+    * would shuffle both sides. At 100 TB that is the difference between a
+    * map-side join and a full shuffle of the fact table. Large tables
+    * (above the distributed-snapshot threshold) deliberately keep the
+    * huge default — see [[graft.delta.DeltaTable.tableDimensions]]. */
+  override lazy val sizeInBytes: Long =
+    table.tableDimensions(resolvedVersion(), JNothing)
+      .map { case (bytes, _) => DeltaRelation.scaleBytes(sqlContext, bytes) }
+      .getOrElse(super.sizeInBytes)
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     // FILE pruning first (partition values + zone-map stats via FilePruner,
     // distributed above the table's snapshot threshold — whole files
@@ -70,6 +102,17 @@ final class DeltaRelation(
 }
 
 object DeltaRelation {
+
+  /** On-disk → planner bytes: scaled by the session's
+    * `spark.sql.sources.fileCompressionFactor` (default 1.0), floored at
+    * 1 byte so an empty-but-existing table is not mistaken for a
+    * zero-cost relation by rules that special-case 0. */
+  private[sources] def scaleBytes(sqlContext: SQLContext, bytes: Long): Long = {
+    val factor = scala.util.Try(
+      sqlContext.getConf("spark.sql.sources.fileCompressionFactor", "1.0").toDouble)
+      .getOrElse(1.0)
+    math.max(math.ceil(bytes * factor).toLong, 1L)
+  }
 
   /** Best-effort `sources.Filter` → `Column` translation; `None` leaves the
     * predicate to Spark's mandatory re-evaluation (correct either way —

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import java.util.OptionalLong
 
 import scala.jdk.CollectionConverters._
 
@@ -10,7 +11,8 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -304,10 +306,11 @@ final class GraftTable(val delta: DeltaTable, identName: String,
 
 private final class GraftScanBuilder(relation: DeltaRelation)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = relation.schema
+  private var agg: Option[(StructType, Seq[Any])] = None
 
   /** Accept every filter for file/row-group pruning but RETURN them all:
     * pruning is best-effort (the pruner keeps files it can't reason
@@ -323,12 +326,105 @@ private final class GraftScanBuilder(relation: DeltaRelation)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(relation, required, pushed)
+  // ---- metadata-only aggregate pushdown ------------------------------------
+  // `SELECT COUNT(*) / COUNT(c) / MIN(c) / MAX(c) FROM t` answered from the
+  // log's per-file stats without scheduling a scan (StatsAggregates has the
+  // exactness rules). Only COMPLETE pushdown is ever claimed, and only when
+  // no filter survives (our filter pushdown is best-effort, so every
+  // predicate stays post-scan and blocks aggregation pushdown — which is
+  // correct: a filtered count needs the rows). The answer is computed AT
+  // PLANNING (it IS the planning work — a metadata fold over the same file
+  // list scan planning would enumerate), so push and support answers agree.
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    agg = answerFor(aggregation)
+    agg.isDefined
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (agg.isEmpty) agg = answerFor(aggregation)
+    agg.isDefined
+  }
+
+  private def answerFor(aggregation: Aggregation): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import graft.delta.StatsAggregates
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return None
+    def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => StatsAggregates.CountStar
+      case c: Count if !c.isDistinct =>
+        StatsAggregates.CountCol(fieldName(c.column).getOrElse(return None))
+      case m: Min =>
+        val n = fieldName(m.column).getOrElse(return None)
+        val dt = relation.schema.fields.find(_.name == n).getOrElse(return None).dataType
+        StatsAggregates.MinCol(n, dt)
+      case m: Max =>
+        val n = fieldName(m.column).getOrElse(return None)
+        val dt = relation.schema.fields.find(_.name == n).getOrElse(return None).dataType
+        StatsAggregates.MaxCol(n, dt)
+      case _ => return None // Sum/Avg/UDAF: not derivable from stats
+    }
+    val fields = specs.zipWithIndex.map {
+      case (StatsAggregates.CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (StatsAggregates.CountCol(_), i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (StatsAggregates.MinCol(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
+      case (StatsAggregates.MaxCol(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
+    }
+    relation.answerAggregates(specs).map(vs => (StructType(fields), vs))
+  }
+
+  override def build(): Scan = agg match {
+    case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
+    case None => new GraftV1Scan(relation, required, pushed)
+  }
+}
+
+/** Single-row scan carrying a metadata-answered aggregation result. */
+private final class GraftAggScan(aggSchema: StructType, values: Seq[Any])
+  extends V1Scan {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"GraftAggScan PushedAggregates (metadata-only): ${aggSchema.fieldNames.mkString(", ")}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(Row.fromSeq(values)), 1)
+    }.asInstanceOf[T]
 }
 
 private final class GraftV1Scan(relation: DeltaRelation,
                                 required: StructType, filters: Array[Filter])
-  extends V1Scan {
+  extends V1Scan with SupportsReportStatistics {
+
+  /** Post-pushdown size/row estimate from the log's file metadata (file
+    * sizes + numRecords − DV cardinalities, AFTER partition/zone-map/bloom
+    * pruning by the pushed filters): what Spark's join planner compares
+    * against `autoBroadcastJoinThreshold`. Without it a DSv2 scan reports
+    * unknown statistics and a small graft dimension table never
+    * auto-broadcasts. Empty (assume huge) above the distributed-snapshot
+    * threshold — the right answer for a table that size. */
+  override def estimateStatistics(): Statistics = {
+    val dims = relation.scanDimensions(filters)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        dims.map(d => OptionalLong.of(d._1)).getOrElse(OptionalLong.empty())
+      override def numRows(): OptionalLong =
+        dims.flatMap(_._2).map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    }
+  }
 
   override def readSchema(): StructType = required
 

@@ -238,7 +238,8 @@ class DmlPlanAuditSpec extends SparkTestBase {
     })
     assert(loops.isEmpty,
       s"general fallback planned a nested-loop join for equality shapes: ${loops.take(2)}")
-    // deleted: multiples of 6 below 100 (17) + multiples of 3 in [900,999] (34)
-    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 949)
+    // deleted: multiples of 6 below 100 (17) + multiples of 3 in [900,996]
+    // (33 — b holds 3*id for id<333, so 999 is NOT in it): 50 rows
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 950)
   }
 }
