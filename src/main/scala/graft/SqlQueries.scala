@@ -469,6 +469,27 @@ object SqlQueries {
              |      FROM $t3) c""".stripMargin)
   }
 
+  /** GROUP-BY-partition aggregate pushdown (round 10): one row per
+    * partition group, COUNT/MIN/MAX folded from the log's per-file stats
+    * and `partitionValues` ([[graft.delta.StatsAggregates.answerGrouped]]),
+    * after a deletion-vector DELETE empties one partition entirely — that
+    * group must VANISH (SQL emits no empty groups) and the surviving
+    * counts must subtract DV cardinalities exactly. DuckDB computes the
+    * same result the slow way over the original parquet. */
+  def sqlAggGroupBy(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "agg")
+    val o = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING) PARTITIONED BY (o_orderstatus)")
+    s.sql(s"INSERT INTO $t SELECT o_orderkey, o_custkey, o_orderstatus FROM $o")
+    s.conf.set("spark.graft.sql.dml.mor", "true")
+    try s.sql(s"DELETE FROM $t WHERE o_orderstatus = 'P'")
+    finally s.conf.unset("spark.graft.sql.dml.mor")
+    s.sql(s"""SELECT o_orderstatus, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key,
+             |  MAX(o_orderkey) AS max_key, COUNT(o_custkey) AS cnt_cust
+             |FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Bloom-indexed point DELETE (round 10): the table property enables
     * per-file bloom sidecars ([[graft.delta.BloomIndex]]) BEFORE the
     * insert, so the point deletes prune their file lists through blooms
@@ -484,6 +505,22 @@ object SqlQueries {
     s.sql(s"DELETE FROM $t WHERE doc_id = 17")
     s.sql(s"DELETE FROM $t WHERE doc_id IN (101, 202, 303)")
     s.sql(s"SELECT doc_id, lang, source, n_chars FROM $t ORDER BY doc_id")
+  }
+
+  /** LIMIT pushdown (round 10): an un-filtered LIMIT trims the planned
+    * file list to a survivor-covering log-order prefix
+    * ([[graft.sources.DeltaRelation.trimForLimit]]); the observable
+    * contract — exactly k rows come back, all of them real table rows —
+    * is what the oracle can check (LIMIT picks arbitrary rows, so the
+    * gate aggregates the limited subquery into deterministic values;
+    * LimitPushdownSpec proves the trimming physically). */
+  def sqlLimit(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "lim")
+    val o = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $o")
+    s.sql(s"""SELECT COUNT(*) AS cnt, COUNT(DISTINCT o_orderkey) AS dk,
+             |  MIN(o_orderkey IN (SELECT o_orderkey FROM $t)) AS all_keys_real
+             |FROM (SELECT o_orderkey FROM $t LIMIT 100)""".stripMargin)
   }
 
   /** TRUNCATE TABLE (one overwrite commit, zero adds) then refill: the
@@ -521,6 +558,8 @@ object SqlQueries {
     "s24_sql_correlated_not_in" -> (sqlCorrelatedNotIn(_, _)),
     "s25_sql_agg_pushdown" -> (sqlAggPushdown(_, _)),
     "s26_sql_bloom_delete" -> (sqlBloomDelete(_, _)),
+    "s27_sql_agg_groupby" -> (sqlAggGroupBy(_, _)),
+    "s28_sql_limit" -> (sqlLimit(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -545,6 +584,17 @@ object SqlQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (17, 101, 202, 303)
         |ORDER BY doc_id""".stripMargin,
+
+    "s27_sql_agg_groupby" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key, COUNT(o_custkey) AS cnt_cust
+        |FROM orders WHERE NOT (o_orderstatus = 'P')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "s28_sql_limit" ->
+      """SELECT COUNT(*) AS cnt, COUNT(DISTINCT o_orderkey) AS dk,
+        |  MIN(o_orderkey IN (SELECT o_orderkey FROM orders)) AS all_keys_real
+        |FROM (SELECT o_orderkey FROM orders LIMIT 100)""".stripMargin,
 
     "s25_sql_agg_pushdown" ->
       """SELECT a.cnt, a.cnt_status, a.min_key, a.max_key,

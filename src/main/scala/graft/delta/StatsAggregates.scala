@@ -55,6 +55,24 @@ object StatsAggregates {
     * not per aggregate). */
   val answered = new java.util.concurrent.atomic.AtomicLong(0)
 
+  private def dvCardinality(f: AddFile): Option[Long] = f.deletionVector match {
+    case None => Some(0L)
+    case Some(dv) => dv.obj.toMap.get("cardinality").collect {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+    }
+  }
+
+  /** Stats must exist for every file — one statless file (foreign writer,
+    * pre-stats history) poisons exactness for every aggregate kind. */
+  private def parseAll(files: Seq[AddFile]): Option[Seq[(AddFile, FileStats)]] =
+    Some(files.map { f =>
+      f.parsedStats match {
+        case Some(st) => (f, st)
+        case None => return None
+      }
+    })
+
   /** External-type result values for `aggs` over the snapshot's active
     * files, or None when any aggregate cannot be answered exactly.
     * Values use Spark's external row types (java.sql.Timestamp /
@@ -62,25 +80,61 @@ object StatsAggregates {
     * Row-encoder conversion expects. */
   def answer(snap: Snapshot, schema: StructType,
              aggs: Seq[StatAgg]): Option[Seq[Any]] = {
-    val files = snap.activeFiles
-    // Stats must exist for every file — one statless file (foreign writer,
-    // pre-stats history) poisons exactness for every aggregate kind.
-    val stats: Seq[(AddFile, FileStats)] = files.map { f =>
-      f.parsedStats match {
-        case Some(st) => (f, st)
-        case None => return None
-      }
-    }
-    val partCols = snap.partitionColumns.toSet
-    val anyDv = files.exists(_.deletionVector.nonEmpty)
+    val stats = parseAll(snap.activeFiles).getOrElse(return None)
+    val out = fold(stats, snap.partitionColumns.toSet, schema, aggs)
+    if (out.isDefined) answered.incrementAndGet()
+    out
+  }
 
-    def dvCardinality(f: AddFile): Option[Long] = f.deletionVector match {
-      case None => Some(0L)
-      case Some(dv) => dv.obj.toMap.get("cardinality").collect {
-        case JInt(n) => n.toLong
-        case JLong(n) => n
+  /** GROUP BY over PARTITION columns, answered per partition-value group:
+    * one output row per group with a surviving row (SQL emits no empty
+    * groups — a fully-DV-deleted partition must disappear), values
+    * `groupCols ++ aggs` in order. Same exactness contract as [[answer]],
+    * applied per group; any unprovable group refuses the whole query. */
+  def answerGrouped(snap: Snapshot, schema: StructType, groupCols: Seq[String],
+                    aggs: Seq[StatAgg]): Option[Seq[Seq[Any]]] = {
+    val partCols = snap.partitionColumns.toSet
+    if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
+    val gFields = groupCols.map(n =>
+      schema.fields.find(_.name == n).getOrElse(return None))
+    val stats = parseAll(snap.activeFiles).getOrElse(return None)
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], scala.collection.mutable.Buffer[(AddFile, FileStats)]]
+    stats.foreach { case (f, st) =>
+      val key: Seq[Option[String]] = groupCols.map { c =>
+        f.partitionValues.get(c) match {
+          case None => return None // foreign writer omitted the value
+          case Some(PartitionPaths.NullMarker) => None
+          case Some(v) => Some(v)
+        }
+      }
+      grouped.getOrElseUpdate(key,
+        scala.collection.mutable.Buffer.empty[(AddFile, FileStats)]) += ((f, st))
+    }
+    val rows = grouped.toSeq.flatMap { case (key, fs) =>
+      var survivors = 0L
+      fs.foreach { case (f, st) =>
+        survivors += st.numRecords - dvCardinality(f).getOrElse(return None)
+      }
+      if (survivors == 0) None
+      else {
+        val keyVals: Seq[Any] = key.zip(gFields).map {
+          case (None, _) => null
+          case (Some(s), fld) => decodePartition(s, fld.dataType).getOrElse(return None)
+        }
+        val aggVals = fold(fs.toSeq, partCols, schema, aggs).getOrElse(return None)
+        Some(keyVals ++ aggVals)
       }
     }
+    answered.incrementAndGet()
+    Some(rows)
+  }
+
+  /** The exact-fold core over one file subset; see [[answer]] for the
+    * refusal rules. */
+  private def fold(stats: Seq[(AddFile, FileStats)], partCols: Set[String],
+                   schema: StructType, aggs: Seq[StatAgg]): Option[Seq[Any]] = {
+    val anyDv = stats.exists(_._1.deletionVector.nonEmpty)
 
     def schemaField(name: String): Option[StructField] =
       schema.fields.find(_.name == name)
@@ -202,14 +256,12 @@ object StatsAggregates {
       }
     }
 
-    val out = aggs.map {
+    Some(aggs.map {
       case CountStar => countStar().getOrElse(return None)
       case CountCol(n) => countCol(n).getOrElse(return None)
       case MinCol(n, _) => extremum(n, wantMax = false).getOrElse(return None)
       case MaxCol(n, _) => extremum(n, wantMax = true).getOrElse(return None)
-    }
-    answered.incrementAndGet()
-    Some(out)
+    })
   }
 
   /** Metadata fold of a snapshot's active files into planner dimensions:

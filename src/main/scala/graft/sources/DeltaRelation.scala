@@ -61,6 +61,14 @@ final class DeltaRelation(
     graft.delta.StatsAggregates.answer(snap, schema, aggs)
   }
 
+  /** GROUP-BY-partition-columns twin of [[answerAggregates]] — one row per
+    * surviving partition group. */
+  private[sources] def answerGroupedAggregates(groupCols: Seq[String],
+      aggs: Seq[graft.delta.StatsAggregates.StatAgg]): Option[Seq[Seq[Any]]] = {
+    val snap = table.scanState(resolvedVersion(), JNothing)
+    graft.delta.StatsAggregates.answerGrouped(snap, schema, groupCols, aggs)
+  }
+
   /** (estimatedBytes, exactRows) of this scan AFTER file pruning by
     * `filters` — the DSv2 `SupportsReportStatistics` feed. Bytes are
     * on-disk parquet scaled by `spark.sql.sources.fileCompressionFactor`
@@ -84,14 +92,33 @@ final class DeltaRelation(
       .map { case (bytes, _) => DeltaRelation.scaleBytes(sqlContext, bytes) }
       .getOrElse(super.sizeInBytes)
 
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+    buildScanLimited(requiredColumns, filters, None)
+
+  /** [[buildScan]] with an optional pushed LIMIT: when no predicate exists
+    * (Spark only pushes a limit past an empty filter set, and ours stays
+    * conservative with the same guard), the file list is TRIMMED to the
+    * log-order prefix whose exact survivor counts (`numRecords` − DV
+    * cardinality) cover the limit — `SELECT * FROM t LIMIT 10` on a
+    * million-file table plans a scan over one file instead of building a
+    * parquet relation across all of them. Files without provable counts
+    * are kept and count as zero, so the prefix never under-covers; Spark's
+    * own Limit still executes on top (isPartiallyPushed). */
+  private[sources] def buildScanLimited(requiredColumns: Array[String],
+                                        filters: Array[Filter],
+                                        limit: Option[Int]): RDD[Row] = {
     // FILE pruning first (partition values + zone-map stats via FilePruner,
     // distributed above the table's snapshot threshold — whole files
     // skipped before Spark plans the scan), then the same predicates again
     // as Columns for row-group pushdown inside surviving files.
     // Untranslatable filters prune nothing and Spark re-evaluates
     // everything, so partial translation stays correct.
-    val snap = table.scanState(resolvedVersion(), DeltaRelation.pruneJson(filters))
+    val snap0 = table.scanState(resolvedVersion(), DeltaRelation.pruneJson(filters))
+    val snap = limit match {
+      case Some(l) if filters.isEmpty =>
+        snap0.copy(activeFiles = DeltaRelation.trimForLimit(snap0.activeFiles, l))
+      case _ => snap0
+    }
     var df = table.toDF(snap)
     filters.flatMap(DeltaRelation.toColumn).foreach(c => df = df.filter(c))
     // an empty projection (COUNT(*)) still needs the row stream
@@ -112,6 +139,41 @@ object DeltaRelation {
       sqlContext.getConf("spark.sql.sources.fileCompressionFactor", "1.0").toDouble)
       .getOrElse(1.0)
     math.max(math.ceil(bytes * factor).toLong, 1L)
+  }
+
+  /** Test/inspection hook: files dropped by LIMIT trimming since JVM start. */
+  val limitSkipped = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Log-order prefix of `files` whose PROVABLE survivor counts cover
+    * `limit`. A file without parseable stats (or an unreadable DV
+    * cardinality) is kept but contributes zero, so the prefix can only
+    * over-cover, never under-cover. */
+  private[sources] def trimForLimit(files: Seq[graft.delta.AddFile],
+                                    limit: Int): Seq[graft.delta.AddFile] = {
+    var acc = 0L
+    val out = Seq.newBuilder[graft.delta.AddFile]
+    var kept = 0
+    val it = files.iterator
+    while (it.hasNext && acc < limit) {
+      val f = it.next()
+      out += f
+      kept += 1
+      val surv: Long = f.parsedStats.map(_.numRecords) match {
+        case Some(n) =>
+          f.deletionVector match {
+            case None => n
+            case Some(dv) => dv.obj.toMap.get("cardinality") match {
+              case Some(org.json4s.JInt(c)) => n - c.toLong
+              case Some(org.json4s.JLong(c)) => n - c
+              case _ => 0L // unknown deletions: claim nothing
+            }
+          }
+        case None => 0L
+      }
+      acc += math.max(surv, 0L)
+    }
+    limitSkipped.addAndGet((files.size - kept).toLong)
+    out.result()
   }
 
   /** Best-effort `sources.Filter` → `Column` translation; `None` leaves the

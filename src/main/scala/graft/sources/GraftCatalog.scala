@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -306,11 +306,19 @@ final class GraftTable(val delta: DeltaTable, identName: String,
 
 private final class GraftScanBuilder(relation: DeltaRelation)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = relation.schema
-  private var agg: Option[(StructType, Seq[Any])] = None
+  private var agg: Option[(StructType, Seq[Seq[Any]])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT (no predicate — Spark only pushes past an empty filter set)
+    * trims the planned file list to a survivor-covering prefix; partial:
+    * the scan returns whole files' rows, Spark's Limit trims on top. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
 
   /** Accept every filter for file/row-group pruning but RETURN them all:
     * pruning is best-effort (the pruner keeps files it can't reason
@@ -346,17 +354,21 @@ private final class GraftScanBuilder(relation: DeltaRelation)
     agg.isDefined
   }
 
-  private def answerFor(aggregation: Aggregation): Option[(StructType, Seq[Any])] = {
+  private def answerFor(aggregation: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     import graft.delta.StatsAggregates
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return None
+    if (pushed.nonEmpty) return None
     def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
         case _ => None
       }
+    // GROUP BY is answerable only over partition columns (one value per
+    // file in the log) — StatsAggregates.answerGrouped enforces that.
+    val groupCols: Seq[String] = aggregation.groupByExpressions.toSeq
+      .map(e => fieldName(e).getOrElse(return None))
     val specs = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => StatsAggregates.CountStar
       case c: Count if !c.isDistinct =>
@@ -371,23 +383,31 @@ private final class GraftScanBuilder(relation: DeltaRelation)
         StatsAggregates.MaxCol(n, dt)
       case _ => return None // Sum/Avg/UDAF: not derivable from stats
     }
-    val fields = specs.zipWithIndex.map {
+    // Output contract: group-by columns first, then aggregates, in order.
+    val groupFields = groupCols.map(n =>
+      relation.schema.fields.find(_.name == n).getOrElse(return None))
+    val aggFields = specs.zipWithIndex.map {
       case (StatsAggregates.CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (StatsAggregates.CountCol(_), i) => StructField(s"agg_$i", LongType, nullable = false)
       case (StatsAggregates.MinCol(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
       case (StatsAggregates.MaxCol(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
     }
-    relation.answerAggregates(specs).map(vs => (StructType(fields), vs))
+    val schema = StructType(groupFields ++ aggFields)
+    if (groupCols.isEmpty)
+      relation.answerAggregates(specs).map(vs => (schema, Seq(vs)))
+    else
+      relation.answerGroupedAggregates(groupCols, specs).map(rows => (schema, rows))
   }
 
   override def build(): Scan = agg match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftV1Scan(relation, required, pushed)
+    case None => new GraftV1Scan(relation, required, pushed, limit)
   }
 }
 
-/** Single-row scan carrying a metadata-answered aggregation result. */
-private final class GraftAggScan(aggSchema: StructType, values: Seq[Any])
+/** Scan carrying a metadata-answered aggregation result: one row for the
+  * global case, one row per surviving partition group for GROUP BY. */
+private final class GraftAggScan(aggSchema: StructType, rows: Seq[Seq[Any]])
   extends V1Scan {
 
   override def readSchema(): StructType = aggSchema
@@ -401,12 +421,13 @@ private final class GraftAggScan(aggSchema: StructType, values: Seq[Any])
       override def sqlContext: SQLContext = context
       override def schema: StructType = aggSchema
       override def buildScan(): RDD[Row] =
-        context.sparkContext.parallelize(Seq(Row.fromSeq(values)), 1)
+        context.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
     }.asInstanceOf[T]
 }
 
 private final class GraftV1Scan(relation: DeltaRelation,
-                                required: StructType, filters: Array[Filter])
+                                required: StructType, filters: Array[Filter],
+                                limit: Option[Int] = None)
   extends V1Scan with SupportsReportStatistics {
 
   /** Post-pushdown size/row estimate from the log's file metadata (file
@@ -434,7 +455,7 @@ private final class GraftV1Scan(relation: DeltaRelation,
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
       override def buildScan(): RDD[Row] =
-        relation.buildScan(required.fieldNames, filters)
+        relation.buildScanLimited(required.fieldNames, filters, limit)
     }.asInstanceOf[T]
 }
 

@@ -152,6 +152,60 @@ class AggPushdownSpec extends SparkTestBase {
     assert(row2.getLong(2) == 294 && row2.getLong(3) == 294)
   }
 
+  test("GROUP BY partition columns answers per group; empty groups vanish") {
+    setup()
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p INT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 4 AS INT) FROM range(400)")
+    val (rows, hits) = answered {
+      spark.sql(s"SELECT p, COUNT(*) AS c, MIN(id) AS lo, MAX(id) AS hi FROM $t " +
+        s"GROUP BY p ORDER BY p").collect()
+    }
+    assert(hits == 1, "grouped partition aggregates were not metadata-answered")
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.forall(_.getLong(1) == 100))
+    assert(rows.head.getLong(2) == 0 && rows.head.getLong(3) == 396)
+    // wipe partition 3 via DVs: its group must disappear, counts stay exact
+    spark.conf.set("spark.graft.sql.dml.mor", "true")
+    try spark.sql(s"DELETE FROM $t WHERE p = 3 OR id = 0")
+    finally spark.conf.unset("spark.graft.sql.dml.mor")
+    val (rows2, hits2) = answered {
+      spark.sql(s"SELECT p, COUNT(*) AS c FROM $t GROUP BY p ORDER BY p").collect()
+    }
+    assert(hits2 == 1, "grouped aggregates under DVs were not metadata-answered")
+    assert(rows2.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 99), (1, 100), (2, 100)))
+    // grouping by a DATA column needs the rows → never metadata-answered
+    val (_, hits3) = answered {
+      spark.sql(s"SELECT id % 2, COUNT(*) FROM $t GROUP BY id % 2").collect()
+    }
+    assert(hits3 == 0, "data-column GROUP BY must not be metadata-answered")
+  }
+
+  test("grouped aggregates answer with the files deleted from disk") {
+    setup()
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $t SELECT id, CASE WHEN id % 3 = 0 THEN NULL " +
+      s"ELSE CONCAT('s', id % 3) END FROM range(90)")
+    val dir = tableDir(t)
+    val dataFiles = Files.walk(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(Files.delete)
+    val (rows, hits) = answered {
+      spark.sql(s"SELECT g, COUNT(*) AS c, MIN(id) AS lo FROM $t " +
+        s"GROUP BY g ORDER BY g NULLS FIRST").collect()
+    }
+    assert(hits == 1)
+    // null partition groups like any other value (30 ids ≡ 0 mod 3)
+    assert(rows.length == 3)
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) == 30 && rows.head.getLong(2) == 0)
+    assert(rows(1).getString(0) == "s1" && rows(1).getLong(1) == 30 && rows(1).getLong(2) == 1)
+    assert(rows(2).getString(0) == "s2" && rows(2).getLong(1) == 30 && rows(2).getLong(2) == 2)
+  }
+
   test("time travel aggregates answer from the travelled snapshot") {
     setup()
     val t = freshTable()
