@@ -523,6 +523,28 @@ object SqlQueries {
              |FROM (SELECT o_orderkey FROM $t LIMIT 100)""".stripMargin)
   }
 
+  /** TOP-N pushdown (round 10): `ORDER BY key LIMIT k` trims the planned
+    * file list to the zone-map cover of the k extreme rows
+    * ([[graft.delta.StatsAggregates.topNPrefix]]) — deterministic here
+    * because the sort key is unique, so the values must match DuckDB
+    * exactly in both directions (TopNPushdownSpec proves the trimming
+    * physically by deleting the non-cover files). */
+  def sqlTopN(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "tpn")
+    val o = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $o")
+    s.sql(s"""SELECT lo.o_orderkey AS lo_key, lo.o_orderstatus AS lo_status,
+             |  hi.o_orderkey AS hi_key, hi.o_orderstatus AS hi_status
+             |FROM (SELECT o_orderkey, o_orderstatus,
+             |        ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+             |      FROM (SELECT * FROM $t ORDER BY o_orderkey LIMIT 25)) lo
+             |JOIN (SELECT o_orderkey, o_orderstatus,
+             |        ROW_NUMBER() OVER (ORDER BY o_orderkey DESC) AS rn
+             |      FROM (SELECT * FROM $t ORDER BY o_orderkey DESC LIMIT 25)) hi
+             |  ON lo.rn = hi.rn
+             |ORDER BY lo.o_orderkey""".stripMargin)
+  }
+
   /** TRUNCATE TABLE (one overwrite commit, zero adds) then refill: the
     * final state must equal the refill alone — any pre-truncate row
     * surviving, or the schema changing, breaks the oracle. */
@@ -560,6 +582,7 @@ object SqlQueries {
     "s26_sql_bloom_delete" -> (sqlBloomDelete(_, _)),
     "s27_sql_agg_groupby" -> (sqlAggGroupBy(_, _)),
     "s28_sql_limit" -> (sqlLimit(_, _)),
+    "s29_sql_topn" -> (sqlTopN(_, _)),
     "s17_sql_restore" -> (sqlRestore(_, _)),
     "s18_sql_dedup" -> (sqlDedup(_, _)),
     "s15_sql_dml_exists" -> (sqlDmlExists(_, _)),
@@ -595,6 +618,18 @@ object SqlQueries {
       """SELECT COUNT(*) AS cnt, COUNT(DISTINCT o_orderkey) AS dk,
         |  MIN(o_orderkey IN (SELECT o_orderkey FROM orders)) AS all_keys_real
         |FROM (SELECT o_orderkey FROM orders LIMIT 100)""".stripMargin,
+
+    "s29_sql_topn" ->
+      """SELECT lo.o_orderkey AS lo_key, lo.o_orderstatus AS lo_status,
+        |  hi.o_orderkey AS hi_key, hi.o_orderstatus AS hi_status
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |      FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 25)) lo
+        |JOIN (SELECT o_orderkey, o_orderstatus,
+        |        ROW_NUMBER() OVER (ORDER BY o_orderkey DESC) AS rn
+        |      FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 25)) hi
+        |  ON lo.rn = hi.rn
+        |ORDER BY lo.o_orderkey""".stripMargin,
 
     "s25_sql_agg_pushdown" ->
       """SELECT a.cnt, a.cnt_status, a.min_key, a.max_key,

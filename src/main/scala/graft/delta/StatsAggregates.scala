@@ -293,6 +293,92 @@ object StatsAggregates {
     (bytes, if (exact) Some(rows) else None)
   }
 
+  private object Refuse extends scala.util.control.ControlThrowable
+
+  /**
+   * TOP-N file cover: the subset of `files` that can contain the first
+   * `limit` rows of `ORDER BY field (asc/desc, nulls first/last)`, or
+   * None when exactness is unprovable — any DV (deleted rows could be
+   * anywhere in the order), a missing stat, a float/double key (NaN is
+   * invisible to stats but sorts above every value), or a partition
+   * column (no min/max stats). Superset contract: enough null rows and
+   * every non-null row at-or-inside the computed bound are kept, so a
+   * Sort+Limit running on top of the kept files produces a correct
+   * answer. At 100 TB this is the "latest k events" pattern: the zone
+   * maps pick the handful of files whose ranges reach the extremum.
+   *
+   * Bound construction (ASC case; DESC mirrors with lo/hi swapped): sort
+   * stat-bearing files by `max(field)`, accumulate non-null counts until
+   * they cover the non-null demand, take the last accumulated `max` as
+   * the bound B — at least `need` non-null rows are ≤ B, so every true
+   * top row is ≤ B, so every file with `min > B` is droppable.
+   */
+  def topNPrefix(files: Seq[AddFile], field: StructField, partCols: Set[String],
+                 asc: Boolean, nullsFirst: Boolean,
+                 limit: Int): Option[Seq[AddFile]] = {
+    if (partCols.contains(field.name)) return None
+    field.dataType match {
+      case FloatType | DoubleType => return None
+      case _ => ()
+    }
+    if (files.exists(_.deletionVector.nonEmpty)) return None
+    final case class Info(f: AddFile, nonNull: Long, nulls: Long,
+                          lo: Option[JValue], hi: Option[JValue])
+    val infos = files.map { f =>
+      val st = f.parsedStats.getOrElse(return None)
+      val nulls = st.nullCount.getOrElse(field.name, return None)
+      val nonNull = st.numRecords - nulls
+      val lo = st.minValues.get(field.name)
+      val hi = st.maxValues.get(field.name)
+      if (nonNull > 0 && (lo.isEmpty || hi.isEmpty)) return None
+      Info(f, nonNull, nulls, lo, hi)
+    }
+    val nullsTotal = infos.iterator.map(_.nulls).sum
+    val nonNullTotal = infos.iterator.map(_.nonNull).sum
+    def cmp(a: JValue, b: JValue): Int =
+      FilePruner.compare(a, b, field.dataType).getOrElse(throw Refuse)
+    try {
+      val needNonNull =
+        if (nullsFirst) math.max(0L, limit.toLong - nullsTotal)
+        else math.min(limit.toLong, nonNullTotal)
+      val needNulls =
+        if (nullsFirst) math.min(limit.toLong, nullsTotal)
+        else math.max(0L, limit.toLong - nonNullTotal)
+      val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+      if (needNulls > 0) {
+        // any `needNulls` null rows are a correct LIMIT prefix among
+        // themselves — a log-order cover suffices
+        var acc = 0L
+        infos.iterator.filter(_.nulls > 0).foreach { i =>
+          if (acc < needNulls) { keep += i.f.path; acc += i.nulls }
+        }
+      }
+      if (needNonNull > 0) {
+        val sortable = infos.filter(_.nonNull > 0)
+        val sorted =
+          if (asc) sortable.sortWith((x, y) => cmp(x.hi.get, y.hi.get) < 0)
+          else sortable.sortWith((x, y) => cmp(x.lo.get, y.lo.get) > 0)
+        var acc = 0L
+        var bound: Option[JValue] = None
+        val it = sorted.iterator
+        while (acc < needNonNull && it.hasNext) {
+          val i = it.next()
+          acc += i.nonNull
+          bound = Some(if (asc) i.hi.get else i.lo.get)
+        }
+        if (acc < needNonNull) sortable.foreach(i => keep += i.f.path)
+        else {
+          val b = bound.get
+          sortable.foreach { i =>
+            if (if (asc) cmp(i.lo.get, b) <= 0 else cmp(i.hi.get, b) >= 0)
+              keep += i.f.path
+          }
+        }
+      }
+      Some(files.filter(f => keep.contains(f.path)))
+    } catch { case Refuse => None }
+  }
+
   /** Hive partition-value string → Spark EXTERNAL value for `dt`; None
     * refuses (unparseable for the declared type). Must mirror the
     * writer's [[PartitionPaths]] encoding. */

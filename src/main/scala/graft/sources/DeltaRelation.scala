@@ -106,7 +106,8 @@ final class DeltaRelation(
     * own Limit still executes on top (isPartiallyPushed). */
   private[sources] def buildScanLimited(requiredColumns: Array[String],
                                         filters: Array[Filter],
-                                        limit: Option[Int]): RDD[Row] = {
+                                        limit: Option[Int],
+                                        topN: Option[DeltaRelation.TopN] = None): RDD[Row] = {
     // FILE pruning first (partition values + zone-map stats via FilePruner,
     // distributed above the table's snapshot threshold — whole files
     // skipped before Spark plans the scan), then the same predicates again
@@ -114,9 +115,16 @@ final class DeltaRelation(
     // Untranslatable filters prune nothing and Spark re-evaluates
     // everything, so partial translation stays correct.
     val snap0 = table.scanState(resolvedVersion(), DeltaRelation.pruneJson(filters))
-    val snap = limit match {
-      case Some(l) if filters.isEmpty =>
+    val snap = (limit, topN) match {
+      case (Some(l), _) if filters.isEmpty =>
         snap0.copy(activeFiles = DeltaRelation.trimForLimit(snap0.activeFiles, l))
+      case (_, Some(t)) if filters.isEmpty =>
+        val kept = graft.delta.StatsAggregates.topNPrefix(
+          snap0.activeFiles, t.field, snap0.partitionColumns.toSet,
+          t.asc, t.nullsFirst, t.limit)
+        kept.foreach(k => DeltaRelation.topNSkipped.addAndGet(
+          (snap0.activeFiles.size - k.size).toLong))
+        snap0.copy(activeFiles = kept.getOrElse(snap0.activeFiles))
       case _ => snap0
     }
     var df = table.toDF(snap)
@@ -141,8 +149,15 @@ object DeltaRelation {
     math.max(math.ceil(bytes * factor).toLong, 1L)
   }
 
+  /** Pushed `ORDER BY field LIMIT limit` spec for the scan. */
+  final case class TopN(field: org.apache.spark.sql.types.StructField,
+                        asc: Boolean, nullsFirst: Boolean, limit: Int)
+
   /** Test/inspection hook: files dropped by LIMIT trimming since JVM start. */
   val limitSkipped = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test/inspection hook: files dropped by TOP-N trimming since JVM start. */
+  val topNSkipped = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Log-order prefix of `files` whose PROVABLE survivor counts cover
     * `limit`. A file without parseable stats (or an unreadable DV

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -307,18 +308,39 @@ final class GraftTable(val delta: DeltaTable, identName: String,
 private final class GraftScanBuilder(relation: DeltaRelation)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = relation.schema
   private var agg: Option[(StructType, Seq[Seq[Any]])] = None
   private var limit: Option[Int] = None
+  private var topN: Option[DeltaRelation.TopN] = None
 
   /** LIMIT (no predicate — Spark only pushes past an empty filter set)
     * trims the planned file list to a survivor-covering prefix; partial:
     * the scan returns whole files' rows, Spark's Limit trims on top. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY col LIMIT k (single key, no predicate) trims the planned
+    * file list to the zone-map cover of the top k rows — see
+    * [[graft.delta.StatsAggregates.topNPrefix]] for the exactness rules
+    * (it refuses with keep-all rather than ever under-covering). Partial:
+    * Spark's Sort+Limit still runs on top of the kept files' rows. */
+  override def pushTopN(orders: Array[connector.expressions.SortOrder], l: Int): Boolean = {
+    import connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (orders.length != 1) return false
+    val o = orders.head
+    val name = o.expression match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames.head
+      case _ => return false
+    }
+    val fld = relation.schema.fields.find(_.name == name).getOrElse(return false)
+    topN = Some(DeltaRelation.TopN(fld,
+      o.direction == SortDirection.ASCENDING,
+      o.nullOrdering == NullOrdering.NULLS_FIRST, l))
+    true
+  }
 
   /** Accept every filter for file/row-group pruning but RETURN them all:
     * pruning is best-effort (the pruner keeps files it can't reason
@@ -401,7 +423,7 @@ private final class GraftScanBuilder(relation: DeltaRelation)
 
   override def build(): Scan = agg match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftV1Scan(relation, required, pushed, limit)
+    case None => new GraftV1Scan(relation, required, pushed, limit, topN)
   }
 }
 
@@ -427,7 +449,8 @@ private final class GraftAggScan(aggSchema: StructType, rows: Seq[Seq[Any]])
 
 private final class GraftV1Scan(relation: DeltaRelation,
                                 required: StructType, filters: Array[Filter],
-                                limit: Option[Int] = None)
+                                limit: Option[Int] = None,
+                                topN: Option[DeltaRelation.TopN] = None)
   extends V1Scan with SupportsReportStatistics {
 
   /** Post-pushdown size/row estimate from the log's file metadata (file
@@ -455,7 +478,7 @@ private final class GraftV1Scan(relation: DeltaRelation,
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
       override def buildScan(): RDD[Row] =
-        relation.buildScanLimited(required.fieldNames, filters, limit)
+        relation.buildScanLimited(required.fieldNames, filters, limit, topN)
     }.asInstanceOf[T]
 }
 

@@ -181,6 +181,13 @@ class AggPushdownSpec extends SparkTestBase {
       spark.sql(s"SELECT id % 2, COUNT(*) FROM $t GROUP BY id % 2").collect()
     }
     assert(hits3 == 0, "data-column GROUP BY must not be metadata-answered")
+    // DISTINCT over a partition column = GROUP BY with zero aggregates:
+    // answered as the group keys alone (p=3 is gone)
+    val (dRows, hits4) = answered {
+      spark.sql(s"SELECT DISTINCT p FROM $t ORDER BY p").collect()
+    }
+    assert(hits4 == 1, "partition-column DISTINCT was not metadata-answered")
+    assert(dRows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
   }
 
   test("grouped aggregates answer with the files deleted from disk") {
