@@ -166,6 +166,53 @@ object SqlQueries {
              |ORDER BY event_id""".stripMargin)
   }
 
+  /** `INSERT INTO ... REPLACE WHERE` (Delta's replaceWhere): ONE commit
+    * atomically swaps the `o_orderstatus = 'O'` region for a reloaded
+    * slice of it — the idempotent-backfill primitive. Rows outside the
+    * region are untouched; the write itself verifies every inserted row
+    * satisfies the region predicate. */
+  def sqlReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "rpw")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v")
+    s.sql(s"""INSERT INTO $t REPLACE WHERE o_orderstatus = 'O'
+             |SELECT o_orderkey + 50000000, o_custkey, o_orderstatus,
+             |       o_totalprice * 2, o_orderdate, 'RELOADED'
+             |FROM $v WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`): one
+    * commit replaces exactly the partitions the input carries rows for —
+    * the daily-reload primitive for a partitioned table. 'click' and
+    * 'purchase' are reloaded (filtered + transformed); every other
+    * event_type partition must survive byte-for-byte. */
+  def sqlDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dyn")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+             |  event_type STRING, value DOUBLE, props STRING)
+             |PARTITIONED BY (event_type)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, ts, user_id, event_type, value, props FROM $v""".stripMargin)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      s.sql(s"""INSERT OVERWRITE $t
+               |SELECT event_id + 9000000, ts, user_id, event_type,
+               |       value * 10, 'reloaded'
+               |FROM $v
+               |WHERE event_type IN ('click', 'purchase') AND value >= 10""".stripMargin)
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.sql(s"""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM $t ORDER BY event_id""".stripMargin)
+  }
+
   /** INSERT OVERWRITE replaces the table contents in one commit. */
   def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
     val t = fresh(s, "iow")
@@ -600,9 +647,37 @@ object SqlQueries {
     "s6_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "s8_sql_merge_clauses" -> (sqlMergeClauses(_, _)),
     "s9_sql_merge_sync" -> (sqlMergeSync(_, _)),
-    "s10_sql_partitioned" -> (sqlPartitioned(_, _)))
+    "s10_sql_partitioned" -> (sqlPartitioned(_, _)),
+    "s30_sql_replace_where" -> (sqlReplaceWhere(_, _)),
+    "s31_sql_dynamic_overwrite" -> (sqlDynamicOverwrite(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s30_sql_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderstatus <> 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_custkey, o_orderstatus,
+        |         o_totalprice * 2, o_orderdate, 'RELOADED'
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "s31_sql_dynamic_overwrite" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |  value, props
+        |FROM (
+        |  SELECT event_id, ts, user_id, event_type, value, props
+        |  FROM events WHERE event_type NOT IN ('click', 'purchase')
+        |  UNION ALL
+        |  SELECT event_id + 9000000, ts, user_id, event_type,
+        |         value * 10, 'reloaded'
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value >= 10
+        |) ORDER BY event_id""".stripMargin,
+
     "s26_sql_bloom_delete" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (17, 101, 202, 303)

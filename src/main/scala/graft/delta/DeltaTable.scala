@@ -466,6 +466,133 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   private val AutoCompactKey = "delta.autoOptimize.autoCompact"
   private val AutoCompactMinFilesKey = "delta.autoOptimize.autoCompact.minNumFiles"
 
+  /**
+   * Atomic predicate-scoped overwrite — Delta's `replaceWhere` (SQL:
+   * `INSERT INTO t REPLACE WHERE cond SELECT …`): ONE commit removes every
+   * row matching `condition` and lands `data` in its place, so readers see
+   * either the whole old region or the whole new one, never a mix — the
+   * idempotent-backfill primitive (re-materialize one day/partition range
+   * of a 100-TB table without touching the rest). New rows MUST satisfy
+   * `condition` (Delta's replaceWhere constraint): a row landing outside
+   * the replaced region would silently coexist with the data it was meant
+   * to replace. The check rides the write job itself as an `Observation` —
+   * zero extra scans. Matched-file selection and the keep-row rewrite
+   * reuse the CoW delete shape (pruned scan state, file-list restriction,
+   * never a path-list `In`); concurrent appends whose stats say they may
+   * carry rows inside the region CONFLICT (see [[commitRewrite]]'s tail
+   * scan) — file-level OCC alone would let a racer's matching rows survive.
+   * No schema evolution (extra columns refuse; sparse inserts are legal —
+   * omitted columns read back NULL and evaluate as NULL in the guard).
+   */
+  def replaceWhere(data: DataFrame, condition: Column): DmlResult = {
+    val pred = coalesce(condition, lit(false)) // null ⇒ not matched (SQL)
+    val pruneFilter = graft.sources.ExprFilters.pruneJson(condition)
+    val snap = scanState(None, pruneFilter)
+    ProtocolSupport.assertWritable(snap, path)
+    DeltaTable.assertNotAppendOnly(snap, "WRITE-REPLACE-WHERE")
+    if (snap.metadata.isEmpty) throw new ValidationException(
+      "replaceWhere requires an existing table")
+    val extra = data.schema.fieldNames.filterNot(snap.schema.fieldNames.contains)
+    if (extra.nonEmpty) throw new ValidationException(
+      "replaceWhere does not evolve the schema; unknown column(s): " +
+        extra.mkString(", "))
+    val aligned = alignTo(data, snap.schema)
+    // The guard may reference columns a sparse insert omits — backfill
+    // NULL for evaluation only; the written frame stays sparse.
+    val present = data.schema.fieldNames.toSet
+    val missing = snap.schema.fields.filterNot(f => present(f.name))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = missing.foldLeft(aligned)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+      .observe(obs, coalesce(sum(when(!pred, 1L).otherwise(0L)), lit(0L))
+        .as("__outside"))
+      .drop(missing.map(_.name).toIndexedSeq: _*)
+    val newAdds = writeDataFiles(observed, snap.partitionColumns, snap.schema)
+    val outside = obs.get("__outside").asInstanceOf[Long]
+    if (outside > 0L) {
+      newAdds.foreach(a => deleteDataFile(a.path))
+      throw new ValidationException(
+        s"replaceWhere: $outside inserted row(s) do not satisfy the " +
+          "replacement condition — they would land outside the replaced region")
+    }
+    val candidates = snap.activeFiles
+    val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
+    val keepAdds =
+      if (matchedFiles.isEmpty) Nil
+      else writeDataFiles(
+        matchedFilesDF(snap, candidates, matchedFiles).filter(!pred).drop("__file"),
+        snap.partitionColumns, snap.schema)
+    val regionKeep =
+      FilePruner.compile(pruneFilter, snap.partitionColumns.toSet, snap.schema)
+    val v = commitRewrite(snap, matchedFiles.toSet, keepAdds ++ newAdds,
+      "WRITE-REPLACE-WHERE",
+      tailAddConflict = Some(a => a.dataChange && regionKeep(a)))
+    if (cdcConfigured(snap)) {
+      val inserts = aligned.withColumn(Cdc.ChangeType, lit("insert"))
+      val changes =
+        if (matchedFiles.isEmpty) inserts
+        else matchedFilesDF(snap, candidates, matchedFiles).filter(pred)
+          .drop("__file").withColumn(Cdc.ChangeType, lit("delete"))
+          .unionByName(inserts, allowMissingColumns = true)
+      Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
+    }
+    DmlResult(nMatched, matchedFiles.size.toLong, v)
+  }
+
+  /**
+   * Dynamic partition overwrite (Spark's
+   * `spark.sql.sources.partitionOverwriteMode=dynamic` INSERT OVERWRITE and
+   * `df.writeTo(t).overwritePartitions()`): ONE commit replaces exactly the
+   * partitions `data` carries rows for and leaves every other partition
+   * untouched — the daily-reload primitive for a partitioned 100-TB table.
+   * The replaced-partition set comes from the WRITTEN add actions (one
+   * entry per written partition — bounded by the write, not the table);
+   * the removes enumerate through [[scanStateWhere]], so above the
+   * distributed-snapshot threshold only the replaced partitions' files
+   * ever reach the driver. Concurrent appends INTO a replaced partition
+   * conflict (same region rule as [[replaceWhere]]). Unpartitioned tables
+   * degrade to a full overwrite — Spark's own semantics for dynamic mode
+   * without partitions.
+   */
+  def overwritePartitionsDynamic(data: DataFrame): Long = {
+    val snap0 = metaSnapshot()
+    ProtocolSupport.assertWritable(snap0, path)
+    if (snap0.metadata.isEmpty || snap0.partitionColumns.isEmpty)
+      return write(data, "overwrite")
+    DeltaTable.assertNotAppendOnly(snap0, "WRITE-DYNAMIC-OVERWRITE")
+    val extra = data.schema.fieldNames.filterNot(snap0.schema.fieldNames.contains)
+    if (extra.nonEmpty) throw new ValidationException(
+      "dynamic partition overwrite does not evolve the schema; " +
+        s"unknown column(s): ${extra.mkString(", ")}")
+    val missingPart =
+      snap0.partitionColumns.filterNot(data.schema.fieldNames.contains)
+    if (missingPart.nonEmpty) throw new ValidationException(
+      "dynamic partition overwrite requires the partition column(s) in the " +
+        s"data: missing ${missingPart.mkString(", ")}")
+    val aligned = alignTo(data, snap0.schema)
+    val adds = writeDataFiles(aligned, snap0.partitionColumns, snap0.schema)
+    val written: Set[Map[String, String]] = adds.map(_.partitionValues).toSet
+    if (written.isEmpty) // empty input replaces nothing (Spark semantics)
+      return appendCommit(Nil, "WRITE-DYNAMIC-OVERWRITE")
+    // Only the replaced partitions' files reach the driver; `written` is
+    // a small serializable set, shippable by the distributed path.
+    val replaced = scanStateWhere(f => written.contains(f.partitionValues))
+    val rewrittenAbs = replaced.activeFiles
+      .map(f => new Path(tablePath, f.path).toUri.getPath).toSet
+    val v = commitRewrite(replaced, rewrittenAbs, adds,
+      "WRITE-DYNAMIC-OVERWRITE",
+      tailAddConflict = Some(a => a.dataChange && written.contains(a.partitionValues)))
+    if (cdcConfigured(snap0)) {
+      val inserts = aligned.withColumn(Cdc.ChangeType, lit("insert"))
+      val changes =
+        if (replaced.activeFiles.isEmpty) inserts
+        else toDF(replaced).withColumn(Cdc.ChangeType, lit("delete"))
+          .unionByName(inserts, allowMissingColumns = true)
+      Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
+    }
+    v
+  }
+
   /** Document-shaped ingestion (reference: DeltaTable.write over
     * `Record<string, unknown>[]` rows, src/delta/table.ts:694-837 with
     * inference 1289-1388): untyped JSON rows are typed under the reference's
@@ -1229,11 +1356,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * replacements. `rewrittenAbs` holds absolute `file:` URIs from
     * `_metadata.file_path`. */
   private[delta] def commitFileRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
-                                       adds: Seq[AddFile], op: String): Long =
-    commitRewrite(snapAtRead, rewrittenAbs, adds, op)
+                                       adds: Seq[AddFile], op: String,
+                                       tailAddConflict: Option[AddFile => Boolean] = None): Long =
+    commitRewrite(snapAtRead, rewrittenAbs, adds, op, tailAddConflict)
 
   private def commitRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
-                            adds: Seq[AddFile], op: String): Long = {
+                            adds: Seq[AddFile], op: String,
+                            tailAddConflict: Option[AddFile => Boolean] = None): Long = {
     // Normalize once into a set: an `exists` over rewrittenAbs inside this
     // filter would be O(activeFiles × rewritten) string compares — a driver
     // CPU blow-up at 10⁶ files.
@@ -1257,6 +1386,25 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       rewrittenRel.foreach { p =>
         if (current(p) != readRecords(p))
           throw new WriteConflictException(cur + 1)
+      }
+      // PREDICATE-scoped writes (REPLACE WHERE, dynamic partition
+      // overwrite) read a REGION, not just files: a concurrent append
+      // whose rows may fall inside that region must conflict (Delta's
+      // ConcurrentAppendException class), or the racer's rows would
+      // survive a region the commit declares replaced. The check is a
+      // stats-conservative scan of the tail's add actions — O(tail),
+      // run only when the caller supplies a region predicate; plain
+      // file-scoped rewrites (CoW DML, maintenance) skip it.
+      tailAddConflict.foreach { conflicts =>
+        log.listCommitVersions()
+          .filter(v => v > snapAtRead.version && v <= cur)
+          .foreach { tv =>
+            log.readCommit(tv).foreach {
+              case a: AddFile if conflicts(a) =>
+                throw new WriteConflictException(cur + 1)
+              case _ => ()
+            }
+          }
       }
       // DML rewrites change data (dataChange=true removes) — illegal on an
       // append-only table. Maintenance's layout-only path stays legal.

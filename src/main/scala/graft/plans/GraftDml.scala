@@ -177,6 +177,16 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         runMerge(t, targetOut, source, cond, matchedActions,
           notMatchedActions, notMatchedBySourceActions, m.withSchemaEvolution)
       }
+    // Dynamic partition overwrite has NO V1 fallback exec in Spark (its
+    // built-in exec calls `write.toBatch`), so the logical plan is planned
+    // here directly onto the one-commit table primitive. `V2Writes` has
+    // already validated the builder (GraftWriteBuilder declares
+    // SupportsDynamicOverwrite); this strategy runs before the built-ins,
+    // so the V2 exec never materializes.
+    case OverwritePartitionsDynamic(GraftRelation(t, _), query, _, _, _) =>
+      exec(plan.nodeName) {
+        t.overwritePartitionsDynamic(Shims.ofRows(spark, query)); ()
+      }
     case GraftMaintenanceNode(name, out, run) =>
       Seq(GraftMaintenanceExec(name, out, spark, run))
     case _ => Nil

@@ -14,8 +14,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -291,9 +291,23 @@ final class GraftTable(val delta: DeltaTable, identName: String,
   // `MERGE ... WITH SCHEMA EVOLUTION` is instead handled by
   // [[graft.plans.GraftDmlStrategy]], which widens additively (new source
   // columns only) and leaves existing column types alone.
+  // BATCH_WRITE rides along with V1_BATCH_WRITE only to satisfy
+  // TableCapabilityCheck for dynamic partition overwrite (which has no V1
+  // fallback and is planned by GraftDmlStrategy); actual write ROUTING is
+  // by the Write object's type (V1Write), so every other write still takes
+  // the V1 fallback execs.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+
+  /** Report the table's identity partitioning so the analyzer accepts
+    * static `INSERT OVERWRITE ... PARTITION (p = v)` specs and routes
+    * dynamic-mode overwrites; also what `DESCRIBE` shows as partitioning. */
+  override def partitioning(): Array[Transform] =
+    delta.metaSnapshot().partitionColumns
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   override def properties(): util.Map[String, String] =
     delta.configuration.asJava
@@ -482,17 +496,64 @@ private final class GraftV1Scan(relation: DeltaRelation,
     }.asInstanceOf[T]
 }
 
+/**
+ * The catalog's write modes, resolved by Spark's `V2Writes` rule BEFORE
+ * planning (so analysis-time errors — an untranslatable REPLACE WHERE
+ * expression — surface as analysis errors, Spark's own contract):
+ *
+ *  - `INSERT INTO t`                          → append commit
+ *  - `INSERT OVERWRITE t` (static, no spec)   → truncate-overwrite commit
+ *  - `INSERT OVERWRITE t PARTITION (p=v)`     → [[DeltaTable.replaceWhere]]
+ *    (Spark lowers the static spec to an overwrite-by-filter `p = v`)
+ *  - `INSERT INTO t REPLACE WHERE cond`       → [[DeltaTable.replaceWhere]]
+ *  - dynamic-mode `INSERT OVERWRITE` /
+ *    `df.writeTo(t).overwritePartitions()`    → one-commit dynamic
+ *    partition overwrite (planned by [[graft.plans.GraftDmlStrategy]] —
+ *    Spark has no V1 fallback exec for it; declaring
+ *    [[SupportsDynamicOverwrite]] here is what lets the plan reach the
+ *    strategy instead of dying in `V2Writes`).
+ *
+ * Every mode is ONE atomic log commit; concurrent writers race through the
+ * same OCC the programmatic API uses.
+ */
 private final class GraftWriteBuilder(delta: DeltaTable)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
-  private var overwrite = false
+  private sealed trait Mode
+  private case object Append extends Mode
+  private case object Truncate extends Mode
+  private case object Dynamic extends Mode
+  private final case class ReplaceWhere(cond: org.apache.spark.sql.Column)
+    extends Mode
+
+  private var mode: Mode = Append
 
   /** INSERT OVERWRITE arrives as truncate + append (V1 fallback path). */
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    mode =
+      if (effective.isEmpty) Truncate
+      else ReplaceWhere(effective.map { f =>
+        DeltaRelation.toColumn(f).getOrElse(throw new ValidationException(
+          s"REPLACE WHERE condition not supported: $f"))
+      }.reduce(_ && _))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = Dynamic; this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
-      (data, overwriteFlag) =>
-        delta.write(data, if (overwrite || overwriteFlag) "overwrite" else "append")
+      (data, overwriteFlag) => mode match {
+        case ReplaceWhere(cond) => delta.replaceWhere(data, cond); ()
+        case Dynamic => delta.overwritePartitionsDynamic(data); ()
+        case Truncate => delta.write(data, "overwrite"); ()
+        case Append =>
+          delta.write(data, if (overwriteFlag) "overwrite" else "append"); ()
+      }
   }
 }
