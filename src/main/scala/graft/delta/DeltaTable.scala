@@ -190,7 +190,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   private val MappingModeKey = "delta.columnMapping.mode"
 
   /** Physical-name view of the schema, when any field declares a mapping. */
-  private def physicalSchema(schema: StructType): Option[StructType] = {
+  private[graft] def physicalSchema(schema: StructType): Option[StructType] = {
     val mapped = schema.fields.map { f =>
       if (f.metadata.contains(PhysicalNameKey))
         f.copy(name = f.metadata.getString(PhysicalNameKey))

@@ -1080,11 +1080,6 @@ object GraftSql {
           spark.experimental.extraStrategies :+ new GraftDmlStrategy(spark)
         registerTableFunctions(spark)
       }
-      // "User Provided Optimizers" runs after V2ScanRelationPushDown — the
-      // placement GraftScanStatsRule needs (see its scaladoc).
-      if (!spark.experimental.extraOptimizations.contains(GraftScanStatsRule))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ GraftScanStatsRule
       CatalogName
     }
 }
@@ -1094,8 +1089,5 @@ class GraftSparkSessionExtension
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(session => new GraftDmlStrategy(session))
-    // Pre-CBO batch runs right after early scan pushdown — where the
-    // stats-forwarding rewrap must happen (see GraftScanStatsRule).
-    ext.injectPreCBORule(_ => GraftScanStatsRule)
   }
 }

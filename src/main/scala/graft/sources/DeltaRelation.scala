@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.StructType
 
 import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JValue}
 
-import graft.delta.{DeltaTable, Txn, ValidationException}
+import graft.delta.{DeltaTable, Snapshot, Txn, ValidationException}
 
 /**
  * Batch DataSource relation for graft Delta tables:
@@ -30,7 +30,7 @@ import graft.delta.{DeltaTable, Txn, ValidationException}
  */
 final class DeltaRelation(
     val sqlContext: SQLContext,
-    table: DeltaTable,
+    private[sources] val table: DeltaTable,
     version: Option[Long],
     timestampMs: Option[Long])
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
@@ -108,14 +108,26 @@ final class DeltaRelation(
                                         filters: Array[Filter],
                                         limit: Option[Int],
                                         topN: Option[DeltaRelation.TopN] = None): RDD[Row] = {
-    // FILE pruning first (partition values + zone-map stats via FilePruner,
-    // distributed above the table's snapshot threshold — whole files
-    // skipped before Spark plans the scan), then the same predicates again
-    // as Columns for row-group pushdown inside surviving files.
-    // Untranslatable filters prune nothing and Spark re-evaluates
-    // everything, so partial translation stays correct.
+    val snap = plannedSnapshot(filters, limit, topN)
+    var df = table.toDF(snap)
+    filters.flatMap(DeltaRelation.toColumn).foreach(c => df = df.filter(c))
+    // an empty projection (COUNT(*)) still needs the row stream
+    df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** The planned file set for a scan: FILE pruning first (partition values
+    * + zone-map stats via FilePruner, distributed above the table's
+    * snapshot threshold — whole files skipped before Spark plans the
+    * scan); an optional pushed LIMIT / ORDER-BY-LIMIT then trims the list
+    * to a survivor-covering prefix / zone-map cover. Untranslatable
+    * filters prune nothing and Spark re-evaluates everything, so partial
+    * translation stays correct. Shared by the V1 row bridge and the
+    * native V2 batch scan. */
+  private[sources] def plannedSnapshot(filters: Array[Filter],
+                                       limit: Option[Int],
+                                       topN: Option[DeltaRelation.TopN]): Snapshot = {
     val snap0 = table.scanState(resolvedVersion(), DeltaRelation.pruneJson(filters))
-    val snap = (limit, topN) match {
+    (limit, topN) match {
       case (Some(l), _) if filters.isEmpty =>
         snap0.copy(activeFiles = DeltaRelation.trimForLimit(snap0.activeFiles, l))
       case (_, Some(t)) if filters.isEmpty =>
@@ -127,10 +139,6 @@ final class DeltaRelation(
         snap0.copy(activeFiles = kept.getOrElse(snap0.activeFiles))
       case _ => snap0
     }
-    var df = table.toDF(snap)
-    filters.flatMap(DeltaRelation.toColumn).foreach(c => df = df.filter(c))
-    // an empty projection (COUNT(*)) still needs the row stream
-    df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
   override def toString: String = s"DeltaRelation[${table.path}]"

@@ -36,11 +36,11 @@ import graft.delta.{DeltaTable, ValidationException}
  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
  * }}}
  *
- * Read/write reuse the DSv1 machinery through the V1 fallback seams
- * ([[V1Scan]]/[[V1Write]] — the same bridge Spark's JDBC source uses), so
- * SQL reads get the identical snapshot→prune→DV-mask scan (with
- * filter/column pushdown) as `spark.read.format("graft-delta")`, and
- * inserts land as transactional table writes.
+ * Reads plan through the native DSv2 batch scan ([[GraftBatchScan]]:
+ * snapshot→prune→exact file list→Spark's vectorized parquet reader, with
+ * runtime file pruning from join predicates); writes land as transactional
+ * table commits through the [[V1Write]] fallback seam (the same bridge
+ * Spark's JDBC source uses) plus the predicate-scoped overwrite modes.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -254,11 +254,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /**
- * DSv2 table handle: reads through a [[V1Scan]] wrapping the pruned
- * [[DeltaRelation]] scan (file pruning via partition values + zone-map
- * stats BEFORE Spark plans, then parquet row-group pushdown inside
- * surviving files), writes through a [[V1Write]] landing as transactional
- * table writes. `version`/`timestampMs` carry DSv2 time travel.
+ * DSv2 table handle: reads through the native [[GraftBatchScan]] (file
+ * pruning via partition values + zone-map stats BEFORE Spark plans, then
+ * vectorized parquet with row-group pushdown inside surviving files, and
+ * runtime file pruning from join predicates), writes through a [[V1Write]]
+ * landing as transactional table writes plus the predicate-scoped
+ * overwrite modes. `version`/`timestampMs` carry DSv2 time travel.
  */
 final class GraftTable(val delta: DeltaTable, identName: String,
                        version: Option[Long], timestampMs: Option[Long])
@@ -437,7 +438,7 @@ private final class GraftScanBuilder(relation: DeltaRelation)
 
   override def build(): Scan = agg match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftV1Scan(relation, required, pushed, limit, topN)
+    case None => new GraftBatchScan(relation, required, pushed, limit, topN)
   }
 }
 
@@ -458,41 +459,6 @@ private final class GraftAggScan(aggSchema: StructType, rows: Seq[Seq[Any]])
       override def schema: StructType = aggSchema
       override def buildScan(): RDD[Row] =
         context.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
-    }.asInstanceOf[T]
-}
-
-private final class GraftV1Scan(relation: DeltaRelation,
-                                required: StructType, filters: Array[Filter],
-                                limit: Option[Int] = None,
-                                topN: Option[DeltaRelation.TopN] = None)
-  extends V1Scan with SupportsReportStatistics {
-
-  /** Post-pushdown size/row estimate from the log's file metadata (file
-    * sizes + numRecords − DV cardinalities, AFTER partition/zone-map/bloom
-    * pruning by the pushed filters): what Spark's join planner compares
-    * against `autoBroadcastJoinThreshold`. Without it a DSv2 scan reports
-    * unknown statistics and a small graft dimension table never
-    * auto-broadcasts. Empty (assume huge) above the distributed-snapshot
-    * threshold — the right answer for a table that size. */
-  override def estimateStatistics(): Statistics = {
-    val dims = relation.scanDimensions(filters)
-    new Statistics {
-      override def sizeInBytes(): OptionalLong =
-        dims.map(d => OptionalLong.of(d._1)).getOrElse(OptionalLong.empty())
-      override def numRows(): OptionalLong =
-        dims.flatMap(_._2).map(OptionalLong.of).getOrElse(OptionalLong.empty())
-    }
-  }
-
-  override def readSchema(): StructType = required
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
-    new BaseRelation with TableScan {
-      override def sqlContext: SQLContext = context
-      override def schema: StructType = required
-      override def buildScan(): RDD[Row] =
-        relation.buildScanLimited(required.fieldNames, filters, limit, topN)
     }.asInstanceOf[T]
 }
 
