@@ -478,6 +478,74 @@ object NorthStarQueries {
         .orderBy(col(graft.delta.Cdc.ChangeType), col("event_id"))
     }),
 
+    // ---- streaming read THROUGH THE CATALOG: `spark.readStream.table(t)`
+    // — the DSv2 micro-batch stream (graft.streaming.GraftMicroBatchStream)
+    // over a PARTITIONED catalog table, so the gate exercises partition-
+    // value reconstruction from the log, the table-order output
+    // permutation (the partition column sits mid-schema), and version
+    // pacing (maxFilesPerTrigger splits the three INSERT commits into
+    // multiple micro-batches). The drained rows must aggregate exactly
+    // like a batch read: no row lost or duplicated across batches. ----
+    "n28_stream_table_read" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cat = graft.plans.GraftSql.ensure(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nstar")
+      val tn = s"$cat.nstar.rst_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      s.sql(s"""CREATE TABLE $tn (o_orderkey BIGINT, o_orderstatus STRING,
+               |  o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""".stripMargin)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 until 3).foreach(k =>
+        o.filter(col("o_orderkey") % 30 === k * 10).writeTo(tn).append())
+      val name = "n28_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream
+        .option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "4")
+        .table(tn)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.Streams.drainMemorySink(s, name)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- streaming write THROUGH THE CATALOG: `writeStream.toTable(t)` —
+    // the DSv2 streaming sink (graft.streaming.GraftStreamingWrite), where
+    // EXECUTORS write parquet directly into the destination's partitioned
+    // Hive layout and each epoch lands as one txn-carrying commit
+    // (exactly-once). Composed end-to-end: catalog table → readStream
+    // .table → filter/derive (incl. the partition band) → toTable →
+    // batch read-back, which must equal the same filter/derive in SQL. ----
+    "n29_stream_table_write" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cat = graft.plans.GraftSql.ensure(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nstar")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s"$cat.nstar.wsrc_$uid"
+      val dst = s"$cat.nstar.wdst_$uid"
+      s.sql(s"""CREATE TABLE $src (event_id BIGINT, user_id BIGINT,
+               |  event_type STRING, value DOUBLE)""".stripMargin)
+      s.sql(s"""CREATE TABLE $dst (event_id BIGINT, user_id BIGINT,
+               |  v2 DOUBLE, band STRING) PARTITIONED BY (band)""".stripMargin)
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      (0 until 3).foreach(k =>
+        ev.filter(col("event_id") % 3 === k).writeTo(src).append())
+      val q = s.readStream.option("startingVersion", "1").table(src)
+        .filter(col("event_type") === "click" && col("value") >= 10)
+        .selectExpr("event_id", "user_id", "value * 2 AS v2",
+          "CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS band")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-n29").toString)
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+      q.awaitTermination()
+      s.sql(s"SELECT event_id, user_id, v2, band FROM $dst ORDER BY event_id")
+    }),
+
     // ---- streaming CURATION: the text-pipeline operators composed with
     // Structured Streaming — a doubled corpus lands in the Delta table as
     // three append commits, the stream tails them rate-capped, and each
@@ -780,6 +848,18 @@ object NorthStarQueries {
          |  ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderkey % 10 = 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "n28_stream_table_read" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 10 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "n29_stream_table_write" ->
+      """SELECT event_id, user_id, value * 2 AS v2,
+        |  CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS band
+        |FROM events WHERE event_type = 'click' AND value >= 10
+        |ORDER BY event_id""".stripMargin,
 
     // Same post-state algebra as d7 (the batch CDF gate): inserts = the
     // click rows, deletes = every row under the value floor at delete time.

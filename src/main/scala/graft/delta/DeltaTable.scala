@@ -593,6 +593,75 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     v
   }
 
+  /**
+   * Streaming-sink commit for TASK-written data files (the DSv2
+   * `StreamingWrite` path — executors have already landed parquet parts
+   * in their final table locations; only metadata reaches the driver):
+   * attach footer stats + bloom sidecars, drop zero-row parts, and append
+   * (or, for Complete mode, overwrite-commit) everything in ONE
+   * txn-carrying commit. Exactly-once is the same `Txn(appId, epochId)`
+   * mechanism as [[graft.streaming.DeltaStreamSink]]: a replayed epoch
+   * sees `version <= lastTransactionVersion`, deletes its re-staged
+   * files, and returns without committing. CDC capture reads back ONLY
+   * the committed adds (lazy, only when the feed is enabled).
+   */
+  private[graft] def commitStreamedFiles(raw: Seq[AddFile], txn: Txn,
+                                         overwrite: Boolean = false): Long = {
+    val snap0 = if (overwrite) snapshot() else metaSnapshot()
+    ProtocolSupport.assertWritable(snap0, path)
+    if (overwrite) DeltaTable.assertNotAppendOnly(snap0, "STREAMING-OVERWRITE")
+    val schema = snap0.schema
+    val partCols = snap0.partitionColumns
+    val physOpt = physicalSchema(schema)
+    val statsSchema = physOpt.getOrElse(schema)
+    val withStats = physOpt match {
+      case Some(ps) => remapStatKeys(attachStats(raw, partCols, statsSchema),
+        ps.fieldNames.zip(schema.fieldNames).toMap)
+      case None => attachStats(raw, partCols, schema)
+    }
+    val (empty, adds) = withStats.partition(
+      _.parsedStats.exists(_.numRecords == 0))
+    empty.foreach(f => deleteDataFile(f.path))
+    BloomIndex.buildSidecars(spark, tablePath, log.hadoopConf,
+      snap0.configuration, schema, partCols, adds)
+    case class TxnApplied(existing: Long) extends Exception
+    val v = try Retry.withRetry() {
+      val snap = if (overwrite) snapshot() else metaSnapshot()
+      try {
+        ProtocolSupport.assertWritable(snap, path)
+        if (overwrite) DeltaTable.assertNotAppendOnly(snap, "STREAMING-OVERWRITE")
+      } catch {
+        case e: Throwable => adds.foreach(a => deleteDataFile(a.path)); throw e
+      }
+      if (snap.transactions.getOrElse(txn.appId, -1L) >= txn.version)
+        throw TxnApplied(snap.version)
+      val v = snap.version + 1
+      val now = System.currentTimeMillis()
+      val removes: Seq[Action] =
+        if (overwrite) snap.activeFiles.map(f => RemoveFile(f.path, now)) else Nil
+      log.writeCommit(v, (Seq(txn): Seq[Action]) ++ removes ++
+        (adds: Seq[Action]) :+ CommitInfo(now, "STREAMING UPDATE",
+          Map("numFiles" -> adds.size.toString)))
+      maybeCheckpoint(v)
+      v
+    } catch {
+      case TxnApplied(existing) =>
+        adds.foreach(a => deleteDataFile(a.path))
+        return existing
+    }
+    if (cdcConfigured(snap0) && (adds.nonEmpty || overwrite)) {
+      val inserts = toDF(Snapshot(v, snap0.metadata, snap0.protocol, adds, Nil))
+        .withColumn(Cdc.ChangeType, lit("insert"))
+      val changes =
+        if (overwrite)
+          toDF(snap0).withColumn(Cdc.ChangeType, lit("delete"))
+            .unionByName(inserts, allowMissingColumns = true)
+        else inserts
+      Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
+    }
+    v
+  }
+
   /** Document-shaped ingestion (reference: DeltaTable.write over
     * `Record<string, unknown>[]` rows, src/delta/table.ts:694-837 with
     * inference 1289-1388): untyped JSON rows are typed under the reference's
@@ -704,7 +773,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     adds
   }
 
-  private[delta] def checkConstraints(snap: Snapshot): Map[String, String] =
+  private[graft] def checkConstraints(snap: Snapshot): Map[String, String] =
     snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
@@ -1254,7 +1323,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   /** Remove an uncommitted data file (e.g. a zero-row part the writer made)
     * along with its bloom sidecar, if any. */
-  private[delta] def deleteDataFile(rel: String): Unit = {
+  private[graft] def deleteDataFile(rel: String): Unit = {
     fs.delete(new Path(tablePath, rel), false)
     fs.delete(new Path(tablePath, BloomIndex.sidecarRel(rel)), false)
     ()

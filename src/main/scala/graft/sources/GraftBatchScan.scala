@@ -64,7 +64,8 @@ private[sources] final class GraftBatchScan(
     required: StructType,
     filters: Array[Filter],
     limit: Option[Int],
-    topN: Option[DeltaRelation.TopN])
+    topN: Option[DeltaRelation.TopN],
+    options: java.util.Map[String, String] = java.util.Collections.emptyMap())
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -116,36 +117,9 @@ private[sources] final class GraftBatchScan(
 
   private def plan(fs: Array[Filter]): GraftBatchScan.Planned = {
     val snap = relation.plannedSnapshot(fs, limit, topN)
-    val (dvFiles, cleanFiles) =
-      snap.activeFiles.partition(_.deletionVector.isDefined)
-    val partFields = requiredPart.toIndexedSeq
-    def partRow(f: AddFile): InternalRow =
-      GraftBatchScan.partitionValueRow(f, partFields)
-    val tableRoot = table.tablePath
-    // Clean files: slice by Spark's split-size formula, bin-pack.
-    val splitBytes = ScanShim.maxSplitBytes(spark, cleanFiles.map(_.size))
-    val slices = cleanFiles.flatMap { f =>
-      val p = new Path(tableRoot, f.path)
-      val row = partRow(f)
-      (0L until math.max(f.size, 1L) by splitBytes).map { off =>
-        ScanShim.partitionedFile(row, p, off,
-          math.min(splitBytes, f.size - off), f.size, f.modificationTime)
-      }
-    }
-    val clean: Seq[InputPartition] =
-      ScanShim.filePartitions(spark, slices, splitBytes)
-    // DV files: one whole-file partition each, bitmap riding inside.
-    val dv: Seq[InputPartition] = dvFiles.zipWithIndex.map { case (f, i) =>
-      val p = new Path(tableRoot, f.path)
-      val whole = ScanShim.filePartitions(spark,
-        Seq(ScanShim.partitionedFile(partRow(f), p, 0L, f.size, f.size,
-          f.modificationTime)), Long.MaxValue)
-      GraftDvPartition(
-        whole.head.copy(index = clean.size + i),
-        DeletionVectors.serialize(
-          DeletionVectors.load(table.log, f.deletionVector.get)))
-    }
-    GraftBatchScan.Planned((clean ++ dv).toArray, dvFiles.isEmpty, snap)
+    val (parts, columnarOk) = GraftBatchScan.planFiles(
+      spark, table, snap.activeFiles, requiredPart.toIndexedSeq)
+    GraftBatchScan.Planned(parts, columnarOk, snap)
   }
 
   private def fileCount(ps: Array[InputPartition]): Long = ps.map {
@@ -165,33 +139,17 @@ private[sources] final class GraftBatchScan(
 
   // ---- reading --------------------------------------------------------------
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val snap = basePlan.snapshot
-    val physical = table.physicalSchema(snap.schema).getOrElse(snap.schema)
-    def physicalOf(logical: String): String =
-      snap.schema.fields.indexWhere(_.name == logical) match {
-        case -1 => logical
-        case i => physical.fields(i).name
-      }
-    val dataSchema = StructType(
-      physical.fields.zip(snap.schema.fields)
-        .collect { case (pf, lf) if !partCols.contains(lf.name) => pf })
-    val readDataSchema = StructType(
-      requiredData.map(f => f.copy(name = physicalOf(f.name))))
-    val partSchema = StructType(requiredPart)
-    val mapped = physical ne snap.schema
-    val pushable =
-      if (!mapped) filters
-      else filters.flatMap(GraftBatchScan.renameFilter(_, physicalOf))
-    GraftReaderFactory(
-      ScanShim.parquetReaderFactory(spark, dataSchema, readDataSchema,
-        partSchema, pushable),
-      // DV readers must see every physical row IN ORDER: no pushed
-      // filters, so no row-group or page skipping can shift positions.
-      ScanShim.parquetReaderFactory(spark, dataSchema, readDataSchema,
-        partSchema, Array.empty),
-      columnarOk = basePlan.columnarOk)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftBatchScan.readerFactoryFor(spark, table, basePlan.snapshot.schema,
+      partCols, requiredData, requiredPart, filters, basePlan.columnarOk)
+
+  /** `spark.readStream.table(...)` — the scan builder is the only DSv2
+    * entry point for streaming reads, so the batch scan doubles as the
+    * stream factory. Streaming gets no column pruning from Spark, so
+    * `required` is the full table schema here. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): graft.streaming.GraftMicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(spark, table, options)
 
   // ---- statistics (what the join planner compares against the broadcast
   // threshold — see GraftV1Scan's scaladoc history) ---------------------------
@@ -219,10 +177,88 @@ private[sources] final class GraftBatchScan(
       s"ReadSchema: ${readSchema().catalogString}"
 }
 
-private[sources] object GraftBatchScan {
+private[graft] object GraftBatchScan {
 
   final case class Planned(partitions: Array[InputPartition],
                            columnarOk: Boolean, snapshot: Snapshot)
+
+  /** File list → read partitions: clean files slice by Spark's split-size
+    * formula and bin-pack; DV files become whole-file row-mode partitions
+    * carrying their own serialized bitmap. Returns the partitions plus
+    * whether the whole plan may read columnar (no DV partition present —
+    * Spark requires partition-uniform columnar support). Shared by the
+    * batch scan and the micro-batch stream. */
+  def planFiles(spark: SparkSession, table: graft.delta.DeltaTable,
+                files: Seq[AddFile], partFields: Seq[StructField])
+      : (Array[InputPartition], Boolean) = {
+    val (dvFiles, cleanFiles) = files.partition(_.deletionVector.isDefined)
+    def partRow(f: AddFile): InternalRow = partitionValueRow(f, partFields)
+    val tableRoot = table.tablePath
+    val splitBytes = ScanShim.maxSplitBytes(spark, cleanFiles.map(_.size))
+    val slices = cleanFiles.flatMap { f =>
+      val p = new Path(tableRoot, f.path)
+      val row = partRow(f)
+      (0L until math.max(f.size, 1L) by splitBytes).map { off =>
+        ScanShim.partitionedFile(row, p, off,
+          math.min(splitBytes, f.size - off), f.size, f.modificationTime)
+      }
+    }
+    val clean: Seq[InputPartition] =
+      ScanShim.filePartitions(spark, slices, splitBytes)
+    val dv: Seq[InputPartition] = dvFiles.zipWithIndex.map { case (f, i) =>
+      val p = new Path(tableRoot, f.path)
+      val whole = ScanShim.filePartitions(spark,
+        Seq(ScanShim.partitionedFile(partRow(f), p, 0L, f.size, f.size,
+          f.modificationTime)), Long.MaxValue)
+      GraftDvPartition(
+        whole.head.copy(index = clean.size + i),
+        DeletionVectors.serialize(
+          DeletionVectors.load(table.log, f.deletionVector.get)))
+    }
+    ((clean ++ dv).toArray, dvFiles.isEmpty)
+  }
+
+  /** Reader factory for a (data-columns, partition-columns) projection of
+    * `tableSchema`: column mapping reads physical parquet names
+    * positionally, pushed filters are renamed to physical names (or
+    * dropped from pushdown — Spark re-evaluates them post-scan anyway).
+    * `permuteTo` reorders the produced (data ++ partition) layout back to
+    * an arbitrary target order — the streaming path needs table order —
+    * at the price of row-mode reads. */
+  def readerFactoryFor(spark: SparkSession, table: graft.delta.DeltaTable,
+                       tableSchema: StructType, partCols: Set[String],
+                       requiredData: Array[StructField],
+                       requiredPart: Array[StructField],
+                       filters: Array[Filter], columnarOk: Boolean,
+                       permuteTo: Array[Int] = Array.empty)
+      : PartitionReaderFactory = {
+    val physical = table.physicalSchema(tableSchema).getOrElse(tableSchema)
+    def physicalOf(logical: String): String =
+      tableSchema.fields.indexWhere(_.name == logical) match {
+        case -1 => logical
+        case i => physical.fields(i).name
+      }
+    val dataSchema = StructType(
+      physical.fields.zip(tableSchema.fields)
+        .collect { case (pf, lf) if !partCols.contains(lf.name) => pf })
+    val readDataSchema = StructType(
+      requiredData.map(f => f.copy(name = physicalOf(f.name))))
+    val partSchema = StructType(requiredPart)
+    val mapped = physical ne tableSchema
+    val pushable =
+      if (!mapped) filters
+      else filters.flatMap(renameFilter(_, physicalOf))
+    GraftReaderFactory(
+      ScanShim.parquetReaderFactory(spark, dataSchema, readDataSchema,
+        partSchema, pushable),
+      // DV readers must see every physical row IN ORDER: no pushed
+      // filters, so no row-group or page skipping can shift positions.
+      ScanShim.parquetReaderFactory(spark, dataSchema, readDataSchema,
+        partSchema, Array.empty),
+      columnarOk = columnarOk && permuteTo.isEmpty,
+      producedTypes = (requiredData ++ requiredPart).map(_.dataType),
+      permuteTo = permuteTo)
+  }
 
   /** Test/inspection hook: runtime-filter invocations since JVM start. */
   val runtimeFilterEvents = new java.util.concurrent.atomic.AtomicLong(0)
@@ -274,7 +310,7 @@ private[sources] object GraftBatchScan {
 
 /** A whole-file read partition whose rows are masked by a deletion
   * vector; `dvBytes` is the file's serialized RoaringBitmapArray. */
-private[sources] final case class GraftDvPartition(
+private[graft] final case class GraftDvPartition(
     inner: FilePartition, dvBytes: Array[Byte]) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -284,15 +320,19 @@ private[sources] final case class GraftDvPartition(
  * vectorized parquet factory (columnar when the whole scan is DV-free —
  * Spark requires partition-uniform columnar support); DV partitions read
  * row-mode through the no-pushdown factory, dropping bitmap-masked
- * physical row positions by running index.
+ * physical row positions by running index. A non-empty `permuteTo`
+ * reorders the produced columns (streaming needs table order; the file
+ * readers produce data ++ partition order) — rows only.
  */
-private[sources] final case class GraftReaderFactory(
+private[graft] final case class GraftReaderFactory(
     clean: PartitionReaderFactory,
     dvRaw: PartitionReaderFactory,
-    columnarOk: Boolean) extends PartitionReaderFactory {
+    columnarOk: Boolean,
+    producedTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
+    permuteTo: Array[Int] = Array.empty) extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    p match {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val base = p match {
       case GraftDvPartition(fp, dvBytes) =>
         val deleted = DeletionVectors.deserialize(dvBytes)
         val r = dvRaw.createReader(fp)
@@ -310,12 +350,25 @@ private[sources] final case class GraftReaderFactory(
         }
       case fp => clean.createReader(fp)
     }
+    if (permuteTo.isEmpty) base
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      val proj = UnsafeProjection.create(
+        permuteTo.toIndexedSeq.map(i =>
+          BoundReference(i, producedTypes(i), nullable = true)))
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = base.next()
+        override def get(): InternalRow = proj(base.get())
+        override def close(): Unit = base.close()
+      }
+    }
+  }
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     clean.createColumnarReader(p)
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnarOk && !p.isInstanceOf[GraftDvPartition] &&
+    columnarOk && permuteTo.isEmpty && !p.isInstanceOf[GraftDvPartition] &&
       clean.supportColumnarReads(p)
 }

@@ -298,8 +298,9 @@ final class GraftTable(val delta: DeltaTable, identName: String,
   // by the Write object's type (V1Write), so every other write still takes
   // the V1 fallback execs.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
   /** Report the table's identity partitioning so the analyzer accepts
@@ -314,13 +315,14 @@ final class GraftTable(val delta: DeltaTable, identName: String,
     delta.configuration.asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(relation)
+    new GraftScanBuilder(relation, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(delta)
+    new GraftWriteBuilder(delta, info)
 }
 
-private final class GraftScanBuilder(relation: DeltaRelation)
+private final class GraftScanBuilder(relation: DeltaRelation,
+                                     options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -438,7 +440,7 @@ private final class GraftScanBuilder(relation: DeltaRelation)
 
   override def build(): Scan = agg match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftBatchScan(relation, required, pushed, limit, topN)
+    case None => new GraftBatchScan(relation, required, pushed, limit, topN, options)
   }
 }
 
@@ -482,7 +484,7 @@ private final class GraftAggScan(aggSchema: StructType, rows: Seq[Seq[Any]])
  * Every mode is ONE atomic log commit; concurrent writers race through the
  * same OCC the programmatic API uses.
  */
-private final class GraftWriteBuilder(delta: DeltaTable)
+private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private sealed trait Mode
@@ -520,6 +522,18 @@ private final class GraftWriteBuilder(delta: DeltaTable)
         case Truncate => delta.write(data, "overwrite"); ()
         case Append =>
           delta.write(data, if (overwriteFlag) "overwrite" else "append"); ()
+      }
+
+    /** `df.writeStream.toTable(...)` — Append appends per epoch, Complete
+      * (arriving as truncate()) overwrite-commits per epoch; exactly-once
+      * via the per-epoch Txn action. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      mode match {
+        case Append | Truncate =>
+          new graft.streaming.GraftStreamingWrite(SparkSession.active,
+            delta.path, info.queryId(), info.schema(), truncate = mode == Truncate)
+        case other => throw new ValidationException(
+          s"streaming writes support Append/Complete modes only, got $other")
       }
   }
 }

@@ -200,8 +200,10 @@ final class DeltaStreamSource(
   }
 
   /** `dataChange` adds of versions [from, to], enforcing the append-only
-    * contract per commit. */
-  private def tailAdds(from: Long, to: Long): Seq[AddFile] = {
+    * contract per commit. Shared with [[GraftMicroBatchStream]] (the DSv2
+    * catalog stream), which reuses this source's admission + contract
+    * logic and plans partitions itself. */
+  private[streaming] def tailAdds(from: Long, to: Long): Seq[AddFile] = {
     val out = Seq.newBuilder[AddFile]
     (math.max(from, 0L) to to).foreach { v =>
       val actions = table.log.readCommit(v)
