@@ -213,6 +213,21 @@ object SqlQueries {
              |FROM $t ORDER BY event_id""".stripMargin)
   }
 
+  /** The text-function family through pure SQL text: `graft_token_count`
+    * and `graft_fingerprint` expand to the same codegen'd expressions the
+    * programmatic t-gates use; DuckDB reproduces both (split-count, md5 of
+    * normalized text), so the whole row set oracles exactly. */
+  def sqlTextFunctions(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "fns")
+    val v = view(s, dir, "documents")
+    s.sql(s"CREATE TABLE $t AS SELECT doc_id, lang, text FROM $v")
+    s.sql(s"""SELECT doc_id, lang, graft_token_count(text) AS n_tokens,
+             |  graft_fingerprint(text) AS fp
+             |FROM $t
+             |WHERE graft_token_count(text) >= 40
+             |ORDER BY doc_id""".stripMargin)
+  }
+
   /** INSERT OVERWRITE replaces the table contents in one commit. */
   def sqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
     val t = fresh(s, "iow")
@@ -649,9 +664,18 @@ object SqlQueries {
     "s9_sql_merge_sync" -> (sqlMergeSync(_, _)),
     "s10_sql_partitioned" -> (sqlPartitioned(_, _)),
     "s30_sql_replace_where" -> (sqlReplaceWhere(_, _)),
-    "s31_sql_dynamic_overwrite" -> (sqlDynamicOverwrite(_, _)))
+    "s31_sql_dynamic_overwrite" -> (sqlDynamicOverwrite(_, _)),
+    "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s32_sql_text_functions" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 40
+        |ORDER BY doc_id""".stripMargin,
+
     "s30_sql_replace_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority

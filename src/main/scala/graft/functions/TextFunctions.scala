@@ -145,7 +145,10 @@ object TextFunctions {
     val f = qualityFeatures(text).toMap
     val lengthOk = when(f("n_chars") >= 100 && f("n_chars") <= 10000, lit(0.5)).otherwise(lit(0.0))
     val stopOk = least(f("stopword_ratio") * lit(2.0), lit(0.3))
-    val punctPenalty = least(f("punct_count").cast("double") / f("n_chars").cast("double") * 5.0, lit(0.2))
+    // greatest(n_chars, 1): empty documents exist in any real corpus and
+    // must score (0.2), not throw ANSI DIVIDE_BY_ZERO
+    val punctPenalty = least(f("punct_count").cast("double") /
+      greatest(f("n_chars"), lit(1)).cast("double") * 5.0, lit(0.2))
     lengthOk + stopOk + lit(0.2) - punctPenalty
   }
 

@@ -936,6 +936,82 @@ object GraftSql {
     * }}}
     * Registered by [[ensure]]; table refs resolve against the session's
     * warehouse (or pass an absolute path). */
+  /** The text/dedup function family as SQL SCALAR functions, so a
+    * SQL-only user can run the curation pipeline in pure SQL text
+    * (`SELECT graft_fingerprint(text), graft_lang_id(text) ...`). Each
+    * call EXPANDS to the same Catalyst expression tree the programmatic
+    * Column API builds (graft.functions.TextFunctions / Dedup) — one
+    * code path, codegen'd, optimizer-visible; no UDF boundary. Array
+    * functions compose: `graft_simhash(split(text, ' '))`,
+    * `graft_minhash(graft_shingles(text, 3), 128)`. */
+  private def registerScalarFunctions(spark: SparkSession): Unit = {
+    import graft.functions.{Dedup, TextFunctions}
+    val S = org.apache.spark.sql.graft.Shims
+    def c(e: Expression): Column = S.column(e)
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new ValidationException(
+        s"$what must be an integer literal, got $other")
+    }
+    def arity(args: Seq[Expression], n: Int, sig: String): Unit =
+      if (args.size != n) throw new ValidationException(s"expected $sig")
+    def reg(name: String, usage: String)(b: Seq[Expression] => Column): Unit =
+      S.registerScalarFunction(spark, name, usage)(args => S.expression(b(args)))
+
+    reg("graft_token_count", "graft_token_count(text) - whitespace token count") { a =>
+      arity(a, 1, "graft_token_count(text)")
+      TextFunctions.tokenCount(c(a.head))
+    }
+    reg("graft_token_count_bpe",
+      "graft_token_count_bpe(text) - BPE-ish subword count estimate") { a =>
+      arity(a, 1, "graft_token_count_bpe(text)")
+      TextFunctions.tokenCountBpeish(c(a.head))
+    }
+    reg("graft_fingerprint",
+      "graft_fingerprint(text) - md5 of whitespace-normalized lowercase text") { a =>
+      arity(a, 1, "graft_fingerprint(text)")
+      TextFunctions.fingerprint(c(a.head))
+    }
+    reg("graft_fingerprint64",
+      "graft_fingerprint64(text) - 64-bit rolling content hash") { a =>
+      arity(a, 1, "graft_fingerprint64(text)")
+      TextFunctions.fingerprint64(c(a.head))
+    }
+    reg("graft_lang_id",
+      "graft_lang_id(text) - marker-stopword language id (en/de/es/fr/zh/und)") { a =>
+      arity(a, 1, "graft_lang_id(text)")
+      TextFunctions.languageId(c(a.head))
+    }
+    reg("graft_quality_score",
+      "graft_quality_score(text) - composite [0,1] quality score") { a =>
+      arity(a, 1, "graft_quality_score(text)")
+      TextFunctions.qualityScore(c(a.head))
+    }
+    reg("graft_shingles",
+      "graft_shingles(text, n) - word n-gram shingles of the text") { a =>
+      arity(a, 2, "graft_shingles(text, n)")
+      TextFunctions.ngrams(TextFunctions.tokens(c(a.head)), intLit(a(1), "n"))
+    }
+    reg("graft_minhash",
+      "graft_minhash(shingles, k[, seed]) - k-element MinHash signature") { a =>
+      if (a.size < 2 || a.size > 3) throw new ValidationException(
+        "expected graft_minhash(shingles, k[, seed])")
+      val seed = if (a.size == 3) intLit(a(2), "seed").toLong else 42L
+      Dedup.minhashSignature(c(a.head), intLit(a(1), "k"), seed)
+    }
+    reg("graft_simhash",
+      "graft_simhash(tokens) - 64-bit SimHash of a token array") { a =>
+      arity(a, 1, "graft_simhash(tokens)")
+      Dedup.simhash64(c(a.head))
+    }
+    reg("graft_hamming",
+      "graft_hamming(a, b) - Hamming distance between 64-bit signatures") { a =>
+      arity(a, 2, "graft_hamming(a, b)")
+      Dedup.hamming64(c(a.head), c(a(1)))
+    }
+  }
+
   private def registerTableFunctions(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
       "graft_table_changes",
@@ -1079,6 +1155,7 @@ object GraftSql {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ new GraftDmlStrategy(spark)
         registerTableFunctions(spark)
+        registerScalarFunctions(spark)
       }
       CatalogName
     }

@@ -33,6 +33,21 @@ object Shims {
   def unloadStreamingState(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
+  /** Register a SQL scalar function on a LIVE session: the builder maps
+    * the call's argument expressions to ONE Catalyst expression tree, so
+    * the function expands inline (codegen'd, optimizable) exactly like a
+    * Spark built-in — no UDF boundary, no per-row interpretation. */
+  def registerScalarFunction(spark: SparkSession, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name, usage),
+        builder)
+    ()
+  }
+
   /** Register a SQL table-valued function on a LIVE session — the runtime
     * twin of `SparkSessionExtensions.injectTableFunction` (which only works
     * at session build time). */
