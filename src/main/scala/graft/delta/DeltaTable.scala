@@ -446,21 +446,22 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         else inserts
       Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
     }
-    // `delta.autoOptimize.autoCompact`: piggyback a layout-only
-    // (dataChange=false) compaction when small files accumulate, so
-    // frequent small appends can't degrade the table. Threshold via
-    // `delta.autoOptimize.autoCompact.minNumFiles` (default 50).
-    val cfgNow = snap0.metadata.map(_.configuration).getOrElse(Map.empty)
-    if (cfgNow.get(AutoCompactKey).contains("true")) {
-      val minN = cfgNow.get(AutoCompactMinFilesKey).map(_.toInt).getOrElse(50)
+    maybeAutoCompact(snap0.metadata.map(_.configuration).getOrElse(Map.empty))
+    v
+  }
+
+  /** `delta.autoOptimize.autoCompact`: piggyback a layout-only compaction
+    * when small files accumulate — shared by every append-shaped commit
+    * path (batch write, V2 direct writes, streaming epochs). */
+  private def maybeAutoCompact(cfg: Map[String, String]): Unit =
+    if (cfg.get(AutoCompactKey).contains("true")) {
+      val minN = cfg.get(AutoCompactMinFilesKey).map(_.toInt).getOrElse(50)
       val cc = Maintenance.CompactionConfig()
       // size-filtered state: above the distributed threshold only the
       // small files reach the driver, not the whole list
       val small = scanStateWhere(_.size < cc.targetFileSize).activeFiles.size
-      if (small >= minN) Maintenance.compact(this, cc)
+      if (small >= minN) { Maintenance.compact(this, cc); () }
     }
-    v
-  }
 
   private val OptimizeWriteKey = "delta.autoOptimize.optimizeWrite"
   private val AutoCompactKey = "delta.autoOptimize.autoCompact"
@@ -605,7 +606,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * files, and returns without committing. CDC capture reads back ONLY
    * the committed adds (lazy, only when the feed is enabled).
    */
-  private[graft] def commitStreamedFiles(raw: Seq[AddFile], txn: Txn,
+  private[graft] def commitStreamedFiles(raw: Seq[AddFile], txn: Option[Txn],
                                          overwrite: Boolean = false): Long = {
     val snap0 = if (overwrite) snapshot() else metaSnapshot()
     ProtocolSupport.assertWritable(snap0, path)
@@ -633,14 +634,17 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       } catch {
         case e: Throwable => adds.foreach(a => deleteDataFile(a.path)); throw e
       }
-      if (snap.transactions.getOrElse(txn.appId, -1L) >= txn.version)
-        throw TxnApplied(snap.version)
+      txn.foreach { t =>
+        if (snap.transactions.getOrElse(t.appId, -1L) >= t.version)
+          throw TxnApplied(snap.version)
+      }
       val v = snap.version + 1
       val now = System.currentTimeMillis()
       val removes: Seq[Action] =
         if (overwrite) snap.activeFiles.map(f => RemoveFile(f.path, now)) else Nil
-      log.writeCommit(v, (Seq(txn): Seq[Action]) ++ removes ++
-        (adds: Seq[Action]) :+ CommitInfo(now, "STREAMING UPDATE",
+      log.writeCommit(v, (txn.toSeq: Seq[Action]) ++ removes ++
+        (adds: Seq[Action]) :+ CommitInfo(now,
+          if (txn.isDefined) "STREAMING UPDATE" else "WRITE",
           Map("numFiles" -> adds.size.toString)))
       maybeCheckpoint(v)
       v
@@ -659,6 +663,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         else inserts
       Cdc.writeChanges(this, v, changes, System.currentTimeMillis())
     }
+    maybeAutoCompact(snap0.configuration)
     v
   }
 

@@ -6,7 +6,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, UnsafeProjection}
-import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.graftshim.WriteShim
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -15,38 +17,50 @@ import org.apache.spark.util.SerializableConfiguration
 import graft.delta.{AddFile, DeltaTable, PartitionPaths, Txn, ValidationException}
 
 /**
- * DSv2 streaming sink behind `df.writeStream.toTable("graft.ns.t")` — the
- * catalog twin of the `format("graft-delta")` V1 sink, with the SAME
- * exactly-once contract (every epoch's commit carries `Txn(queryId,
- * epochId)`; replays are detected and dropped — see
- * [[DeltaTable.commitStreamedFiles]]) but a fundamentally more scalable
- * write path: EXECUTORS write parquet directly into the table's final
- * layout through Spark's own parquet `OutputWriter` (per-partition-value
- * writers, Hive-escaped directories, physical column names under column
- * mapping), and only (path, size) metadata flows to the driver's commit.
- * No per-batch driver-side re-write, no staging move — at ingest scale
- * the bytes are written exactly once.
+ * Direct (task-side) write path behind BOTH `df.writeStream.toTable(t)`
+ * and eligible batch `INSERT INTO` / `writeTo(t).append()`: EXECUTORS
+ * write parquet straight into the table's final layout through Spark's
+ * own parquet `OutputWriter` (per-partition-value writers, Hive-escaped
+ * directories, physical column names under column mapping), and only
+ * (path, size) metadata reaches the driver's ONE commit
+ * ([[DeltaTable.commitStreamedFiles]]: footer stats, bloom sidecars,
+ * zero-row drop, OCC, CDC capture, auto-compact policy). Versus the V1
+ * staging path this writes each byte exactly once — no staging directory
+ * and no per-file rename, which on object stores is a full copy.
  *
- * Append mode appends; Complete mode overwrite-commits each epoch.
- * Refused up front (clear errors, at query START not mid-stream): CHECK
- * constraints (not enforceable task-side yet — use foreachBatch), query
- * columns missing from the table, and type mismatches. Columns the query
- * omits land as sparse files (read back as NULL — the table's ordinary
- * sparse-append semantics).
+ * Streaming epochs carry `Txn(queryId, epochId)` for exactly-once (the
+ * same mechanism as [[DeltaStreamSink]]; a replayed epoch deletes its
+ * re-staged files and returns). Batch commits carry no txn. Complete
+ * mode overwrite-commits the epoch.
+ *
+ * [[RequiresDistributionAndOrdering]] expresses
+ * `delta.autoOptimize.optimizeWrite` natively: when set on a partitioned
+ * table, Spark clusters rows by the partition columns BEFORE the write,
+ * so each partition directory receives few, full files instead of one
+ * shard per input task.
+ *
+ * Refused up front (clear errors at plan time, never mid-write): CHECK
+ * constraints (not enforceable task-side — those writes route through
+ * the V1 staging path, which enforces them), query columns missing from
+ * the table, and type mismatches. Columns the query omits land as
+ * sparse files (read back as NULL — the table's ordinary sparse-append
+ * semantics).
  */
-final class GraftStreamingWrite(
+final class GraftDirectWrite(
     spark: SparkSession,
     tablePath: String,
     queryId: String,
     querySchema: StructType,
-    truncate: Boolean) extends StreamingWrite {
+    truncate: Boolean)
+  extends StreamingWrite with BatchWrite with Write
+  with RequiresDistributionAndOrdering {
 
   private val table = DeltaTable.forPath(spark, tablePath)
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
   if (table.checkConstraints(snap).nonEmpty) throw new ValidationException(
-    "streaming writes do not enforce CHECK constraints yet; " +
+    "direct (task-side) writes do not enforce CHECK constraints; " +
       "stream through foreachBatch + write() instead")
   private val tableSchema = snap.schema
   private val partCols: Seq[String] = snap.partitionColumns
@@ -54,18 +68,18 @@ final class GraftStreamingWrite(
   querySchema.fields.foreach { qf =>
     tableSchema.fields.find(_.name == qf.name) match {
       case None => throw new ValidationException(
-        s"streaming column '${qf.name}' does not exist in the table " +
-          "(streaming writes do not evolve the schema)")
+        s"write column '${qf.name}' does not exist in the table " +
+          "(direct writes do not evolve the schema)")
       case Some(tf) if tf.dataType != qf.dataType =>
         throw new ValidationException(
-          s"streaming column '${qf.name}' has type ${qf.dataType.sql}, " +
+          s"write column '${qf.name}' has type ${qf.dataType.sql}, " +
             s"table expects ${tf.dataType.sql}")
       case _ => ()
     }
   }
   partCols.filterNot(querySchema.fieldNames.contains).headOption.foreach(p =>
     throw new ValidationException(
-      s"streaming into a partitioned table requires partition column '$p'"))
+      s"writing a partitioned table requires partition column '$p'"))
 
   /** Physical file schema: table data columns (minus partition columns,
     * physical names) the QUERY actually carries — omitted columns stay
@@ -80,33 +94,74 @@ final class GraftStreamingWrite(
   private val fileSchema = StructType(filePlan.map(_._1))
   private val partIdx: Array[Int] = partCols.toArray.map(querySchema.fieldIndex)
 
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+  override def toStreaming: StreamingWrite = this
+  override def toBatch: BatchWrite = this
+
+  // ---- distribution: optimizeWrite expressed natively -----------------------
+
+  override def requiredDistribution(): Distribution =
+    if (partCols.nonEmpty && snap.configuration
+        .get("delta.autoOptimize.optimizeWrite").contains("true"))
+      Distributions.clustered(
+        partCols.toArray.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  // ---- writer factory (shared by both personalities) ------------------------
+
+  private def writerFactory: GraftStreamWriterFactory = {
     val (factory, conf) = WriteShim.parquetWriterFactory(spark, fileSchema)
     GraftStreamWriterFactory(tablePath, fileSchema,
       filePlan.map(_._2), querySchema, partCols.toArray, partIdx,
       factory, conf)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = writerFactory
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = writerFactory
+
+  // ---- commits ---------------------------------------------------------------
+
+  private def rawAdds(messages: Array[WriterCommitMessage]): Seq[AddFile] = {
     val now = System.currentTimeMillis()
-    val raw = messages.collect { case m: GraftStreamCommitMessage => m.files }
+    messages.collect { case m: GraftStreamCommitMessage => m.files }
       .flatten.map { case (rel, size) =>
         AddFile(rel, PartitionPaths.parse(rel), size, now)
-      }
-    table.commitStreamedFiles(raw.toIndexedSeq, Txn(queryId, epochId, now),
+      }.toIndexedSeq
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    table.commitStreamedFiles(rawAdds(messages),
+      Some(Txn(queryId, epochId, System.currentTimeMillis())),
       overwrite = truncate)
     ()
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    table.commitStreamedFiles(rawAdds(messages), txn = None,
+      overwrite = truncate)
+    ()
+  }
+
+  private def deleteStaged(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case m: GraftStreamCommitMessage =>
         m.files.foreach { case (rel, _) => table.deleteDataFile(rel) }
       case _ => ()
     }
 
-  override def toString: String = s"GraftStreamingWrite[$tablePath]"
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteStaged(messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaged(messages)
+
+  override def description(): String = s"GraftDirectWrite[$tablePath]"
+
+  override def toString: String = description()
 }
 
 /** Per-(file-relative-path, bytes) written by one task. */
@@ -114,7 +169,8 @@ final case class GraftStreamCommitMessage(files: Seq[(String, Long)])
   extends WriterCommitMessage
 
 /** Serializable task-writer factory: everything a task needs to route
-  * rows to per-partition parquet writers in the table's final layout. */
+  * rows to per-partition parquet writers in the table's final layout.
+  * Serves batch and streaming tasks alike. */
 final case class GraftStreamWriterFactory(
     tablePath: String,
     fileSchema: StructType,
@@ -123,11 +179,16 @@ final case class GraftStreamWriterFactory(
     partCols: Array[String],
     partIdx: Array[Int],
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+    conf: SerializableConfiguration)
+  extends StreamingDataWriterFactory with DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftStreamDataWriter(this, partitionId, taskId, epochId)
+
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftStreamDataWriter(this, partitionId, taskId, 0L)
 }
 
 /**
@@ -136,6 +197,10 @@ final case class GraftStreamWriterFactory(
  * (Hive-escaped, `__HIVE_DEFAULT_PARTITION__` for null), and appends to
  * that partition's open parquet writer — one writer per partition value
  * per task, the same shape Spark's own dynamic-partition writer produces.
+ * File names carry a per-writer UUID: task IDs restart across
+ * applications, so a deterministic name could collide with (and clobber)
+ * a COMMITTED file from an earlier run — e.g. an epoch replayed after a
+ * restart, whose cleanup would then delete live data.
  */
 private final class GraftStreamDataWriter(
     f: GraftStreamWriterFactory,
@@ -158,6 +223,7 @@ private final class GraftStreamDataWriter(
         Some("UTC"))))
 
   private val ext = WriteShim.fileExtension(f.factory, f.conf.value, taskId)
+  private val uuid = java.util.UUID.randomUUID().toString
   private val writers = mutable.LinkedHashMap.empty[
     String, (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
   private var fileNo = 0
@@ -176,7 +242,7 @@ private final class GraftStreamDataWriter(
   override def write(row: InternalRow): Unit = {
     val dir = dirFor(row)
     val (w, _) = writers.getOrElseUpdate(dir, {
-      val rel = f"${dir}part-$epochId%05d-$partitionId%05d-$taskId-$fileNo$ext"
+      val rel = f"${dir}part-$epochId%05d-$partitionId%05d-$uuid-$fileNo$ext"
       fileNo += 1
       val abs = new Path(f.tablePath, rel).toString
       (WriteShim.newWriter(f.factory, abs, f.fileSchema, f.conf.value, taskId), rel)
