@@ -529,7 +529,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       "WRITE-REPLACE-WHERE",
       tailAddConflict = Some(a => a.dataChange && regionKeep(a)))
     if (cdcConfigured(snap)) {
-      val inserts = aligned.withColumn(Cdc.ChangeType, lit("insert"))
+      // CDC inserts read back the COMMITTED adds (never re-run the input
+      // query: a non-deterministic source — uuid(), rand(), a view that
+      // moved — would capture rows that differ from what was written).
+      val inserts = toDF(Snapshot(v, snap.metadata, snap.protocol, newAdds, Nil))
+        .withColumn(Cdc.ChangeType, lit("insert"))
       val changes =
         if (matchedFiles.isEmpty) inserts
         else matchedFilesDF(snap, candidates, matchedFiles).filter(pred)
@@ -584,7 +588,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       "WRITE-DYNAMIC-OVERWRITE",
       tailAddConflict = Some(a => a.dataChange && written.contains(a.partitionValues)))
     if (cdcConfigured(snap0)) {
-      val inserts = aligned.withColumn(Cdc.ChangeType, lit("insert"))
+      // Read back the COMMITTED adds for the insert image (see
+      // replaceWhere — re-running a non-deterministic source would
+      // capture rows that differ from what was written).
+      val inserts = toDF(Snapshot(v, snap0.metadata, snap0.protocol, adds, Nil))
+        .withColumn(Cdc.ChangeType, lit("insert"))
       val changes =
         if (replaced.activeFiles.isEmpty) inserts
         else toDF(replaced).withColumn(Cdc.ChangeType, lit("delete"))

@@ -177,6 +177,22 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         runMerge(t, targetOut, source, cond, matchedActions,
           notMatchedActions, notMatchedBySourceActions, m.withSchemaEvolution)
       }
+    // Eligible appends / truncate-overwrites carry a GraftDirectWrite
+    // (built by Spark's V2Writes rule through GraftWriteBuilder). The
+    // table keeps V1_BATCH_WRITE for the staging fallback, which makes
+    // Spark's built-in strategy DEMAND a V1Write — so the direct write is
+    // planned here, before the built-ins, onto Spark's own V2 write execs
+    // (task-side parquet into the final layout, commit-coordinated tasks,
+    // one driver metadata commit).
+    case AppendData(r: DataSourceV2Relation, query, _, _,
+        Some(w: graft.streaming.GraftDirectWrite), _) =>
+      Seq(org.apache.spark.sql.execution.datasources.v2.AppendDataExec(
+        planLater(query), () => Shims.recacheByPlan(spark, r), w))
+    case OverwriteByExpression(r: DataSourceV2Relation, _, query, _, _,
+        Some(w: graft.streaming.GraftDirectWrite), _) =>
+      Seq(org.apache.spark.sql.execution.datasources.v2
+        .OverwriteByExpressionExec(
+          planLater(query), () => Shims.recacheByPlan(spark, r), w))
     // Dynamic partition overwrite has NO V1 fallback exec in Spark (its
     // built-in exec calls `write.toBatch`), so the logical plan is planned
     // here directly onto the one-commit table primitive. `V2Writes` has

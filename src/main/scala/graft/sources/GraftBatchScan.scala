@@ -131,10 +131,20 @@ private[sources] final class GraftBatchScan(
   override def planInputPartitions(): Array[InputPartition] =
     if (runtimeFilters.isEmpty) basePlan.partitions
     else {
-      val p = plan(filters ++ runtimeFilters)
+      // Re-prune the PINNED base snapshot — never re-read the latest
+      // scan state here. A commit landing between planning and execution
+      // must not change which snapshot this query reads (within-query
+      // snapshot consistency), and runtime filtering must only REMOVE
+      // files: the columnar/row decision and the skipped-file metric both
+      // assume the refiltered set is a subset of the base plan's.
+      val snap = basePlan.snapshot
+      val pruned = graft.delta.FilePruner.prune(
+        snap, DeltaRelation.pruneJson(runtimeFilters))
+      val (parts, _) = GraftBatchScan.planFiles(
+        spark, table, pruned, requiredPart.toIndexedSeq)
       GraftBatchScan.runtimeSkippedFiles.addAndGet(
-        fileCount(basePlan.partitions) - fileCount(p.partitions))
-      p.partitions
+        fileCount(basePlan.partitions) - fileCount(parts))
+      parts
     }
 
   // ---- reading --------------------------------------------------------------

@@ -514,7 +514,24 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
     mode = Dynamic; this
   }
 
-  override def build(): Write = new V1Write {
+  /** Eligible appends / truncate-overwrites go DIRECT: executors write
+    * parquet straight into the table's final layout and the driver makes
+    * one metadata commit — each byte written exactly once, no staging
+    * directory, no per-file rename (a full copy on object stores).
+    * Ineligible shapes (CHECK constraints, schema evolution, type
+    * casts, CTAS before the schema exists) throw [[ValidationException]]
+    * at construction and fall back to the V1 staging path, which handles
+    * all of them. `spark.graft.write.direct=false` forces the V1 path. */
+  private def directWrite(): Option[Write] = mode match {
+    case Append | Truncate if SparkSession.active.conf
+        .get("spark.graft.write.direct", "true").toBoolean =>
+      try Some(new graft.streaming.GraftDirectWrite(SparkSession.active,
+        delta.path, info.queryId(), info.schema(), truncate = mode == Truncate))
+      catch { case _: ValidationException => None }
+    case _ => None
+  }
+
+  override def build(): Write = directWrite().getOrElse(new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data, overwriteFlag) => mode match {
         case ReplaceWhere(cond) => delta.replaceWhere(data, cond); ()
@@ -530,10 +547,10 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       mode match {
         case Append | Truncate =>
-          new graft.streaming.GraftStreamingWrite(SparkSession.active,
+          new graft.streaming.GraftDirectWrite(SparkSession.active,
             delta.path, info.queryId(), info.schema(), truncate = mode == Truncate)
         case other => throw new ValidationException(
           s"streaming writes support Append/Complete modes only, got $other")
       }
-  }
+  })
 }

@@ -55,6 +55,10 @@ final class GraftDirectWrite(
   extends StreamingWrite with BatchWrite with Write
   with RequiresDistributionAndOrdering {
 
+  // StreamingWrite and BatchWrite each declare a default useCommitCoordinator();
+  // inheriting both requires an explicit override (Scala's accidental-override rule).
+  override def useCommitCoordinator(): Boolean = true
+
   private val table = DeltaTable.forPath(spark, tablePath)
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
@@ -99,12 +103,34 @@ final class GraftDirectWrite(
 
   // ---- distribution: optimizeWrite expressed natively -----------------------
 
+  private val optimizeWrite: Boolean = partCols.nonEmpty &&
+    snap.configuration.get("delta.autoOptimize.optimizeWrite").contains("true")
+
+  /** Under optimizeWrite, a NON-STRICT clustered distribution: Spark
+    * plans it as `RebalancePartitions` (AQE coalesces-or-splits the
+    * pre-write shuffle toward [[advisoryPartitionSizeInBytes]]), so each
+    * partition directory receives few, full files instead of one shard
+    * per input task — the small-files lever. Partitioned tables only:
+    * Spark treats an empty clustering as UNSPECIFIED, which cannot carry
+    * an advisory size. */
   override def requiredDistribution(): Distribution =
-    if (partCols.nonEmpty && snap.configuration
-        .get("delta.autoOptimize.optimizeWrite").contains("true"))
+    if (optimizeWrite)
       Distributions.clustered(
         partCols.toArray.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
     else Distributions.unspecified()
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  /** Target in-memory bytes per write task under optimizeWrite:
+    * `delta.targetFileSize` (parquet compresses further — the property is
+    * a file-size intent, and the shuffle-bytes proxy errs toward slightly
+    * smaller files, never giant ones), default 128 MiB. */
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (optimizeWrite)
+      snap.configuration.get("delta.targetFileSize")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(128L * 1024 * 1024)
+    else super.advisoryPartitionSizeInBytes()
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
@@ -143,6 +169,7 @@ final class GraftDirectWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     table.commitStreamedFiles(rawAdds(messages), txn = None,
       overwrite = truncate)
+    GraftDirectWrite.batchCommits.incrementAndGet()
     ()
   }
 
@@ -162,6 +189,12 @@ final class GraftDirectWrite(
   override def description(): String = s"GraftDirectWrite[$tablePath]"
 
   override def toString: String = description()
+}
+
+object GraftDirectWrite {
+  /** Test/inspection hook: batch commits taken by the direct path since
+    * JVM start (streaming epochs don't count). */
+  val batchCommits = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Per-(file-relative-path, bytes) written by one task. */

@@ -25,6 +25,14 @@ object Shims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-cache any cached plans that read `plan` after a write commits
+    * (what Spark's own DSv2 write planning does via its `refreshCache`
+    * callback). `CacheManager` is `private[sql]`, hence the shim. */
+  def recacheByPlan(spark: SparkSession, plan: LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.recacheByPlan(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Unload every loaded streaming state-store provider and stop the
     * background maintenance thread; both restart lazily when the next
     * stateful query starts. Finished queries otherwise leave their

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.plans.GraftSql
+import graft.streaming.GraftDirectWrite
+
+/**
+ * Eligible batch appends through the catalog take the DIRECT write path:
+ * executors write parquet straight into the table's final layout and the
+ * driver makes one metadata commit — no staging directory, no per-file
+ * rename. Ineligible shapes (CHECK constraints, disabled by conf) fall
+ * back to the V1 staging path, which enforces them.
+ */
+class DirectBatchWriteSpec extends SparkTestBase {
+
+  private lazy val cat: String = GraftSql.ensure(spark)
+  private def sql(q: String) = spark.sql(q)
+
+  private var n = 0
+  private def freshTable(): String = synchronized {
+    n += 1; s"$cat.dwrite.t$n"
+  }
+  private def setup(): Unit = {
+    sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dwrite"); ()
+  }
+
+  private def tablePath(t: String): String =
+    GraftSql.warehousePath(spark).get + "/dwrite/" + t.split('.').last
+
+  test("INSERT INTO routes through the direct write and lands correct rows") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, s STRING)")
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING) FROM range(1000)")
+    assert(GraftDirectWrite.batchCommits.get() > before,
+      "batch INSERT INTO should take the direct write path")
+    assert(sql(s"SELECT count(*), sum(id) FROM $t").head().toSeq ==
+      Seq(1000L, (0L until 1000L).sum))
+  }
+
+  test("INSERT OVERWRITE truncate-overwrites through the direct write, atomically") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    sql(s"INSERT INTO $t SELECT id FROM range(50)")
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"INSERT OVERWRITE $t SELECT id FROM range(100, 107)")
+    assert(GraftDirectWrite.batchCommits.get() > before)
+    assert(sql(s"SELECT min(id), max(id), count(*) FROM $t").head().toSeq ==
+      Seq(100L, 106L, 7L))
+    // pre-overwrite state stays time-travelable
+    val dt = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+    assert(dt.toDF(dt.snapshot(Some(dt.version - 1))).count() == 50)
+  }
+
+  test("partitioned INSERT lands the Hive layout and prunes by partition") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"INSERT INTO $t SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(100)")
+    assert(GraftDirectWrite.batchCommits.get() > before)
+    assert(sql(s"SELECT count(*) FROM $t WHERE p = 'even'").head().getLong(0) == 50)
+    val dt = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+    assert(dt.snapshot().activeFiles.forall(f =>
+      f.path.startsWith("p=even/") || f.path.startsWith("p=odd/")),
+      "direct write must land files inside Hive partition directories")
+  }
+
+  test("CHECK-constraint tables fall back to the staging path, which still enforces") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.constraints.pos' = 'id >= 0')")
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"INSERT INTO $t VALUES (1), (2)")
+    assert(GraftDirectWrite.batchCommits.get() == before,
+      "constrained tables must not take the direct (non-enforcing) path")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    val err = intercept[Exception] { sql(s"INSERT INTO $t VALUES (-5)") }
+    assert(err.getMessage != null)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+  }
+
+  test("spark.graft.write.direct=false forces the V1 staging path") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    val before = GraftDirectWrite.batchCommits.get()
+    spark.conf.set("spark.graft.write.direct", "false")
+    try sql(s"INSERT INTO $t SELECT id FROM range(10)")
+    finally spark.conf.unset("spark.graft.write.direct")
+    assert(GraftDirectWrite.batchCommits.get() == before)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10)
+  }
+
+  test("CDC capture rides the direct batch commit") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"INSERT INTO $t SELECT id FROM range(5)")
+    assert(GraftDirectWrite.batchCommits.get() > before)
+    val dt = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+    val feed = graft.delta.Cdc.readByVersion(dt, dt.version, dt.version)
+    assert(feed.filter(col(graft.delta.Cdc.ChangeType) === "insert").count() == 5)
+  }
+
+  test("optimizeWrite rebalances the pre-write shuffle: few full files, not one per task") {
+    setup()
+    val plain = freshTable()
+    sql(s"CREATE TABLE $plain (id BIGINT, p STRING) PARTITIONED BY (p)")
+    sql(s"INSERT INTO $plain SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END" +
+      s" FROM range(0, 100000, 1, 32)")
+    val plainFiles = graft.delta.DeltaTable.forPath(spark, tablePath(plain))
+      .snapshot().activeFiles.size
+    assert(plainFiles > 8, s"expected one shard per (task, partition), got $plainFiles")
+
+    val opt = freshTable()
+    sql(s"CREATE TABLE $opt (id BIGINT, p STRING) PARTITIONED BY (p) TBLPROPERTIES " +
+      "('delta.autoOptimize.optimizeWrite' = 'true')")
+    sql(s"INSERT INTO $opt SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END" +
+      s" FROM range(0, 100000, 1, 32)")
+    val optFiles = graft.delta.DeltaTable.forPath(spark, tablePath(opt))
+      .snapshot().activeFiles.size
+    assert(optFiles <= 4,
+      s"optimizeWrite should rebalance 32 input shards toward the 128 MiB " +
+        s"target, got $optFiles files")
+    assert(sql(s"SELECT count(*), sum(id) FROM $opt").head().toSeq ==
+      sql(s"SELECT count(*), sum(id) FROM $plain").head().toSeq)
+  }
+
+  test("optimizeWrite on a partitioned table clusters by partition: one file per directory") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('delta.autoOptimize.optimizeWrite' = 'true')")
+    sql(s"INSERT INTO $t SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END " +
+      "FROM range(0, 10000, 1, 16)")
+    val files = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+      .snapshot().activeFiles
+    val perDir = files.groupBy(_.path.takeWhile(_ != '/')).view.mapValues(_.size)
+    assert(perDir.keys.toSet == Set("p=a", "p=b"))
+    perDir.foreach { case (dir, n) =>
+      assert(n <= 2, s"$dir got $n files; clustering should have co-located it")
+    }
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10000)
+  }
+
+  test("CTAS data lands through the direct write") {
+    setup()
+    val t = freshTable()
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"CREATE TABLE $t AS SELECT id, id * 2 AS v FROM range(200)")
+    assert(GraftDirectWrite.batchCommits.get() > before,
+      "CTAS appends after the schema commit, so the direct path is eligible")
+    assert(sql(s"SELECT sum(v) FROM $t").head().getLong(0) ==
+      (0L until 200L).map(_ * 2).sum)
+  }
+}
