@@ -633,7 +633,26 @@ object SqlQueries {
              |FROM $t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Column DEFAULT values (round 11): CREATE TABLE carries them, an
+    * omitted column in an INSERT column list fills the default at
+    * ANALYSIS time (materialized into the written rows — reads never
+    * consult it), and ALTER COLUMN SET DEFAULT changes only FUTURE
+    * statements. Three insert eras, each pinned by the oracle. */
+  def sqlColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dfl")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, " +
+      "o_orderpriority STRING DEFAULT 'BACKFILL', flag STRING DEFAULT 'fresh')")
+    s.sql(s"INSERT INTO $t (o_orderkey) SELECT o_orderkey FROM $v WHERE o_orderkey % 5 = 0")
+    s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, 'explicit' FROM $v WHERE o_orderkey % 5 = 1")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN o_orderpriority SET DEFAULT 'LATE'")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN flag SET DEFAULT 'v2'")
+    s.sql(s"INSERT INTO $t (o_orderkey) SELECT o_orderkey FROM $v WHERE o_orderkey % 5 = 2")
+    s.sql(s"SELECT o_orderkey, o_orderpriority, flag FROM $t ORDER BY o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_sql_column_defaults" -> (sqlColumnDefaults(_, _)),
     "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
     "s20_sql_correlated_scalar" -> (sqlCorrelatedScalar(_, _)),
     "s21_sql_correlated_in" -> (sqlCorrelatedIn(_, _)),
@@ -668,6 +687,18 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s33_sql_column_defaults" ->
+      """SELECT o_orderkey, o_orderpriority, flag FROM (
+        |  SELECT o_orderkey, 'BACKFILL' AS o_orderpriority, 'fresh' AS flag
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, 'explicit'
+        |  FROM orders WHERE o_orderkey % 5 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'LATE', 'v2'
+        |  FROM orders WHERE o_orderkey % 5 = 2
+        |) ORDER BY o_orderkey""".stripMargin,
+
     "s32_sql_text_functions" ->
       """SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -1761,6 +1761,55 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /**
+   * Metadata-only commit that sets (or, with `None`, drops) a column's
+   * CURRENT_DEFAULT — the SQL expression the analyzer substitutes for the
+   * column in INSERT/UPDATE/MERGE statements that omit it or name
+   * `DEFAULT` explicitly (Spark resolves it from the schema's field
+   * metadata; north-star — Delta's `allowColumnDefaults`). WRITE-TIME
+   * semantics only: the default is materialized into the rows as they are
+   * written, so reads never consult it — which is why adding a NEW column
+   * with a default to a non-empty table is refused at the catalog layer
+   * (existing rows would read null, not the default).
+   */
+  def setColumnDefault(name: String, sqlDefault: Option[String]): Long =
+    Retry.withRetry() {
+      val snap = metaSnapshot()
+      val schema = snap.schema
+      if (!schema.fieldNames.contains(name))
+        throw new ValidationException(s"no such column: $name")
+      val newFields = schema.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val b = new MetadataBuilder().withMetadata(f.metadata)
+          sqlDefault match {
+            case Some(sql) =>
+              // Spark's ResolveDefaultColumns reads these two keys from
+              // the field metadata; EXISTS_DEFAULT is the value rows that
+              // PREDATE the default would read — since we only allow
+              // defaults on columns whose rows all post-date them, the two
+              // stay equal.
+              b.putString("CURRENT_DEFAULT", sql)
+              if (!f.metadata.contains("EXISTS_DEFAULT"))
+                b.putString("EXISTS_DEFAULT", sql)
+            case None =>
+              b.remove("CURRENT_DEFAULT")
+          }
+          f.copy(metadata = b.build())
+        }
+      }
+      val m = snap.metadata.getOrElse(
+        throw new ValidationException("cannot alter a column before first write"))
+      val v = snap.version + 1
+      val now = System.currentTimeMillis()
+      log.writeCommit(v, Seq[Action](
+        m.copy(schemaString = StructType(newFields).json),
+        CommitInfo(now, "SET-COLUMN-DEFAULT", Map(
+          "column" -> name, "default" -> sqlDefault.getOrElse("<dropped>")))))
+      maybeCheckpoint(v)
+      v
+    }
+
+  /**
    * Metadata-only column drop via column mapping (Delta's DROP COLUMN):
    * the field leaves the logical schema; its physical column stays in the
    * old data files, unreferenced — readers simply never select it. Turning

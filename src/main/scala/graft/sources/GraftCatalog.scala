@@ -51,6 +51,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def fs(p: Path) = p.getFileSystem(
     spark.sessionState.newHadoopConf())
 
+  /** Accept `DEFAULT` clauses in CREATE/ALTER: Spark validates the
+    * expression (constant-foldable) and delivers it on the v2 `Column` /
+    * `TableChange`; without this capability the parser-level check
+    * refuses every DEFAULT up front. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
@@ -136,8 +143,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     createTable(ident,
-      StructType(columns.toSeq.map(c =>
-        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      StructType(columns.toSeq.map { c =>
+        // A DEFAULT clause rides the schema as the two field-metadata keys
+        // Spark's ResolveDefaultColumns reads back from the relation
+        // schema — INSERT/UPDATE/MERGE statements that omit the column or
+        // name DEFAULT explicitly get the expression substituted at
+        // analysis, so the value is MATERIALIZED into every written row
+        // (reads never consult it).
+        val md = Option(c.defaultValue()).map { dv =>
+          val sql = dv.getSql
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, md)
+      }),
       partitions, properties)
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -167,11 +187,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested add unsupported")
+        // Delta parity: a NEW column with a DEFAULT is refused on a table
+        // that may already hold rows — defaults are write-time-materialized
+        // here, so pre-existing rows would read null, not the default.
+        if (a.defaultValue() != null) throw new ValidationException(
+          "ADD COLUMN with DEFAULT is not supported (existing rows would " +
+            "read NULL, not the default); add the column, backfill, then " +
+            "ALTER COLUMN ... SET DEFAULT")
         val extended = dt.toDF().schema.add(
           org.apache.spark.sql.types.StructField(
             a.fieldNames.head, a.dataType, a.isNullable))
         dt.write(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], extended), "append")
+      case d: TableChange.UpdateColumnDefaultValue =>
+        require(d.fieldNames.length == 1, "nested default unsupported")
+        // SET DEFAULT → future statements only (write-time semantics);
+        // DROP DEFAULT arrives as an empty string.
+        dt.setColumnDefault(d.fieldNames.head,
+          Option(d.newDefaultValue()).filter(_.nonEmpty))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested rename unsupported")
         dt.renameColumn(r.fieldNames.head, r.newName)
