@@ -651,7 +651,26 @@ object SqlQueries {
     s.sql(s"SELECT o_orderkey, o_orderpriority, flag FROM $t ORDER BY o_orderkey")
   }
 
+  /** CLUSTER BY (round 11): the layout intent declared at CREATE drives a
+    * no-argument `graft_zorder(t)` re-cluster; every row survives the
+    * rewrite bit-exactly and range predicates on the clustering keys read
+    * the same answer (the PHYSICAL effect — fewer planned files — is
+    * asserted in ClusterBySpec; an oracle can only see data). */
+  def sqlClusterBy(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "cby")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE, o_orderstatus STRING) CLUSTER BY (o_custkey, o_totalprice)")
+    s.sql(s"INSERT INTO $t SELECT o_orderkey, o_custkey, o_totalprice, " +
+      s"o_orderstatus FROM $v")
+    s.sql(s"SELECT * FROM graft_zorder('$t')").collect()
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |FROM $t WHERE o_custkey % 10 = 3 AND o_totalprice > 50000
+             |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_sql_cluster_by" -> (sqlClusterBy(_, _)),
     "s33_sql_column_defaults" -> (sqlColumnDefaults(_, _)),
     "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
     "s20_sql_correlated_scalar" -> (sqlCorrelatedScalar(_, _)),
@@ -687,6 +706,11 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s34_sql_cluster_by" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_custkey % 10 = 3 AND o_totalprice > 50000
+        |ORDER BY o_orderkey""".stripMargin,
+
     "s33_sql_column_defaults" ->
       """SELECT o_orderkey, o_orderpriority, flag FROM (
         |  SELECT o_orderkey, 'BACKFILL' AS o_orderpriority, 'fresh' AS flag

@@ -919,11 +919,18 @@ object GraftSql {
   def warehousePath(spark: SparkSession): Option[String] =
     spark.conf.getOption(s"spark.sql.catalog.$CatalogName.warehouse")
 
-  /** `'ns.tbl'` (warehouse-relative) or a raw `/path` / `scheme://path`. */
+  /** `'ns.tbl'` or `'graft.ns.tbl'` (warehouse-relative; a leading
+    * catalog-name segment is accepted and stripped, so the SAME
+    * identifier works in a query and a TVF) or a raw `/path` /
+    * `scheme://path`. */
   private def resolveTableRef(spark: SparkSession, ref: String): String =
     if (ref.contains("/")) ref
     else warehousePath(spark) match {
-      case Some(wh) => (wh +: ref.split('.').toSeq).mkString("/")
+      case Some(wh) =>
+        val parts = ref.split('.').toSeq
+        val rel = if (parts.length > 2 && parts.head == CatalogName)
+          parts.tail else parts
+        (wh +: rel).mkString("/")
       case None => throw new graft.delta.ValidationException(
         s"no graft warehouse registered; pass a path instead of '$ref'")
     }
@@ -1105,15 +1112,26 @@ object GraftSql {
     }
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
       "graft_zorder",
-      "graft_zorder(table, col[, col ...]) - rewrite clustered by Z-order") { args =>
-      if (args.size < 2) throw new graft.delta.ValidationException(
-        "graft_zorder(table, col[, col ...])")
+      "graft_zorder(table[, col ...]) - rewrite clustered by Z-order; " +
+        "with no columns, uses the table's CLUSTER BY spec") { args =>
+      if (args.isEmpty) throw new graft.delta.ValidationException(
+        "graft_zorder(table[, col ...])")
       val path = resolveTableRef(spark, litString(args.head, "table"))
-      val cols = args.tail.map(litString(_, "column"))
+      val explicit = args.tail.map(litString(_, "column"))
       GraftMaintenanceNode("graft_zorder",
         longAttrs("files_before", "files_after", "version"), () => {
-          val r = graft.delta.Maintenance.zOrderCluster(
-            DeltaTable.forPath(spark, path), cols)
+          val dt = DeltaTable.forPath(spark, path)
+          // No column list → the table's CLUSTER BY spec (the liquid-
+          // clustering maintenance shape: layout intent on the table,
+          // one idempotent verb re-clusters).
+          val cols =
+            if (explicit.nonEmpty) explicit
+            else dt.metaSnapshot().configuration.get("graft.clusterBy")
+              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(throw new graft.delta.ValidationException(
+                "graft_zorder(table) requires the table to declare " +
+                  "CLUSTER BY columns; pass them explicitly otherwise"))
+          val r = graft.delta.Maintenance.zOrderCluster(dt, cols)
           Seq(InternalRow(r.filesBefore, r.filesAfter, r.version))
         })
     }

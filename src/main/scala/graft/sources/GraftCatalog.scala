@@ -121,12 +121,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new ValidationException(
-        s"only identity partitioning is supported, got $other")
-    }
+    // CLUSTER BY (c1, c2) is a LAYOUT INTENT, not a partitioning: the
+    // columns land in `graft.clusterBy` and `graft_zorder(t)` (no column
+    // list) Z-orders by them — Delta's liquid-clustering surface shape.
+    // Mutually exclusive with PARTITIONED BY, as in Delta.
+    val clusterCols = partitions.toSeq.collect {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+    }.flatten
+    val partCols = partitions.toSeq
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+      .map {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          t.references.head.fieldNames.mkString(".")
+        case other => throw new ValidationException(
+          s"only identity partitioning is supported, got $other")
+      }
+    if (clusterCols.nonEmpty && partCols.nonEmpty) throw new ValidationException(
+      "CLUSTER BY cannot be combined with PARTITIONED BY")
+    clusterCols.filterNot(schema.fieldNames.contains).headOption.foreach(c =>
+      throw new ValidationException(s"CLUSTER BY column '$c' not in schema"))
     val p = tablePath(ident)
     fs(p).mkdirs(p)
     val dt = DeltaTable.forPath(spark, p.toString)
@@ -134,7 +148,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // transactional write — CTAS appends the query result right after
     dt.write(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema), "append", partCols)
-    val config = properties.asScala.toMap.filter(_._1.startsWith("delta."))
+    val config = properties.asScala.toMap.filter(_._1.startsWith("delta.")) ++
+      (if (clusterCols.nonEmpty)
+        Map("graft.clusterBy" -> clusterCols.mkString(",")) else Map.empty)
     if (config.nonEmpty) dt.updateConfiguration(config)
     new GraftTable(dt, s"$catalogName.${ident.toString}", None, None)
   }
@@ -199,6 +215,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             a.fieldNames.head, a.dataType, a.isNullable))
         dt.write(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], extended), "append")
+      case c: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: updates the
+        // layout intent; files re-cluster at the next graft_zorder(t).
+        val cols = c.clusteringColumns.toSeq.map(_.fieldNames.mkString("."))
+        val schema = dt.toDF().schema
+        cols.filterNot(schema.fieldNames.contains).headOption.foreach(x =>
+          throw new ValidationException(s"CLUSTER BY column '$x' not in schema"))
+        dt.updateConfiguration(Map(
+          "graft.clusterBy" -> (if (cols.isEmpty) null else cols.mkString(","))))
       case d: TableChange.UpdateColumnDefaultValue =>
         require(d.fieldNames.length == 1, "nested default unsupported")
         // SET DEFAULT → future statements only (write-time semantics);
