@@ -100,7 +100,12 @@ object Maintenance {
       targetFileSize: Long = 128L * 1024 * 1024, // compaction/index.ts:96-99
       minFilesToCompact: Int = 2,                // compaction/index.ts:573-574
       strategy: Strategy = Strategy.BinPack,
-      dryRun: Boolean = false)
+      dryRun: Boolean = false,
+      // OPTIMIZE ... WHERE: a SQL predicate over PARTITION columns scoping
+      // which partitions compact (the daily-reload pattern: compact only
+      // the partitions just written, not a 100 TB history). Exact typed
+      // evaluation; a predicate naming a non-partition column is refused.
+      partitionFilter: Option[String] = None)
 
   final case class CompactionResult(
       filesCompacted: Long, filesCreated: Long,
@@ -116,13 +121,63 @@ object Maintenance {
   def compact(table: DeltaTable, cfg: CompactionConfig = CompactionConfig()): CompactionResult =
     replanOnConflict() { compactOnce(table, cfg) }
 
+  /** Evaluate a SQL predicate over partition-value tuples with the SAME
+    * typed semantics a query filter would see: the raw Hive-path strings
+    * are CAST to the partition columns' declared types (null marker →
+    * null) and Spark's own analyzer/evaluator runs the predicate — so
+    * `date >= '2026-01-01'`, `p IN (...)`, `year(d) = 2026` all behave
+    * exactly as they do in a WHERE clause. A predicate naming a
+    * non-partition column fails analysis (only partition columns are in
+    * scope) and is rephrased as a ValidationException. */
+  private def matchingPartitions(table: DeltaTable, partCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[Map[String, String]],
+      pred: String): Set[Map[String, String]] = {
+    if (partCols.isEmpty) throw new ValidationException(
+      "a compaction predicate requires a partitioned table")
+    val spark = table.spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val raw = StructType(StructField("__idx", LongType) +:
+      partCols.map(c => StructField(c, StringType)))
+    val rows = keys.zipWithIndex.map { case (k, i) =>
+      Row.fromSeq(i.toLong +: partCols.map(c =>
+        k.get(c).filter(_ != PartitionPaths.NullMarker).orNull))
+    }
+    val rawDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), raw)
+    val typed = partCols.foldLeft(rawDf)((df, c) =>
+      df.withColumn(c, df(c).cast(schema(c).dataType)))
+    val kept =
+      try typed.filter(expr(pred)).select("__idx").collect()
+        .map(_.getLong(0)).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new ValidationException(
+            s"compaction predicate must reference only partition columns " +
+              s"(${partCols.mkString(", ")}): ${e.getMessage}")
+      }
+    keys.zipWithIndex.collect { case (k, i) if kept(i.toLong) => k }.toSet
+  }
+
   private def compactOnce(table: DeltaTable, cfg: CompactionConfig): CompactionResult = {
     // Selection: only files below the target size are candidates, so above
     // the distributed threshold only THOSE reach the driver - the bin
     // planner is O(compactable files), not O(active files).
     val target = cfg.targetFileSize
     val snap = table.scanStateWhere(_.size < target)
-    val byPartition = snap.activeFiles.groupBy(_.partitionValues)
+    val byPartition0 = snap.activeFiles.groupBy(_.partitionValues)
+    // Predicate scope: evaluated over the (bounded) DISTINCT partition
+    // tuples of the small-file candidates — the rewrite I/O it saves
+    // dwarfs the driver-side key filter.
+    val byPartition = cfg.partitionFilter match {
+      case None => byPartition0
+      case Some(pred) =>
+        val keep = matchingPartitions(
+          table, snap.partitionColumns, snap.schema, byPartition0.keys.toSeq, pred)
+        byPartition0.filter { case (k, _) => keep(k) }
+    }
 
     var filesCompacted = 0L; var filesCreated = 0L; var bytesIn = 0L
     var partitionsTouched = 0L

@@ -1081,15 +1081,22 @@ object GraftSql {
         })
     }
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
-      "graft_compact", "graft_compact(table) - bin-pack small files") { args =>
-      if (args.size != 1) throw new graft.delta.ValidationException(
-        "graft_compact(table)")
+      "graft_compact", "graft_compact(table[, partition_predicate]) - " +
+        "bin-pack small files, optionally only in matching partitions") { args =>
+      if (args.isEmpty || args.size > 2)
+        throw new graft.delta.ValidationException(
+          "graft_compact(table[, partition_predicate])")
       val path = resolveTableRef(spark, litString(args.head, "table"))
+      // OPTIMIZE ... WHERE: scope the rewrite to the partitions a SQL
+      // predicate admits (the daily-reload pattern — compact today's
+      // partitions, never touch the 100 TB history).
+      val predicate = args.lift(1).map(litString(_, "partition_predicate"))
       GraftMaintenanceNode("graft_compact",
         longAttrs("files_compacted", "files_created"), () => {
           val r = graft.delta.Maintenance.compact(
             DeltaTable.forPath(spark, path),
-            graft.delta.Maintenance.CompactionConfig(minFilesToCompact = 2))
+            graft.delta.Maintenance.CompactionConfig(
+              minFilesToCompact = 2, partitionFilter = predicate))
           Seq(InternalRow(r.filesCompacted.toLong, r.filesCreated.toLong))
         })
     }

@@ -27,6 +27,49 @@ class MaintenanceSpec extends SparkTestBase {
     assert(actions.collect { case rm: RemoveFile => rm }.forall(!_.dataChange))
   }
 
+  test("compact with a partition predicate touches only matching partitions") {
+    val t = tmpTable()
+    // 4 commits per partition value → every partition fragmented
+    (0 until 4).foreach { i =>
+      t.write(Seq((i, "2026-01-01"), (i + 10, "2026-01-02"))
+        .toDF("id", "day"), partitionBy = Seq("day"))
+    }
+    val before = t.snapshot().activeFiles.groupBy(_.partitionValues)
+    assert(before.values.forall(_.size == 4))
+    val r = Maintenance.compact(t, Maintenance.CompactionConfig(
+      partitionFilter = Some("day = '2026-01-02'")))
+    assert(r.partitionsTouched == 1L)
+    val after = t.snapshot().activeFiles.groupBy(_.partitionValues)
+    assert(after(Map("day" -> "2026-01-01")).size == 4,
+      "non-matching partition must keep its files untouched")
+    assert(after(Map("day" -> "2026-01-02")).size < 4)
+    // typed semantics: a range predicate over the CAST value
+    val r2 = Maintenance.compact(t, Maintenance.CompactionConfig(
+      partitionFilter = Some("day >= '2026-01-01'")))
+    assert(r2.partitionsTouched == 1L) // only 01-01 still has >=2 small files
+    // content identical through both scoped rewrites
+    assert(t.toDF().count() == 8)
+  }
+
+  test("compact predicate naming a non-partition column is refused") {
+    val t = tmpTable()
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "p"), partitionBy = Seq("p"))
+    t.write(Seq((3, "a")).toDF("id", "p"))
+    val e = intercept[ValidationException] {
+      Maintenance.compact(t, Maintenance.CompactionConfig(
+        partitionFilter = Some("id > 0")))
+    }
+    assert(e.getMessage.contains("partition columns"))
+    val e2 = intercept[ValidationException] {
+      val unpart = tmpTable()
+      unpart.write(Seq((1, "a"), (2, "b")).toDF("id", "p"))
+      unpart.write(Seq((3, "c")).toDF("id", "p"))
+      Maintenance.compact(unpart, Maintenance.CompactionConfig(
+        partitionFilter = Some("p = 'a'")))
+    }
+    assert(e2.getMessage.contains("partitioned"))
+  }
+
   test("compact dry run changes nothing") {
     val t = tmpTable()
     (0 until 4).foreach(i => t.write(Seq((i, "x")).toDF("id", "s")))

@@ -279,6 +279,26 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4)
   }
 
+  test("graft_compact with a partition predicate compacts only matching partitions") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, day STRING) PARTITIONED BY (day)")
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO $t VALUES ($i, '2026-01-01'), (${i + 10}, '2026-01-02')"))
+    val ref = t.stripPrefix(s"$cat.")
+    val dt = graft.delta.DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/" + ref.replace(".", "/"))
+    def filesIn(day: String): Int = dt.snapshot().activeFiles
+      .count(_.partitionValues.get("day").contains(day))
+    val before = filesIn("2026-01-01")
+    val c = sql(s"SELECT * FROM graft_compact('$ref', \"day = '2026-01-02'\")").head()
+    assert(c.getLong(0) >= 2)
+    assert(filesIn("2026-01-01") == before,
+      "non-matching partition files must be untouched")
+    assert(filesIn("2026-01-02") < before)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6)
+  }
+
   test("graft_history TVF lists the commit sequence") {
     setup()
     val t = freshTable()
