@@ -1057,6 +1057,34 @@ object GraftSql {
         .toDF("version", "timestamp_ms", "operation", "parameters")
         .queryExecution.analyzed
     }
+    // DESCRIBE DETAIL analog: one row of table-level facts from the LOG
+    // (snapshot metadata + file census) — never touches data files, so
+    // it is O(log) at any table size.
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_detail", "graft_detail(table) - table facts (DESCRIBE DETAIL)") { args =>
+      if (args.size != 1) throw new graft.delta.ValidationException(
+        "graft_detail(table)")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val t = DeltaTable.forPath(spark, path)
+      val snap = t.snapshot()
+      val m = snap.metadata
+      import spark.implicits._
+      Seq((
+        m.map(_.id).getOrElse(""),
+        path,
+        snap.version,
+        snap.partitionColumns.mkString(","),
+        snap.configuration.getOrElse("graft.clusterBy", ""),
+        snap.activeFiles.size.toLong,
+        snap.activeFiles.map(_.size).sum,
+        m.map(_.createdTime).getOrElse(0L),
+        snap.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted
+          .mkString(";")))
+        .toDF("id", "location", "version", "partition_columns",
+          "cluster_by", "num_files", "size_in_bytes", "created_at_ms",
+          "properties")
+        .queryExecution.analyzed
+    }
     // Maintenance verbs for SQL-only users — the TVF analog of Delta's
     // VACUUM / OPTIMIZE statements (which need a parser extension Spark
     // only applies at session build; a table function works on any

@@ -299,6 +299,22 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6)
   }
 
+  test("graft_detail TVF reports table facts from the log") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('delta.appendOnly' = 'false')")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val ref = t.stripPrefix(s"$cat.")
+    val d = sql(s"SELECT * FROM graft_detail('$ref')").head()
+    assert(d.getAs[String]("partition_columns") == "p")
+    assert(d.getAs[Long]("num_files") >= 1L)
+    assert(d.getAs[Long]("size_in_bytes") > 0L)
+    assert(d.getAs[Long]("version") >= 1L)
+    assert(d.getAs[String]("properties").contains("delta.appendOnly=false"))
+    assert(sql(s"SELECT cluster_by FROM graft_detail('$ref')").head().getString(0) == "")
+  }
+
   test("graft_history TVF lists the commit sequence") {
     setup()
     val t = freshTable()
