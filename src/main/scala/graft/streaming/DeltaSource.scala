@@ -51,8 +51,29 @@ final class DeltaStreamSource(
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val table = DeltaTable.forPath(spark, path)
-  private val startingVersion: Option[Long] =
-    options.get("startingversion").orElse(options.get("startingVersion")).map(_.toLong)
+  private val startingVersion: Option[Long] = {
+    val sv = options.get("startingversion").orElse(options.get("startingVersion"))
+    val st = options.get("startingtimestamp").orElse(options.get("startingTimestamp"))
+    if (sv.nonEmpty && st.nonEmpty) throw new ValidationException(
+      "specify either startingVersion or startingTimestamp, not both")
+    // startingTimestamp = the first commit AT OR AFTER the timestamp
+    // (Delta's contract — note the asymmetry with TIMESTAMP AS OF, which
+    // is at-or-BEFORE). Resolved once at source creation, driver-side log
+    // metadata only.
+    sv.map(_.toLong).orElse(st.map { s =>
+      val ts = DeltaStreamSource.parseTimestampMs(s)
+      val versions = table.log.listCommitVersions()
+      versions.find(table.commitTimestamp(_) >= ts).getOrElse(
+        throw new ValidationException(
+          s"startingTimestamp $s is after the latest commit " +
+            s"(${versions.lastOption.map(table.commitTimestamp).getOrElse(-1L)} ms); " +
+            "use startingVersion or a timestamp at or before the last commit"))
+    })
+  }
+
+  /** The tail-from version after startingTimestamp resolution — the
+    * catalog micro-batch stream seeds its initial offset from it. */
+  private[streaming] def resolvedStartingVersion: Option[Long] = startingVersion
   private val skipChangeCommits: Boolean =
     options.get("skipchangecommits").orElse(options.get("skipChangeCommits"))
       .exists(_.toBoolean)
@@ -246,6 +267,25 @@ final class DeltaStreamSource(
 }
 
 object DeltaStreamSource {
+
+  /** `startingTimestamp` accepts epoch millis, ISO-8601 instants, and the
+    * SQL timestamp/date forms (`yyyy-MM-dd[ HH:mm:ss[.S]]`), read as UTC —
+    * the session timezone the whole engine pins. */
+  private[streaming] def parseTimestampMs(s: String): Long = {
+    val t = s.trim
+    def asLong = scala.util.Try(t.toLong).toOption
+    def asInstant = scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption
+    def asSql = scala.util.Try(
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption
+    def asDate = scala.util.Try(
+      java.time.LocalDate.parse(t).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption
+    asLong.orElse(asInstant).orElse(asSql).orElse(asDate).getOrElse(
+      throw new ValidationException(
+        s"cannot parse startingTimestamp '$s'; use epoch millis, " +
+          "ISO-8601, 'yyyy-MM-dd HH:mm:ss', or 'yyyy-MM-dd'"))
+  }
 
   /** Stream schema: table columns, plus Delta's three CDF columns in
     * change-feed mode. */

@@ -56,8 +56,9 @@ final class GraftMicroBatchStream(
     * materializes batches differently (partitions instead of DataFrames). */
   private val inner = new DeltaStreamSource(spark, table.path, opts)
 
-  private val startingVersion: Option[Long] =
-    opts.get("startingversion").map(_.toLong)
+  /** Seed version for the initial offset, AFTER the inner source resolved
+    * `startingTimestamp` (first commit at-or-after) if that was given. */
+  private val startingVersion: Option[Long] = inner.resolvedStartingVersion
 
   /** Fresh-stream snapshot version, fixed at creation (same contract as
     * the V1 source's `initialVersion`). */

@@ -64,6 +64,24 @@ class CatalogStreamingSpec extends SparkTestBase {
     assert(run() == Set((4L, "d"), (5L, "e")))
   }
 
+  test("readStream.table with startingTimestamp tails from the first commit at or after it") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, s STRING)")      // v0
+    sql(s"INSERT INTO $t VALUES (1, 'a')")             // v1
+    sql(s"INSERT INTO $t VALUES (2, 'b')")             // v2
+    val dt = graft.delta.DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/strm/" + t.split('.').last)
+    val v2Ts = dt.commitTimestamp(2)
+    Thread.sleep(5)
+    sql(s"INSERT INTO $t VALUES (3, 'c')")             // v3
+
+    val out = drain(spark.readStream
+      .option("startingTimestamp", v2Ts.toString).table(t), "cat_st")
+    assert(out.as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+  }
+
   test("readStream.table on a partitioned table keeps column order (non-trailing partition col)") {
     setup()
     val t = freshTable()

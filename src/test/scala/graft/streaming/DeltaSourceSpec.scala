@@ -61,6 +61,45 @@ class DeltaSourceSpec extends SparkTestBase {
       Set((2, "b"), (3, "c"), (4, "d")))
   }
 
+  test("startingTimestamp tails from the first commit at or after it") {
+    val dir = Files.createTempDirectory("graft-src-st").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "s")) // v0
+    t.write(Seq((2, "b")).toDF("id", "s")) // v1
+    val v1Ts = t.commitTimestamp(1)
+    Thread.sleep(5)
+    t.write(Seq((3, "c")).toDF("id", "s")) // v2
+
+    // at v1's exact timestamp → v1 and later (at-or-AFTER, Delta contract)
+    val out = drain(spark.readStream.format("graft-delta")
+      .option("startingTimestamp", v1Ts.toString).load(dir), "src_st1")
+    assert(out.as[(Int, String)].collect().toSet == Set((2, "b"), (3, "c")))
+
+    // a timestamp before every commit → the whole history
+    val all = drain(spark.readStream.format("graft-delta")
+      .option("startingTimestamp", "1970-01-01").load(dir), "src_st2")
+    assert(all.as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+
+    // after the last commit → clear refusal
+    val e = intercept[Exception] {
+      drain(spark.readStream.format("graft-delta")
+        .option("startingTimestamp", (System.currentTimeMillis() + 3600000L).toString)
+        .load(dir), "src_st3")
+    }
+    assert(e.getMessage.contains("startingTimestamp") ||
+      e.getCause != null && e.getCause.getMessage.contains("startingTimestamp"))
+
+    // both options together → refusal
+    val e2 = intercept[Exception] {
+      drain(spark.readStream.format("graft-delta")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", v1Ts.toString).load(dir), "src_st4")
+    }
+    assert(e2.getMessage.contains("not both") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("not both"))
+  }
+
   test("maxFilesPerTrigger splits the tail into whole-version batches") {
     val dir = Files.createTempDirectory("graft-src-cap").toString
     val t = DeltaTable.forPath(spark, dir)
