@@ -151,6 +151,38 @@ class DirectBatchWriteSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10000)
   }
 
+  test("two concurrent INSERTs both commit through the direct path (OCC, no lost rows)") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    val before = GraftDirectWrite.batchCommits.get()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      Future(sql(s"INSERT INTO $t SELECT id FROM range(0, 500)")),
+      Future(sql(s"INSERT INTO $t SELECT id FROM range(500, 1000)")))
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(GraftDirectWrite.batchCommits.get() - before == 2)
+    assert(sql(s"SELECT count(*), count(DISTINCT id), min(id), max(id) FROM $t")
+      .head().toSeq == Seq(1000L, 1000L, 0L, 999L))
+  }
+
+  test("direct write stores PHYSICAL names under column mapping (rename then insert)") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, old_name STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a')")
+    sql(s"ALTER TABLE $t RENAME COLUMN old_name TO new_name")
+    val before = GraftDirectWrite.batchCommits.get()
+    sql(s"INSERT INTO $t VALUES (2, 'b')") // must write the PHYSICAL name
+    assert(GraftDirectWrite.batchCommits.get() > before,
+      "a column-mapped table is still direct-write eligible")
+    val rows = sql(s"SELECT id, new_name FROM $t ORDER BY id")
+      .collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
   test("CTAS data lands through the direct write") {
     setup()
     val t = freshTable()
