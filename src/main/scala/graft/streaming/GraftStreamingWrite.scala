@@ -265,9 +265,17 @@ private final class GraftStreamDataWriter(
     if (f.partIdx.isEmpty) return ""
     val rendered = partProj(row)
     f.partCols.zipWithIndex.map { case (c, i) =>
+      // Hive/Spark convention: an EMPTY-string partition value folds into
+      // the null marker too (ExternalCatalogUtils.getPartitionPathString)
+      // and reads back as null — the staged path does this through
+      // Spark's own writer, so the direct path must match it exactly.
       val v =
         if (rendered.isNullAt(i)) PartitionPaths.NullMarker
-        else WriteShim.escapePathName(rendered.getUTF8String(i).toString)
+        else {
+          val s = rendered.getUTF8String(i).toString
+          if (s.isEmpty) PartitionPaths.NullMarker
+          else WriteShim.escapePathName(s)
+        }
       s"${WriteShim.escapePathName(c)}=$v"
     }.mkString("", "/", "/")
   }
