@@ -669,7 +669,25 @@ object SqlQueries {
              |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Idempotent file-level ingest (round 11, COPY INTO analog): the first
+    * `graft_ingest` loads every source file, the second is a NO-OP (the
+    * loaded-file identities ride each ingest commit), so the table equals
+    * exactly one copy of the source — which is what the oracle checks. */
+  def sqlIngest(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "ing")
+    val v = view(s, dir, "orders")
+    val src = java.nio.file.Files.createTempDirectory("graft-ingest-gate").toString
+    s.table(v).repartition(4).write.mode("overwrite").parquet(src)
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v WHERE 1=0")
+    s.sql(s"SELECT * FROM graft_ingest('$t', '$src')").collect()
+    s.sql(s"SELECT * FROM graft_ingest('$t', '$src')").collect() // no-op
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderpriority
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_sql_ingest" -> (sqlIngest(_, _)),
     "s34_sql_cluster_by" -> (sqlClusterBy(_, _)),
     "s33_sql_column_defaults" -> (sqlColumnDefaults(_, _)),
     "s19_sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
@@ -706,6 +724,11 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s35_sql_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "s34_sql_cluster_by" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_custkey % 10 = 3 AND o_totalprice > 50000

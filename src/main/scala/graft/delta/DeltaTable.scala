@@ -336,7 +336,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    */
   def write(df: DataFrame, mode: String = "append",
             partitionBy: Seq[String] = Nil,
-            txn: Option[Txn] = None): Long = {
+            txn: Option[Txn] = None,
+            opInfo: Option[(String, Map[String, String])] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     // Appends never need the file list — metadata-only state keeps the
     // driver O(1) in table size. Overwrite must enumerate the removes (and
@@ -423,9 +424,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       val actions: Seq[Action] =
         (if (v == 0) Seq[Action](Protocol()) else Nil) ++
           (meta.toSeq: Seq[Action]) ++ (txn.toSeq: Seq[Action]) ++
-          removes ++ (adds: Seq[Action]) ++ Seq[Action](
-          CommitInfo(now, if (mode == "overwrite") "WRITE-OVERWRITE" else "WRITE",
-            Map("numFiles" -> adds.size.toString)))
+          removes ++ (adds: Seq[Action]) ++ Seq[Action](opInfo match {
+          case Some((op, params)) =>
+            CommitInfo(now, op, params + ("numFiles" -> adds.size.toString))
+          case None =>
+            CommitInfo(now, if (mode == "overwrite") "WRITE-OVERWRITE" else "WRITE",
+              Map("numFiles" -> adds.size.toString))
+        })
       log.writeCommit(v, actions)
       maybeCheckpoint(v)
       v

@@ -1128,6 +1128,28 @@ object GraftSql {
           Seq(InternalRow(r.filesCompacted.toLong, r.filesCreated.toLong))
         })
     }
+    // COPY INTO analog: idempotent file-level ingest — each run loads
+    // ONLY the source files the table has not ingested before, in atomic
+    // chunks (data + loaded-file identities in one commit each), so
+    // retries and schedulers can re-offer a directory safely.
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_ingest",
+      "graft_ingest(table, sourceDir[, format]) - idempotent file-level load") { args =>
+      if (args.size < 2 || args.size > 3)
+        throw new graft.delta.ValidationException(
+          "graft_ingest(table, sourceDir[, format])")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val src = litString(args(1), "sourceDir")
+      val fmt = args.lift(2).map(litString(_, "format")).getOrElse("parquet")
+      GraftMaintenanceNode("graft_ingest",
+        longAttrs("files_ingested", "rows_ingested", "files_skipped", "version"),
+        () => {
+          val r = graft.delta.Ingest.run(spark,
+            DeltaTable.forPath(spark, path), src, fmt)
+          Seq(InternalRow(r.filesIngested, r.rowsIngested,
+            r.filesSkipped, r.version))
+        })
+    }
     // State-changing verbs under the same deferred contract — the SQL
     // analogs of Delta's RESTORE / OPTIMIZE ZORDER BY / dedup recipes /
     // SHALLOW CLONE statements, so a SQL-only user can run every

@@ -1,0 +1,106 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/**
+ * Idempotent file-level ingest (the COPY INTO verb): only never-ingested
+ * source files load; re-runs are no-ops; a file re-written in place (new
+ * size/mtime) re-ingests; each chunk is one atomic commit carrying the
+ * loaded-file identities.
+ */
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeSrc(dir: String, name: String, ids: Range): Unit =
+    spark.range(ids.head, ids.last + 1).select(col("id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stage_$name")
+      .ensuring(_ => {
+        // move the single part file under a stable name
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/.stage_$name"))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        // rename onto an existing destination silently no-ops on local fs
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), false)
+        fs.rename(staged, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.stage_$name"), true)
+        true
+      })
+
+  test("ingest loads fresh files once; re-runs skip; new files load incrementally") {
+    val src = tmp("graft-ingest-src")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-t"))
+    t.write(Seq(-1L).toDF("id")) // schema exists
+    writeSrc(src, "a.parquet", 0 until 10)
+    writeSrc(src, "b.parquet", 10 until 30)
+
+    val r1 = Ingest.run(spark, t, src)
+    assert(r1.filesIngested == 2 && r1.filesSkipped == 0)
+    assert(r1.rowsIngested == 30)
+    assert(t.toDF().count() == 31)
+
+    // idempotent re-run: nothing loads
+    val r2 = Ingest.run(spark, t, src)
+    assert(r2.filesIngested == 0 && r2.filesSkipped == 2)
+    assert(t.toDF().count() == 31)
+
+    // a NEW file loads; the old two stay skipped
+    writeSrc(src, "c.parquet", 30 until 35)
+    val r3 = Ingest.run(spark, t, src)
+    assert(r3.filesIngested == 1 && r3.filesSkipped == 2)
+    assert(r3.rowsIngested == 5)
+    assert(t.toDF().count() == 36)
+  }
+
+  test("a file re-written in place (changed size) re-ingests — COPY INTO contract") {
+    val src = tmp("graft-ingest-rw")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-rwt"))
+    t.write(Seq(-1L).toDF("id"))
+    writeSrc(src, "a.parquet", 0 until 5)
+    assert(Ingest.run(spark, t, src).filesIngested == 1)
+    writeSrc(src, "a.parquet", 0 until 50) // same name, different content
+    val r = Ingest.run(spark, t, src)
+    assert(r.filesIngested == 1, "changed file identity must re-ingest")
+    assert(t.toDF().filter(col("id") >= 0).count() == 55)
+  }
+
+  test("chunking: each chunk is one atomic commit carrying its file identities") {
+    val src = tmp("graft-ingest-chunk")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-chunkt"))
+    t.write(Seq(-1L).toDF("id"))
+    (0 until 5).foreach(i => writeSrc(src, s"f$i.parquet", i * 10 until (i + 1) * 10))
+    val v0 = t.version
+    val r = Ingest.run(spark, t, src, chunkFiles = 2)
+    assert(r.filesIngested == 5)
+    assert(t.version == v0 + 3, "5 files / chunk 2 = 3 commits")
+    val ops = (v0 + 1 to t.version).flatMap(v => t.log.readCommit(v)).collect {
+      case c: CommitInfo => c.operation
+    }
+    assert(ops.forall(_ == Ingest.Operation))
+    // skip-list is the union across chunked commits
+    assert(Ingest.run(spark, t, src).filesSkipped == 5)
+  }
+
+  test("graft_ingest TVF drives the same verb through SQL") {
+    val spark2 = spark
+    import graft.plans.GraftSql
+    val cat = GraftSql.ensure(spark2)
+    spark2.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ing")
+    val tbl = s"$cat.ing.t1"
+    spark2.sql(s"CREATE TABLE $tbl (id BIGINT)")
+    val src = tmp("graft-ingest-sql")
+    writeSrc(src, "a.parquet", 0 until 7)
+    val row = spark2.sql(s"SELECT * FROM graft_ingest('ing.t1', '$src')").head()
+    assert(row.getLong(0) == 1 && row.getLong(1) == 7)
+    assert(spark2.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 7)
+    val again = spark2.sql(s"SELECT * FROM graft_ingest('ing.t1', '$src')").head()
+    assert(again.getLong(0) == 0 && again.getLong(2) == 1)
+  }
+}
