@@ -262,7 +262,7 @@ object DeltaRelation {
   }
 
   def forParameters(sqlContext: SQLContext,
-                    parameters: Map[String, String]): DeltaRelation = {
+                    parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new ValidationException("graft-delta requires a path"))
     val version = parameters.get("versionasof")
@@ -274,7 +274,38 @@ object DeltaRelation {
     val table = DeltaTable.forPath(sqlContext.sparkSession, path)
     if (table.version < 0) throw new ValidationException(
       s"$path is not a Delta table (no commits)")
-    new DeltaRelation(sqlContext, table, version, ts)
+    // Batch CDF (Delta parity): readChangeFeed=true + a starting version
+    // or timestamp bound returns the change rows, not the table rows.
+    val cdf = parameters.get("readchangefeed")
+      .orElse(parameters.get("readChangeFeed")).exists(_.toBoolean)
+    if (cdf) {
+      if (version.nonEmpty || ts.nonEmpty) throw new ValidationException(
+        "readChangeFeed cannot combine with versionAsOf/timestampAsOf; " +
+          "bound the feed with startingVersion/endingVersion " +
+          "or startingTimestamp/endingTimestamp")
+      def opt(k: String) =
+        parameters.get(k.toLowerCase).orElse(parameters.get(k))
+      val sv = opt("startingVersion").map(_.toLong)
+      val st = opt("startingTimestamp")
+        .map(graft.streaming.DeltaStreamSource.parseTimestampMs)
+      if (sv.nonEmpty && st.nonEmpty) throw new ValidationException(
+        "specify either startingVersion or startingTimestamp, not both")
+      val df = sv match {
+        case Some(s) =>
+          graft.delta.Cdc.readByVersion(table, s,
+            opt("endingVersion").map(_.toLong).getOrElse(table.version))
+        case None => st match {
+          case Some(s) =>
+            graft.delta.Cdc.readByTimestamp(table, s,
+              opt("endingTimestamp")
+                .map(graft.streaming.DeltaStreamSource.parseTimestampMs)
+                .getOrElse(System.currentTimeMillis()))
+          case None => throw new ValidationException(
+            "batch readChangeFeed requires startingVersion or startingTimestamp")
+        }
+      }
+      new CdfRelation(sqlContext, df)
+    } else new DeltaRelation(sqlContext, table, version, ts)
   }
 
   def write(sqlContext: SQLContext, mode: SaveMode,
@@ -309,4 +340,15 @@ object DeltaRelation {
     }
     new DeltaRelation(sqlContext, table, None, None)
   }
+}
+
+/** Batch change-feed relation: the pre-built CDF frame (table columns +
+  * `_change_type`/`_commit_version`/`_commit_timestamp`) served through
+  * the V1 relation seam — the schema differs from the table's, so it
+  * cannot ride [[DeltaRelation]] itself. */
+private final class CdfRelation(
+    val sqlContext: SQLContext, df: DataFrame)
+  extends BaseRelation with TableScan {
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
 }

@@ -271,7 +271,7 @@ object DeltaStreamSource {
   /** `startingTimestamp` accepts epoch millis, ISO-8601 instants, and the
     * SQL timestamp/date forms (`yyyy-MM-dd[ HH:mm:ss[.S]]`), read as UTC —
     * the session timezone the whole engine pins. */
-  private[streaming] def parseTimestampMs(s: String): Long = {
+  private[graft] def parseTimestampMs(s: String): Long = {
     val t = s.trim
     def asLong = scala.util.Try(t.toLong).toOption
     def asInstant = scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption

@@ -200,6 +200,34 @@ class DeltaSourceSpec extends SparkTestBase {
     // a change feed includes deletes as DATA — no StreamChangeException
   }
 
+  test("batch readChangeFeed via spark.read options returns the bounded change rows") {
+    val dir = Files.createTempDirectory("graft-batch-cdf").toString
+    val t = DeltaTable.forPath(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "s")) // v0
+    t.updateConfiguration(Map(graft.delta.Cdc.EnableKey -> "true")) // v1
+    t.write(Seq((2, "b"), (3, "c")).toDF("id", "s")) // v2
+    t.delete(col("id") === 2) // v3
+
+    val feed = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(dir)
+    assert(feed.columns.contains(graft.delta.Cdc.ChangeType))
+    val got = feed.select("id", "s", graft.delta.Cdc.ChangeType)
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((2, "b", "insert"), (3, "c", "insert"), (2, "b", "delete")))
+
+    val bounded = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(dir)
+    assert(bounded.filter(col(graft.delta.Cdc.ChangeType) === "delete").count() == 0)
+
+    val e = intercept[Exception] {
+      spark.read.format("graft-delta")
+        .option("readChangeFeed", "true").load(dir).collect()
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
+
   test("property: random append/compact history streams to exactly the batch state") {
     val rnd = new scala.util.Random(42)
     val dir = Files.createTempDirectory("graft-src-prop").toString
