@@ -56,7 +56,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * `TableChange`; without this capability the parser-level check
     * refuses every DEFAULT up front. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -215,6 +216,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             a.fieldNames.head, a.dataType, a.isNullable))
         dt.write(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], extended), "append")
+      // Native SQL constraint verbs (Spark 4.1): ADD CONSTRAINT validates
+      // EXISTING rows first (one distributed anti-predicate count; a
+      // violated constraint refuses instead of recording a lie), DROP
+      // removes the config key. Both land on the same
+      // `delta.constraints.*` machinery every write path enforces.
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            dt.addCheckConstraint(c.name, c.predicateSql)
+          case other => throw new ValidationException(
+            "only CHECK constraints are enforceable here; " +
+              s"got ${other.toDDL} (PRIMARY KEY/FOREIGN KEY/UNIQUE are not " +
+              "enforced by this engine and are refused rather than recorded)")
+        }
+      case d: TableChange.DropConstraint =>
+        val key = s"delta.constraints.${d.name}"
+        val has = dt.metaSnapshot().configuration.contains(key)
+        if (has) dt.dropCheckConstraint(d.name)
+        else if (!d.ifExists) throw new ValidationException(
+          s"no such constraint: ${d.name}")
       case c: TableChange.ClusterBy =>
         // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: updates the
         // layout intent; files re-cluster at the next graft_zorder(t).

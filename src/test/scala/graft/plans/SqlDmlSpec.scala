@@ -299,6 +299,34 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 6)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: native SQL CHECK constraints") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE)")
+    sql(s"INSERT INTO $t VALUES (1, 0.5), (2, 2.0)")
+    sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (v > 0)")
+    // enforced on subsequent writes (both write paths)
+    val e = intercept[Exception] { sql(s"INSERT INTO $t VALUES (3, -1.0)") }
+    assert(e.getMessage != null)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    // adding a constraint EXISTING rows violate refuses
+    val e2 = intercept[Exception] {
+      sql(s"ALTER TABLE $t ADD CONSTRAINT small CHECK (v < 1)")
+    }
+    // Spark 4.1 pre-validates existing rows itself (NEW_CHECK_CONSTRAINT_
+    // VIOLATION) before alterTable; our addCheckConstraint re-validates
+    // under the commit's OCC snapshot — either refusal is correct.
+    assert(e2.getMessage.contains("existing rows violate") ||
+      e2.getMessage.contains("violated by existing data"))
+    // drop re-admits the rows
+    sql(s"ALTER TABLE $t DROP CONSTRAINT pos")
+    sql(s"INSERT INTO $t VALUES (3, -1.0)")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+    val e3 = intercept[Exception] { sql(s"ALTER TABLE $t DROP CONSTRAINT nope") }
+    assert(e3.getMessage.contains("nope"))
+    sql(s"ALTER TABLE $t DROP CONSTRAINT IF EXISTS nope") // no-op, no error
+  }
+
   test("graft_detail TVF reports table facts from the log") {
     setup()
     val t = freshTable()
