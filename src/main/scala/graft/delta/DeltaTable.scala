@@ -175,13 +175,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // `delta.columnMapping.physicalName` field metadata; read physical,
     // rename to logical.
     val physical = physicalSchema(schema)
-    val readSchema = physical.getOrElse(schema)
+    // Defaults are write-time-only: strip CURRENT_DEFAULT/EXISTS_DEFAULT
+    // from the READER schema (Spark's parquet readers would otherwise fill
+    // columns missing from old files with EXISTS_DEFAULT instead of NULL),
+    // then restore the field metadata on the output so the catalog-facing
+    // schema still carries the defaults for INSERT-time substitution.
+    val readSchema = DeltaTable.stripDefaultMetadata(physical.getOrElse(schema))
     val raw = (if (readSchema.nonEmpty) reader.schema(readSchema) else reader)
       .parquet(files: _*)
-    val df = physical match {
+    val renamed = physical match {
       case Some(_) => raw.toDF(schema.fieldNames.toIndexedSeq: _*)
       case None => raw
     }
+    val df =
+      if (!DeltaTable.hasDefaultMetadata(schema)) renamed
+      else renamed.select(schema.fields.map(f =>
+        renamed.col(s"`${f.name.replace("`", "``")}`")
+          .as(f.name, f.metadata)).toIndexedSeq: _*)
     // Interop: drop rows masked by deletion vectors (no-op when none exist).
     DeletionVectors.applyMask(this, df, snap.activeFiles)
   }
@@ -1788,16 +1798,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           val b = new MetadataBuilder().withMetadata(f.metadata)
           sqlDefault match {
             case Some(sql) =>
-              // Spark's ResolveDefaultColumns reads these two keys from
-              // the field metadata; EXISTS_DEFAULT is the value rows that
-              // PREDATE the default would read — since we only allow
-              // defaults on columns whose rows all post-date them, the two
-              // stay equal.
+              // Spark's V2 column conversion needs BOTH keys present to
+              // expose a ColumnDefaultValue (which is what makes INSERT
+              // substitution resolve) — but neither key ever reaches a
+              // parquet reader (toDF / GraftBatchScan strip them), so
+              // EXISTS_DEFAULT cannot leak into rows that predate the
+              // default: old files always read NULL.
               b.putString("CURRENT_DEFAULT", sql)
-              if (!f.metadata.contains("EXISTS_DEFAULT"))
-                b.putString("EXISTS_DEFAULT", sql)
+              b.putString("EXISTS_DEFAULT", sql)
             case None =>
+              // Remove both: a stale EXISTS_DEFAULT left behind would
+              // resurface if the reader-side strip were ever bypassed.
               b.remove("CURRENT_DEFAULT")
+              b.remove("EXISTS_DEFAULT")
           }
           f.copy(metadata = b.build())
         }
@@ -2064,6 +2077,32 @@ object DeltaTable {
   def isDeltaTable(spark: SparkSession, path: String): Boolean =
     try forPath(spark, path).version >= 0
     catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The two field-metadata keys Spark's default-column machinery reads.
+    * They must stay in the CATALOG-facing schema (the V2 column conversion
+    * needs both to expose a ColumnDefaultValue, which is what makes INSERT
+    * substitution work) but must NEVER reach a parquet READER schema:
+    * Spark's readers fill columns missing from a file with EXISTS_DEFAULT,
+    * and this engine's defaults are write-time-only — a file written before
+    * a column existed must read NULL, not a later default. */
+  private[graft] val DefaultKeys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT")
+
+  private[graft] def hasDefaultMetadata(schema: StructType): Boolean =
+    schema.fields.exists(f => DefaultKeys.exists(f.metadata.contains))
+
+  /** `schema` with CURRENT_DEFAULT/EXISTS_DEFAULT stripped from every
+    * field (other metadata — column-mapping physical names etc. — kept).
+    * Returns `schema` itself when nothing needs stripping. */
+  private[graft] def stripDefaultMetadata(schema: StructType): StructType =
+    if (!hasDefaultMetadata(schema)) schema
+    else StructType(schema.fields.map { f =>
+      if (!DefaultKeys.exists(f.metadata.contains)) f
+      else {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        DefaultKeys.foreach(b.remove)
+        f.copy(metadata = b.build())
+      }
+    })
 
   /** `delta.appendOnly=true` protocol enforcement (the reference documents
     * the key in its updateMetadata example, src/delta/table.ts:2431, but

@@ -248,11 +248,15 @@ private[graft] object GraftBatchScan {
         case -1 => logical
         case i => physical.fields(i).name
       }
-    val dataSchema = StructType(
+    // Strip CURRENT_DEFAULT/EXISTS_DEFAULT from the reader-facing schemas:
+    // parquet readers fill columns missing from a file with EXISTS_DEFAULT,
+    // but this engine's defaults are write-time-only — old files must read
+    // NULL (the catalog-facing schema keeps the keys for INSERT resolution).
+    val dataSchema = graft.delta.DeltaTable.stripDefaultMetadata(StructType(
       physical.fields.zip(tableSchema.fields)
-        .collect { case (pf, lf) if !partCols.contains(lf.name) => pf })
-    val readDataSchema = StructType(
-      requiredData.map(f => f.copy(name = physicalOf(f.name))))
+        .collect { case (pf, lf) if !partCols.contains(lf.name) => pf }))
+    val readDataSchema = graft.delta.DeltaTable.stripDefaultMetadata(StructType(
+      requiredData.map(f => f.copy(name = physicalOf(f.name)))))
     val partSchema = StructType(requiredPart)
     val mapped = physical ne tableSchema
     val pushable =

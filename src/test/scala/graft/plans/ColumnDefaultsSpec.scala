@@ -22,6 +22,9 @@ class ColumnDefaultsSpec extends SparkTestBase {
   private def setup(): Unit = {
     sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dflt"); ()
   }
+  private def deltaOf(t: String): graft.delta.DeltaTable =
+    graft.delta.DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/dflt/" + t.split('.').last)
 
   test("CREATE TABLE with DEFAULT fills omitted columns and the DEFAULT keyword") {
     setup()
@@ -91,6 +94,41 @@ class ColumnDefaultsSpec extends SparkTestBase {
     sql(s"INSERT INTO $t (id) VALUES (2)")
     val rows = sql(s"SELECT id, s FROM $t ORDER BY id").collect().map(_.toSeq)
     assert(rows.toSeq == Seq(Seq(1L, "x"), Seq(2L, "d")))
+  }
+
+  test("rows that PREDATE a column read NULL even after SET DEFAULT (not the default)") {
+    // Regression (round-12 advice): EXISTS_DEFAULT persisted in the schema
+    // made parquet readers fill columns missing from old files with the
+    // default. Write-time-only semantics require NULL.
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1)") // file without column v
+    sql(s"ALTER TABLE $t ADD COLUMN v INT")
+    sql(s"ALTER TABLE $t ALTER COLUMN v SET DEFAULT 5")
+    sql(s"INSERT INTO $t (id) VALUES (2)") // default materialized
+    val rows = sql(s"SELECT id, v FROM $t ORDER BY id").collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(Seq(1L, null), Seq(2L, 5)),
+      "pre-existing rows must read NULL, not the later default")
+    // and a file rewrite (compaction) must not change what queries return
+    val dt = deltaOf(t)
+    graft.delta.Maintenance.compact(dt,
+      graft.delta.Maintenance.CompactionConfig(targetFileSize = 1L << 30))
+    val after = sql(s"SELECT id, v FROM $t ORDER BY id").collect().map(_.toSeq)
+    assert(after.toSeq == Seq(Seq(1L, null), Seq(2L, 5)),
+      "compaction must preserve NULLs (no default injection at rewrite)")
+  }
+
+  test("DROP DEFAULT leaves no EXISTS_DEFAULT behind in the schema") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, v INT)")
+    sql(s"INSERT INTO $t VALUES (1, 1)")
+    sql(s"ALTER TABLE $t ALTER COLUMN v SET DEFAULT 5")
+    sql(s"ALTER TABLE $t ALTER COLUMN v DROP DEFAULT")
+    val md = deltaOf(t).metaSnapshot().schema.fields.find(_.name == "v").get.metadata
+    assert(!md.contains("CURRENT_DEFAULT") && !md.contains("EXISTS_DEFAULT"),
+      s"stale default metadata after DROP DEFAULT: $md")
   }
 
   test("direct write and staged write both materialize defaults identically") {
