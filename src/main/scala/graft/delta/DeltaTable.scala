@@ -347,7 +347,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   def write(df: DataFrame, mode: String = "append",
             partitionBy: Seq[String] = Nil,
             txn: Option[Txn] = None,
-            opInfo: Option[(String, Map[String, String])] = None): Long = {
+            opInfo: Option[(String, Map[String, String])] = None,
+            // (fromVersion, predicate): inside the OCC loop, scan the
+            // commit tail (fromVersion, currentVersion] for a CommitInfo
+            // matching `predicate`; a hit aborts the write (staged files
+            // cleaned up) with [[IngestConflictException]]. This is how
+            // racing idempotent loaders (COPY INTO) detect that another
+            // writer already loaded overlapping source files — plain
+            // appends never conflict, so file-level OCC alone would
+            // silently double-load.
+            tailInfoConflict: Option[(Long, CommitInfo => Boolean)] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"unsupported mode $mode")
     // Appends never need the file list — metadata-only state keeps the
     // driver O(1) in table size. Overwrite must enumerate the removes (and
@@ -415,6 +424,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       txn.foreach { t =>
         if (snap.transactions.getOrElse(t.appId, -1L) >= t.version)
           throw TxnApplied(snap.version)
+      }
+      // Tail-replay CommitInfo conflict (see parameter doc). Runs INSIDE
+      // the OCC loop: a racer that wins the version race is re-scanned on
+      // our retry, so the check cannot be outrun.
+      tailInfoConflict.foreach { case (fromV, conflicts) =>
+        log.listCommitVersions()
+          .filter(tv => tv > fromV && tv <= snap.version)
+          .foreach { tv =>
+            log.readCommit(tv).foreach {
+              case ci: CommitInfo if conflicts(ci) =>
+                adds.foreach(a => deleteDataFile(a.path))
+                throw new IngestConflictException(snap.version)
+              case _ => ()
+            }
+          }
       }
       val v = snap.version + 1
       val now = System.currentTimeMillis()

@@ -56,6 +56,27 @@ final class WriteConflictException(version: Long)
     s"file(s) read by this operation were removed or changed by a " +
       s"concurrent commit before it could commit version $version; " +
       "re-run the operation against the current table state")
+  with PermanentConflict
+
+/** Marker for conflicts where RE-ATTEMPTING THE SAME COMMIT can never
+  * succeed (the op's outputs were built from superseded state) —
+  * [[Retry.withRetry]]'s default predicate excludes these from the
+  * version-race retry budget. */
+sealed trait PermanentConflict { self: ConcurrencyException => }
+
+/** A concurrent INGEST commit for the same source already loaded file(s)
+  * this ingest was about to commit. Like [[WriteConflictException]] this
+  * is permanent for the attempted commit (re-committing it would
+  * double-load), but the LOADER can recover: re-diff the skip-list
+  * against the new log tail and retry with only the still-fresh files —
+  * which is exactly what [[Ingest.run]] does. Subclasses
+  * ConcurrencyException (excluded from the default retry predicate via
+  * the same WriteConflict carve-out below). */
+final class IngestConflictException(version: Long)
+  extends ConcurrencyException(
+    s"a concurrent ingest committed overlapping source file(s) at or " +
+      s"before version $version; re-diff the skip-list and retry")
+  with PermanentConflict
 
 /** Change-data-capture failure (reference: CDCError, src/errors.ts:291). */
 final class CdcException(message: String, cause: Throwable = null)

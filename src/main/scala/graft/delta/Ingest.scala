@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import org.json4s.JsonDSL._
 
 /**
  * Idempotent file-level ingest — the COPY INTO verb: load from a source
@@ -17,7 +16,19 @@ import org.json4s.JsonDSL._
  * skipped, a file re-written in place (new size or mtime) re-ingests —
  * COPY INTO's contract. Identities live in each ingest commit's
  * `commitInfo.operationParameters` under chunked JSON, so the skip-list
- * is rebuilt from driver-side log metadata only.
+ * is rebuilt from driver-side log metadata only. The source directory is
+ * keyed by its NORMALIZED URI (`/path` and `/path/` are the same source).
+ *
+ * CONCURRENCY: ingest commits are appends, and appends never conflict at
+ * the file level — so exactly-once needs its own guard. Each chunk commit
+ * carries a tail-replay conflict ([[DeltaTable.write]]'s
+ * `tailInfoConflict`): inside the OCC loop, any same-source INGEST commit
+ * that landed after this loader's skip-list was computed and whose file
+ * keys overlap the chunk aborts the commit; the loader then re-diffs its
+ * skip-list against the new log tail and retries with only the still-fresh
+ * files. Two racing `graft_ingest` calls on the same source therefore load
+ * every file exactly once (one wins each overlapping chunk, the other
+ * skips it) instead of silently double-loading.
  *
  * Retention caveat (same class as Delta's own COPY INTO state): the
  * skip-list spans the RETAINED commit history. If log cleanup drops
@@ -43,18 +54,29 @@ object Ingest {
   private def fileKey(name: String, size: Long, mtime: Long): String =
     s"$name|$size|$mtime"
 
-  /** Rebuild the skip-list for `sourceDir` from the retained log. */
-  private def ingestedKeys(table: DeltaTable, sourceDir: String): Set[String] =
+  /** Canonical identity of a source dir: the hadoop-Path URI string, so
+    * `/path`, `/path/` and `file:/path` all key the same skip-list. */
+  private def normalize(sourceDir: String): String =
+    new Path(sourceDir).toUri.toString
+
+  private def parseKeys(json: String): Seq[String] =
+    JsonMethods.parse(json) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+
+  /** Whether `ci` is an INGEST commit for the (normalized) source. Old
+    * commits recorded the raw caller string, so match on normalization. */
+  private def sameSource(ci: CommitInfo, srcNorm: String): Boolean =
+    ci.operation == Operation &&
+      ci.operationParameters.get(SourceKey).exists(s => normalize(s) == srcNorm)
+
+  /** Rebuild the skip-list for the source from the retained log. */
+  private def ingestedKeys(table: DeltaTable, srcNorm: String): Set[String] =
     table.log.listCommitVersions().iterator.flatMap { v =>
       table.log.readCommit(v).collectFirst {
-        case c: CommitInfo if c.operation == Operation &&
-            c.operationParameters.get(SourceKey).contains(sourceDir) =>
-          c.operationParameters.get(FilesKey).toSeq.flatMap { json =>
-            JsonMethods.parse(json) match {
-              case JArray(xs) => xs.collect { case JString(s) => s }
-              case _ => Nil
-            }
-          }
+        case c: CommitInfo if sameSource(c, srcNorm) =>
+          c.operationParameters.get(FilesKey).toSeq.flatMap(parseKeys)
       }.getOrElse(Nil)
     }.toSet
 
@@ -64,34 +86,69 @@ object Ingest {
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(src)) throw new ValidationException(
       s"ingest source $sourceDir does not exist")
+    val srcNorm = normalize(sourceDir)
     val listed = fs.listStatus(src).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-    val seen = ingestedKeys(table, sourceDir)
-    val (fresh, skipped) = listed.partition(s =>
-      !seen(fileKey(s.getPath.getName, s.getLen, s.getModificationTime)))
+    // coveredV: every commit ≤ coveredV is reflected in `seen`; each chunk
+    // commit conflict-scans the tail (coveredV, head] for racing ingests.
+    var coveredV = table.version
+    var seen = ingestedKeys(table, srcNorm)
+    def keyOf(s: org.apache.hadoop.fs.FileStatus): String =
+      fileKey(s.getPath.getName, s.getLen, s.getModificationTime)
+    val (fresh, skipped) = listed.partition(s => !seen(keyOf(s)))
+    var skippedN = skipped.size.toLong
 
     var files = 0L
     var version = table.version
     val committed = Seq.newBuilder[Long]
-    fresh.grouped(chunkFiles).foreach { chunk =>
-      val paths = chunk.map(_.getPath.toString)
-      val df = spark.read.format(format).load(paths: _*)
-      val keys: JValue = JArray(chunk.toList.map(s =>
-        JString(fileKey(s.getPath.getName, s.getLen, s.getModificationTime))))
-      version = table.write(df, "append", opInfo = Some((Operation, Map(
-        SourceKey -> sourceDir,
-        FilesKey -> JsonMethods.compact(JsonMethods.render(keys)),
-        "format" -> format))))
-      committed += version
-      files += chunk.size
+    fresh.grouped(chunkFiles).foreach { chunk0 =>
+      var chunk = chunk0
+      var done = false
+      while (!done) {
+        chunk = chunk.filterNot(s => seen(keyOf(s)))
+        if (chunk.isEmpty) { done = true }
+        else {
+          val chunkKeys = chunk.map(keyOf).toSet
+          val paths = chunk.map(_.getPath.toString)
+          val df = spark.read.format(format).load(paths: _*)
+          val keysJson = JsonMethods.compact(JsonMethods.render(
+            JArray(chunkKeys.toList.sorted.map(JString(_)))))
+          try {
+            version = table.write(df, "append", opInfo = Some((Operation, Map(
+              SourceKey -> srcNorm,
+              FilesKey -> keysJson,
+              "format" -> format))),
+              tailInfoConflict = Some((coveredV, ci =>
+                sameSource(ci, srcNorm) &&
+                  ci.operationParameters.get(FilesKey).toSeq
+                    .flatMap(parseKeys).exists(chunkKeys))))
+            committed += version
+            files += chunk.size
+            // our own commit is the head; everything ≤ it was conflict-scanned
+            coveredV = version
+            done = true
+          } catch {
+            case _: IngestConflictException =>
+              // A racer loaded overlapping files: fold the new tail into the
+              // skip-list and retry this chunk with only the still-fresh part.
+              // Version read BEFORE the skip-list rebuild: `seen` must cover
+              // at least every commit ≤ coveredV (a racer landing between
+              // the two reads ends up in `seen` AND above coveredV — safe;
+              // the other order would leave it in neither).
+              coveredV = table.version
+              seen = ingestedKeys(table, srcNorm)
+              skippedN += chunk.count(s => seen(keyOf(s)))
+          }
+        }
+      }
     }
     // Exact row count from the WRITTEN commits' footer stats (driver-side
     // metadata, no second data scan). Zero when nothing was fresh.
     val rows = committed.result().flatMap(v => table.log.readCommit(v))
       .collect { case a: AddFile =>
         a.parsedStats.map(_.numRecords).getOrElse(0L) }.sum
-    IngestResult(files, rows, skipped.size.toLong, version)
+    IngestResult(files, rows, skippedN, version)
   }
 }

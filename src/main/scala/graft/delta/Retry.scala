@@ -20,7 +20,7 @@ object Retry {
   def withRetry[A](policy: Policy = Policy(),
                    retryOn: Throwable => Boolean = e =>
                      e.isInstanceOf[ConcurrencyException] &&
-                       !e.isInstanceOf[WriteConflictException])(op: => A): A = {
+                       !e.isInstanceOf[PermanentConflict])(op: => A): A = {
     var attempt = 0
     while (true) {
       try return op

@@ -88,6 +88,67 @@ class IngestSpec extends SparkTestBase {
     assert(Ingest.run(spark, t, src).filesSkipped == 5)
   }
 
+  test("source dir is keyed by normalized URI: '/path' and '/path/' share one skip-list") {
+    val src = tmp("graft-ingest-norm")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-normt"))
+    t.write(Seq(-1L).toDF("id"))
+    writeSrc(src, "a.parquet", 0 until 5)
+    assert(Ingest.run(spark, t, src).filesIngested == 1)
+    val r = Ingest.run(spark, t, src + "/") // trailing slash — same source
+    assert(r.filesIngested == 0 && r.filesSkipped == 1,
+      "a trailing slash must not defeat the skip-list")
+    assert(t.toDF().filter(col("id") >= 0).count() == 5)
+  }
+
+  test("two racing ingests of the same source load every file exactly once") {
+    // Regression (round-12): ingest commits are plain appends, which never
+    // conflict at the file level — without the tail-replay INGEST conflict
+    // both racers would compute an empty skip-list and BOTH load every
+    // file. chunkFiles=1 maximizes interleaving: each file is its own
+    // commit, so the racers trade wins file by file.
+    val src = tmp("graft-ingest-race")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-racet"))
+    t.write(Seq(-1L).toDF("id"))
+    val nFiles = 6
+    (0 until nFiles).foreach(i =>
+      writeSrc(src, s"f$i.parquet", i * 10 until i * 10 + 10))
+
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    import scala.jdk.CollectionConverters._
+    val results = (0 until 2).map { _ =>
+      pool.submit { () =>
+        gate.await(30, TimeUnit.SECONDS)
+        Ingest.run(spark, t, src, chunkFiles = 1)
+      }
+    }
+    gate.countDown()
+    val rs = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    // exactly-once: the union of loads covers all files, with no double-load
+    assert(rs.map(_.filesIngested).sum == nFiles.toLong,
+      s"expected $nFiles total loads across both racers, got $rs")
+    assert(t.toDF().filter(col("id") >= 0).count() == nFiles * 10L,
+      "row count proves no file loaded twice")
+    // and the skip-list reflects the union: a re-run is a full no-op
+    val again = Ingest.run(spark, t, src)
+    assert(again.filesIngested == 0 && again.filesSkipped == nFiles)
+
+    // per-file: each identity appears in exactly one INGEST commit
+    val keysPerCommit = (0L to t.version).flatMap(v => t.log.readCommit(v))
+      .collect { case c: CommitInfo if c.operation == Ingest.Operation =>
+        c.operationParameters.get("ingestFiles").toSeq }
+      .flatten
+      .flatMap(json => org.json4s.jackson.JsonMethods.parse(json) match {
+        case org.json4s.JArray(xs) => xs.collect { case org.json4s.JString(s) => s }
+        case _ => Nil
+      })
+    assert(keysPerCommit.size == keysPerCommit.distinct.size,
+      s"a file identity was committed twice: ${keysPerCommit.diff(keysPerCommit.distinct)}")
+  }
+
   test("graft_ingest TVF drives the same verb through SQL") {
     val spark2 = spark
     import graft.plans.GraftSql
