@@ -689,9 +689,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       val now = System.currentTimeMillis()
       val removes: Seq[Action] =
         if (overwrite) snap.activeFiles.map(f => RemoveFile(f.path, now)) else Nil
+      // Operation naming matches the staged batch path so graft_history
+      // reads the same for the same statement regardless of write path:
+      // batch INSERT OVERWRITE (txn=None, overwrite) is WRITE-OVERWRITE.
       log.writeCommit(v, (txn.toSeq: Seq[Action]) ++ removes ++
         (adds: Seq[Action]) :+ CommitInfo(now,
-          if (txn.isDefined) "STREAMING UPDATE" else "WRITE",
+          if (txn.isDefined) "STREAMING UPDATE"
+          else if (overwrite) "WRITE-OVERWRITE" else "WRITE",
           Map("numFiles" -> adds.size.toString)))
       maybeCheckpoint(v)
       v
@@ -1647,17 +1651,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     v
   }
 
-  /** Merge configuration entries into metaData
-    * (reference: updateMetadata, src/delta/table.ts:2435-2458). */
-  def updateConfiguration(entries: Map[String, String]): Long = Retry.withRetry() {
+  /** Merge configuration entries into metaData, dropping keys in `remove`
+    * (reference: updateMetadata, src/delta/table.ts:2435-2458). Removal is
+    * an explicit path — not a null value merged into the map — so nothing
+    * in-memory ever observes a `Some(null)` configuration entry. */
+  def updateConfiguration(entries: Map[String, String],
+                          remove: Seq[String] = Nil): Long = Retry.withRetry() {
     val snap = metaSnapshot()
     val m = snap.metadata.getOrElse(
       throw new IllegalStateException("cannot configure a table before first write"))
     val v = snap.version + 1
     val now = System.currentTimeMillis()
     log.writeCommit(v, Seq[Action](
-      m.copy(configuration = m.configuration ++ entries),
-      CommitInfo(now, "SET-CONFIGURATION", entries)))
+      m.copy(configuration = m.configuration ++ entries -- remove),
+      CommitInfo(now, "SET-CONFIGURATION",
+        entries ++ remove.map(k => k -> "<removed>"))))
     maybeCheckpoint(v)
     v
   }

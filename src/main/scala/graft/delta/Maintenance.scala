@@ -149,14 +149,25 @@ object Maintenance {
         .SeqHasAsJava(rows).asJava), raw)
     val typed = partCols.foldLeft(rawDf)((df, c) =>
       df.withColumn(c, df(c).cast(schema(c).dataType)))
+    // Analysis check runs against a frame holding ONLY the partition
+    // columns — the __idx helper is out of scope, so a predicate naming it
+    // (or any non-partition column) is refused instead of silently
+    // filtering on row position.
+    try typed.drop("__idx").select(expr(pred)).queryExecution.analyzed
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new ValidationException(
+          s"compaction predicate must reference only partition columns " +
+            s"(${partCols.mkString(", ")}): ${e.getMessage}")
+    }
     val kept =
       try typed.filter(expr(pred)).select("__idx").collect()
         .map(_.getLong(0)).toSet
       catch {
-        case e: org.apache.spark.sql.AnalysisException =>
+        case scala.util.control.NonFatal(e) =>
           throw new ValidationException(
-            s"compaction predicate must reference only partition columns " +
-              s"(${partCols.mkString(", ")}): ${e.getMessage}")
+            s"compaction predicate failed to evaluate over the partition " +
+              s"values (${partCols.mkString(", ")}): ${e.getMessage}")
       }
     keys.zipWithIndex.collect { case (k, i) if kept(i.toLong) => k }.toSet
   }

@@ -243,8 +243,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val schema = dt.toDF().schema
         cols.filterNot(schema.fieldNames.contains).headOption.foreach(x =>
           throw new ValidationException(s"CLUSTER BY column '$x' not in schema"))
-        dt.updateConfiguration(Map(
-          "graft.clusterBy" -> (if (cols.isEmpty) null else cols.mkString(","))))
+        if (cols.isEmpty) dt.updateConfiguration(Map.empty, remove = Seq("graft.clusterBy"))
+        else dt.updateConfiguration(Map("graft.clusterBy" -> cols.mkString(",")))
       case d: TableChange.UpdateColumnDefaultValue =>
         require(d.fieldNames.length == 1, "nested default unsupported")
         // SET DEFAULT → future statements only (write-time semantics);

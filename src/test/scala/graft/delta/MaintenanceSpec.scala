@@ -68,6 +68,13 @@ class MaintenanceSpec extends SparkTestBase {
         partitionFilter = Some("p = 'a'")))
     }
     assert(e2.getMessage.contains("partitioned"))
+    // the internal row-index helper is NOT in predicate scope: a predicate
+    // naming __idx must be refused, not silently filter on row position
+    val e3 = intercept[ValidationException] {
+      Maintenance.compact(t, Maintenance.CompactionConfig(
+        partitionFilter = Some("__idx = 0")))
+    }
+    assert(e3.getMessage.contains("partition columns"))
   }
 
   test("compact dry run changes nothing") {

@@ -54,6 +54,13 @@ class DirectBatchWriteSpec extends SparkTestBase {
     // pre-overwrite state stays time-travelable
     val dt = graft.delta.DeltaTable.forPath(spark, tablePath(t))
     assert(dt.toDF(dt.snapshot(Some(dt.version - 1))).count() == 50)
+    // history names the operation like the staged path would — the audit
+    // trail must not differ by write path for the same statement
+    val op = dt.log.readCommit(dt.version).collectFirst {
+      case c: graft.delta.CommitInfo => c.operation
+    }
+    assert(op.contains("WRITE-OVERWRITE"),
+      s"direct-path INSERT OVERWRITE logged $op, expected WRITE-OVERWRITE")
   }
 
   test("partitioned INSERT lands the Hive layout and prunes by partition") {
