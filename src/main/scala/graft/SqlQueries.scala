@@ -686,7 +686,29 @@ object SqlQueries {
              |FROM $t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Generated columns (round 12): CREATE TABLE ... GENERATED ALWAYS AS,
+    * INSERT omitting them computes the expression into every written row
+    * (write-time materialization — reads never evaluate it), and UPDATE
+    * recomputes over the post-image. The oracle re-derives both columns
+    * from the base data, so any row the engine failed to (re)compute
+    * hash-mismatches. */
+  def sqlGeneratedColumns(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "gen")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+      "price_band BIGINT GENERATED ALWAYS AS " +
+      "(CAST(floor(o_totalprice / 10000) AS BIGINT)), " +
+      "key_tag STRING GENERATED ALWAYS AS " +
+      "(concat('k', CAST(o_orderkey % 7 AS STRING))))")
+    s.sql(s"INSERT INTO $t (o_orderkey, o_totalprice) " +
+      s"SELECT o_orderkey, o_totalprice FROM $v")
+    s.sql(s"UPDATE $t SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 0")
+    s.sql(s"""SELECT o_orderkey, o_totalprice, price_band, key_tag
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s36_sql_generated_columns" -> (sqlGeneratedColumns(_, _)),
     "s35_sql_ingest" -> (sqlIngest(_, _)),
     "s34_sql_cluster_by" -> (sqlClusterBy(_, _)),
     "s33_sql_column_defaults" -> (sqlColumnDefaults(_, _)),
@@ -724,6 +746,15 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s36_sql_generated_columns" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(floor(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END / 10000) AS BIGINT) AS price_band,
+        |  concat('k', CAST(o_orderkey % 7 AS VARCHAR)) AS key_tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "s35_sql_ingest" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority

@@ -456,7 +456,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           RemoveFile(f.path, now))
         else Nil
       val actions: Seq[Action] =
-        (if (v == 0) Seq[Action](Protocol()) else Nil) ++
+        // First commit picks the protocol: generated columns are a WRITER
+        // feature (Delta legacy writer v4 implies them) — declaring it
+        // stops feature-unaware writers from appending without computing.
+        (if (v == 0) Seq[Action](
+          if (GeneratedColumns.hasAny(commitSchema)) Protocol(minWriterVersion = 4)
+          else Protocol()) else Nil) ++
           (meta.toSeq: Seq[Action]) ++ (txn.toSeq: Seq[Action]) ++
           removes ++ (adds: Seq[Action]) ++ Seq[Action](opInfo match {
           case Some((op, params)) =>
@@ -477,7 +482,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // The change DataFrames are lazy and read the pre-commit files, which
     // remain on disk until vacuum (reference capture: cdc/index.ts:2060-2122).
     if (cdcConfigured(snap0)) {
-      val inserts = aligned.withColumn(Cdc.ChangeType, lit("insert"))
+      // Generated-column tables read back the COMMITTED adds for the
+      // insert image — the input frame lacks the computed columns
+      // (writeDataFiles materialized them into the files, not the frame).
+      val insertBase =
+        if (GeneratedColumns.hasAny(targetSchema))
+          toDF(Snapshot(v, snap0.metadata, snap0.protocol, adds, Nil))
+        else aligned
+      val inserts = insertBase.withColumn(Cdc.ChangeType, lit("insert"))
       val changes =
         if (mode == "overwrite")
           toDF(snap0).withColumn(Cdc.ChangeType, lit("delete"))
@@ -782,43 +794,95 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Write `df` as new data files in the table layout; returns add actions
-    * with stats attached. Enforces the table's CHECK constraints on every
-    * written row: the violation counts ride the write job itself as an
-    * `Observation` (zero extra scans); on violation the staged files are
-    * deleted and the write fails BEFORE anything commits. */
+    * with stats attached. Enforces the table's row-level write contracts
+    * in ONE pass riding the write job itself (an `Observation` — zero
+    * extra scans): CHECK constraints (NULL passes, SQL semantics), legacy
+    * column invariants (NULL fails — Delta's stricter pre-CHECK rule),
+    * and generated-column consistency (a PROVIDED generated column must
+    * null-safe-equal its expression). Generated columns the frame OMITS
+    * are computed here from the generation expression — so every write
+    * path (append, CoW rewrite, merge, maintenance) materializes them.
+    * On any violation the staged files are deleted and the write fails
+    * BEFORE anything commits. */
   private[delta] def writeDataFiles(df: DataFrame, partCols: Seq[String],
                                     schema: StructType): Seq[AddFile] = {
-    // Constraints evaluate over LOGICAL names — observe before any
+    // Contracts evaluate over LOGICAL names — observe before any
     // physical-name conversion below.
     val preSnap = metaSnapshot()
     val constraints = checkConstraints(preSnap)
+    val gens = GeneratedColumns.exprs(schema)
+    val invs = GeneratedColumns.invariants(schema)
+
+    // Compute OMITTED generated columns. Expressions referencing columns
+    // the frame omits see NULL (the value those rows read back) via a
+    // widen-for-evaluation that is dropped after.
+    val present0 = df.columns.toSet
+    val toCompute = gens.filterNot { case (n, _) => present0(n) }
+    val dfG =
+      if (toCompute.isEmpty) df
+      else {
+        val computeNames = toCompute.map(_._1).toSet
+        val missingRefs = schema.fields.filter(f =>
+          !present0(f.name) && !computeNames(f.name))
+        val widened = missingRefs.foldLeft(df)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        toCompute.foldLeft(widened) { case (acc, (n, e)) =>
+          acc.withColumn(n, expr(e).cast(schema(n).dataType))
+        }.drop(missingRefs.map(_.name).toIndexedSeq: _*)
+      }
+
+    // Observation counters, namespaced so a constraint name can never
+    // collide with an invariant/generated counter (':' is not legal in
+    // constraint names).
+    val providedGens = gens.filter { case (n, _) => present0(n) }
+    val checks: Seq[(String, Column, String)] =
+      constraints.toSeq.map { case (n, e) =>
+        (s"c:$n", !expr(e),
+          s"CHECK constraint '$n' ($e)") } ++
+      invs.map { case (n, e) =>
+        // legacy invariant: NULL result VIOLATES (stricter than CHECK)
+        (s"i:$n", !coalesce(expr(e), lit(false)),
+          s"column invariant on '$n' ($e)") } ++
+      providedGens.map { case (n, e) =>
+        // NULL-provided means "compute" (Spark's analyzer null-pads columns
+        // an INSERT omits, so a provided NULL is indistinguishable from an
+        // omitted column); only NON-NULL provided values are validated.
+        (s"g:$n", col(n).isNotNull &&
+            !(col(n) <=> expr(e).cast(schema(n).dataType)),
+          s"generated column '$n' ($e): provided values must equal the " +
+            "generation expression") }
     val (obsOpt, dfC) =
-      if (constraints.isEmpty) (None, df)
+      if (checks.isEmpty) (None, dfG)
       else {
         // Sparse appends legally omit evolved columns (they read back as
-        // null), so a constraint referencing an omitted column must
-        // evaluate over NULL — which passes CHECK per SQL — instead of
-        // failing analysis. Backfill for the observation only, then drop:
-        // the written frame stays sparse.
-        val present = df.columns.toSet
+        // null), so a contract referencing an omitted column must
+        // evaluate over NULL instead of failing analysis. Backfill for
+        // the observation only, then drop: the written frame stays sparse.
+        val present = dfG.columns.toSet
         val missing = schema.fields.filter(f => !present(f.name))
-        val widened = missing.foldLeft(df)((acc, f) =>
+        val widened = missing.foldLeft(dfG)((acc, f) =>
           acc.withColumn(f.name, lit(null).cast(f.dataType)))
         val obs = org.apache.spark.sql.Observation()
-        val counters = constraints.toSeq.map { case (n, e) =>
-          sum(when(!expr(e), 1L).otherwise(0L)).as(n)
+        val counters = checks.map { case (key, viol, _) =>
+          sum(when(viol, 1L).otherwise(0L)).as(key)
         }
-        (Some(obs), widened.observe(obs, counters.head, counters.tail: _*)
-          .drop(missing.map(_.name).toIndexedSeq: _*))
+        // the fill runs downstream of the observe node, so the validation
+        // counters above see the ORIGINAL provided values
+        val filled = providedGens.foldLeft(
+          widened.observe(obs, counters.head, counters.tail: _*)) {
+          case (acc, (n, e)) =>
+            acc.withColumn(n, coalesce(col(n), expr(e).cast(schema(n).dataType)))
+        }
+        (Some(obs), filled.drop(missing.map(_.name).toIndexedSeq: _*))
       }
     val adds = writeDataFilesRaw(dfC, partCols, schema)
     obsOpt.foreach { obs =>
       val counts = obs.get
-      constraints.keys.find(n => counts(n).asInstanceOf[Long] > 0L).foreach { n =>
+      checks.find { case (key, _, _) =>
+        counts(key).asInstanceOf[Long] > 0L }.foreach { case (key, _, what) =>
         adds.foreach(a => deleteDataFile(a.path))
         throw new ValidationException(
-          s"CHECK constraint '$n' (${constraints(n)}) violated by " +
-            s"${counts(n)} written row(s)")
+          s"$what violated by ${counts(key)} written row(s)")
       }
     }
     // Bloom sidecars for every transactional write path (append, CoW
@@ -1232,10 +1296,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .toMap
     // ONE projection over the matched rows, every RHS against the OLD row.
     val assigned = updates.toMap
+    GeneratedColumns.refuseAssignments(snap.schema, assigned.keys, "UPDATE")
     def patchAll(df: DataFrame): DataFrame =
-      df.select(df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
-        assigned.get(c).fold(col(c))(_.as(c))
-      }: _*)
+      GeneratedColumns.regenerate( // recompute over the POST-image values
+        df.select(df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
+          assigned.get(c).fold(col(c))(_.as(c))
+        }: _*), snap.schema)
     val patched = patchAll(matchedRows)
     val newAdds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
     val v = commitDvMask(snap, dvByPath, newAdds, "UPDATE", nMatched)
@@ -1298,14 +1364,26 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // ONE projection, every RHS against the input row: sequential
     // withColumn-folding would let `SET a = b, b = a` see a's new value.
     val assigned = updates.toMap
-    def patchCols(df: DataFrame, gate: Option[Column]): DataFrame =
-      df.select(df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
+    GeneratedColumns.refuseAssignments(snap.schema, assigned.keys, "UPDATE")
+    def patchCols(df: DataFrame, gate: Option[Column]): DataFrame = {
+      val sel = df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
         assigned.get(c) match {
           case Some(v) =>
             gate.fold(v)(g => when(g, v).otherwise(col(c))).as(c)
           case None => col(c)
         }
-      }: _*)
+      }
+      if (!GeneratedColumns.hasAny(snap.schema)) df.select(sel: _*)
+      else {
+        // generated columns recompute over the POST-image values, gated to
+        // the patched rows (carried rows keep their materialized values);
+        // the gate itself must evaluate over the OLD row — compute it as a
+        // flag INSIDE the patching projection, not over the patched frame.
+        val flagged = df.select(sel :+ gate.getOrElse(lit(true)).as("__upd"): _*)
+        GeneratedColumns.regenerate(flagged, snap.schema, Some(col("__upd")))
+          .drop("__upd")
+      }
+    }
     val patched = patchCols(base, Some(pred))
     val adds = writeDataFiles(patched, snap.partitionColumns, snap.schema)
     val v = commitRewrite(snap, matchedFiles.toSet, adds, "UPDATE")

@@ -95,6 +95,7 @@ object Merge {
     val spark = table.spark
     val snap = table.snapshot()
     val schema = snap.schema
+    refuseGeneratedAssignments(schema, matchedClauses ++ notMatchedBySource)
     val dataCols = schema.fieldNames.toSeq
     val tgtKeys = keyPairs.map(_._1)
     val srcKeys = keyPairs.map(_._2)
@@ -182,8 +183,19 @@ object Merge {
       if (touchedFiles.isEmpty) Seq.empty[AddFile]
       else {
         val inFiles = semiJoinFiles(joined, touchedFiles)
-        val rewritten = inFiles.filter(!deleteEff)
-          .select(postImageCols(dataCols, srcCols, effs): _*)
+        val kept = inFiles.filter(!deleteEff)
+        val rewritten =
+          if (!GeneratedColumns.hasAny(schema))
+            kept.select(postImageCols(dataCols, srcCols, effs): _*)
+          else {
+            // generated columns recompute over the POST-image values, gated
+            // to clause-updated rows (the flag evaluates over the joined
+            // pre-image frame); carried rows keep their materialized values
+            val flagged = kept.select(
+              postImageCols(dataCols, srcCols, effs) :+ updateEff.as("__upd"): _*)
+            GeneratedColumns.regenerate(flagged, schema, Some(col("__upd")))
+              .drop("__upd")
+          }
         table.writeDataFiles(rewritten.drop("__file"),
           snap.partitionColumns, snap.schema)
       }
@@ -291,6 +303,12 @@ object Merge {
     require(inserts.nonEmpty, "buildInserts requires at least one insert clause")
     val effs = firstTrueWins(inserts.map(_.condition)).zip(inserts.map(_.values))
     val any = effs.map(_._1).reduce(_ || _)
+    def providedByAny(name: String): Boolean = effs.exists { case (_, values) =>
+      values match {
+        case None => srcCols.contains(name)
+        case Some(m) => m.contains(name)
+      }
+    }
     val cols = schema.fields.toSeq.map { f =>
       effs.foldRight(lit(null).cast(f.dataType)) { case ((eff, values), acc) =>
         val v: Option[Column] = values match {
@@ -300,8 +318,23 @@ object Merge {
         v.map(e => when(eff, e).otherwise(acc)).getOrElse(acc)
       }.cast(f.dataType).as(f.name)
     }
-    unmatched.filter(any).select(cols: _*)
+    // generated columns NO insert clause provides are computed from the
+    // built row; clause-provided ones keep their value (validated at write)
+    GeneratedColumns.computeMissing(
+      unmatched.filter(any).select(cols: _*),
+      schema, GeneratedColumns.names(schema).filter(providedByAny))
   }
+
+  /** Generated columns are computed, never assigned: refuse UPDATE SET
+    * clauses naming one (same rule as [[DeltaTable.update]]). */
+  private def refuseGeneratedAssignments(
+      schema: org.apache.spark.sql.types.StructType,
+      clauses: Seq[MergeClause]): Unit =
+    clauses.foreach {
+      case MergeClause(_, MergeAction.UpdateSet(set)) =>
+        GeneratedColumns.refuseAssignments(schema, set.keys, "MERGE UPDATE")
+      case _ => ()
+    }
 
   /** Per-column post-image under the clause chain: outermost `when` is the
     * first clause (first-true-wins), fallthrough keeps the target value.
@@ -350,14 +383,8 @@ object Merge {
   /** Align `newRows` to the table schema (missing columns null, present ones
     * cast), write, commit, and count from the written files' own stats. */
   private def writeInserts(table: DeltaTable, snap: Snapshot,
-                           newRows: DataFrame, srcCols: Seq[String]): Long = {
-    val schema = snap.schema
-    val aligned = newRows.select(schema.fields.map { f =>
-      if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-    commitInsertRows(table, snap, aligned)
-  }
+                           newRows: DataFrame, srcCols: Seq[String]): Long =
+    commitInsertRows(table, snap, alignToSchema(newRows, snap.schema, srcCols))
 
   /** Write already-aligned rows WITHOUT committing: (AddFile, rowCount)
     * per non-empty file, zero-row part files deleted on the spot. The
@@ -475,7 +502,19 @@ object Merge {
       else {
         val inFiles = semiJoinFiles(target, matchedFiles)
           .join(chosen, Seq("__file", "__rix"), "left_outer")
-        val rewritten = resolveMatched(inFiles, dataCols, srcCols, matched)
+        val rewritten =
+          // matched rows got a new image: recompute their generated columns
+          // (Delete keeps only untouched rows — nothing to recompute)
+          if (matched == MergeAction.Delete ||
+              !GeneratedColumns.hasAny(snap.schema))
+            resolveMatched(inFiles, dataCols, srcCols, matched)
+          else {
+            val flagged = resolveMatched(
+              inFiles.withColumn("__upd0", col("__src").isNotNull),
+              dataCols :+ "__upd0", srcCols, matched)
+            GeneratedColumns.regenerate(flagged, snap.schema,
+              Some(col("__upd0"))).drop("__upd0")
+          }
         val dels = if (matched == MergeAction.Delete) nMatched else 0L
         val upds = if (matched == MergeAction.Delete) 0L else nMatched
         val adds = table.writeDataFiles(rewritten.drop("__file").drop("__rix"),
@@ -608,6 +647,7 @@ object Merge {
     require(keyPairs.nonEmpty, "merge requires at least one key column")
     val snap = table.snapshot()
     val schema = snap.schema
+    refuseGeneratedAssignments(schema, matchedClauses ++ notMatchedBySource)
     val dataCols = schema.fieldNames.toSeq
     val tgtKeys = keyPairs.map(_._1)
     val srcKeys = keyPairs.map(_._2)
@@ -662,7 +702,10 @@ object Merge {
     val imageAdds =
       if (upds == 0) Nil
       else table.writeDataFiles(
-        joined.filter(updateEff).select(postImageCols(dataCols, srcCols, effs): _*),
+        // every image row IS an update — regenerate unconditionally
+        GeneratedColumns.regenerate(
+          joined.filter(updateEff).select(postImageCols(dataCols, srcCols, effs): _*),
+          snap.schema),
         snap.partitionColumns, snap.schema)
     val insertsAligned =
       if (!insertUnmatched) None
@@ -703,10 +746,14 @@ object Merge {
 
   private def alignToSchema(newRows: DataFrame, schema: org.apache.spark.sql.types.StructType,
                             srcCols: Seq[String]): DataFrame =
-    newRows.select(schema.fields.map { f =>
-      if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    // generated columns the source omits are COMPUTED (not null-filled);
+    // source-provided ones keep their value and are validated at write
+    GeneratedColumns.computeMissing(
+      newRows.select(schema.fields.map { f =>
+        if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*),
+      schema, srcCols.toSet)
 
   private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,
                                 src: DataFrame, keyPairs: Seq[(String, String)],
@@ -797,7 +844,11 @@ object Merge {
           if (row.isNullAt(srcIdx)) Some(existing) // unmatched row in the file: keep
           else whenMatched(existing, row.getStruct(srcIdx))
         }(Encoders.row(schema))
-        val adds = table.writeDataFiles(rewritten.toDF(),
+        // closure-produced rows are indistinguishable from kept ones here,
+        // so generated columns recompute over EVERY rewritten row (a kept
+        // row's recompute is the identity on a consistent table)
+        val adds = table.writeDataFiles(
+          GeneratedColumns.regenerate(rewritten.toDF(), snap.schema),
           snap.partitionColumns, snap.schema)
         // Counts derive from written bytes, not a transformation-side
         // accumulator (Spark only guarantees exactly-once accumulator updates

@@ -10,9 +10,9 @@ package graft.delta
  * Version model: reader/writer versions below 3/7 imply fixed legacy
  * feature sets (all of which this engine reads); version 3/7 tables carry
  * explicit `readerFeatures`/`writerFeatures` lists that must be subsets of
- * what we support. Writes additionally refuse tables whose SCHEMA declares
- * semantics we don't enforce (generated columns, invariants) regardless of
- * protocol version — the hazard is the declaration, not the number.
+ * what we support. Schema-declared write semantics (generated columns,
+ * column invariants, CHECK constraints) are enforced row-by-row on the
+ * write paths rather than refused here.
  */
 object ProtocolSupport {
 
@@ -21,11 +21,15 @@ object ProtocolSupport {
     "deletionVectors", "columnMapping", "timestampNtz", "variantType",
     "vacuumProtocolCheck", "icebergCompatV1", "icebergCompatV2")
 
-  /** Features whose WRITE obligations this engine honors. */
+  /** Features whose WRITE obligations this engine honors. Generated
+    * columns and legacy invariants are enforced row-by-row on every write
+    * path ([[DeltaTable.writeDataFiles]]: omitted generated columns are
+    * computed, provided ones validated, invariants checked with
+    * NULL-fails strictness). */
   val supportedWriterFeatures: Set[String] = Set(
     "appendOnly", "checkConstraints", "columnMapping", "deletionVectors",
     "timestampNtz", "variantType", "vacuumProtocolCheck",
-    "icebergCompatV1", "icebergCompatV2", "invariants")
+    "icebergCompatV1", "icebergCompatV2", "invariants", "generatedColumns")
 
   private val MaxReaderVersion = 3
   private val MaxWriterVersion = 7
@@ -55,20 +59,9 @@ object ProtocolSupport {
           s"$path requires writer features ${unknown.mkString(", ")} " +
             "this engine does not honor; writing would break the table's contract")
     }
-    // Hazard-based refusal: declared column semantics we don't enforce.
-    snap.metadata.foreach { m =>
-      val fields = snap.schema.fields
-      val generated = fields.filter(_.metadata.contains("delta.generationExpression"))
-      if (generated.nonEmpty)
-        throw new UnsupportedProtocolException(
-          s"$path declares generated columns (${generated.map(_.name).mkString(", ")}); " +
-            "this engine reads their materialized values but does not compute " +
-            "them on write")
-      val invariants = fields.filter(_.metadata.contains("delta.invariants"))
-      if (invariants.nonEmpty)
-        throw new UnsupportedProtocolException(
-          s"$path declares column invariants (${invariants.map(_.name).mkString(", ")}) " +
-            "this engine does not enforce on write")
-    }
+    // No hazard-based schema refusals remain: generated columns are
+    // computed/validated and invariants enforced on every row-producing
+    // write path ([[DeltaTable.writeDataFiles]]); task-side direct writes
+    // refuse such tables at plan time and fall back to the staging path.
   }
 }

@@ -57,7 +57,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * refuses every DEFAULT up front. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -167,13 +168,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // name DEFAULT explicitly get the expression substituted at
         // analysis, so the value is MATERIALIZED into every written row
         // (reads never consult it).
-        val md = Option(c.defaultValue()).map { dv =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+        Option(c.defaultValue()).foreach { dv =>
           val sql = dv.getSql
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putString("CURRENT_DEFAULT", sql)
-            .putString("EXISTS_DEFAULT", sql).build()
-        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
-        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, md)
+          b.putString("CURRENT_DEFAULT", sql).putString("EXISTS_DEFAULT", sql)
+        }
+        // GENERATED ALWAYS AS (expr) persists under Delta's key; every
+        // write path computes/validates it (graft.delta.GeneratedColumns)
+        Option(c.generationExpression()).filter(_.nonEmpty).foreach(g =>
+          b.putString(graft.delta.GeneratedColumns.MetadataKey, g))
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, b.build())
       }),
       partitions, properties)
 

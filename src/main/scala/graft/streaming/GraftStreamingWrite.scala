@@ -66,6 +66,12 @@ final class GraftDirectWrite(
   if (table.checkConstraints(snap).nonEmpty) throw new ValidationException(
     "direct (task-side) writes do not enforce CHECK constraints; " +
       "stream through foreachBatch + write() instead")
+  if (graft.delta.GeneratedColumns.hasAny(snap.schema) ||
+      graft.delta.GeneratedColumns.invariants(snap.schema).nonEmpty)
+    throw new ValidationException(
+      "direct (task-side) writes do not compute generated columns or " +
+        "enforce column invariants; batch writes fall back to the staging " +
+        "path, streams should go through foreachBatch + write()")
   private val tableSchema = snap.schema
   private val partCols: Seq[String] = snap.partitionColumns
 

@@ -78,7 +78,10 @@ class ProtocolSupportSpec extends SparkTestBase {
     }
   }
 
-  test("declared generated columns or invariants block writes regardless of version") {
+  test("foreign generated-column tables accept writes: omitted computes, wrong value refuses") {
+    // Round-12: the blanket write refusal became Delta-standard behavior —
+    // the engine computes omitted generated columns and validates provided
+    // ones, so importing a foreign table with one no longer blocks appends.
     val genSchema =
       """{"type":"struct","fields":[
         |{"name":"id","type":"integer","nullable":true,"metadata":{}},
@@ -90,9 +93,13 @@ class ProtocolSupportSpec extends SparkTestBase {
       Some(genSchema))
     val t = DeltaTable.forPath(spark, dir)
     assert(t.toDF().count() == 1) // materialized values read fine
-    val err = intercept[UnsupportedProtocolException] {
-      t.write(Seq((2, "b")).toDF("id", "s"))
+    t.write(Seq(2).toDF("id")) // omitted -> computed
+    assert(t.toDF().filter(org.apache.spark.sql.functions.col("id") === 2)
+      .head().getString(1) == "2")
+    val err = intercept[ValidationException] {
+      t.write(Seq((3, "nope")).toDF("id", "s"))
     }
-    assert(err.getMessage.contains("generated columns"))
+    assert(err.getMessage.contains("generated column"))
+    assert(t.toDF().count() == 2)
   }
 }
