@@ -399,6 +399,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           snap0.configuration.get(OptimizeWriteKey).contains("true"))
         aligned.repartition(partCols.map(col): _*)
       else aligned
+    // Baseline for the commit-time constraint catch-up below: read BEFORE
+    // staging, so a constraint added at any later point counts as late.
+    val enforcedConstraints = checkConstraints(snap0)
     val adds = writeDataFiles(optimized, partCols, targetSchema)
 
     // Idempotence must hold under RACES, not just sequential retries: the
@@ -440,6 +443,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
             }
           }
       }
+      // A constraint added since staging re-validates the staged rows
+      // (the add-constraint/append race — appends never version-conflict).
+      assertLateConstraints(enforcedConstraints, snap, adds)
       val v = snap.version + 1
       val now = System.currentTimeMillis()
       // A racer may have EVOLVED THE SCHEMA since entry: merge its current
@@ -666,7 +672,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * the committed adds (lazy, only when the feed is enabled).
    */
   private[graft] def commitStreamedFiles(raw: Seq[AddFile], txn: Option[Txn],
-                                         overwrite: Boolean = false): Long = {
+                                         overwrite: Boolean = false,
+                                         // constraint set the WRITER enforced
+                                         // task-side (from its plan-time
+                                         // snapshot); anything newer
+                                         // re-validates at commit
+                                         enforcedConstraints: Map[String, String] = Map.empty): Long = {
     val snap0 = if (overwrite) snapshot() else metaSnapshot()
     ProtocolSupport.assertWritable(snap0, path)
     if (overwrite) DeltaTable.assertNotAppendOnly(snap0, "STREAMING-OVERWRITE")
@@ -697,6 +708,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         if (snap.transactions.getOrElse(t.appId, -1L) >= t.version)
           throw TxnApplied(snap.version)
       }
+      // add-constraint/append race: see [[assertLateConstraints]]
+      assertLateConstraints(enforcedConstraints, snap, adds)
       val v = snap.version + 1
       val now = System.currentTimeMillis()
       val removes: Seq[Action] =
@@ -898,6 +911,32 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     }
+
+  /** Commit-time constraint catch-up: CHECK constraints are enforced
+    * against the snapshot the write STAGED under, but pure appends never
+    * conflict — so an `ADD CONSTRAINT` landing between staging and commit
+    * would otherwise let violating rows in right behind the validation
+    * scan (the add-constraint/append race). Inside the OCC loop, any
+    * constraint present in the commit-time snapshot but NOT in
+    * `enforced` re-validates the staged adds; a violation deletes them
+    * and refuses. O(1) when the constraint set did not change — the
+    * overwhelmingly common case. */
+  private[delta] def assertLateConstraints(enforced: Map[String, String],
+      snap: Snapshot, adds: Seq[AddFile]): Unit = {
+    val late = checkConstraints(snap) -- enforced.keys
+    if (late.nonEmpty && adds.nonEmpty) {
+      val staged = toDF(Snapshot(snap.version, snap.metadata, snap.protocol,
+        adds, Nil))
+      late.foreach { case (n, e) =>
+        if (!staged.filter(!expr(e)).isEmpty) {
+          adds.foreach(a => deleteDataFile(a.path))
+          throw new ValidationException(
+            s"CHECK constraint '$n' ($e) was added by a concurrent commit " +
+              "and the staged rows violate it")
+        }
+      }
+    }
+  }
 
   private def writeDataFilesRaw(df: DataFrame, partCols: Seq[String],
                                 schema: StructType): Seq[AddFile] = {

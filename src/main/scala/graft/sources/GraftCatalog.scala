@@ -600,8 +600,9 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
   /** Eligible appends / truncate-overwrites go DIRECT: executors write
     * parquet straight into the table's final layout and the driver makes
     * one metadata commit — each byte written exactly once, no staging
-    * directory, no per-file rename (a full copy on object stores).
-    * Ineligible shapes (CHECK constraints, schema evolution, type
+    * directory, no per-file rename (a full copy on object stores). CHECK
+    * constraints and invariants are enforced task-side inside the direct
+    * writer. Ineligible shapes (generated columns, schema evolution, type
     * casts, CTAS before the schema exists) throw [[ValidationException]]
     * at construction and fall back to the V1 staging path, which handles
     * all of them. `spark.graft.write.direct=false` forces the V1 path. */

@@ -39,12 +39,15 @@ import graft.delta.{AddFile, DeltaTable, PartitionPaths, Txn, ValidationExceptio
  * so each partition directory receives few, full files instead of one
  * shard per input task.
  *
- * Refused up front (clear errors at plan time, never mid-write): CHECK
- * constraints (not enforceable task-side — those writes route through
- * the V1 staging path, which enforces them), query columns missing from
- * the table, and type mismatches. Columns the query omits land as
- * sparse files (read back as NULL — the table's ordinary sparse-append
- * semantics).
+ * CHECK constraints and column invariants are enforced TASK-SIDE (see
+ * [[violationChecks]]): a violating row fails its task before writing,
+ * Spark aborts the write, and nothing commits — the same guarantee the
+ * staging path's Observation gate gives, without the staging copy.
+ * Refused up front (clear errors at plan time, never mid-write):
+ * generated columns (computed only by the staging path), query columns
+ * missing from the table, and type mismatches. Columns the query omits
+ * land as sparse files (read back as NULL — the table's ordinary
+ * sparse-append semantics).
  */
 final class GraftDirectWrite(
     spark: SparkSession,
@@ -63,17 +66,54 @@ final class GraftDirectWrite(
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
-  if (table.checkConstraints(snap).nonEmpty) throw new ValidationException(
-    "direct (task-side) writes do not enforce CHECK constraints; " +
-      "stream through foreachBatch + write() instead")
-  if (graft.delta.GeneratedColumns.hasAny(snap.schema) ||
-      graft.delta.GeneratedColumns.invariants(snap.schema).nonEmpty)
+  if (graft.delta.GeneratedColumns.hasAny(snap.schema))
     throw new ValidationException(
-      "direct (task-side) writes do not compute generated columns or " +
-        "enforce column invariants; batch writes fall back to the staging " +
-        "path, streams should go through foreachBatch + write()")
+      "direct (task-side) writes do not compute generated columns; " +
+        "batch writes fall back to the staging path, streams should go " +
+        "through foreachBatch + write()")
   private val tableSchema = snap.schema
   private val partCols: Seq[String] = snap.partitionColumns
+
+  /** CHECK constraints and column invariants, enforced TASK-SIDE: each is
+    * analyzed once on the driver against the query schema (columns the
+    * query omits evaluate as NULL — they land sparse and read back NULL),
+    * then rebound to query-row ordinals as a serializable VIOLATION
+    * expression each task codegens into a predicate and evaluates per row
+    * BEFORE writing it. A violating row fails the task → Spark aborts the
+    * write → every staged file is deleted; nothing commits. CHECK follows
+    * SQL (NULL passes); invariants keep Delta's legacy NULL-fails rule. */
+  private val violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Coalesce, EqualNullSafe, Literal, Not}
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    def bound(sql: String, nullFails: Boolean): org.apache.spark.sql.catalyst.expressions.Expression = {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), querySchema)
+      val widened = tableSchema.fields
+        .filterNot(f => querySchema.fieldNames.contains(f.name))
+        .foldLeft(empty)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+      val cond = widened.filter(expr(sql)).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new ValidationException(
+        s"cannot analyze constraint expression: $sql"))
+      val viol =
+        if (nullFails) Not(Coalesce(Seq(cond, Literal(false))))
+        else EqualNullSafe(cond, Literal(false))
+      viol.transform {
+        case a: AttributeReference =>
+          querySchema.fields.indexWhere(_.name == a.name) match {
+            case -1 => Literal(null, a.dataType) // omitted column reads NULL
+            case i => BoundReference(i, querySchema.fields(i).dataType,
+              nullable = true)
+          }
+      }
+    }
+    table.checkConstraints(snap).toSeq.sortBy(_._1).map { case (n, sql) =>
+      s"CHECK constraint '$n' ($sql)" -> bound(sql, nullFails = false)
+    } ++ graft.delta.GeneratedColumns.invariants(tableSchema).map { case (c, sql) =>
+      s"column invariant on '$c' ($sql)" -> bound(sql, nullFails = true)
+    }
+  }
 
   querySchema.fields.foreach { qf =>
     tableSchema.fields.find(_.name == qf.name) match {
@@ -146,7 +186,7 @@ final class GraftDirectWrite(
     val (factory, conf) = WriteShim.parquetWriterFactory(spark, fileSchema)
     GraftStreamWriterFactory(tablePath, fileSchema,
       filePlan.map(_._2), querySchema, partCols.toArray, partIdx,
-      factory, conf)
+      factory, conf, violationChecks)
   }
 
   override def createStreamingWriterFactory(
@@ -165,16 +205,20 @@ final class GraftDirectWrite(
       }.toIndexedSeq
   }
 
+  // plan-time enforced set: a constraint added after this write was
+  // planned re-validates at commit (assertLateConstraints)
+  private val enforcedConstraints = table.checkConstraints(snap)
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     table.commitStreamedFiles(rawAdds(messages),
       Some(Txn(queryId, epochId, System.currentTimeMillis())),
-      overwrite = truncate)
+      overwrite = truncate, enforcedConstraints = enforcedConstraints)
     ()
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     table.commitStreamedFiles(rawAdds(messages), txn = None,
-      overwrite = truncate)
+      overwrite = truncate, enforcedConstraints = enforcedConstraints)
     GraftDirectWrite.batchCommits.incrementAndGet()
     ()
   }
@@ -218,7 +262,8 @@ final case class GraftStreamWriterFactory(
     partCols: Array[String],
     partIdx: Array[Int],
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends StreamingDataWriterFactory with DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -261,6 +306,16 @@ private final class GraftStreamDataWriter(
       Cast(BoundReference(i, queryTypes(i), nullable = true), StringType,
         Some("UTC"))))
 
+  // task-side row contracts (CHECK constraints + invariants): codegen'd
+  // predicates over the driver-bound violation expressions; a hit fails
+  // the task, Spark aborts the write, staged files are deleted
+  private val violations: Seq[(String, org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    f.violationChecks.map { case (what, e) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+      p.initialize(partitionId)
+      (what, p)
+    }
+
   private val ext = WriteShim.fileExtension(f.factory, f.conf.value, taskId)
   private val uuid = java.util.UUID.randomUUID().toString
   private val writers = mutable.LinkedHashMap.empty[
@@ -287,6 +342,11 @@ private final class GraftStreamDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
+    violations.foreach { case (what, p) =>
+      if (p.eval(row)) throw new graft.delta.ValidationException(
+        s"$what violated by a written row; direct write aborted, " +
+          "nothing committed")
+    }
     val dir = dirFor(row)
     val (w, _) = writers.getOrElseUpdate(dir, {
       val rel = f"${dir}part-$epochId%05d-$partitionId%05d-$uuid-$fileNo$ext"

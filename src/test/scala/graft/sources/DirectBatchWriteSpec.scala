@@ -77,19 +77,39 @@ class DirectBatchWriteSpec extends SparkTestBase {
       "direct write must land files inside Hive partition directories")
   }
 
-  test("CHECK-constraint tables fall back to the staging path, which still enforces") {
+  test("CHECK-constraint tables write DIRECT; violations abort task-side with no partial files") {
     setup()
     val t = freshTable()
     sql(s"CREATE TABLE $t (id BIGINT)")
     sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.constraints.pos' = 'id >= 0')")
     val before = GraftDirectWrite.batchCommits.get()
     sql(s"INSERT INTO $t VALUES (1), (2)")
-    assert(GraftDirectWrite.batchCommits.get() == before,
-      "constrained tables must not take the direct (non-enforcing) path")
+    assert(GraftDirectWrite.batchCommits.get() > before,
+      "constrained tables enforce task-side and take the direct path (round-12)")
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
-    val err = intercept[Exception] { sql(s"INSERT INTO $t VALUES (-5)") }
+    val dt = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+    val v = dt.version
+    val err = intercept[Exception] { sql(s"INSERT INTO $t VALUES (7), (-5)") }
     assert(err.getMessage != null)
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    assert(dt.version == v, "a violating direct write must not commit")
+    // no partial files: everything under the root is either log or a
+    // file some commit references
+    val referenced = dt.snapshot().activeFiles.map(_.path).toSet
+    val fs = new org.apache.hadoop.fs.Path(dt.path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(dt.path))
+      .filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => referenced.contains(n))
+    assert(stray.isEmpty, s"violating write left partial files: ${stray.toSeq}")
+    // a constraint over a column the query omits evaluates NULL -> passes
+    sql(s"ALTER TABLE $t ADD COLUMN v BIGINT")
+    sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.constraints.vbig' = 'v > 100')")
+    sql(s"INSERT INTO $t (id) VALUES (3)") // v omitted -> NULL -> passes
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+    val err2 = intercept[Exception] { sql(s"INSERT INTO $t VALUES (4, 5)") }
+    assert(err2.getMessage != null)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
   }
 
   test("spark.graft.write.direct=false forces the V1 staging path") {
