@@ -573,6 +573,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         s"replaceWhere: $outside inserted row(s) do not satisfy the " +
           "replacement condition — they would land outside the replaced region")
     }
+    commitReplaceWhereAdds(snap, condition, newAdds)
+  }
+
+  /** Commit core of [[replaceWhere]] over ALREADY-WRITTEN new adds —
+    * shared by the staged path above and the direct (task-side) write.
+    * The caller guarantees every row in `newAdds` satisfies `condition`
+    * (the staged path proves it with an Observation, the direct path with
+    * a per-row task predicate). Rewrites the kept remainder of matched
+    * files, commits atomically with the region conflict, captures CDC. */
+  private[graft] def commitReplaceWhereAdds(snap: Snapshot,
+      condition: Column, newAdds: Seq[AddFile]): DmlResult = {
+    val pred = coalesce(condition, lit(false))
+    val pruneFilter = graft.sources.ExprFilters.pruneJson(condition)
     val candidates = snap.activeFiles
     val (matchedFiles, nMatched) = matchingFilesBy(snap, candidates, pred)
     val keepAdds =
@@ -633,6 +646,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         s"data: missing ${missingPart.mkString(", ")}")
     val aligned = alignTo(data, snap0.schema)
     val adds = writeDataFiles(aligned, snap0.partitionColumns, snap0.schema)
+    commitDynamicOverwriteAdds(snap0, adds)
+  }
+
+  /** Commit core of [[overwritePartitionsDynamic]] over ALREADY-WRITTEN
+    * adds — shared by the staged path above and the direct (task-side)
+    * write, which lands its parquet before this runs. */
+  private[graft] def commitDynamicOverwriteAdds(snap0: Snapshot,
+                                                adds: Seq[AddFile]): Long = {
     val written: Set[Map[String, String]] = adds.map(_.partitionValues).toSet
     if (written.isEmpty) // empty input replaces nothing (Spark semantics)
       return appendCommit(Nil, "WRITE-DYNAMIC-OVERWRITE")
@@ -671,16 +692,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
    * files, and returns without committing. CDC capture reads back ONLY
    * the committed adds (lazy, only when the feed is enabled).
    */
-  private[graft] def commitStreamedFiles(raw: Seq[AddFile], txn: Option[Txn],
-                                         overwrite: Boolean = false,
-                                         // constraint set the WRITER enforced
-                                         // task-side (from its plan-time
-                                         // snapshot); anything newer
-                                         // re-validates at commit
-                                         enforcedConstraints: Map[String, String] = Map.empty): Long = {
-    val snap0 = if (overwrite) snapshot() else metaSnapshot()
-    ProtocolSupport.assertWritable(snap0, path)
-    if (overwrite) DeltaTable.assertNotAppendOnly(snap0, "STREAMING-OVERWRITE")
+  /** Prepare TASK-WRITTEN files for a commit: attach footer stats (keys
+    * remapped to logical names under column mapping), drop zero-row parts,
+    * build bloom sidecars. Shared by every direct-write commit shape
+    * (append, truncate, dynamic partition overwrite, replaceWhere). */
+  private[graft] def prepareStreamedAdds(raw: Seq[AddFile],
+                                         snap0: Snapshot): Seq[AddFile] = {
     val schema = snap0.schema
     val partCols = snap0.partitionColumns
     val physOpt = physicalSchema(schema)
@@ -695,6 +712,20 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     empty.foreach(f => deleteDataFile(f.path))
     BloomIndex.buildSidecars(spark, tablePath, log.hadoopConf,
       snap0.configuration, schema, partCols, adds)
+    adds
+  }
+
+  private[graft] def commitStreamedFiles(raw: Seq[AddFile], txn: Option[Txn],
+                                         overwrite: Boolean = false,
+                                         // constraint set the WRITER enforced
+                                         // task-side (from its plan-time
+                                         // snapshot); anything newer
+                                         // re-validates at commit
+                                         enforcedConstraints: Map[String, String] = Map.empty): Long = {
+    val snap0 = if (overwrite) snapshot() else metaSnapshot()
+    ProtocolSupport.assertWritable(snap0, path)
+    if (overwrite) DeltaTable.assertNotAppendOnly(snap0, "STREAMING-OVERWRITE")
+    val adds = prepareStreamedAdds(raw, snap0)
     case class TxnApplied(existing: Long) extends Exception
     val v = try Retry.withRetry() {
       val snap = if (overwrite) snapshot() else metaSnapshot()

@@ -193,12 +193,20 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       Seq(org.apache.spark.sql.execution.datasources.v2
         .OverwriteByExpressionExec(
           planLater(query), () => Shims.recacheByPlan(spark, r), w))
-    // Dynamic partition overwrite has NO V1 fallback exec in Spark (its
-    // built-in exec calls `write.toBatch`), so the logical plan is planned
-    // here directly onto the one-commit table primitive. `V2Writes` has
-    // already validated the builder (GraftWriteBuilder declares
-    // SupportsDynamicOverwrite); this strategy runs before the built-ins,
-    // so the V2 exec never materializes.
+    // Dynamic partition overwrite: when V2Writes built a DIRECT write
+    // (round-12 — GraftDirectWrite.DynamicOverwrite), Spark's own exec
+    // drives the task-side writers and our commit derives the replaced
+    // partitions from the written files — 1× bytes, no staging.
+    case OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, _,
+        Some(w: graft.streaming.GraftDirectWrite)) =>
+      Seq(org.apache.spark.sql.execution.datasources.v2
+        .OverwritePartitionsDynamicExec(
+          planLater(query), () => Shims.recacheByPlan(spark, r), w))
+    // Staged fallback (generated columns, direct disabled): NO V1 fallback
+    // exec exists in Spark, so the logical plan is planned here directly
+    // onto the one-commit table primitive. `V2Writes` has already
+    // validated the builder (GraftWriteBuilder declares
+    // SupportsDynamicOverwrite); this strategy runs before the built-ins.
     case OverwritePartitionsDynamic(GraftRelation(t, _), query, _, _, _) =>
       exec(plan.nodeName) {
         t.overwritePartitionsDynamic(Shims.ofRows(spark, query)); ()

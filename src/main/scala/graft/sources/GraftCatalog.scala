@@ -606,13 +606,28 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
     * casts, CTAS before the schema exists) throw [[ValidationException]]
     * at construction and fall back to the V1 staging path, which handles
     * all of them. `spark.graft.write.direct=false` forces the V1 path. */
-  private def directWrite(): Option[Write] = mode match {
-    case Append | Truncate if SparkSession.active.conf
-        .get("spark.graft.write.direct", "true").toBoolean =>
-      try Some(new graft.streaming.GraftDirectWrite(SparkSession.active,
-        delta.path, info.queryId(), info.schema(), truncate = mode == Truncate))
-      catch { case _: ValidationException => None }
-    case _ => None
+  private def directWrite(): Option[Write] = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.graft.write.direct", "true").toBoolean) None
+    else {
+      val directMode: Option[graft.streaming.GraftDirectWrite.Mode] = mode match {
+        case Append => Some(graft.streaming.GraftDirectWrite.Append)
+        case Truncate => Some(graft.streaming.GraftDirectWrite.Truncate)
+        case ReplaceWhere(cond) =>
+          Some(graft.streaming.GraftDirectWrite.ReplaceWhere(cond))
+        case Dynamic =>
+          // dynamic mode on an UNPARTITIONED table degrades to a full
+          // overwrite (Spark's own semantics) — same shape as Truncate
+          if (delta.metaSnapshot().partitionColumns.isEmpty)
+            Some(graft.streaming.GraftDirectWrite.Truncate)
+          else Some(graft.streaming.GraftDirectWrite.DynamicOverwrite)
+      }
+      directMode.flatMap { m =>
+        try Some(new graft.streaming.GraftDirectWrite(spark,
+          delta.path, info.queryId(), info.schema(), m))
+        catch { case _: ValidationException => None }
+      }
+    }
   }
 
   override def build(): Write = directWrite().getOrElse(new V1Write {

@@ -54,9 +54,16 @@ final class GraftDirectWrite(
     tablePath: String,
     queryId: String,
     querySchema: StructType,
-    truncate: Boolean)
+    mode: GraftDirectWrite.Mode)
   extends StreamingWrite with BatchWrite with Write
   with RequiresDistributionAndOrdering {
+
+  def this(spark: SparkSession, tablePath: String, queryId: String,
+           querySchema: StructType, truncate: Boolean) =
+    this(spark, tablePath, queryId, querySchema,
+      if (truncate) GraftDirectWrite.Truncate else GraftDirectWrite.Append)
+
+  private def truncate: Boolean = mode == GraftDirectWrite.Truncate
 
   // StreamingWrite and BatchWrite each declare a default useCommitCoordinator();
   // inheriting both requires an explicit override (Scala's accidental-override rule).
@@ -84,18 +91,19 @@ final class GraftDirectWrite(
     * SQL (NULL passes); invariants keep Delta's legacy NULL-fails rule. */
   private val violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Coalesce, EqualNullSafe, Literal, Not}
-    import org.apache.spark.sql.functions.{col, expr, lit}
-    def bound(sql: String, nullFails: Boolean): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    def bound(condition: org.apache.spark.sql.Column,
+              nullFails: Boolean): org.apache.spark.sql.catalyst.expressions.Expression = {
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), querySchema)
       val widened = tableSchema.fields
         .filterNot(f => querySchema.fieldNames.contains(f.name))
         .foldLeft(empty)((acc, f) =>
           acc.withColumn(f.name, lit(null).cast(f.dataType)))
-      val cond = widened.filter(expr(sql)).queryExecution.analyzed.collectFirst {
+      val cond = widened.filter(condition).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(throw new ValidationException(
-        s"cannot analyze constraint expression: $sql"))
+        s"cannot analyze write-contract expression: $condition"))
       val viol =
         if (nullFails) Not(Coalesce(Seq(cond, Literal(false))))
         else EqualNullSafe(cond, Literal(false))
@@ -109,10 +117,18 @@ final class GraftDirectWrite(
       }
     }
     table.checkConstraints(snap).toSeq.sortBy(_._1).map { case (n, sql) =>
-      s"CHECK constraint '$n' ($sql)" -> bound(sql, nullFails = false)
+      s"CHECK constraint '$n' ($sql)" -> bound(expr(sql), nullFails = false)
     } ++ graft.delta.GeneratedColumns.invariants(tableSchema).map { case (c, sql) =>
-      s"column invariant on '$c' ($sql)" -> bound(sql, nullFails = true)
-    }
+      s"column invariant on '$c' ($sql)" -> bound(expr(sql), nullFails = true)
+    } ++ (mode match {
+      // every written row must fall INSIDE the replaced region (a NULL
+      // condition means "not matched" → outside → violation), the same
+      // rule the staged path proves with its Observation
+      case GraftDirectWrite.ReplaceWhere(cond) => Seq(
+        s"replaceWhere region ($cond): inserted rows must satisfy the " +
+          "replacement condition" -> bound(cond, nullFails = true))
+      case _ => Nil
+    })
   }
 
   querySchema.fields.foreach { qf =>
@@ -210,6 +226,8 @@ final class GraftDirectWrite(
   private val enforcedConstraints = table.checkConstraints(snap)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    require(mode == GraftDirectWrite.Append || mode == GraftDirectWrite.Truncate,
+      s"streaming epochs support Append/Truncate only, got $mode")
     table.commitStreamedFiles(rawAdds(messages),
       Some(Txn(queryId, epochId, System.currentTimeMillis())),
       overwrite = truncate, enforcedConstraints = enforcedConstraints)
@@ -217,8 +235,27 @@ final class GraftDirectWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    table.commitStreamedFiles(rawAdds(messages), txn = None,
-      overwrite = truncate, enforcedConstraints = enforcedConstraints)
+    mode match {
+      case GraftDirectWrite.Append | GraftDirectWrite.Truncate =>
+        table.commitStreamedFiles(rawAdds(messages), txn = None,
+          overwrite = truncate, enforcedConstraints = enforcedConstraints)
+      case GraftDirectWrite.DynamicOverwrite =>
+        // tasks already proved nothing (partition replacement is derived
+        // from the written files); stats/bloom/zero-row prep then the same
+        // commit core as the staged path, incl. the region conflict
+        val snap0 = table.metaSnapshot()
+        table.commitDynamicOverwriteAdds(snap0,
+          table.prepareStreamedAdds(rawAdds(messages), snap0))
+      case GraftDirectWrite.ReplaceWhere(cond) =>
+        // tasks proved every row satisfies the condition; the commit core
+        // rewrites the kept remainder of matched files and applies the
+        // region conflict. The snapshot is REGION-PRUNED like the staged
+        // path's, so only candidate files reach the matched-file scan.
+        val snap0 = table.scanState(None,
+          graft.sources.ExprFilters.pruneJson(cond))
+        table.commitReplaceWhereAdds(snap0, cond,
+          table.prepareStreamedAdds(rawAdds(messages), snap0))
+    }
     GraftDirectWrite.batchCommits.incrementAndGet()
     ()
   }
@@ -245,6 +282,19 @@ object GraftDirectWrite {
   /** Test/inspection hook: batch commits taken by the direct path since
     * JVM start (streaming epochs don't count). */
   val batchCommits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Commit shape of a direct write. Append/Truncate serve batch AND
+    * streaming epochs; DynamicOverwrite and ReplaceWhere are batch-only
+    * (INSERT OVERWRITE under dynamic partition mode / REPLACE WHERE —
+    * the daily-reload primitives, now 1×-bytes on object stores too). */
+  sealed trait Mode
+  case object Append extends Mode
+  case object Truncate extends Mode
+  case object DynamicOverwrite extends Mode
+  /** `cond` scopes the replaced region; every written row must satisfy
+    * it — enforced task-side like a CHECK constraint (a row outside the
+    * region aborts the write before anything commits). */
+  final case class ReplaceWhere(cond: org.apache.spark.sql.Column) extends Mode
 }
 
 /** Per-(file-relative-path, bytes) written by one task. */

@@ -112,6 +112,45 @@ class DirectBatchWriteSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
   }
 
+  test("INSERT OVERWRITE ... REPLACE WHERE goes direct; region enforced task-side") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, day STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    val before = GraftDirectWrite.batchCommits.get()
+    // replace the day='b' region with one new row
+    spark.sql(s"INSERT INTO $t REPLACE WHERE day = 'b' SELECT 9, 'b'")
+    assert(GraftDirectWrite.batchCommits.get() > before,
+      "REPLACE WHERE must take the direct path (round-12)")
+    assert(sql(s"SELECT id, day FROM $t ORDER BY id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "a"), Seq(9L, "b")))
+    // a row OUTSIDE the region aborts task-side, nothing commits
+    val dt = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+    val v = dt.version
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t REPLACE WHERE day = 'b' SELECT 5, 'a'")
+    }
+    assert(err.getMessage != null)
+    assert(dt.version == v, "out-of-region direct replaceWhere must not commit")
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+  }
+
+  test("dynamic partition overwrite goes direct and replaces only written partitions") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val before = GraftDirectWrite.batchCommits.get()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql(s"INSERT OVERWRITE $t VALUES (20, 'b'), (21, 'b')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(GraftDirectWrite.batchCommits.get() > before,
+      "dynamic partition overwrite must take the direct path (round-12)")
+    assert(sql(s"SELECT id, p FROM $t ORDER BY id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "a"), Seq(20L, "b"), Seq(21L, "b")),
+      "partition a untouched, partition b fully replaced")
+  }
+
   test("spark.graft.write.direct=false forces the V1 staging path") {
     setup()
     val t = freshTable()

@@ -49,6 +49,44 @@ object WriteAb {
       } finally spark.conf.unset("spark.graft.write.direct")
     }
 
+    // Round-12 shapes: REPLACE WHERE and dynamic partition overwrite —
+    // the daily-reload primitives — through each arm. The table is seeded
+    // once; each sample replaces the same region/partition.
+    def armReplaceWhere(name: String, direct: Boolean): Seq[Double] = {
+      val t = s"$cat.ab.$name"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t AS SELECT * FROM src")
+      spark.conf.set("spark.graft.write.direct", direct.toString)
+      try (0 until samples).map { _ =>
+        timed { spark.sql(s"INSERT INTO $t REPLACE WHERE l_returnflag = 'R' " +
+          "SELECT * FROM src WHERE l_returnflag = 'R'") }
+      } finally spark.conf.unset("spark.graft.write.direct")
+    }
+    def armDynamic(name: String, direct: Boolean): Seq[Double] = {
+      val t = s"$cat.ab.$name"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (" +
+        spark.table("src").schema.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") +
+        ") PARTITIONED BY (l_returnflag)")
+      spark.sql(s"INSERT INTO $t SELECT * FROM src")
+      spark.conf.set("spark.graft.write.direct", direct.toString)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try (0 until samples).map { _ =>
+        timed { spark.sql(s"INSERT OVERWRITE $t " +
+          "SELECT * FROM src WHERE l_returnflag = 'R'") }
+      } finally {
+        spark.conf.unset("spark.graft.write.direct")
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+
+    def report(label: String, d: Seq[Double], s: Seq[Double]): Unit =
+      println(f"$label%-20s rows=$nRows%d direct=${median(d)}%.3fs " +
+        f"staged=${median(s)}%.3fs speedup=${median(s) / median(d)}%.2fx " +
+        f"(direct samples: ${d.map(x => f"$x%.3f").mkString(",")} | " +
+        f"staged: ${s.map(x => f"$x%.3f").mkString(",")})")
+
     // Interleave arms: warmup one throwaway insert per arm first.
     arm("warm_d", direct = true, partitioned = false)
     arm("warm_s", direct = false, partitioned = false)
@@ -56,11 +94,14 @@ object WriteAb {
       val label = if (partitioned) "partitioned(3 dirs)" else "unpartitioned"
       val d = arm(s"d_$partitioned", direct = true, partitioned)
       val s = arm(s"s_$partitioned", direct = false, partitioned)
-      println(f"$label%-20s rows=$nRows%d direct=${median(d)}%.3fs " +
-        f"staged=${median(s)}%.3fs speedup=${median(s) / median(d)}%.2fx " +
-        f"(direct samples: ${d.map(x => f"$x%.3f").mkString(",")} | " +
-        f"staged: ${s.map(x => f"$x%.3f").mkString(",")})")
+      report(label, d, s)
     }
+    report("replace_where",
+      armReplaceWhere("rw_d", direct = true),
+      armReplaceWhere("rw_s", direct = false))
+    report("dynamic_overwrite",
+      armDynamic("dy_d", direct = true),
+      armDynamic("dy_s", direct = false))
     spark.stop()
   }
 }
