@@ -308,9 +308,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(s => namespace :+ s.getPath.getName).toArray
   }
 
+  /** Namespace properties (COMMENT, WITH PROPERTIES, ALTER NAMESPACE SET/
+    * UNSET) persist as one small JSON file inside the namespace directory
+    * — driver-side metadata, invisible to table listing (which filters to
+    * `_delta_log` directories). */
+  private val NsPropsFile = "_namespace.json"
+
+  private def readNsProps(p: Path): Map[String, String] = {
+    val f = new Path(p, NsPropsFile)
+    if (!fs(p).exists(f)) Map.empty
+    else {
+      val in = fs(p).open(f)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      org.json4s.jackson.JsonMethods.parse(text) match {
+        case org.json4s.JObject(fields) =>
+          fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def writeNsProps(p: Path, props: Map[String, String]): Unit = {
+    val f = new Path(p, NsPropsFile)
+    if (props.isEmpty) { fs(p).delete(f, false); () }
+    else {
+      val json = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JObject(props.toList.sortBy(_._1)
+            .map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) })))
+      val out = fs(p).create(f, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    util.Collections.emptyMap()
+    readNsProps(nsPath(namespace)).asJava
   }
 
   override def createNamespace(namespace: Array[String],
@@ -318,18 +352,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
     val p = nsPath(namespace)
     fs(p).mkdirs(p)
+    val props = metadata.asScala.toMap
+    if (props.nonEmpty) writeNsProps(p, props)
     ()
   }
 
+  /** `ALTER NAMESPACE ... SET PROPERTIES / SET COMMENT / UNSET PROPERTIES`
+    * — property changes land in the namespace's JSON sidecar. Location
+    * changes are refused (a namespace IS its warehouse directory here). */
   override def alterNamespace(namespace: Array[String],
-                              changes: NamespaceChange*): Unit =
-    throw new ValidationException("ALTER NAMESPACE is not supported")
+                              changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    val updated = changes.foldLeft(readNsProps(p)) { (props, c) =>
+      c match {
+        case s: NamespaceChange.SetProperty =>
+          if (s.property == "location") throw new ValidationException(
+            "ALTER NAMESPACE ... SET LOCATION is not supported: a " +
+              "namespace is its warehouse directory")
+          props + (s.property -> s.value)
+        case r: NamespaceChange.RemoveProperty => props - r.property
+        case other => throw new ValidationException(
+          s"unsupported namespace change: $other")
+      }
+    }
+    writeNsProps(p, updated)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
     if (!namespaceExists(namespace)) false
     else {
-      if (!cascade && fs(p).listStatus(p).nonEmpty)
+      val contents = fs(p).listStatus(p)
+        .filterNot(_.getPath.getName == NsPropsFile)
+      if (!cascade && contents.nonEmpty)
         throw new ValidationException(s"namespace not empty: ${namespace.mkString(".")}")
       fs(p).delete(p, true)
     }
