@@ -658,9 +658,10 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
     * one metadata commit — each byte written exactly once, no staging
     * directory, no per-file rename (a full copy on object stores). CHECK
     * constraints and invariants are enforced task-side inside the direct
-    * writer. Ineligible shapes (generated columns, schema evolution, type
-    * casts, CTAS before the schema exists) throw [[ValidationException]]
-    * at construction and fall back to the V1 staging path, which handles
+    * writer; generated columns (incl. generated PARTITION columns) are
+    * computed task-side. Ineligible shapes (schema evolution, type casts,
+    * CTAS before the schema exists) throw [[ValidationException]] at
+    * construction and fall back to the V1 staging path, which handles
     * all of them. `spark.graft.write.direct=false` forces the V1 path. */
   private def directWrite(): Option[Write] = {
     val spark = SparkSession.active

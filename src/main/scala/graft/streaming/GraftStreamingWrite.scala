@@ -73,62 +73,124 @@ final class GraftDirectWrite(
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
-  if (graft.delta.GeneratedColumns.hasAny(snap.schema))
-    throw new ValidationException(
-      "direct (task-side) writes do not compute generated columns; " +
-        "batch writes fall back to the staging path, streams should go " +
-        "through foreachBatch + write()")
   private val tableSchema = snap.schema
   private val partCols: Seq[String] = snap.partitionColumns
+  private val genExprSql: Map[String, String] =
+    graft.delta.GeneratedColumns.exprs(tableSchema).toMap
 
-  /** CHECK constraints and column invariants, enforced TASK-SIDE: each is
-    * analyzed once on the driver against the query schema (columns the
-    * query omits evaluate as NULL — they land sparse and read back NULL),
-    * then rebound to query-row ordinals as a serializable VIOLATION
-    * expression each task codegens into a predicate and evaluates per row
-    * BEFORE writing it. A violating row fails the task → Spark aborts the
-    * write → every staged file is deleted; nothing commits. CHECK follows
-    * SQL (NULL passes); invariants keep Delta's legacy NULL-fails rule. */
-  private val violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Coalesce, EqualNullSafe, Literal, Not}
-    import org.apache.spark.sql.functions.{expr, lit}
-    def bound(condition: org.apache.spark.sql.Column,
-              nullFails: Boolean): org.apache.spark.sql.catalyst.expressions.Expression = {
-      val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), querySchema)
-      val widened = tableSchema.fields
-        .filterNot(f => querySchema.fieldNames.contains(f.name))
-        .foldLeft(empty)((acc, f) =>
-          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+  /** Analyze a Column against (query columns ++ missing table columns as
+    * NULLs) and rebind the result to QUERY-ROW ordinals — the bridge that
+    * lets the driver build serializable, codegen-able expressions each
+    * task evaluates per InternalRow. Shared by the violation predicates
+    * and the generated-column value expressions. */
+  private def bindToQueryRow(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Literal}
+    import org.apache.spark.sql.functions.lit
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), querySchema)
+    val widened = tableSchema.fields
+      .filterNot(f => querySchema.fieldNames.contains(f.name))
+      .foldLeft(empty)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    build(widened).transform {
+      case a: AttributeReference =>
+        querySchema.fields.indexWhere(_.name == a.name) match {
+          case -1 => Literal(null, a.dataType) // omitted column reads NULL
+          case i => BoundReference(i, querySchema.fields(i).dataType,
+            nullable = true)
+        }
+    }
+  }
+
+  private def bindPredicate(condition: org.apache.spark.sql.Column,
+      nullFails: Boolean): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, EqualNullSafe, Literal, Not}
+    bindToQueryRow { widened =>
       val cond = widened.filter(condition).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(throw new ValidationException(
         s"cannot analyze write-contract expression: $condition"))
-      val viol =
-        if (nullFails) Not(Coalesce(Seq(cond, Literal(false))))
-        else EqualNullSafe(cond, Literal(false))
-      viol.transform {
-        case a: AttributeReference =>
-          querySchema.fields.indexWhere(_.name == a.name) match {
-            case -1 => Literal(null, a.dataType) // omitted column reads NULL
-            case i => BoundReference(i, querySchema.fields(i).dataType,
-              nullable = true)
-          }
-      }
+      if (nullFails) Not(Coalesce(Seq(cond, Literal(false))))
+      else EqualNullSafe(cond, Literal(false))
     }
+  }
+
+  private def bindValue(value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    bindToQueryRow { widened =>
+      widened.select(value).queryExecution.analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+            case e => e
+          }
+      }.getOrElse(throw new ValidationException(
+        s"cannot analyze generation expression: $value"))
+    }
+
+  /** Per-table-column VALUE expression over the query row: a provided
+    * generated column computes when NULL and keeps non-null values (they
+    * validate below); an omitted one computes outright — so the direct
+    * path materializes generated columns task-side, including GENERATED
+    * partition columns the query never carries (the date-partitioned
+    * ingest shape). Plain provided columns bind by ordinal. */
+  private def valueExprOf(lf: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce}
+    import org.apache.spark.sql.functions.expr
+    val qi = querySchema.fields.indexWhere(_.name == lf.name)
+    genExprSql.get(lf.name) match {
+      case Some(g) =>
+        val computed = bindValue(expr(g).cast(lf.dataType))
+        if (qi < 0) Some(computed)
+        else Some(Coalesce(Seq(
+          BoundReference(qi, querySchema.fields(qi).dataType, nullable = true),
+          computed)))
+      case None if qi >= 0 =>
+        Some(BoundReference(qi, querySchema.fields(qi).dataType, nullable = true))
+      case None => None // omitted plain column: stays sparse
+    }
+  }
+
+  /** CHECK constraints, column invariants, replaceWhere region membership,
+    * and provided-generated-column consistency, enforced TASK-SIDE: each
+    * is analyzed once on the driver (columns the query omits evaluate as
+    * NULL — they land sparse and read back NULL), then rebound to
+    * query-row ordinals as a serializable VIOLATION expression each task
+    * codegens into a predicate and evaluates per row BEFORE writing it.
+    * A violating row fails the task → Spark aborts the write → every
+    * staged file is deleted; nothing commits. CHECK follows SQL (NULL
+    * passes); invariants keep Delta's legacy NULL-fails rule. */
+  private val violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, EqualNullSafe, IsNotNull, Not}
+    import org.apache.spark.sql.functions.expr
     table.checkConstraints(snap).toSeq.sortBy(_._1).map { case (n, sql) =>
-      s"CHECK constraint '$n' ($sql)" -> bound(expr(sql), nullFails = false)
+      s"CHECK constraint '$n' ($sql)" -> bindPredicate(expr(sql), nullFails = false)
     } ++ graft.delta.GeneratedColumns.invariants(tableSchema).map { case (c, sql) =>
-      s"column invariant on '$c' ($sql)" -> bound(expr(sql), nullFails = true)
+      s"column invariant on '$c' ($sql)" -> bindPredicate(expr(sql), nullFails = true)
     } ++ (mode match {
       // every written row must fall INSIDE the replaced region (a NULL
       // condition means "not matched" → outside → violation), the same
       // rule the staged path proves with its Observation
       case GraftDirectWrite.ReplaceWhere(cond) => Seq(
         s"replaceWhere region ($cond): inserted rows must satisfy the " +
-          "replacement condition" -> bound(cond, nullFails = true))
+          "replacement condition" -> bindPredicate(cond, nullFails = true))
       case _ => Nil
-    })
+    }) ++ genExprSql.toSeq.sortBy(_._1).collect {
+      // NULL-provided means "compute"; non-null provided must equal the
+      // expression (the staged path's validation rule)
+      case (n, g) if querySchema.fieldNames.contains(n) =>
+        val qi = querySchema.fieldIndex(n)
+        val provided = BoundReference(qi, querySchema.fields(qi).dataType,
+          nullable = true)
+        val dt = tableSchema(n).dataType
+        s"generated column '$n' ($g): provided values must equal the " +
+          "generation expression" ->
+          And(IsNotNull(provided),
+            Not(EqualNullSafe(provided, bindValue(expr(g).cast(dt)))))
+    }
   }
 
   querySchema.fields.foreach { qf =>
@@ -143,29 +205,35 @@ final class GraftDirectWrite(
       case _ => ()
     }
   }
-  partCols.filterNot(querySchema.fieldNames.contains).headOption.foreach(p =>
+  partCols.filterNot(p => querySchema.fieldNames.contains(p) ||
+      genExprSql.contains(p)).headOption.foreach(p =>
     throw new ValidationException(
       s"writing a partitioned table requires partition column '$p'"))
 
   /** Physical file schema: table data columns (minus partition columns,
-    * physical names) the QUERY actually carries — omitted columns stay
-    * omitted (sparse files), matching the batch writer. */
+    * physical names) the QUERY carries or the table GENERATES — plain
+    * omitted columns stay omitted (sparse files), matching the batch
+    * writer; generated columns always materialize. */
   private val physical = table.physicalSchema(tableSchema).getOrElse(tableSchema)
-  private val filePlan: Array[(org.apache.spark.sql.types.StructField, Int)] =
+  private val filePlan: Array[(org.apache.spark.sql.types.StructField, org.apache.spark.sql.catalyst.expressions.Expression)] =
     tableSchema.fields.zip(physical.fields).collect {
-      case (lf, pf) if !partCols.contains(lf.name) &&
-          querySchema.fieldNames.contains(lf.name) =>
-        (pf.copy(name = pf.name), querySchema.fieldIndex(lf.name))
-    }
+      case (lf, pf) if !partCols.contains(lf.name) =>
+        valueExprOf(lf).map(e => (pf.copy(name = pf.name), e))
+    }.flatten
   private val fileSchema = StructType(filePlan.map(_._1))
-  private val partIdx: Array[Int] = partCols.toArray.map(querySchema.fieldIndex)
+  private val partExprs: Array[org.apache.spark.sql.catalyst.expressions.Expression] =
+    partCols.toArray.map(p => valueExprOf(tableSchema(p)).get)
 
   override def toStreaming: StreamingWrite = this
   override def toBatch: BatchWrite = this
 
   // ---- distribution: optimizeWrite expressed natively -----------------------
 
+  // the clustered distribution names the partition columns, which must
+  // resolve against the QUERY output — a generated partition column the
+  // query omits cannot cluster (it exists only task-side)
   private val optimizeWrite: Boolean = partCols.nonEmpty &&
+    partCols.forall(querySchema.fieldNames.contains) &&
     snap.configuration.get("delta.autoOptimize.optimizeWrite").contains("true")
 
   /** Under optimizeWrite, a NON-STRICT clustered distribution: Spark
@@ -201,7 +269,7 @@ final class GraftDirectWrite(
   private def writerFactory: GraftStreamWriterFactory = {
     val (factory, conf) = WriteShim.parquetWriterFactory(spark, fileSchema)
     GraftStreamWriterFactory(tablePath, fileSchema,
-      filePlan.map(_._2), querySchema, partCols.toArray, partIdx,
+      filePlan.map(_._2), partCols.toArray, partExprs,
       factory, conf, violationChecks)
   }
 
@@ -307,10 +375,9 @@ final case class GraftStreamCommitMessage(files: Seq[(String, Long)])
 final case class GraftStreamWriterFactory(
     tablePath: String,
     fileSchema: StructType,
-    dataIdx: Array[Int],
-    querySchema: StructType,
+    dataExprs: Array[org.apache.spark.sql.catalyst.expressions.Expression],
     partCols: Array[String],
-    partIdx: Array[Int],
+    partExprs: Array[org.apache.spark.sql.catalyst.expressions.Expression],
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableConfiguration,
     violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
@@ -341,20 +408,16 @@ private final class GraftStreamDataWriter(
     partitionId: Int, taskId: Long, epochId: Long)
   extends DataWriter[InternalRow] {
 
-  private val queryTypes = f.querySchema.fields.map(_.dataType)
-  private val dataProj = UnsafeProjection.create(
-    f.fileSchema.fields.toIndexedSeq.zip(f.dataIdx.toIndexedSeq).map {
-      case (sf, i) =>
-        if (i >= 0) BoundReference(i, queryTypes(i), nullable = true)
-        else Literal(null, sf.dataType)
-    })
+  // per-file-column value expressions, pre-bound by the driver to query
+  // ordinals (BoundReferences for plain columns, generation expressions
+  // for generated ones)
+  private val dataProj = UnsafeProjection.create(f.dataExprs.toIndexedSeq)
   // partition values render through Cast-to-string (UTC) — the same
   // rendering Spark's writer uses, so paths parse back identically
   private val partProj =
-    if (f.partIdx.isEmpty) null
-    else UnsafeProjection.create(f.partIdx.toIndexedSeq.map(i =>
-      Cast(BoundReference(i, queryTypes(i), nullable = true), StringType,
-        Some("UTC"))))
+    if (f.partExprs.isEmpty) null
+    else UnsafeProjection.create(f.partExprs.toIndexedSeq.map(e =>
+      Cast(e, StringType, Some("UTC"))))
 
   // task-side row contracts (CHECK constraints + invariants): codegen'd
   // predicates over the driver-bound violation expressions; a hit fails
@@ -373,7 +436,7 @@ private final class GraftStreamDataWriter(
   private var fileNo = 0
 
   private def dirFor(row: InternalRow): String = {
-    if (f.partIdx.isEmpty) return ""
+    if (f.partExprs.isEmpty) return ""
     val rendered = partProj(row)
     f.partCols.zipWithIndex.map { case (c, i) =>
       // Hive/Spark convention: an EMPTY-string partition value folds into

@@ -147,7 +147,7 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(t.version == v0 && t.toDF().count() == 1)
   }
 
-  test("direct batch write falls back to staging for generated-column tables") {
+  test("direct batch write computes generated columns task-side") {
     import graft.plans.GraftSql
     val cat = GraftSql.ensure(spark)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gen")
@@ -155,8 +155,44 @@ class GeneratedColumnsSpec extends SparkTestBase {
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, twice BIGINT GENERATED ALWAYS AS (id * 2))")
     val before = graft.streaming.GraftDirectWrite.batchCommits.get()
     spark.sql(s"INSERT INTO $tbl (id) VALUES (1)")
-    assert(graft.streaming.GraftDirectWrite.batchCommits.get() == before,
-      "generated-column tables must take the staging path")
+    assert(graft.streaming.GraftDirectWrite.batchCommits.get() > before,
+      "generated-column tables take the direct path (round-12, task-side compute)")
     assert(spark.sql(s"SELECT twice FROM $tbl").head().getLong(0) == 2L)
+    // provided wrong value aborts task-side, nothing commits
+    val dt = DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/gen/t2")
+    val v = dt.version
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 99)")
+    }
+    assert(err.getMessage != null)
+    assert(dt.version == v && spark.sql(s"SELECT count(*) FROM $tbl")
+      .head().getLong(0) == 1)
+  }
+
+  test("GENERATED partition column the query omits: direct write computes the directory") {
+    // The date-partitioned-ingest shape: PARTITIONED BY a generated column
+    // derived from a data column — the query writes only the data column,
+    // the task computes the partition value and routes the row.
+    import graft.plans.GraftSql
+    val cat = GraftSql.ensure(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gen")
+    val tbl = s"$cat.gen.t3"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, " +
+      "bucket BIGINT GENERATED ALWAYS AS (id % 3)) PARTITIONED BY (bucket)")
+    val before = graft.streaming.GraftDirectWrite.batchCommits.get()
+    spark.sql(s"INSERT INTO $tbl (id) SELECT id FROM range(9)")
+    assert(graft.streaming.GraftDirectWrite.batchCommits.get() > before)
+    val rows = spark.sql(s"SELECT id, bucket FROM $tbl ORDER BY id")
+      .collect().map(_.toSeq)
+    assert(rows.toSeq == (0L until 9L).map(i => Seq(i, i % 3)))
+    // files landed in Hive partition directories by the COMPUTED value
+    val dt = DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/gen/t3")
+    assert(dt.snapshot().activeFiles.forall(_.path.startsWith("bucket=")),
+      dt.snapshot().activeFiles.map(_.path).mkString(","))
+    // partition pruning works on the generated partition column
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE bucket = 1")
+      .head().getLong(0) == 3)
   }
 }

@@ -39,7 +39,12 @@ class SqlOverwriteSpec extends SparkTestBase {
     val e = intercept[Exception] {
       sql(s"INSERT INTO $t REPLACE WHERE g = 2 SELECT 777L, 4L")
     }
-    assert(e.getMessage.contains("outside the replaced region"))
+    // direct path (round-12): the task-side region predicate aborts the
+    // write ("must satisfy the replacement condition"); the staged path
+    // words it "outside the replaced region" — both are the same refusal
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("outside the replaced region") ||
+      msg.contains("satisfy the replacement condition"), msg)
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10)
   }
 
