@@ -230,7 +230,11 @@ object Merge {
           Seq(
             updated.select(dataCols.map(col): _*)
               .withColumn(Cdc.ChangeType, lit("update_preimage")),
-            updated.select(postImageCols(dataCols, srcCols, effs): _*)
+            // postimage rows are all clause-updated: generated columns
+            // recompute so the feed shows what was actually written
+            GeneratedColumns.regenerate(
+              updated.select(postImageCols(dataCols, srcCols, effs): _*),
+              schema)
               .withColumn(Cdc.ChangeType, lit("update_postimage")))
         }
       val insertPart =
@@ -556,7 +560,9 @@ object Merge {
             Seq(
               matchedPairs.select(dataCols.map(col): _*)
                 .withColumn(Cdc.ChangeType, lit("update_preimage")),
-              matchedPairs.select(postCols: _*)
+              // postimage rows are all matched-updated: recompute generated
+              GeneratedColumns.regenerate(
+                matchedPairs.select(postCols: _*), schema)
                 .withColumn(Cdc.ChangeType, lit("update_postimage")))
         }
       val insertPart =
@@ -734,7 +740,11 @@ object Merge {
           Seq(
             updated.select(dataCols.map(col): _*)
               .withColumn(Cdc.ChangeType, lit("update_preimage")),
-            updated.select(postImageCols(dataCols, srcCols, effs): _*)
+            // postimage rows are all clause-updated: generated columns
+            // recompute so the feed shows what was actually written
+            GeneratedColumns.regenerate(
+              updated.select(postImageCols(dataCols, srcCols, effs): _*),
+              schema)
               .withColumn(Cdc.ChangeType, lit("update_postimage")))
         }
       val insertPart = insertsAligned.filter(_ => inserted > 0)

@@ -92,6 +92,40 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(t.toDF().filter($"id" === 10).head().getLong(1) == 20L)
   }
 
+  test("CDC postimages carry the RECOMPUTED generated values through MERGE and write") {
+    val t = foreignGenTable()
+    t.updateConfiguration(Map(Cdc.EnableKey -> "true"))
+    t.write(Seq(1L, 2L).toDF("id"))
+    // batch write insert image reads back committed adds (computed values)
+    val writeChanges = Cdc.readByVersion(t, t.version, t.version)
+    assert(writeChanges.filter($"_change_type" === "insert")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 4L)))
+    // merge updating a REFERENCED column: the postimage must show the
+    // recomputed generated value, not the stale materialized one. Schema:
+    // (id, base, doubled GENERATED AS base*2); SET base=10 ⇒ doubled=20.
+    val t2 = DeltaTable.forPath(spark, tmp("graft-gen-cdc"))
+    val schema2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("base", LongType),
+      StructField("doubled", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString(GeneratedColumns.MetadataKey, "base * 2").build())))
+    t2.write(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema2))
+    t2.updateConfiguration(Map(Cdc.EnableKey -> "true"))
+    t2.write(Seq((1L, 3L)).toDF("id", "base"))
+    Merge.executeClauses(t2, Seq(1L).toDF("id"), Seq(("id", "id")),
+      Seq(Merge.MergeClause(None,
+        Merge.MergeAction.UpdateSet(Map("base" -> lit(10L))))), Nil)
+    val post = Cdc.readByVersion(t2, t2.version, t2.version)
+      .filter($"_change_type" === "update_postimage").head()
+    assert(post.getAs[Long]("base") == 10L &&
+      post.getAs[Long]("doubled") == 20L,
+      s"postimage generated value not recomputed: $post")
+    assert(t2.toDF().head().getAs[Long]("doubled") == 20L)
+  }
+
   test("DELETE and compaction on a generated-column table keep values intact") {
     val t = foreignGenTable()
     t.write(Seq(1L).toDF("id"))
