@@ -707,7 +707,27 @@ object SqlQueries {
              |FROM $t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Identity columns (round 12): GENERATED ALWAYS AS IDENTITY assigns
+    * lattice values from the high-water mark across two appends. The
+    * INSERT's ORDER BY makes assignment order deterministic (zipWithIndex
+    * follows the sorted global row order), so the oracle can re-derive
+    * every value with row_number() — pairing included, not just the set. */
+  def sqlIdentityColumns(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "idn")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (rid BIGINT GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 1000 INCREMENT BY 2), o_orderkey BIGINT, o_totalprice DOUBLE)")
+    s.sql(s"INSERT INTO $t (o_orderkey, o_totalprice) " +
+      s"SELECT o_orderkey, o_totalprice FROM $v WHERE o_orderkey % 2 = 0 " +
+      "ORDER BY o_orderkey")
+    s.sql(s"INSERT INTO $t (o_orderkey, o_totalprice) " +
+      s"SELECT o_orderkey, o_totalprice FROM $v WHERE o_orderkey % 2 = 1 " +
+      "ORDER BY o_orderkey")
+    s.sql(s"SELECT rid, o_orderkey, o_totalprice FROM $t ORDER BY rid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
     "s36_sql_generated_columns" -> (sqlGeneratedColumns(_, _)),
     "s35_sql_ingest" -> (sqlIngest(_, _)),
     "s34_sql_cluster_by" -> (sqlClusterBy(_, _)),
@@ -746,6 +766,21 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s37_sql_identity_columns" ->
+      """WITH evens AS (
+        |  SELECT 1000 + 2*(row_number() OVER (ORDER BY o_orderkey) - 1) AS rid,
+        |    o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (SELECT count(*) AS c FROM evens),
+        |odds AS (
+        |  SELECT 1000 + 2*((SELECT c FROM n) + row_number() OVER (ORDER BY o_orderkey) - 1) AS rid,
+        |    o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |)
+        |SELECT rid, o_orderkey, o_totalprice FROM evens
+        |UNION ALL SELECT rid, o_orderkey, o_totalprice FROM odds
+        |ORDER BY rid""".stripMargin,
+
     "s36_sql_generated_columns" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2

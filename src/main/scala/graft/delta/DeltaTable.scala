@@ -399,10 +399,27 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           snap0.configuration.get(OptimizeWriteKey).contains("true"))
         aligned.repartition(partCols.map(col): _*)
       else aligned
+    // Identity columns: NULL (or absent) values get assigned from the
+    // high-water mark per row; non-null values refuse unless BY DEFAULT
+    // (one zipWithIndex pass; the mark advances in THIS commit, and a
+    // racer advancing it first conflicts below).
+    val idSpecs = IdentityColumns.specs(targetSchema)
+    val toWrite =
+      if (idSpecs.isEmpty) optimized
+      else alignTo(IdentityColumns.assign(spark, optimized, idSpecs),
+        targetSchema)
     // Baseline for the commit-time constraint catch-up below: read BEFORE
     // staging, so a constraint added at any later point counts as late.
     val enforcedConstraints = checkConstraints(snap0)
-    val adds = writeDataFiles(optimized, partCols, targetSchema)
+    val adds = writeDataFiles(toWrite, partCols, targetSchema)
+    // advance each mark past the furthest value this write landed (footer
+    // stats — no extra scan); never regress it
+    val newMarks: Map[String, Long] = idSpecs.flatMap { s =>
+      IdentityColumns.assignedExtreme(s, adds).collect {
+        case ext if s.highWaterMark.forall(h =>
+          if (s.step > 0) ext > h else ext < h) => s.name -> ext
+      }
+    }.toMap
 
     // Idempotence must hold under RACES, not just sequential retries: the
     // (appId, version) check re-runs inside the OCC loop against the
@@ -446,6 +463,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       // A constraint added since staging re-validates the staged rows
       // (the add-constraint/append race — appends never version-conflict).
       assertLateConstraints(enforcedConstraints, snap, adds)
+      // Identity allocation race: our values were assigned from the
+      // staging-time mark — a racer who advanced it committed values that
+      // would duplicate ours. Permanent conflict; the write must re-run.
+      if (idSpecs.nonEmpty && snap.metadata.nonEmpty) {
+        val commitSpecs = IdentityColumns.specs(snap.schema)
+          .map(s => s.name -> s.highWaterMark).toMap
+        idSpecs.foreach { s0 =>
+          if (commitSpecs.getOrElse(s0.name, s0.highWaterMark) != s0.highWaterMark) {
+            adds.foreach(a => deleteDataFile(a.path))
+            throw new IdentityAllocationConflictException(s0.name)
+          }
+        }
+      }
       val v = snap.version + 1
       val now = System.currentTimeMillis()
       // A racer may have EVOLVED THE SCHEMA since entry: merge its current
@@ -453,21 +483,24 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       // metadata that drops the racer's new columns (our files simply lack
       // them — a legal sparse write). Entry-time targetSchema alone would
       // be a lost-update on the schema.
-      val commitSchema =
+      val commitSchema = IdentityColumns.withHighWaterMarks(
         if (snap.metadata.isEmpty) targetSchema
-        else SchemaUtils.merge(snap.schema, targetSchema)
+        else SchemaUtils.merge(snap.schema, targetSchema),
+        newMarks)
       val meta = buildMetadata(snap, commitSchema, partCols, now)
       val removes: Seq[Action] =
         if (mode == "overwrite") snap.activeFiles.map(f =>
           RemoveFile(f.path, now))
         else Nil
       val actions: Seq[Action] =
-        // First commit picks the protocol: generated columns are a WRITER
-        // feature (Delta legacy writer v4 implies them) — declaring it
-        // stops feature-unaware writers from appending without computing.
-        (if (v == 0) Seq[Action](
-          if (GeneratedColumns.hasAny(commitSchema)) Protocol(minWriterVersion = 4)
-          else Protocol()) else Nil) ++
+        // First commit picks the protocol: generated columns (legacy
+        // writer v4) and identity columns (v6) are WRITER features —
+        // declaring them stops feature-unaware writers from appending
+        // without computing/assigning.
+        (if (v == 0) Seq[Action](Protocol(minWriterVersion =
+          if (IdentityColumns.hasAny(commitSchema)) 6
+          else if (GeneratedColumns.hasAny(commitSchema)) 4
+          else 2)) else Nil) ++
           (meta.toSeq: Seq[Action]) ++ (txn.toSeq: Seq[Action]) ++
           removes ++ (adds: Seq[Action]) ++ Seq[Action](opInfo match {
           case Some((op, params)) =>
@@ -488,11 +521,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // The change DataFrames are lazy and read the pre-commit files, which
     // remain on disk until vacuum (reference capture: cdc/index.ts:2060-2122).
     if (cdcConfigured(snap0)) {
-      // Generated-column tables read back the COMMITTED adds for the
-      // insert image — the input frame lacks the computed columns
-      // (writeDataFiles materialized them into the files, not the frame).
+      // Generated/identity-column tables read back the COMMITTED adds for
+      // the insert image — the input frame lacks the computed/assigned
+      // columns (they materialized into the files, not the frame).
       val insertBase =
-        if (GeneratedColumns.hasAny(targetSchema))
+        if (GeneratedColumns.hasAny(targetSchema) || idSpecs.nonEmpty)
           toDF(Snapshot(v, snap0.metadata, snap0.protocol, adds, Nil))
         else aligned
       val inserts = insertBase.withColumn(Cdc.ChangeType, lit("insert"))
@@ -554,6 +587,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (extra.nonEmpty) throw new ValidationException(
       "replaceWhere does not evolve the schema; unknown column(s): " +
         extra.mkString(", "))
+    assertIdentityProvided(snap.schema, data.schema.fieldNames, "replaceWhere")
     val aligned = alignTo(data, snap.schema)
     // The guard may reference columns a sparse insert omits — backfill
     // NULL for evaluation only; the written frame stays sparse.
@@ -574,6 +608,31 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           "replacement condition — they would land outside the replaced region")
     }
     commitReplaceWhereAdds(snap, condition, newAdds)
+  }
+
+  /** Identity columns are system-assigned: DML cannot SET them (Delta's
+    * own rule — "You cannot update identity columns"). */
+  private[graft] def refuseIdentityAssignments(schema: StructType,
+      assigned: Iterable[String]): Unit = {
+    val ids = IdentityColumns.names(schema)
+    assigned.find(ids).foreach(n => throw new ValidationException(
+      s"UPDATE cannot SET identity column '$n': identity values are " +
+        "assigned by the engine"))
+  }
+
+  /** Writes that cannot ASSIGN identity values (anything but the append
+    * path) must carry them explicitly — and only BY DEFAULT columns
+    * accept explicit values. An omitted identity column would land NULL,
+    * breaking the column's contract silently. */
+  private[graft] def assertIdentityProvided(schema: StructType,
+      present: Seq[String], op: String): Unit = {
+    val ids = IdentityColumns.names(schema)
+    ids.filterNot(present.contains).foreach(n =>
+      throw new ValidationException(
+        s"$op cannot assign identity values; include column '$n' with " +
+          "explicit values (GENERATED BY DEFAULT AS IDENTITY) or use a " +
+          "plain append, which assigns them"))
+    IdentityColumns.validateProvided(schema, present.filter(ids), op)
   }
 
   /** Commit core of [[replaceWhere]] over ALREADY-WRITTEN new adds —
@@ -644,6 +703,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (missingPart.nonEmpty) throw new ValidationException(
       "dynamic partition overwrite requires the partition column(s) in the " +
         s"data: missing ${missingPart.mkString(", ")}")
+    assertIdentityProvided(snap0.schema, data.schema.fieldNames,
+      "dynamic partition overwrite")
     val aligned = alignTo(data, snap0.schema)
     val adds = writeDataFiles(aligned, snap0.partitionColumns, snap0.schema)
     commitDynamicOverwriteAdds(snap0, adds)
@@ -1367,6 +1428,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // ONE projection over the matched rows, every RHS against the OLD row.
     val assigned = updates.toMap
     GeneratedColumns.refuseAssignments(snap.schema, assigned.keys, "UPDATE")
+    refuseIdentityAssignments(snap.schema, assigned.keys)
     def patchAll(df: DataFrame): DataFrame =
       GeneratedColumns.regenerate( // recompute over the POST-image values
         df.select(df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
@@ -1435,6 +1497,7 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // withColumn-folding would let `SET a = b, b = a` see a's new value.
     val assigned = updates.toMap
     GeneratedColumns.refuseAssignments(snap.schema, assigned.keys, "UPDATE")
+    refuseIdentityAssignments(snap.schema, assigned.keys)
     def patchCols(df: DataFrame, gate: Option[Column]): DataFrame = {
       val sel = df.columns.filter(_ != "__file").toIndexedSeq.map { c =>
         assigned.get(c) match {

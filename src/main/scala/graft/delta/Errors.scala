@@ -78,6 +78,16 @@ final class IngestConflictException(version: Long)
       s"before version $version; re-diff the skip-list and retry")
   with PermanentConflict
 
+/** A concurrent write advanced an identity column's high-water mark
+  * after this write assigned its values — committing would duplicate
+  * identity values. Permanent for the staged files (they carry the stale
+  * values); the write must re-run to re-assign. */
+final class IdentityAllocationConflictException(col: String)
+  extends ConcurrencyException(
+    s"identity column '$col': a concurrent write advanced the high-water " +
+      "mark after values were assigned; re-run the write to re-assign")
+  with PermanentConflict
+
 /** Change-data-capture failure (reference: CDCError, src/errors.ts:291). */
 final class CdcException(message: String, cause: Throwable = null)
   extends DeltaException(message, "CDC_ERROR", cause)

@@ -322,6 +322,14 @@ object Merge {
         v.map(e => when(eff, e).otherwise(acc)).getOrElse(acc)
       }.cast(f.dataType).as(f.name)
     }
+    // identity columns: every insert clause must provide them (assignment
+    // is an append-path operation), and only BY DEFAULT accepts values
+    val ids = IdentityColumns.names(schema)
+    ids.filterNot(providedByAny).foreach(n =>
+      throw new ValidationException(
+        s"MERGE inserts cannot assign identity values; every insert " +
+          s"clause must provide column '$n' (GENERATED BY DEFAULT AS IDENTITY)"))
+    IdentityColumns.validateProvided(schema, ids.filter(providedByAny), "MERGE INSERT")
     // generated columns NO insert clause provides are computed from the
     // built row; clause-provided ones keep their value (validated at write)
     GeneratedColumns.computeMissing(
@@ -329,14 +337,19 @@ object Merge {
       schema, GeneratedColumns.names(schema).filter(providedByAny))
   }
 
-  /** Generated columns are computed, never assigned: refuse UPDATE SET
-    * clauses naming one (same rule as [[DeltaTable.update]]). */
+  /** Generated columns are computed and identity columns engine-assigned —
+    * refuse UPDATE SET clauses naming either (same rule as
+    * [[DeltaTable.update]]). */
   private def refuseGeneratedAssignments(
       schema: org.apache.spark.sql.types.StructType,
       clauses: Seq[MergeClause]): Unit =
     clauses.foreach {
       case MergeClause(_, MergeAction.UpdateSet(set)) =>
         GeneratedColumns.refuseAssignments(schema, set.keys, "MERGE UPDATE")
+        val ids = IdentityColumns.names(schema)
+        set.keys.find(ids).foreach(n => throw new ValidationException(
+          s"MERGE UPDATE cannot SET identity column '$n': identity values " +
+            "are assigned by the engine"))
       case _ => ()
     }
 
@@ -755,7 +768,16 @@ object Merge {
   }
 
   private def alignToSchema(newRows: DataFrame, schema: org.apache.spark.sql.types.StructType,
-                            srcCols: Seq[String]): DataFrame =
+                            srcCols: Seq[String]): DataFrame = {
+    // identity columns cannot be assigned here (merge inserts bypass the
+    // append path's allocator): the source must provide them explicitly,
+    // which only BY DEFAULT columns accept
+    val ids = IdentityColumns.names(schema)
+    ids.filterNot(srcCols.contains).foreach(n =>
+      throw new ValidationException(
+        s"MERGE inserts cannot assign identity values; the source must " +
+          s"provide column '$n' (GENERATED BY DEFAULT AS IDENTITY)"))
+    IdentityColumns.validateProvided(schema, srcCols.filter(ids), "MERGE INSERT")
     // generated columns the source omits are COMPUTED (not null-filled);
     // source-provided ones keep their value and are validated at write
     GeneratedColumns.computeMissing(
@@ -764,6 +786,7 @@ object Merge {
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*),
       schema, srcCols.toSet)
+  }
 
   private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,
                                 src: DataFrame, keyPairs: Seq[(String, String)],

@@ -29,7 +29,8 @@ object ProtocolSupport {
   val supportedWriterFeatures: Set[String] = Set(
     "appendOnly", "checkConstraints", "columnMapping", "deletionVectors",
     "timestampNtz", "variantType", "vacuumProtocolCheck",
-    "icebergCompatV1", "icebergCompatV2", "invariants", "generatedColumns")
+    "icebergCompatV1", "icebergCompatV2", "invariants", "generatedColumns",
+    "identityColumns")
 
   private val MaxReaderVersion = 3
   private val MaxWriterVersion = 7

@@ -58,7 +58,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -177,6 +178,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // write path computes/validates it (graft.delta.GeneratedColumns)
         Option(c.generationExpression()).filter(_.nonEmpty).foreach(g =>
           b.putString(graft.delta.GeneratedColumns.MetadataKey, g))
+        // GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY persists Delta's
+        // identity keys; the append path assigns from the high-water mark
+        Option(c.identityColumnSpec()).foreach { spec =>
+          if (c.dataType != org.apache.spark.sql.types.LongType)
+            throw new ValidationException(
+              s"identity column '${c.name}' must be BIGINT, got ${c.dataType.sql}")
+          b.putLong(graft.delta.IdentityColumns.StartKey, spec.getStart)
+            .putLong(graft.delta.IdentityColumns.StepKey, spec.getStep)
+            .putBoolean(graft.delta.IdentityColumns.AllowExplicitKey,
+              spec.isAllowExplicitInsert)
+        }
         org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, b.build())
       }),
       partitions, properties)

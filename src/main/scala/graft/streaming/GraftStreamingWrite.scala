@@ -73,6 +73,11 @@ final class GraftDirectWrite(
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
+  if (graft.delta.IdentityColumns.hasAny(snap.schema))
+    throw new ValidationException(
+      "direct (task-side) writes cannot assign identity values " +
+        "(allocation needs the append path's high-water-mark commit); " +
+        "batch writes fall back to the staging path")
   private val tableSchema = snap.schema
   private val partCols: Seq[String] = snap.partitionColumns
   private val genExprSql: Map[String, String] =
