@@ -2071,6 +2071,53 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     }
 
   /**
+   * Delta's `ALTER TABLE ... SYNC IDENTITY`: recompute each identity
+   * column's high-water mark from the TABLE DATA — the repair verb for
+   * imported tables whose mark is absent or stale (explicit BY DEFAULT
+   * inserts under Delta's own semantics leave it behind). The extreme
+   * comes from file stats when every active file carries one (O(files),
+   * no scan); any stats-less or DV-masked file forces one exact
+   * aggregation scan of the column. An empty table resets the mark (next
+   * assignment restarts at START WITH). Returns the new mark per column.
+   */
+  def syncIdentity(): Map[String, Long] = Retry.withRetry() {
+    val snap = snapshot()
+    ProtocolSupport.assertWritable(snap, path)
+    val specs = IdentityColumns.specs(snap.schema)
+    if (specs.isEmpty) throw new ValidationException(
+      "table declares no identity columns")
+    val masked = snap.activeFiles.exists(_.deletionVector.isDefined)
+    val marks: Map[String, Long] = specs.flatMap { s =>
+      val statExtreme =
+        if (masked) None
+        else if (snap.activeFiles.forall(a => a.parsedStats.exists(st =>
+          (if (s.step > 0) st.maxValues else st.minValues).contains(s.name))))
+          IdentityColumns.assignedExtreme(s, snap.activeFiles)
+        else None
+      val extreme = statExtreme.orElse {
+        val agg = if (s.step > 0) max(col(s.name)) else min(col(s.name))
+        Option(toDF(snap).agg(agg).head().get(0)).map(_.asInstanceOf[Long])
+      }
+      extreme.map(s.name -> _)
+    }.toMap
+    val cleared = StructType(snap.schema.fields.map { f =>
+      if (!IdentityColumns.names(snap.schema)(f.name) || marks.contains(f.name)) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(IdentityColumns.HighWaterMarkKey).build())
+    })
+    val newSchema = IdentityColumns.withHighWaterMarks(cleared, marks)
+    val m = snap.metadata.getOrElse(
+      throw new ValidationException("cannot sync a table before first write"))
+    val v = snap.version + 1
+    log.writeCommit(v, Seq[Action](
+      m.copy(schemaString = newSchema.json),
+      CommitInfo(System.currentTimeMillis(), "SYNC-IDENTITY",
+        marks.map { case (k, x) => k -> x.toString })))
+    maybeCheckpoint(v)
+    marks
+  }
+
+  /**
    * Metadata-only column drop via column mapping (Delta's DROP COLUMN):
    * the field leaves the logical schema; its physical column stays in the
    * old data files, unreferenced — readers simply never select it. Turning

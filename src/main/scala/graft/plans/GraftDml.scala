@@ -1218,6 +1218,24 @@ object GraftSql {
         })
     }
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_sync_identity",
+      "graft_sync_identity(table) - recompute identity high-water marks " +
+        "from the data (Delta's ALTER TABLE ... SYNC IDENTITY)") { args =>
+      if (args.size != 1) throw new graft.delta.ValidationException(
+        "graft_sync_identity(table)")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      GraftMaintenanceNode("graft_sync_identity",
+        Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "column", org.apache.spark.sql.types.StringType)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "high_water_mark", org.apache.spark.sql.types.LongType)()), () => {
+          val marks = DeltaTable.forPath(spark, path).syncIdentity()
+          marks.toSeq.sortBy(_._1).map { case (c, m) =>
+            InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c), m)
+          }
+        })
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
       "graft_clone",
       "graft_clone(table, targetPath[, deep]) - zero-copy (or deep) clone") { args =>
       if (args.size < 2 || args.size > 3) throw new graft.delta.ValidationException(
