@@ -64,9 +64,11 @@ class ProtocolSupportSpec extends SparkTestBase {
   }
 
   test("unknown writer features refuse writes but not reads") {
+    // identityColumns graduated to a SUPPORTED writer feature in round 12,
+    // so this test's "unknown" feature is a genuinely unimplemented one
     val dir = foreignTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"writerFeatures":["identityColumns"]}}""")
+        """"writerFeatures":["rowTracking"]}}""")
     val t = DeltaTable.forPath(spark, dir)
     assert(t.toDF().count() == 1) // reading is safe
     intercept[UnsupportedProtocolException] {
