@@ -1087,10 +1087,17 @@ object GraftSql {
         snap.activeFiles.map(_.size).sum,
         m.map(_.createdTime).getOrElse(0L),
         snap.configuration.map { case (k, v) => s"$k=$v" }.toSeq.sorted
+          .mkString(";"),
+        // round-12 column facts: declared write-time semantics
+        graft.delta.GeneratedColumns.exprs(snap.schema)
+          .map { case (n, e) => s"$n=$e" }.mkString(";"),
+        graft.delta.IdentityColumns.specs(snap.schema)
+          .map(s => s"${s.name}(start=${s.start},step=${s.step}," +
+            s"hwm=${s.highWaterMark.map(_.toString).getOrElse("-")})")
           .mkString(";")))
         .toDF("id", "location", "version", "partition_columns",
           "cluster_by", "num_files", "size_in_bytes", "created_at_ms",
-          "properties")
+          "properties", "generated_columns", "identity_columns")
         .queryExecution.analyzed
     }
     // Maintenance verbs for SQL-only users — the TVF analog of Delta's
