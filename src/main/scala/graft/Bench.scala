@@ -15,6 +15,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Loadavg is sampled NOW — before the session spins up 32 threads —
+    // so the artifact records the HOST's state, not the bench's own load
+    // (sampling at the end made every run read self-contaminated, which
+    // is what the round-11 "in-file loadavg <3" process goal tripped on).
+    val startLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,7 +71,10 @@ object Bench {
     // load average and core count IN the result makes a noisy run
     // self-identifying instead of a forensic exercise.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val load = f"${os.getSystemLoadAverage}%.2f"
+    // start-of-run load (host attribution) + end-of-run load (how much the
+    // bench itself raised it — a sanity cross-check, not a host signal)
+    val load = f"$startLoad%.2f"
+    val loadEnd = f"${os.getSystemLoadAverage}%.2f"
     val cores = os.getAvailableProcessors
 
     // Full-precision forensics (all medians + cold first-runs) → stderr.
@@ -77,7 +86,7 @@ object Bench {
     val firsts = results.map { case (k, _, f) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     System.err.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"first_run":$firsts,"loadavg":$load,"cores":$cores,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"first_run":$firsts,"loadavg":$load,"loadavg_end":$loadEnd,"cores":$cores,"sf":"$sfDir"}""")
 
     // stdout: ONE compact JSON line guaranteed to fit the tail capture,
     // with ALL queries present. Keys are the query IDs (the unique prefix
