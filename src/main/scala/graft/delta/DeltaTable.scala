@@ -2070,6 +2070,74 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       v
     }
 
+  /** Metadata-only commit that sets (or, with None, drops) a column's
+    * comment — `COMMENT ON COLUMN` / `ALTER COLUMN ... COMMENT`. */
+  def setColumnComment(name: String, comment: Option[String]): Long =
+    Retry.withRetry() {
+      val snap = metaSnapshot()
+      if (!snap.schema.fieldNames.contains(name))
+        throw new ValidationException(s"no such column: $name")
+      val newFields = snap.schema.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val b = new MetadataBuilder().withMetadata(f.metadata)
+          comment match {
+            case Some(c) => b.putString("comment", c)
+            case None => b.remove("comment")
+          }
+          f.copy(metadata = b.build())
+        }
+      }
+      val m = snap.metadata.getOrElse(
+        throw new ValidationException("cannot alter a column before first write"))
+      val v = snap.version + 1
+      log.writeCommit(v, Seq[Action](
+        m.copy(schemaString = StructType(newFields).json),
+        CommitInfo(System.currentTimeMillis(), "SET-COLUMN-COMMENT",
+          Map("column" -> name, "comment" -> comment.getOrElse("<dropped>")))))
+      maybeCheckpoint(v)
+      v
+    }
+
+  /** `ALTER COLUMN ... SET/DROP NOT NULL`. TIGHTENING first proves no
+    * existing row is NULL (one distributed count — refusing beats
+    * recording a declaration the data already violates, the same rule as
+    * ADD CONSTRAINT), then commits nullable=false TOGETHER with an
+    * auto-managed CHECK constraint `<col> IS NOT NULL` — which every
+    * write path (staged AND task-side direct) already enforces, so the
+    * declaration is TRUE from this commit on. Relaxing drops both in one
+    * commit. Pre-existing nullable=false flags from inferred schemas
+    * (Scala tuples mark primitives non-nullable) stay ADVISORY — the
+    * engine's historical sparse model — only this explicit verb opts a
+    * column into enforcement. */
+  def setColumnNullability(name: String, nullable: Boolean): Long =
+    Retry.withRetry() {
+      val snap = snapshot()
+      if (!snap.schema.fieldNames.contains(name))
+        throw new ValidationException(s"no such column: $name")
+      if (!nullable && !toDF(snap).filter(col(name).isNull).isEmpty)
+        throw new ValidationException(
+          s"cannot SET NOT NULL on '$name': existing rows hold NULL")
+      val newFields = snap.schema.fields.map { f =>
+        if (f.name != name) f else f.copy(nullable = nullable)
+      }
+      val m = snap.metadata.getOrElse(
+        throw new ValidationException("cannot alter a column before first write"))
+      val ckKey = "delta.constraints." +
+        s"notnull_${name.filter(c => c.isLetterOrDigit || c == '_')}"
+      val newConfig =
+        if (nullable) m.configuration - ckKey
+        else m.configuration + (ckKey -> s"`${name.replace("`", "``")}` IS NOT NULL")
+      val v = snap.version + 1
+      log.writeCommit(v, Seq[Action](
+        m.copy(schemaString = StructType(newFields).json,
+          configuration = newConfig),
+        CommitInfo(System.currentTimeMillis(), "SET-COLUMN-NULLABILITY",
+          Map("column" -> name, "nullable" -> nullable.toString))))
+      maybeCheckpoint(v)
+      v
+    }
+
   /**
    * Delta's `ALTER TABLE ... SYNC IDENTITY`: recompute each identity
    * column's high-water mark from the TABLE DATA — the repair verb for

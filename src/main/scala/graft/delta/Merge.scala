@@ -332,9 +332,16 @@ object Merge {
     IdentityColumns.validateProvided(schema, ids.filter(providedByAny), "MERGE INSERT")
     // generated columns NO insert clause provides are computed from the
     // built row; clause-provided ones keep their value (validated at write)
-    GeneratedColumns.computeMissing(
+    val full = GeneratedColumns.computeMissing(
       unmatched.filter(any).select(cols: _*),
       schema, GeneratedColumns.names(schema).filter(providedByAny))
+    // SPARSE insert image: columns NO clause provides (and that are not
+    // generated) are OMITTED, not null-filled — omitted columns read back
+    // NULL either way, and an explicit null would trip a NOT NULL
+    // declaration the row never actually violates
+    val keep = schema.fields.map(_.name).filter(n =>
+      providedByAny(n) || GeneratedColumns.names(schema)(n))
+    full.select(keep.map(col): _*)
   }
 
   /** Generated columns are computed and identity columns engine-assigned —
@@ -443,7 +450,10 @@ object Merge {
     if (table.cdcConfigured(snap)) {
       val nonEmpty = parts
       if (nonEmpty.nonEmpty)
-        Cdc.writeChanges(table, v, nonEmpty.reduce(_.unionByName(_)),
+        // insert parts are SPARSE (omitted columns), other parts full
+        // width — missing columns fill NULL, the value they read anyway
+        Cdc.writeChanges(table, v,
+          nonEmpty.reduce(_.unionByName(_, allowMissingColumns = true)),
           System.currentTimeMillis())
     }
 
@@ -779,13 +789,19 @@ object Merge {
           s"provide column '$n' (GENERATED BY DEFAULT AS IDENTITY)"))
     IdentityColumns.validateProvided(schema, srcCols.filter(ids), "MERGE INSERT")
     // generated columns the source omits are COMPUTED (not null-filled);
-    // source-provided ones keep their value and are validated at write
-    GeneratedColumns.computeMissing(
+    // source-provided ones keep their value and are validated at write.
+    // The image is SPARSE: columns the source does not provide (and that
+    // are not generated) are OMITTED — they read back NULL either way,
+    // and an explicit null would trip a NOT NULL declaration.
+    val full = GeneratedColumns.computeMissing(
       newRows.select(schema.fields.map { f =>
         if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*),
       schema, srcCols.toSet)
+    val keep = schema.fields.map(_.name).filter(n =>
+      srcCols.contains(n) || GeneratedColumns.names(schema)(n))
+    full.select(keep.map(col): _*)
   }
 
   private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,

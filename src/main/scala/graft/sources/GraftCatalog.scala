@@ -174,6 +174,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           val sql = dv.getSql
           b.putString("CURRENT_DEFAULT", sql).putString("EXISTS_DEFAULT", sql)
         }
+        Option(c.comment()).filter(_.nonEmpty).foreach(b.putString("comment", _))
         // GENERATED ALWAYS AS (expr) persists under Delta's key; every
         // write path computes/validates it (graft.delta.GeneratedColumns)
         Option(c.generationExpression()).filter(_.nonEmpty).foreach(g =>
@@ -276,7 +277,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case s: TableChange.SetProperty =>
         dt.updateConfiguration(Map(s.property -> s.value))
       case u: TableChange.RemoveProperty =>
-        dt.updateConfiguration(Map(u.property -> null))
+        dt.updateConfiguration(Map.empty, remove = Seq(u.property))
+      // COMMENT ON COLUMN / ALTER COLUMN ... COMMENT: metadata-only commit
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1, "nested comment unsupported")
+        dt.setColumnComment(c.fieldNames.head, Option(c.newComment()))
+      // ALTER COLUMN ... SET/DROP NOT NULL: relaxing is metadata-only;
+      // tightening validates existing rows first (one distributed count)
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.fieldNames.length == 1, "nested nullability unsupported")
+        dt.setColumnNullability(n.fieldNames.head, n.nullable())
       // Same-type "change" is a no-op; a REAL type change would rewrite or
       // upcast-on-read every existing file — refused with the actionable
       // alternative.

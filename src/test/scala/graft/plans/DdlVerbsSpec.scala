@@ -22,6 +22,58 @@ class DdlVerbsSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("column comments: CREATE carries them, COMMENT ON / ALTER COLUMN updates them") {
+    setup()
+    val t = s"$cat.ddl.cmt"
+    spark.sql(s"CREATE TABLE $t (id BIGINT COMMENT 'the key', v STRING)")
+    def commentOf(c: String): String =
+      spark.table(t).schema(c).getComment().getOrElse("")
+    assert(commentOf("id") == "the key")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v COMMENT 'payload'")
+    assert(commentOf("v") == "payload")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id COMMENT 'renumbered'")
+    assert(commentOf("id") == "renumbered")
+  }
+
+  test("ALTER COLUMN SET/DROP NOT NULL: tighten validates, writes enforce values") {
+    setup()
+    val t = s"$cat.ddl.nn"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, NULL)")
+    val dt = graft.delta.DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/ddl/nn")
+    // Spark's own analyzer refuses nullable→non-nullable for V2 tables, so
+    // TIGHTENING is the programmatic API's job; it validates existing rows.
+    val e = intercept[graft.delta.ValidationException] {
+      dt.setColumnNullability("v", nullable = false)
+    }
+    assert(e.getMessage.contains("NULL"))
+    spark.sql(s"UPDATE $t SET v = 'b' WHERE v IS NULL")
+    dt.setColumnNullability("v", nullable = false)
+    assert(!spark.table(t).schema("v").nullable)
+    // future writes enforce: a NULL value refuses, nothing commits
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (3, NULL)")
+    }
+    assert(e2.getMessage != null)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    // relax again: NULLs flow
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v DROP NOT NULL")
+    spark.sql(s"INSERT INTO $t VALUES (3, NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+  }
+
+  test("ALTER TABLE UNSET TBLPROPERTIES removes the key cleanly") {
+    setup()
+    val t = s"$cat.ddl.unset"
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('k1' = 'v1')")
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('k1')")
+    val dt = graft.delta.DeltaTable.forPath(spark,
+      GraftSql.warehousePath(spark).get + "/ddl/unset")
+    assert(!dt.metaSnapshot().configuration.contains("k1"))
+  }
+
   test("TRUNCATE TABLE removes every row in one commit; history survives") {
     setup()
     val t = s"$cat.ddl.trunc"
