@@ -2115,7 +2115,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       val snap = snapshot()
       if (!snap.schema.fieldNames.contains(name))
         throw new ValidationException(s"no such column: $name")
-      if (!nullable && !toDF(snap).filter(col(name).isNull).isEmpty)
+      if (!nullable && !toDF(snap)
+          .filter(col(s"`${name.replace("`", "``")}`").isNull).isEmpty)
         throw new ValidationException(
           s"cannot SET NOT NULL on '$name': existing rows hold NULL")
       val newFields = snap.schema.fields.map { f =>
@@ -2163,7 +2164,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           IdentityColumns.assignedExtreme(s, snap.activeFiles)
         else None
       val extreme = statExtreme.orElse {
-        val agg = if (s.step > 0) max(col(s.name)) else min(col(s.name))
+        val idCol = col(s"`${s.name.replace("`", "``")}`")
+        val agg = if (s.step > 0) max(idCol) else min(idCol)
         Option(toDF(snap).agg(agg).head().get(0)).map(_.asInstanceOf[Long])
       }
       extreme.map(s.name -> _)

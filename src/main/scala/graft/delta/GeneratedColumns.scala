@@ -80,7 +80,8 @@ object GeneratedColumns {
     exprs(schema).foldLeft(df) { case (acc, (n, e)) =>
       val computed = expr(e).cast(schema(n).dataType)
       acc.withColumn(n,
-        gate.fold(computed)(g => when(g, computed).otherwise(col(n))))
+        gate.fold(computed)(g =>
+        when(g, computed).otherwise(col(s"`${n.replace("`", "``")}`"))))
     }
 
   /** Compute the generated columns NOT in `provided` over `df` (which must

@@ -341,7 +341,7 @@ object Merge {
     // declaration the row never actually violates
     val keep = schema.fields.map(_.name).filter(n =>
       providedByAny(n) || GeneratedColumns.names(schema)(n))
-    full.select(keep.map(col): _*)
+    full.select(keep.map(n => col(s"`${n.replace("`", "``")}`")): _*)
   }
 
   /** Generated columns are computed and identity columns engine-assigned —
@@ -801,7 +801,7 @@ object Merge {
       schema, srcCols.toSet)
     val keep = schema.fields.map(_.name).filter(n =>
       srcCols.contains(n) || GeneratedColumns.names(schema)(n))
-    full.select(keep.map(col): _*)
+    full.select(keep.map(n => col(s"`${n.replace("`", "``")}`")): _*)
   }
 
   private def antiJoinUnmatched(table: DeltaTable, snap: Snapshot,
