@@ -24,11 +24,13 @@ import org.json4s.jackson.JsonMethods
  * carries a tail-replay conflict ([[DeltaTable.write]]'s
  * `tailInfoConflict`): inside the OCC loop, any same-source INGEST commit
  * that landed after this loader's skip-list was computed and whose file
- * keys overlap the chunk aborts the commit; the loader then re-diffs its
- * skip-list against the new log tail and retries with only the still-fresh
- * files. Two racing `graft_ingest` calls on the same source therefore load
- * every file exactly once (one wins each overlapping chunk, the other
- * skips it) instead of silently double-loading.
+ * keys overlap ANY of the loader's not-yet-committed files (the union of
+ * the remaining chunks, not just the one being committed — racing loaders
+ * may chunk the listing differently) aborts the commit; the loader then
+ * re-diffs its skip-list against the new log tail and retries with only
+ * the still-fresh files. Two racing `graft_ingest` calls on the same
+ * source therefore load every file exactly once (one wins each
+ * overlapping chunk, the other skips it) instead of silently double-loading.
  *
  * Retention caveat (same class as Delta's own COPY INTO state): the
  * skip-list spans the RETAINED commit history. If log cleanup drops
@@ -81,7 +83,11 @@ object Ingest {
     }.toSet
 
   def run(spark: SparkSession, table: DeltaTable, sourceDir: String,
-          format: String = "parquet", chunkFiles: Int = 1000): IngestResult = {
+          format: String = "parquet", chunkFiles: Int = 1000,
+          // test seam: invoked with the chunk ordinal just before that
+          // chunk's first commit attempt (lets a spec interleave a racing
+          // same-source ingest at the exact window the conflict guards)
+          beforeChunkCommit: Int => Unit = _ => ()): IngestResult = {
     val src = new Path(sourceDir)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(src)) throw new ValidationException(
@@ -99,11 +105,20 @@ object Ingest {
       fileKey(s.getPath.getName, s.getLen, s.getModificationTime)
     val (fresh, skipped) = listed.partition(s => !seen(keyOf(s)))
     var skippedN = skipped.size.toLong
+    // Keys of every not-yet-committed fresh file — the WHOLE remainder of
+    // this loader's work, not just the current chunk. The conflict
+    // predicate scans against this union: a racing same-source commit that
+    // lands below OUR chunk commit but overlaps only a LATER chunk (the
+    // two loaders' listings or chunk boundaries may differ) still aborts,
+    // so advancing coveredV past our own commit can never hide it. Scoping
+    // the predicate to the current chunk's keys alone had exactly that
+    // hole — the later chunk would double-load.
+    var remaining: Set[String] = fresh.map(keyOf).toSet
 
     var files = 0L
     var version = table.version
     val committed = Seq.newBuilder[Long]
-    fresh.grouped(chunkFiles).foreach { chunk0 =>
+    fresh.grouped(chunkFiles).zipWithIndex.foreach { case (chunk0, chunkNo) =>
       var chunk = chunk0
       var done = false
       while (!done) {
@@ -115,6 +130,7 @@ object Ingest {
           val df = spark.read.format(format).load(paths: _*)
           val keysJson = JsonMethods.compact(JsonMethods.render(
             JArray(chunkKeys.toList.sorted.map(JString(_)))))
+          beforeChunkCommit(chunkNo)
           try {
             version = table.write(df, "append", opInfo = Some((Operation, Map(
               SourceKey -> srcNorm,
@@ -123,10 +139,13 @@ object Ingest {
               tailInfoConflict = Some((coveredV, ci =>
                 sameSource(ci, srcNorm) &&
                   ci.operationParameters.get(FilesKey).toSeq
-                    .flatMap(parseKeys).exists(chunkKeys))))
+                    .flatMap(parseKeys).exists(remaining))))
             committed += version
             files += chunk.size
-            // our own commit is the head; everything ≤ it was conflict-scanned
+            remaining --= chunkKeys
+            // Our own commit is the head; everything ≤ it was conflict-
+            // scanned against the FULL remainder, so no racer below it can
+            // overlap any chunk still to come.
             coveredV = version
             done = true
           } catch {
@@ -139,6 +158,7 @@ object Ingest {
               // the other order would leave it in neither).
               coveredV = table.version
               seen = ingestedKeys(table, srcNorm)
+              remaining = remaining.filterNot(seen)
               skippedN += chunk.count(s => seen(keyOf(s)))
           }
         }

@@ -149,6 +149,44 @@ class IngestSpec extends SparkTestBase {
       s"a file identity was committed twice: ${keysPerCommit.diff(keysPerCommit.distinct)}")
   }
 
+  test("racer overlapping only a LATER chunk still conflicts (cross-chunk exactly-once)") {
+    // Regression (round-13): the conflict predicate used to cover only the
+    // CURRENT chunk's keys, and a successful chunk commit advanced the
+    // scan floor past its own version. A racer whose listing differed —
+    // it loaded ONLY f1 (our chunk #2) between our skip-list build and
+    // our chunk-#1 commit — landed below our first commit, overlapped no
+    // key of chunk #1, and was then never scanned again: f1 double-loaded.
+    // The predicate now covers the union of all REMAINING fresh keys.
+    val src = tmp("graft-ingest-xchunk")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-xchunkt"))
+    t.write(Seq(-1L).toDF("id"))
+    writeSrc(src, "f0.parquet", 0 until 10)
+    writeSrc(src, "f1.parquet", 10 until 20)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val f1 = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$src/f1.parquet"))
+    val f1Key = s"${f1.getPath.getName}|${f1.getLen}|${f1.getModificationTime}"
+
+    var raced = false
+    val r = Ingest.run(spark, t, src, chunkFiles = 1, beforeChunkCommit = { n =>
+      if (n == 0 && !raced) {
+        raced = true
+        // the racer: a loader that listed ONLY f1 and committed it
+        t.write(spark.read.parquet(s"$src/f1.parquet"), "append",
+          opInfo = Some((Ingest.Operation, Map(
+            "source" -> src,
+            "ingestFiles" -> s"""["$f1Key"]""",
+            "format" -> "parquet"))))
+      }
+    })
+    // our loader must detect the racer's f1 and load ONLY f0
+    assert(r.filesIngested == 1, s"expected exactly one fresh load, got $r")
+    assert(t.toDF().filter(col("id") >= 0).count() == 20L,
+      "each file's rows must appear exactly once (f1 double-loaded?)")
+    val again = Ingest.run(spark, t, src)
+    assert(again.filesIngested == 0 && again.filesSkipped == 2)
+  }
+
   test("graft_ingest TVF drives the same verb through SQL") {
     val spark2 = spark
     import graft.plans.GraftSql
