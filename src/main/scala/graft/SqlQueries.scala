@@ -709,7 +709,7 @@ object SqlQueries {
 
   /** Identity columns (round 12): GENERATED ALWAYS AS IDENTITY assigns
     * lattice values from the high-water mark across two appends. The
-    * INSERT's ORDER BY makes assignment order deterministic (zipWithIndex
+    * INSERT's ORDER BY makes assignment order deterministic (allocation
     * follows the sorted global row order), so the oracle can re-derive
     * every value with row_number() — pairing included, not just the set. */
   def sqlIdentityColumns(s: SparkSession, dir: String): DataFrame = {

@@ -401,8 +401,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       else aligned
     // Identity columns: NULL (or absent) values get assigned from the
     // high-water mark per row; non-null values refuse unless BY DEFAULT
-    // (one zipWithIndex pass; the mark advances in THIS commit, and a
-    // racer advancing it first conflicts below).
+    // (two-phase vectorized allocation — IdentityColumns.assign; the mark
+    // advances in THIS commit, and a racer advancing it first conflicts
+    // below).
     val idSpecs = IdentityColumns.specs(targetSchema)
     val toWrite =
       if (idSpecs.isEmpty) optimized
