@@ -588,11 +588,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (extra.nonEmpty) throw new ValidationException(
       "replaceWhere does not evolve the schema; unknown column(s): " +
         extra.mkString(", "))
-    assertIdentityProvided(snap.schema, data.schema.fieldNames, "replaceWhere")
-    val aligned = alignTo(data, snap.schema)
+    // Identity columns the data omits (or leaves NULL) are allocated from
+    // the high-water mark — same two-phase allocator as the append path;
+    // GENERATED ALWAYS refuses non-null provided values per row. The
+    // commit re-checks the mark (idAlloc) and advances it past the
+    // furthest landed value.
+    val idSpecs = IdentityColumns.specs(snap.schema)
+    val dataId =
+      if (idSpecs.isEmpty) data
+      else IdentityColumns.assign(spark, data, idSpecs)
+    val aligned = alignTo(dataId, snap.schema)
     // The guard may reference columns a sparse insert omits — backfill
     // NULL for evaluation only; the written frame stays sparse.
-    val present = data.schema.fieldNames.toSet
+    val present = dataId.schema.fieldNames.toSet
     val missing = snap.schema.fields.filterNot(f => present(f.name))
     val obs = org.apache.spark.sql.Observation()
     val observed = missing.foldLeft(aligned)((acc, f) =>
@@ -608,7 +616,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         s"replaceWhere: $outside inserted row(s) do not satisfy the " +
           "replacement condition — they would land outside the replaced region")
     }
-    commitReplaceWhereAdds(snap, condition, newAdds)
+    commitReplaceWhereAdds(snap, condition, newAdds,
+      enforcedConstraints = checkConstraints(snap), idAlloc = idSpecs)
   }
 
   /** Identity columns are system-assigned: DML cannot SET them (Delta's
@@ -621,21 +630,6 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         "assigned by the engine"))
   }
 
-  /** Writes that cannot ASSIGN identity values (anything but the append
-    * path) must carry them explicitly — and only BY DEFAULT columns
-    * accept explicit values. An omitted identity column would land NULL,
-    * breaking the column's contract silently. */
-  private[graft] def assertIdentityProvided(schema: StructType,
-      present: Seq[String], op: String): Unit = {
-    val ids = IdentityColumns.names(schema)
-    ids.filterNot(present.contains).foreach(n =>
-      throw new ValidationException(
-        s"$op cannot assign identity values; include column '$n' with " +
-          "explicit values (GENERATED BY DEFAULT AS IDENTITY) or use a " +
-          "plain append, which assigns them"))
-    IdentityColumns.validateProvided(schema, present.filter(ids), op)
-  }
-
   /** Commit core of [[replaceWhere]] over ALREADY-WRITTEN new adds —
     * shared by the staged path above and the direct (task-side) write.
     * The caller guarantees every row in `newAdds` satisfies `condition`
@@ -643,7 +637,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * a per-row task predicate). Rewrites the kept remainder of matched
     * files, commits atomically with the region conflict, captures CDC. */
   private[graft] def commitReplaceWhereAdds(snap: Snapshot,
-      condition: Column, newAdds: Seq[AddFile]): DmlResult = {
+      condition: Column, newAdds: Seq[AddFile],
+      // constraint set enforced when the new rows were written (staged
+      // path: the staging snapshot's; direct path: the plan-time set the
+      // tasks evaluated) — anything added since re-validates at commit
+      enforcedConstraints: Map[String, String] = Map.empty,
+      // specs identity values were allocated from (staged path only; the
+      // direct path refuses identity tables at plan time)
+      idAlloc: Seq[IdentityColumns.Spec] = Nil): DmlResult = {
     val pred = coalesce(condition, lit(false))
     val pruneFilter = graft.sources.ExprFilters.pruneJson(condition)
     val candidates = snap.activeFiles
@@ -657,7 +658,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       FilePruner.compile(pruneFilter, snap.partitionColumns.toSet, snap.schema)
     val v = commitRewrite(snap, matchedFiles.toSet, keepAdds ++ newAdds,
       "WRITE-REPLACE-WHERE",
-      tailAddConflict = Some(a => a.dataChange && regionKeep(a)))
+      tailAddConflict = Some(a => a.dataChange && regionKeep(a)),
+      idAlloc = idAlloc,
+      lateConstraints = Some((enforcedConstraints, newAdds)))
     if (cdcConfigured(snap)) {
       // CDC inserts read back the COMMITTED adds (never re-run the input
       // query: a non-deterministic source — uuid(), rand(), a view that
@@ -704,18 +707,25 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     if (missingPart.nonEmpty) throw new ValidationException(
       "dynamic partition overwrite requires the partition column(s) in the " +
         s"data: missing ${missingPart.mkString(", ")}")
-    assertIdentityProvided(snap0.schema, data.schema.fieldNames,
-      "dynamic partition overwrite")
-    val aligned = alignTo(data, snap0.schema)
+    // Identity allocation — same rule as replaceWhere above.
+    val idSpecs = IdentityColumns.specs(snap0.schema)
+    val dataId =
+      if (idSpecs.isEmpty) data
+      else IdentityColumns.assign(spark, data, idSpecs)
+    val aligned = alignTo(dataId, snap0.schema)
     val adds = writeDataFiles(aligned, snap0.partitionColumns, snap0.schema)
-    commitDynamicOverwriteAdds(snap0, adds)
+    commitDynamicOverwriteAdds(snap0, adds,
+      enforcedConstraints = checkConstraints(snap0), idAlloc = idSpecs)
   }
 
   /** Commit core of [[overwritePartitionsDynamic]] over ALREADY-WRITTEN
     * adds — shared by the staged path above and the direct (task-side)
     * write, which lands its parquet before this runs. */
   private[graft] def commitDynamicOverwriteAdds(snap0: Snapshot,
-                                                adds: Seq[AddFile]): Long = {
+                                                adds: Seq[AddFile],
+                                                // see commitReplaceWhereAdds
+                                                enforcedConstraints: Map[String, String] = Map.empty,
+                                                idAlloc: Seq[IdentityColumns.Spec] = Nil): Long = {
     val written: Set[Map[String, String]] = adds.map(_.partitionValues).toSet
     if (written.isEmpty) // empty input replaces nothing (Spark semantics)
       return appendCommit(Nil, "WRITE-DYNAMIC-OVERWRITE")
@@ -726,7 +736,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .map(f => new Path(tablePath, f.path).toUri.getPath).toSet
     val v = commitRewrite(replaced, rewrittenAbs, adds,
       "WRITE-DYNAMIC-OVERWRITE",
-      tailAddConflict = Some(a => a.dataChange && written.contains(a.partitionValues)))
+      tailAddConflict = Some(a => a.dataChange && written.contains(a.partitionValues)),
+      idAlloc = idAlloc,
+      lateConstraints = Some((enforcedConstraints, adds)))
     if (cdcConfigured(snap0)) {
       // Read back the COMMITTED adds for the insert image (see
       // replaceWhere — re-running a non-deterministic source would
@@ -1031,6 +1043,53 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Identity-mark catch-up for commits that LAND identity values outside
+    * the append path (merge inserts, replaceWhere, dynamic partition
+    * overwrite): the metaData action advancing each identity column's
+    * high-water mark past the furthest value `adds` carry (footer stats —
+    * no scan), computed against the COMMIT-TIME metadata inside the OCC
+    * loop. None when nothing moves — the overwhelmingly common case,
+    * short-circuited by a substring test before any schema parse. Without
+    * this, an explicit BY DEFAULT value landed by MERGE beyond the mark
+    * would silently collide with a later append's assignments. */
+  private[delta] def identityMarkCatchUp(metadata: Option[TableMetadata],
+      adds: Seq[AddFile]): Option[TableMetadata] =
+    metadata.filter(m => adds.nonEmpty &&
+        m.schemaString.contains(IdentityColumns.StartKey)).flatMap { m =>
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(m.schemaString).asInstanceOf[StructType]
+      val marks = IdentityColumns.specs(schema).flatMap { s =>
+        IdentityColumns.assignedExtreme(s, adds).collect {
+          case ext if s.highWaterMark.forall(h =>
+            if (s.step > 0) ext > h else ext < h) => s.name -> ext
+        }
+      }.toMap
+      if (marks.isEmpty) None
+      else Some(m.copy(schemaString =
+        IdentityColumns.withHighWaterMarks(schema, marks).json))
+    }
+
+  /** Allocation-race guard for non-append commits that ASSIGNED identity
+    * values (merge inserts): the values were assigned from `atAlloc`'s
+    * marks, so a racer who advanced a mark since committed values ours
+    * would duplicate. Permanent conflict — the staged adds are deleted and
+    * the whole operation must re-run from a fresh snapshot (same rule as
+    * the append path's in-loop re-check). */
+  private[delta] def assertIdentityAllocUnmoved(
+      atAlloc: Seq[IdentityColumns.Spec],
+      metadata: Option[TableMetadata], adds: Seq[AddFile]): Unit =
+    if (atAlloc.nonEmpty && metadata.nonEmpty) {
+      val cur = IdentityColumns.specs(org.apache.spark.sql.types.DataType
+          .fromJson(metadata.get.schemaString).asInstanceOf[StructType])
+        .map(s => s.name -> s.highWaterMark).toMap
+      atAlloc.foreach { s0 =>
+        if (cur.getOrElse(s0.name, s0.highWaterMark) != s0.highWaterMark) {
+          adds.foreach(a => deleteDataFile(a.path))
+          throw new IdentityAllocationConflictException(s0.name)
+        }
+      }
+    }
+
   private def writeDataFilesRaw(df: DataFrame, partCols: Seq[String],
                                 schema: StructType): Seq[AddFile] = {
     // Column mapping: data files always store PHYSICAL names. Incoming
@@ -1321,7 +1380,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   private[delta] def commitDvMask(snapAtRead: Snapshot,
                                   dvByPath: Map[String, Array[Byte]],
                                   extraAdds: Seq[AddFile], op: String,
-                                  nMatched: Long): Long = {
+                                  nMatched: Long,
+                                  // specs the caller assigned identity
+                                  // values from (MoR merge inserts) — mark
+                                  // re-checked in the OCC loop
+                                  idAlloc: Seq[IdentityColumns.Spec] = Nil): Long = {
     val relByAbs = snapAtRead.activeFiles
       .map(f => new Path(tablePath, f.path).toUri.getPath -> f.path).toMap
     val maskedRel: Map[String, Array[Byte]] = dvByPath.map { case (abs, dv) =>
@@ -1349,6 +1412,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       ProtocolSupport.assertWritable(
         snapAtRead.copy(metadata = metadata, protocol = protocol), path)
       DeltaTable.assertNotAppendOnly(snapAtRead.copy(metadata = metadata), op)
+      assertIdentityAllocUnmoved(idAlloc, metadata, extraAdds)
+      val catchUp = identityMarkCatchUp(metadata, extraAdds)
       val now = System.currentTimeMillis()
       val touched = maskedRel.keySet.toSeq.sorted.map(records)
       val removes = touched.map(f => RemoveFile(f.path, now))
@@ -1363,7 +1428,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
       val vN = cur + 1
       log.writeCommit(vN,
-        (removes: Seq[Action]) ++ (dvAdds: Seq[Action]) ++ (extraAdds: Seq[Action]) :+
+        (catchUp.toSeq: Seq[Action]) ++ (removes: Seq[Action]) ++
+          (dvAdds: Seq[Action]) ++ (extraAdds: Seq[Action]) :+
           CommitInfo(now, op, Map("mode" -> "deletion-vectors",
             "numMatchedRows" -> nMatched.toString,
             "numDvFiles" -> touched.size.toString,
@@ -1598,13 +1664,28 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Append-only commit of pre-written files (used by merge inserts).
-    * Needs only the next version number — never any snapshot state. */
-  private[delta] def appendCommit(adds: Seq[AddFile], op: String): Long =
+    * Plain tables need only the next version number — never any snapshot
+    * state. Identity-bearing tables (detected via `snapAtRead`) resolve the
+    * CURRENT metadata by tail replay inside the loop: values the caller
+    * assigned from the read-time mark conflict if a racer moved it
+    * (`idAlloc`), and explicit values beyond the mark advance it in the
+    * same commit. */
+  private[delta] def appendCommit(adds: Seq[AddFile], op: String,
+      snapAtRead: Option[Snapshot] = None,
+      idAlloc: Seq[IdentityColumns.Spec] = Nil): Long =
     Retry.withRetry() {
-      val v = log.latestVersion() + 1
+      val identityTable = snapAtRead.exists(_.metadata.exists(
+        _.schemaString.contains(IdentityColumns.StartKey)))
+      val (v, catchUp) =
+        if (!identityTable) (log.latestVersion() + 1, None)
+        else {
+          val (cur, _, metadata, _) = tailState(snapAtRead.get, Set.empty)
+          assertIdentityAllocUnmoved(idAlloc, metadata, adds)
+          (cur + 1, identityMarkCatchUp(metadata, adds))
+        }
       val now = System.currentTimeMillis()
-      log.writeCommit(v, (adds: Seq[Action]) ++ Seq[Action](
-        CommitInfo(now, op, Map("numFiles" -> adds.size.toString))))
+      log.writeCommit(v, (catchUp.toSeq: Seq[Action]) ++ (adds: Seq[Action]) ++
+        Seq[Action](CommitInfo(now, op, Map("numFiles" -> adds.size.toString))))
       maybeCheckpoint(v)
       v
     }
@@ -1691,15 +1772,24 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 
   /** Commit a rewrite: removes for the rewritten files, adds for their
     * replacements. `rewrittenAbs` holds absolute `file:` URIs from
-    * `_metadata.file_path`. */
+    * `_metadata.file_path`. `idAlloc`: specs the caller ASSIGNED identity
+    * values from (merge inserts) — the commit re-checks the marks in its
+    * OCC loop and conflicts if a racer moved them. `lateConstraints`:
+    * (enforced-at-staging set, new adds) — any CHECK constraint added by a
+    * concurrent commit since re-validates the new adds before this commit
+    * lands (the add-constraint race; appends never file-conflict, and a
+    * rewrite only conflicts on its own files/region). */
   private[delta] def commitFileRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
                                        adds: Seq[AddFile], op: String,
-                                       tailAddConflict: Option[AddFile => Boolean] = None): Long =
-    commitRewrite(snapAtRead, rewrittenAbs, adds, op, tailAddConflict)
+                                       tailAddConflict: Option[AddFile => Boolean] = None,
+                                       idAlloc: Seq[IdentityColumns.Spec] = Nil): Long =
+    commitRewrite(snapAtRead, rewrittenAbs, adds, op, tailAddConflict, idAlloc)
 
   private def commitRewrite(snapAtRead: Snapshot, rewrittenAbs: Set[String],
                             adds: Seq[AddFile], op: String,
-                            tailAddConflict: Option[AddFile => Boolean] = None): Long = {
+                            tailAddConflict: Option[AddFile => Boolean] = None,
+                            idAlloc: Seq[IdentityColumns.Spec] = Nil,
+                            lateConstraints: Option[(Map[String, String], Seq[AddFile])] = None): Long = {
     // Normalize once into a set: an `exists` over rewrittenAbs inside this
     // filter would be O(activeFiles × rewritten) string compares — a driver
     // CPU blow-up at 10⁶ files.
@@ -1751,11 +1841,37 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         snapAtRead.copy(metadata = metadata, protocol = protocol), path)
       DeltaTable.assertNotAppendOnly(
         snapAtRead.copy(metadata = metadata), op)
+      // Identity allocation race (merge inserts assigned from the read-time
+      // mark) — permanent conflict if the commit-time mark moved.
+      assertIdentityAllocUnmoved(idAlloc, metadata, adds)
+      // A CHECK constraint added since the caller staged its new rows
+      // re-validates them (add-constraint race — a metadata commit never
+      // file-conflicts with this rewrite). Only the NEW adds re-validate:
+      // kept-row rewrites carry rows the constraint's own ADD-time
+      // validation scan already covered.
+      lateConstraints.foreach { case (enforced, newAdds) =>
+        val late = checkConstraints(
+          snapAtRead.copy(metadata = metadata)) -- enforced.keys
+        if (late.nonEmpty && newAdds.nonEmpty) {
+          val staged = toDF(Snapshot(cur, metadata, protocol, newAdds, Nil))
+          late.foreach { case (n, e) =>
+            if (!staged.filter(!expr(e)).isEmpty) {
+              adds.foreach(a => deleteDataFile(a.path))
+              throw new ValidationException(
+                s"CHECK constraint '$n' ($e) was added by a concurrent " +
+                  "commit and the staged rows violate it")
+            }
+          }
+        }
+      }
+      // Identity-mark catch-up: explicit (or merge-assigned) values beyond
+      // the mark advance it in THIS commit.
+      val catchUp = identityMarkCatchUp(metadata, adds)
       val now = System.currentTimeMillis()
       val removes = rewrittenRel.toSeq.sorted.map(p => RemoveFile(p, now))
       val v = cur + 1
-      log.writeCommit(v, removes ++ adds :+ CommitInfo(now, op,
-        Map("numRewrittenFiles" -> removes.size.toString)))
+      log.writeCommit(v, (catchUp.toSeq: Seq[Action]) ++ removes ++ adds :+
+        CommitInfo(now, op, Map("numRewrittenFiles" -> removes.size.toString)))
       maybeCheckpoint(v)
       v
     }

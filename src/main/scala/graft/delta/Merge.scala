@@ -112,12 +112,20 @@ object Merge {
 
     val insertUnmatched = inserts.nonEmpty
 
+    // Identity columns: insert images get values allocated from the
+    // high-water mark (Delta's MERGE INSERT behavior); the commit
+    // re-checks the mark in its OCC loop and advances it.
+    val idSpecs = IdentityColumns.specs(schema)
+    def allocInserts(df: DataFrame): DataFrame =
+      if (idSpecs.isEmpty) df else IdentityColumns.assign(spark, df, idSpecs)
+
     // Empty active set: `_metadata` cannot resolve on the empty relation
     // toDF returns, and semantically every source row is an insert.
     if (snap.activeFiles.isEmpty) {
       val inserted =
         if (!insertUnmatched) 0L
-        else commitInsertRows(table, snap, buildInserts(src, inserts, schema, srcCols))
+        else commitInsertRows(table, snap,
+          allocInserts(buildInserts(src, inserts, schema, srcCols)), idSpecs)
       return MergeResult(0L, 0L, inserted, table.version)
     }
 
@@ -209,9 +217,9 @@ object Merge {
     // target rows via `<=>` and be INSERTED — one row, two effects.
     val insertFiles =
       if (!insertUnmatched) Nil
-      else writeInsertFiles(table, snap,
+      else writeInsertFiles(table, snap, allocInserts(
         buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
-          inserts, schema, srcCols))
+          inserts, schema, srcCols)))
     val inserted = insertFiles.map(_._2).sum
 
     // ONE commit covering the rewrite AND the inserts: MERGE is atomic, so
@@ -239,18 +247,26 @@ object Merge {
         }
       val insertPart =
         if (insertFiles.isEmpty) Nil
+        else if (idSpecs.nonEmpty)
+          // allocated identity values are nondeterministic — read back the
+          // COMMITTED insert files instead of re-running the allocator
+          Seq(table.toDF(Snapshot(snap.version, snap.metadata, snap.protocol,
+              insertFiles.map(_._1), Nil))
+            .withColumn(Cdc.ChangeType, lit("insert")))
         else Seq(
           buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
             inserts, schema, srcCols)
           .withColumn(Cdc.ChangeType, lit("insert")))
       deletePart ++ updatePart ++ insertPart
     }
+    val insertAlloc = if (insertFiles.nonEmpty) idSpecs else Nil
     if (touchedFiles.nonEmpty) {
       val v = table.commitFileRewrite(snap, touchedFiles.toSet,
-        rewriteAdds ++ insertFiles.map(_._1), "MERGE")
+        rewriteAdds ++ insertFiles.map(_._1), "MERGE", idAlloc = insertAlloc)
       captureMergeCdc(table, snap, v, cdcParts)
     } else if (insertFiles.nonEmpty) {
-      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT")
+      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT",
+        Some(snap), insertAlloc)
       captureMergeCdc(table, snap, v, cdcParts)
     }
     MergeResult(upds, dels, inserted, table.version)
@@ -322,13 +338,11 @@ object Merge {
         v.map(e => when(eff, e).otherwise(acc)).getOrElse(acc)
       }.cast(f.dataType).as(f.name)
     }
-    // identity columns: every insert clause must provide them (assignment
-    // is an append-path operation), and only BY DEFAULT accepts values
+    // identity columns a clause PROVIDES must be BY DEFAULT (GENERATED
+    // ALWAYS refuses explicit values — Delta's rule); columns NO clause
+    // provides are omitted from the image here and ALLOCATED from the
+    // high-water mark by the caller (Delta's MERGE INSERT behavior)
     val ids = IdentityColumns.names(schema)
-    ids.filterNot(providedByAny).foreach(n =>
-      throw new ValidationException(
-        s"MERGE inserts cannot assign identity values; every insert " +
-          s"clause must provide column '$n' (GENERATED BY DEFAULT AS IDENTITY)"))
     IdentityColumns.validateProvided(schema, ids.filter(providedByAny), "MERGE INSERT")
     // generated columns NO insert clause provides are computed from the
     // built row; clause-provided ones keep their value (validated at write)
@@ -405,10 +419,17 @@ object Merge {
     }
 
   /** Align `newRows` to the table schema (missing columns null, present ones
-    * cast), write, commit, and count from the written files' own stats. */
+    * cast), allocate omitted identity columns, write, commit, and count
+    * from the written files' own stats. */
   private def writeInserts(table: DeltaTable, snap: Snapshot,
-                           newRows: DataFrame, srcCols: Seq[String]): Long =
-    commitInsertRows(table, snap, alignToSchema(newRows, snap.schema, srcCols))
+                           newRows: DataFrame, srcCols: Seq[String]): Long = {
+    val specs = IdentityColumns.specs(snap.schema)
+    val aligned = alignToSchema(newRows, snap.schema, srcCols)
+    commitInsertRows(table, snap,
+      if (specs.isEmpty) aligned
+      else IdentityColumns.assign(table.spark, aligned, specs),
+      specs)
+  }
 
   /** Write already-aligned rows WITHOUT committing: (AddFile, rowCount)
     * per non-empty file, zero-row part files deleted on the spot. The
@@ -424,14 +445,23 @@ object Merge {
 
   /** Write already-aligned rows, commit, count from written-file stats.
     * CDF-enabled tables get the inserts captured as `insert` change rows
-    * (reference: processMergeNoMatch, src/cdc/index.ts:1993-1999). */
+    * (reference: processMergeNoMatch, src/cdc/index.ts:1993-1999).
+    * `idAlloc`: specs identity values were allocated from — the commit
+    * re-checks the marks (racer conflict) and the CDC image reads back the
+    * committed files (re-running the allocator would assign fresh values). */
   private def commitInsertRows(table: DeltaTable, snap: Snapshot,
-                               aligned: DataFrame): Long = {
+                               aligned: DataFrame,
+                               idAlloc: Seq[IdentityColumns.Spec] = Nil): Long = {
     val nonEmpty = writeInsertFiles(table, snap, aligned)
     if (nonEmpty.nonEmpty) {
-      val v = table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT")
+      val v = table.appendCommit(nonEmpty.map(_._1), "MERGE-INSERT",
+        Some(snap), idAlloc)
+      val image =
+        if (idAlloc.isEmpty) aligned
+        else table.toDF(Snapshot(v, snap.metadata, snap.protocol,
+          nonEmpty.map(_._1), Nil))
       captureMergeCdc(table, snap, v,
-        Seq(aligned.withColumn(Cdc.ChangeType, lit("insert"))))
+        Seq(image.withColumn(Cdc.ChangeType, lit("insert"))))
     }
     nonEmpty.map(_._2).sum
   }
@@ -549,6 +579,7 @@ object Merge {
         (adds, upds, dels)
       }
 
+    val idSpecs = IdentityColumns.specs(schema)
     val insertFiles =
       if (!insertUnmatched) Nil
       else {
@@ -557,7 +588,10 @@ object Merge {
           .join(pairs.select(col("__srow").as("__mrow")).distinct(),
             col("__srow") <=> col("__mrow"), "left_anti")
           .select(srcCols.map(c => col(s"__srow.$c").as(c)): _*)
-        writeInsertFiles(table, snap, alignToSchema(unmatched, schema, srcCols))
+        val aligned = alignToSchema(unmatched, schema, srcCols)
+        writeInsertFiles(table, snap,
+          if (idSpecs.isEmpty) aligned
+          else IdentityColumns.assign(table.spark, aligned, idSpecs))
       }
     val inserted = insertFiles.map(_._2).sum
 
@@ -590,6 +624,12 @@ object Merge {
         }
       val insertPart =
         if (insertFiles.isEmpty) Nil
+        else if (idSpecs.nonEmpty)
+          // allocated identity values are nondeterministic — read back the
+          // committed insert files instead of re-running the allocator
+          Seq(table.toDF(Snapshot(snap.version, snap.metadata, snap.protocol,
+              insertFiles.map(_._1), Nil))
+            .withColumn(Cdc.ChangeType, lit("insert")))
         else {
           val unmatched = src
             .join(pairs.select(col("__srow").as("__mrow")).distinct(),
@@ -600,12 +640,14 @@ object Merge {
         }
       matchedPart ++ insertPart
     }
+    val insertAlloc = if (insertFiles.nonEmpty) idSpecs else Nil
     if (matchedFiles.nonEmpty) {
       val v = table.commitFileRewrite(snap, matchedFiles.toSet,
-        rewriteAdds ++ insertFiles.map(_._1), "MERGE")
+        rewriteAdds ++ insertFiles.map(_._1), "MERGE", idAlloc = insertAlloc)
       captureMergeCdc(table, snap, v, cdcParts)
     } else if (insertFiles.nonEmpty) {
-      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT")
+      val v = table.appendCommit(insertFiles.map(_._1), "MERGE-INSERT",
+        Some(snap), insertAlloc)
       captureMergeCdc(table, snap, v, cdcParts)
     }
     pairs.unpersist(false)
@@ -685,10 +727,15 @@ object Merge {
     val src = if (sqlSemantics) source else source.dropDuplicates(srcKeys)
     val srcCols = src.columns.toSeq
     val insertUnmatched = inserts.nonEmpty
+    // Identity allocation for insert images — see [[executeClauses]].
+    val idSpecs = IdentityColumns.specs(schema)
+    def allocInserts(df: DataFrame): DataFrame =
+      if (idSpecs.isEmpty) df else IdentityColumns.assign(table.spark, df, idSpecs)
     if (snap.activeFiles.isEmpty) {
       val inserted =
         if (!insertUnmatched) 0L
-        else commitInsertRows(table, snap, buildInserts(src, inserts, schema, srcCols))
+        else commitInsertRows(table, snap,
+          allocInserts(buildInserts(src, inserts, schema, srcCols)), idSpecs)
       return MergeResult(0L, 0L, inserted, table.version)
     }
     if (sqlSemantics && matchedClauses.nonEmpty)
@@ -738,19 +785,21 @@ object Merge {
         snap.partitionColumns, snap.schema)
     val insertsAligned =
       if (!insertUnmatched) None
-      else Some(buildInserts(
+      else Some(allocInserts(buildInserts(
         antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
-        inserts, schema, srcCols))
+        inserts, schema, srcCols)))
     val insertAdds = insertsAligned.toSeq.flatMap(df =>
       table.writeDataFiles(df, snap.partitionColumns, snap.schema))
     val inserted = insertAdds
       .flatMap(_.stats.flatMap(FileStats.fromJsonString)).map(_.numRecords).sum
     if (nMasked == 0 && insertAdds.isEmpty)
       return MergeResult(0L, 0L, 0L, table.version)
+    val insertAlloc = if (insertAdds.nonEmpty) idSpecs else Nil
     val v =
-      if (nMasked == 0) table.appendCommit(insertAdds, "MERGE-INSERT")
+      if (nMasked == 0) table.appendCommit(insertAdds, "MERGE-INSERT",
+        Some(snap), insertAlloc)
       else table.commitDvMask(snap, dvByPath,
-        imageAdds ++ insertAdds, "MERGE", nMasked)
+        imageAdds ++ insertAdds, "MERGE", nMasked, idAlloc = insertAlloc)
     captureMergeCdc(table, snap, v, {
       val deletePart: Seq[DataFrame] =
         if (dels == 0) Nil
@@ -770,8 +819,15 @@ object Merge {
               schema)
               .withColumn(Cdc.ChangeType, lit("update_postimage")))
         }
-      val insertPart = insertsAligned.filter(_ => inserted > 0)
-        .map(_.withColumn(Cdc.ChangeType, lit("insert"))).toSeq
+      val insertPart =
+        if (inserted == 0) Nil
+        else if (idSpecs.nonEmpty)
+          // allocated values are nondeterministic — read back the
+          // committed insert files (see executeClauses)
+          Seq(table.toDF(Snapshot(snap.version, snap.metadata, snap.protocol,
+              insertAdds, Nil))
+            .withColumn(Cdc.ChangeType, lit("insert")))
+        else insertsAligned.map(_.withColumn(Cdc.ChangeType, lit("insert"))).toSeq
       deletePart ++ updatePart ++ insertPart
     })
     MergeResult(upds, dels, inserted, v)
@@ -779,14 +835,10 @@ object Merge {
 
   private def alignToSchema(newRows: DataFrame, schema: org.apache.spark.sql.types.StructType,
                             srcCols: Seq[String]): DataFrame = {
-    // identity columns cannot be assigned here (merge inserts bypass the
-    // append path's allocator): the source must provide them explicitly,
-    // which only BY DEFAULT columns accept
+    // identity columns the source PROVIDES must be BY DEFAULT (GENERATED
+    // ALWAYS refuses explicit values); omitted ones are allocated by the
+    // caller from the high-water mark before the image is written
     val ids = IdentityColumns.names(schema)
-    ids.filterNot(srcCols.contains).foreach(n =>
-      throw new ValidationException(
-        s"MERGE inserts cannot assign identity values; the source must " +
-          s"provide column '$n' (GENERATED BY DEFAULT AS IDENTITY)"))
     IdentityColumns.validateProvided(schema, srcCols.filter(ids), "MERGE INSERT")
     // generated columns the source omits are COMPUTED (not null-filled);
     // source-provided ones keep their value and are validated at write.

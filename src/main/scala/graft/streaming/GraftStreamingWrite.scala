@@ -318,7 +318,8 @@ final class GraftDirectWrite(
         // commit core as the staged path, incl. the region conflict
         val snap0 = table.metaSnapshot()
         table.commitDynamicOverwriteAdds(snap0,
-          table.prepareStreamedAdds(rawAdds(messages), snap0))
+          table.prepareStreamedAdds(rawAdds(messages), snap0),
+          enforcedConstraints = enforcedConstraints)
       case GraftDirectWrite.ReplaceWhere(cond) =>
         // tasks proved every row satisfies the condition; the commit core
         // rewrites the kept remainder of matched files and applies the
@@ -327,7 +328,8 @@ final class GraftDirectWrite(
         val snap0 = table.scanState(None,
           graft.sources.ExprFilters.pruneJson(cond))
         table.commitReplaceWhereAdds(snap0, cond,
-          table.prepareStreamedAdds(rawAdds(messages), snap0))
+          table.prepareStreamedAdds(rawAdds(messages), snap0),
+          enforcedConstraints = enforcedConstraints)
     }
     GraftDirectWrite.batchCommits.incrementAndGet()
     ()
