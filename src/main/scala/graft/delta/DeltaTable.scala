@@ -405,6 +405,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // advances in THIS commit, and a racer advancing it first conflicts
     // below).
     val idSpecs = IdentityColumns.specs(targetSchema)
+    // Identity columns cannot partition (Delta's rule): partition columns
+    // carry no footer stats, so the mark could never advance — see the
+    // matching createTable guard in GraftCatalog.
+    idSpecs.map(_.name).filter(partCols.contains).foreach(n =>
+      throw new ValidationException(
+        s"identity column '$n' cannot be a partition column: partition " +
+          "columns carry no footer stats, so the high-water mark could " +
+          "never advance and appends would re-assign duplicate values"))
     val toWrite =
       if (idSpecs.isEmpty) optimized
       else alignTo(IdentityColumns.assign(spark, optimized, idSpecs),
@@ -2081,8 +2089,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         snap.activeFiles
       }
     val now = System.currentTimeMillis()
+    // The clone carries the SOURCE protocol (not a default one): a cloned
+    // generated-column or identity table must keep its writer-feature
+    // declaration, or feature-unaware writers could append to the clone
+    // without computing/assigning values. Legacy sources written before
+    // those declarations existed still get the floor the schema demands.
+    val srcProtocol = snap.protocol.getOrElse(Protocol())
+    val writerFloor =
+      if (IdentityColumns.hasAny(snap.schema)) 6
+      else if (GeneratedColumns.hasAny(snap.schema)) 4
+      else 2
+    val cloneProtocol =
+      if (srcProtocol.minWriterVersion >= writerFloor) srcProtocol
+      else srcProtocol.copy(minWriterVersion = writerFloor)
     target.log.writeCommit(0,
-      Seq[Action](Protocol(),
+      Seq[Action](cloneProtocol,
         m.copy(id = java.util.UUID.randomUUID().toString, createdTime = now)) ++
         (adds: Seq[Action]) :+
         CommitInfo(now, "CLONE", Map(

@@ -144,6 +144,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "CLUSTER BY cannot be combined with PARTITIONED BY")
     clusterCols.filterNot(schema.fieldNames.contains).headOption.foreach(c =>
       throw new ValidationException(s"CLUSTER BY column '$c' not in schema"))
+    // Identity columns cannot partition (Delta's rule): partition columns
+    // are excluded from data-file footer stats, so the high-water mark
+    // could never advance and every append would silently re-assign the
+    // same values from START WITH.
+    partCols.filter(graft.delta.IdentityColumns.names(schema)).headOption
+      .foreach(c => throw new ValidationException(
+        s"identity column '$c' cannot be a partition column: partition " +
+          "columns carry no footer stats, so the high-water mark could " +
+          "never advance and appends would re-assign duplicate values"))
     val p = tablePath(ident)
     fs(p).mkdirs(p)
     val dt = DeltaTable.forPath(spark, p.toString)
