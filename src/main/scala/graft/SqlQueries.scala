@@ -726,7 +726,34 @@ object SqlQueries {
     s.sql(s"SELECT rid, o_orderkey, o_totalprice FROM $t ORDER BY rid")
   }
 
+  /** Map-typed columns through the GENERAL subquery-DML fallback (round
+    * 13): the table carries a MAP column and the DELETE predicate is an OR
+    * of two subqueries — a shape only the full-row fallback covers, which
+    * used to refuse map columns (maps cannot join or DISTINCT). Full-row
+    * matching now keys the map on a canonical JSON encoding on both sides.
+    * The oracle re-derives the survivors (and the map's values, read back
+    * through element_at) from the base tables. */
+  def sqlMapSubqueryDml(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "mapdml")
+    val li = view(s, dir, "lineitem")
+    val ord = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (l_orderkey BIGINT, l_linenumber BIGINT, " +
+      "attrs MAP<STRING,DOUBLE>)")
+    s.sql(s"INSERT INTO $t SELECT l_orderkey, CAST(l_linenumber AS BIGINT), " +
+      s"map('qty', l_quantity, 'price', l_extendedprice) FROM $li")
+    s.sql(s"DELETE FROM $t WHERE " +
+      s"l_orderkey IN (SELECT o_orderkey FROM $ord WHERE o_totalprice > 300000) " +
+      s"OR l_orderkey IN (SELECT o_orderkey FROM $ord " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 100000)")
+    // the synthetic data is NOT unique on (orderkey, linenumber) — order
+    // by every output column so ties cannot scramble the comparison
+    s.sql(s"SELECT l_orderkey, l_linenumber, element_at(attrs, 'qty') AS qty, " +
+      s"element_at(attrs, 'price') AS price FROM $t " +
+      "ORDER BY l_orderkey, l_linenumber, qty, price")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
     "s36_sql_generated_columns" -> (sqlGeneratedColumns(_, _)),
     "s35_sql_ingest" -> (sqlIngest(_, _)),
@@ -766,6 +793,17 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s38_sql_map_subquery_dml" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity AS qty, l_extendedprice AS price
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        |  AND l_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 100000)
+        |ORDER BY l_orderkey, l_linenumber, qty, price""".stripMargin,
+
     "s37_sql_identity_columns" ->
       """WITH evens AS (
         |  SELECT 1000 + 2*(row_number() OVER (ORDER BY o_orderkey) - 1) AS rid,

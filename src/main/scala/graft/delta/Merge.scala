@@ -88,7 +88,12 @@ object Merge {
                      matchedClauses: Seq[MergeClause],
                      inserts: Seq[InsertClause],
                      notMatchedBySource: Seq[MergeClause] = Nil,
-                     sqlSemantics: Boolean = false): MergeResult = {
+                     sqlSemantics: Boolean = false,
+                     // by-name TARGET key override: key `tk` joins on this
+                     // expression instead of `col(tk)` — lets a caller key
+                     // a non-joinable column (a map) on a derived encoding
+                     // while the source side carries the same encoding
+                     tgtKeyExpr: Map[String, Column] = Map.empty): MergeResult = {
     require(notMatchedBySource.forall(_.action != MergeAction.UpdateAll),
       "NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row to copy)")
     require(keyPairs.nonEmpty, "merge requires at least one key column")
@@ -143,7 +148,7 @@ object Merge {
 
     val target = table.toDF(snap).withColumn("__file", col("_metadata.file_path"))
     val joinCond = keyPairs.map { case (tk, _) =>
-      keyEq(col(tk), col(s"__k_$tk")) }.reduce(_ && _)
+      keyEq(tgtKeyExpr.getOrElse(tk, col(tk)), col(s"__k_$tk")) }.reduce(_ && _)
 
     // Which target files contain clause-affected matches (only those are
     // rewritten) and the per-clause-kind row counts — ONE pass over the
@@ -712,7 +717,9 @@ object Merge {
                         matchedClauses: Seq[MergeClause],
                         inserts: Seq[InsertClause],
                         notMatchedBySource: Seq[MergeClause] = Nil,
-                        sqlSemantics: Boolean = false): MergeResult = {
+                        sqlSemantics: Boolean = false,
+                        // see executeClauses
+                        tgtKeyExpr: Map[String, Column] = Map.empty): MergeResult = {
     require(notMatchedBySource.forall(_.action != MergeAction.UpdateAll),
       "NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row to copy)")
     require(keyPairs.nonEmpty, "merge requires at least one key column")
@@ -747,7 +754,7 @@ object Merge {
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__ri", col("_metadata.row_index"))
     val joinCond = keyPairs.map { case (tk, _) =>
-      keyEq(col(tk), col(s"__k_$tk")) }.reduce(_ && _)
+      keyEq(tgtKeyExpr.getOrElse(tk, col(tk)), col(s"__k_$tk")) }.reduce(_ && _)
     val joined = target.join(packed, joinCond, "left_outer")
     val matchedC = col("__src").isNotNull
     def chain(clauses: Seq[MergeClause], gate: Column): Seq[(Column, MergeAction)] =

@@ -285,11 +285,6 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
       case _ => false
     }
-    val mapCols = relation.output.filter(a => containsMap(a.dataType))
-    if (mapCols.nonEmpty) throw new ValidationException(
-      "this subquery shape requires full-row matching, which map-typed " +
-        s"columns cannot join on: ${mapCols.map(_.name).mkString(", ")}; " +
-        "rewrite the statement as a MERGE")
     val rowNames = relation.output.indices.map(i => s"__gq$i")
     val valNames = values.indices.map(i => s"__gv$i")
     val filtered = cond.map(Filter(_, relation)).getOrElse(relation)
@@ -306,19 +301,69 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     // re-analyzes cleanly; the optimizer preserves output order, so the
     // positional rename below stays valid.
     val optimized = spark.sessionState.optimizer.execute(projected)
-    val affected = Shims.ofRows(spark, optimized)
-      .toDF((rowNames ++ valNames): _*).distinct()
+    val renamed = Shims.ofRows(spark, optimized)
+      .toDF((rowNames ++ valNames): _*)
+    // Map-typed KEY columns cannot join (maps have no ordering/equality in
+    // Spark joins, and DISTINCT refuses them): the source side carries
+    // their CANONICAL JSON (maps recursively replaced by key-sorted entry
+    // arrays — insertion order no longer matters) and the target side
+    // keys on the same encoding via the merge's target-key override.
+    val mapIdx = relation.output.indices
+      .filter(i => containsMap(relation.output(i).dataType))
+    val encoded = mapIdx.foldLeft(renamed) { (df, i) =>
+      df.withColumn(rowNames(i),
+        canonicalKey(org.apache.spark.sql.functions.col(rowNames(i)),
+          relation.output(i).dataType))
+    }
+    // A map-typed assignment VALUE blocks DISTINCT too; the merge's own
+    // key-dedup makes DISTINCT an optimization, not a correctness need
+    // (duplicate rows agree on a deterministic predicate and values).
+    val valuesHaveMap = values.exists(v => containsMap(v.dataType))
+    val affected = if (valuesHaveMap) encoded else encoded.distinct()
     val pairs = relation.output.map(_.name).zip(rowNames)
+    val tgtKeyExpr: Map[String, org.apache.spark.sql.Column] =
+      mapIdx.map { i =>
+        val a = relation.output(i)
+        a.name -> canonicalKey(
+          org.apache.spark.sql.functions.col(
+            s"`${a.name.replace("`", "``")}`"), a.dataType)
+      }.toMap
     val valueCols = valNames.map(n =>
       Shims.column(UnresolvedAttribute(Seq("__src", n))))
     val clause = Merge.MergeClause(None, action(valueCols))
     if (morMode)
       Merge.executeClausesMoR(t, affected, pairs, Seq(clause), Nil, Nil,
-        sqlSemantics = false)
+        sqlSemantics = false, tgtKeyExpr = tgtKeyExpr)
     else
       Merge.executeClauses(t, affected, pairs, Seq(clause), Nil, Nil,
-        sqlSemantics = false)
+        sqlSemantics = false, tgtKeyExpr = tgtKeyExpr)
     ()
+  }
+
+  /** Deterministic join-key encoding of a (possibly nested) map-bearing
+    * value: every map, at any depth, becomes its entry array sorted by key
+    * (recursively canonicalized first), and the whole value renders as ONE
+    * JSON string — so two maps equal as functions encode identically
+    * regardless of insertion order, and the string is an ordinary
+    * hash-joinable key. NULL encodes as NULL (the merge joins keys
+    * null-safely). */
+  private def canonicalKey(c: org.apache.spark.sql.Column,
+                           dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_sort, map_entries, struct, to_json, transform}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def canon(col: org.apache.spark.sql.Column,
+              t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = t match {
+      case m: MapType =>
+        array_sort(transform(map_entries(col), e =>
+          struct(canon(e.getField("key"), m.keyType).as("key"),
+            canon(e.getField("value"), m.valueType).as("value"))))
+      case s: StructType =>
+        struct(s.fields.toSeq.map(f =>
+          canon(col.getField(f.name), f.dataType).as(f.name)): _*)
+      case a: ArrayType => transform(col, e => canon(e, a.elementType))
+      case _ => col
+    }
+    to_json(struct(canon(c, dt).as("k")))
   }
 
   /** A lowered subquery-predicate DML shape (see [[subqueryLowering]]). */
@@ -1240,6 +1285,37 @@ object GraftSql {
           marks.toSeq.sortBy(_._1).map { case (c, m) =>
             InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c), m)
           }
+        })
+    }
+    org.apache.spark.sql.graft.Shims.registerTableFunction(spark,
+      "graft_set_not_null",
+      "graft_set_not_null(table, column[, nullable]) - tighten (or, with " +
+        "nullable=true, relax) a column's NOT NULL declaration with " +
+        "write-side enforcement") { args =>
+      // Spark's own analyzer refuses `ALTER COLUMN ... SET NOT NULL` on V2
+      // tables (nullable→non-nullable is "unsupported"), so tightening has
+      // no native SQL verb — this TVF closes the pure-SQL gap over
+      // DeltaTable.setColumnNullability (which proves no existing NULLs,
+      // then commits nullable=false plus the enforcing CHECK constraint in
+      // one commit). DROP NOT NULL works natively; the optional third arg
+      // keeps the relax direction reachable here too for symmetry.
+      if (args.size < 2 || args.size > 3) throw new graft.delta.ValidationException(
+        "graft_set_not_null(table, column[, nullable])")
+      val path = resolveTableRef(spark, litString(args.head, "table"))
+      val column = litString(args(1), "column")
+      val nullable = args.lift(2).exists(litString(_, "nullable").toBoolean)
+      GraftMaintenanceNode("graft_set_not_null",
+        Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "column", org.apache.spark.sql.types.StringType)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "nullable", org.apache.spark.sql.types.BooleanType)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "version", org.apache.spark.sql.types.LongType)()), () => {
+          val v = DeltaTable.forPath(spark, path)
+            .setColumnNullability(column, nullable)
+          Seq(InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(column),
+            nullable, v))
         })
     }
     org.apache.spark.sql.graft.Shims.registerTableFunction(spark,

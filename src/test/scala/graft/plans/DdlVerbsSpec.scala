@@ -63,6 +63,30 @@ class DdlVerbsSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
   }
 
+  test("graft_set_not_null tightens via pure SQL (incl. existing-NULL refusal)") {
+    setup()
+    val t = s"$cat.ddl.nnsql"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, NULL)")
+    // tightening over existing NULLs refuses — declaration must be true
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_set_not_null('ddl.nnsql', 'v')").collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+    spark.sql(s"UPDATE $t SET v = 'b' WHERE v IS NULL")
+    val row = spark.sql(s"SELECT * FROM graft_set_not_null('ddl.nnsql', 'v')").head()
+    assert(row.getString(0) == "v" && !row.getBoolean(1))
+    assert(!spark.table(t).schema("v").nullable)
+    // writes enforce from this commit on
+    val e2 = intercept[Exception] { spark.sql(s"INSERT INTO $t VALUES (3, NULL)") }
+    assert(e2.getMessage != null)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    // the TVF's relax arm mirrors DROP NOT NULL
+    spark.sql(s"SELECT * FROM graft_set_not_null('ddl.nnsql', 'v', 'true')").collect()
+    spark.sql(s"INSERT INTO $t VALUES (3, NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+  }
+
   test("ALTER TABLE UNSET TBLPROPERTIES removes the key cleanly") {
     setup()
     val t = s"$cat.ddl.unset"

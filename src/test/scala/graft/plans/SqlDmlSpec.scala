@@ -690,6 +690,36 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sql(s"SELECT count(*) FROM $t WHERE id IN (10, 12)").head().getLong(0) == 2)
   }
 
+  test("map-typed columns survive the general subquery-DML fallback (canonical-key match)") {
+    setup()
+    val t = freshTable()
+    val aux = freshTable()
+    sql(s"CREATE TABLE $t (id BIGINT, g BIGINT, attrs MAP<STRING,DOUBLE>)")
+    sql(s"INSERT INTO $t SELECT id, id % 10, map('a', CAST(id AS DOUBLE), " +
+      "'b', CAST(id * 2 AS DOUBLE)) FROM range(40)")
+    sql(s"CREATE TABLE $aux AS SELECT id * 4 AS k FROM range(8)") // 0,4..28
+    // OR of two subqueries routes to the GENERAL full-row fallback — which
+    // used to refuse map columns (maps cannot be join keys or DISTINCT);
+    // they now key on a canonical JSON encoding on both sides
+    sql(s"DELETE FROM $t WHERE id IN (SELECT k FROM $aux WHERE k < 10) " +
+      s"OR id IN (SELECT k + 1 FROM $aux WHERE k >= 20)")
+    // deleted: {0,4,8} ∪ {21,25,29}
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 34)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id IN (0,4,8,21,25,29)")
+      .head().getLong(0) == 0)
+    // the surviving maps kept their values intact through the rewrite
+    assert(sql(s"SELECT element_at(attrs, 'b') FROM $t WHERE id = 7")
+      .head().getDouble(0) == 14.0)
+    // UPDATE through the same fallback, with a map-typed assignment VALUE
+    sql(s"UPDATE $t SET attrs = map('z', CAST(g AS DOUBLE)) " +
+      s"WHERE id IN (SELECT k FROM $aux) OR id IN (SELECT k + 2 FROM $aux)")
+    assert(sql(s"SELECT element_at(attrs, 'z') FROM $t WHERE id = 12")
+      .head().getDouble(0) == 2.0)
+    assert(sql(s"SELECT count(*) FROM $t WHERE element_at(attrs, 'z') IS NOT NULL")
+      .head().getLong(0) == 13,
+      "{12,16,20,24,28} ∪ {2,6,10,14,18,22,26,30} — the matched survivors")
+  }
+
   test("EXISTS / NOT EXISTS / NOT IN subquery predicates in DML") {
     setup()
     val t = freshTable()
@@ -1038,17 +1068,17 @@ class SqlDmlSpec extends SparkTestBase {
     assert(got == Seq((1L, "b")))
   }
 
-  test("general fallback refuses a map-typed column with a clear error") {
+  test("general fallback handles map-typed columns (formerly a refusal)") {
     setup()
     val t = freshTable()
     val a = freshTable()
     sql(s"CREATE TABLE $t AS SELECT id, map('k', id) AS m FROM range(4)")
     sql(s"CREATE TABLE $a AS SELECT id AS x FROM range(2)")
-    val e = intercept[Exception] {
-      sql(s"""DELETE FROM $t
-             |WHERE id IN (SELECT x FROM $a) AND id IN (SELECT x + 1 FROM $a)""".stripMargin)
-    }
-    assert(e.getMessage.toLowerCase.contains("map"), e.getMessage)
+    // two subquery conjuncts → general full-row fallback; id 1 matches both
+    sql(s"""DELETE FROM $t
+           |WHERE id IN (SELECT x FROM $a) AND id IN (SELECT x + 1 FROM $a)""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3)
+    assert(sql(s"SELECT count(*) FROM $t WHERE id = 1").head().getLong(0) == 0)
     // the specialized single-conjunct path still covers map-carrying tables
     sql(s"DELETE FROM $t WHERE id IN (SELECT x FROM $a)")
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
