@@ -752,7 +752,36 @@ object SqlQueries {
       "ORDER BY l_orderkey, l_linenumber, qty, price")
   }
 
+  /** Identity allocation through MERGE INSERT (round 13, Delta parity):
+    * the table seeds every third order (ordered insert — rids exactly
+    * 500, 503, …), then ONE MERGE updates the seeded rows and inserts the
+    * rest with the identity column OMITTED — the engine allocates from the
+    * high-water mark inside the merge commit. Merge-insert pairing is
+    * nondeterministic (join output order), so the oracle checks what IS
+    * contracted: `dense_check` proves the rid multiset is EXACTLY the
+    * first-n lattice points (rank-vs-value cancellation — any gap,
+    * duplicate, or off-lattice value makes some row non-zero), while
+    * (o_orderkey, o_totalprice) prove the clause effects row by row. */
+  def sqlMergeIdentity(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "idm")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (rid BIGINT GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 500 INCREMENT BY 3), o_orderkey BIGINT, o_totalprice DOUBLE)")
+    s.sql(s"INSERT INTO $t (o_orderkey, o_totalprice) " +
+      s"SELECT o_orderkey, o_totalprice FROM $v WHERE o_orderkey % 3 = 0 " +
+      "ORDER BY o_orderkey")
+    s.sql(s"MERGE INTO $t t USING (SELECT o_orderkey, o_totalprice FROM $v) s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2 " +
+      "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) " +
+      "VALUES (s.o_orderkey, s.o_totalprice)")
+    s.sql(s"""SELECT o_orderkey, o_totalprice, (rid - 500) % 3 AS lat,
+             |  row_number() OVER (ORDER BY rid) * 3 + 497 - rid AS dense_check
+             |FROM $t ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
     "s36_sql_generated_columns" -> (sqlGeneratedColumns(_, _)),
@@ -793,6 +822,13 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s39_sql_merge_identity" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  0 AS lat, 0 AS dense_check
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "s38_sql_map_subquery_dml" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  l_quantity AS qty, l_extendedprice AS price
