@@ -32,11 +32,22 @@ import org.json4s.jackson.JsonMethods
  * source therefore load every file exactly once (one wins each
  * overlapping chunk, the other skips it) instead of silently double-loading.
  *
- * Retention caveat (same class as Delta's own COPY INTO state): the
- * skip-list spans the RETAINED commit history. If log cleanup drops
- * commits older than the retention window, files ingested only in those
- * commits are forgotten and would re-ingest if re-offered; keep ingest
- * sources append-only or retention longer than the re-offer horizon.
+ * CENSUS CHECKPOINT (round 13): the skip-list is carried forward in a
+ * per-source sidecar (`_delta_log/_ingest_census.<md5(source)>.json`,
+ * holding `{source, version, keys}` = the union of that source's INGEST
+ * commits ≤ version). Rebuilding the skip-list reads the sidecar and
+ * replays only the commit TAIL above its version — O(commits since the
+ * last ingest), not O(retained log) — and read-repairs the sidecar to the
+ * current head. The sidecar is a pure CACHE of log state: losing it (or a
+ * racing overwrite by a concurrent loader) only widens the next rebuild's
+ * tail replay; it can never invent keys the log didn't commit.
+ *
+ * Retention: because the sidecar SURVIVES log cleanup, files whose INGEST
+ * commits were cleaned below the retention floor still skip when
+ * re-offered — the classic COPY-INTO re-ingest-after-retention hazard is
+ * closed for any source ingested at least once after its commits (every
+ * run refreshes the sidecar). Only deleting the sidecar itself (or never
+ * re-running ingest between the commit and the cleanup) reopens it.
  *
  * 100-TB shape: the source listing and skip-diff are driver-side metadata
  * (O(source files) names); the data moves only through one distributed
@@ -73,14 +84,60 @@ object Ingest {
     ci.operation == Operation &&
       ci.operationParameters.get(SourceKey).exists(s => normalize(s) == srcNorm)
 
-  /** Rebuild the skip-list for the source from the retained log. */
-  private def ingestedKeys(table: DeltaTable, srcNorm: String): Set[String] =
-    table.log.listCommitVersions().iterator.flatMap { v =>
-      table.log.readCommit(v).collectFirst {
-        case c: CommitInfo if sameSource(c, srcNorm) =>
-          c.operationParameters.get(FilesKey).toSeq.flatMap(parseKeys)
-      }.getOrElse(Nil)
-    }.toSet
+  private def censusFile(table: DeltaTable, srcNorm: String): Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcNorm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(table.log.logPath, s"_ingest_census.$h.json")
+  }
+
+  /** (version, keys) from the source's census sidecar — (-1, empty) when
+    * absent or unreadable (it is a cache; degrade to a full replay). The
+    * stored source string is verified so a hash collision can never leak
+    * another source's keys into this one's skip-list. */
+  private def readCensus(table: DeltaTable, srcNorm: String): (Long, Set[String]) =
+    try {
+      val p = censusFile(table, srcNorm)
+      if (!table.log.fs.exists(p)) (-1L, Set.empty)
+      else JsonMethods.parse(table.log.readString(p)) match {
+        case o: JObject =>
+          val src = (o \ "source") match { case JString(s) => s; case _ => "" }
+          val v = (o \ "version") match {
+            case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L }
+          val keys = (o \ "keys") match {
+            case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+            case _ => Set.empty[String] }
+          if (src == srcNorm && v >= 0) (v, keys) else (-1L, Set.empty)
+        case _ => (-1L, Set.empty)
+      }
+    } catch { case scala.util.control.NonFatal(_) => (-1L, Set.empty) }
+
+  private def writeCensus(table: DeltaTable, srcNorm: String,
+                          version: Long, keys: Set[String]): Unit =
+    try table.log.writeString(censusFile(table, srcNorm),
+      JsonMethods.compact(JsonMethods.render(
+        JObject("source" -> JString(srcNorm),
+          "version" -> JLong(version),
+          "keys" -> JArray(keys.toList.sorted.map(JString(_)))))),
+      overwrite = true)
+    catch { case scala.util.control.NonFatal(_) => () } // cache — best effort
+
+  /** Rebuild the skip-list for the source: census baseline + a replay of
+    * only the commit TAIL above its version, then read-repair the census
+    * to the head. O(commits since the last ingest), not O(retained log). */
+  private def ingestedKeys(table: DeltaTable, srcNorm: String): Set[String] = {
+    val (baseV, baseKeys) = readCensus(table, srcNorm)
+    val head = table.log.latestVersion()
+    val keys = baseKeys ++ table.log.listCommitVersions().iterator
+      .filter(v => v > baseV && v <= head)
+      .flatMap { v =>
+        table.log.readCommit(v).collectFirst {
+          case c: CommitInfo if sameSource(c, srcNorm) =>
+            c.operationParameters.get(FilesKey).toSeq.flatMap(parseKeys)
+        }.getOrElse(Nil)
+      }.toSet
+    if (head > baseV) writeCensus(table, srcNorm, head, keys)
+    keys
+  }
 
   def run(spark: SparkSession, table: DeltaTable, sourceDir: String,
           format: String = "parquet", chunkFiles: Int = 1000,
@@ -164,6 +221,9 @@ object Ingest {
         }
       }
     }
+    // Refresh the census through our own commits so the skip-list survives
+    // any future log cleanup (the retention closure in the header note).
+    if (files > 0) { ingestedKeys(table, srcNorm); () }
     // Exact row count from the WRITTEN commits' footer stats (driver-side
     // metadata, no second data scan). Zero when nothing was fresh.
     val rows = committed.result().flatMap(v => table.log.readCommit(v))

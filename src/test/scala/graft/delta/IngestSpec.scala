@@ -187,6 +187,37 @@ class IngestSpec extends SparkTestBase {
     assert(again.filesIngested == 0 && again.filesSkipped == 2)
   }
 
+  test("census sidecar: skip-list survives log cleanup; rebuild replays only the tail") {
+    val src = tmp("graft-ingest-census")
+    val t = DeltaTable.forPath(spark, tmp("graft-ingest-censust"))
+    t.write(Seq(-1L).toDF("id"))
+    writeSrc(src, "a.parquet", 0 until 10)
+    assert(Ingest.run(spark, t, src).filesIngested == 1)
+    val ingestV = t.version
+    // age the ingest commit below the retention floor: 12 checkpointed
+    // commits, then keep only the newest 2 checkpoints
+    (1 to 12).foreach { i => t.write(Seq(-100L - i).toDF("id")); t.checkpoint() }
+    val (_, commitsDeleted) = t.cleanupLog(keepCheckpoints = 2)
+    assert(commitsDeleted > 0, "cleanup must actually drop old commits")
+    assert(!t.log.listCommitVersions().contains(ingestV),
+      "the INGEST commit itself must be below the cleaned floor")
+    // the census remembers what the log forgot: the re-offered file skips
+    val again = Ingest.run(spark, t, src)
+    assert(again.filesIngested == 0 && again.filesSkipped == 1,
+      s"census must survive log cleanup, got $again")
+    assert(t.toDF().filter(col("id") >= 0).count() == 10L)
+    // and the sidecar is a pure cache: deleting it degrades to the
+    // retained log (which no longer holds the commit) → the documented
+    // re-ingest hazard reappears, proving the census was load-bearing
+    val fs = t.log.fs
+    fs.listStatus(t.log.logPath)
+      .filter(_.getPath.getName.startsWith("_ingest_census."))
+      .foreach(st => fs.delete(st.getPath, false))
+    val afterDrop = Ingest.run(spark, t, src)
+    assert(afterDrop.filesIngested == 1,
+      "without census or retained commits the file re-ingests (cache, not truth)")
+  }
+
   test("graft_ingest TVF drives the same verb through SQL") {
     val spark2 = spark
     import graft.plans.GraftSql
