@@ -803,7 +803,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
                                          // task-side (from its plan-time
                                          // snapshot); anything newer
                                          // re-validates at commit
-                                         enforcedConstraints: Map[String, String] = Map.empty): Long = {
+                                         enforcedConstraints: Map[String, String] = Map.empty,
+                                         // specs identity values were
+                                         // allocated from (the V1 direct
+                                         // batch seam) — mark re-checked
+                                         // and advanced in the OCC loop
+                                         idAlloc: Seq[IdentityColumns.Spec] = Nil): Long = {
     val snap0 = if (overwrite) snapshot() else metaSnapshot()
     ProtocolSupport.assertWritable(snap0, path)
     if (overwrite) DeltaTable.assertNotAppendOnly(snap0, "STREAMING-OVERWRITE")
@@ -823,6 +828,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
       // add-constraint/append race: see [[assertLateConstraints]]
       assertLateConstraints(enforcedConstraints, snap, adds)
+      // identity: allocation race re-check + mark advance (see write())
+      assertIdentityAllocUnmoved(idAlloc, snap.metadata, adds)
+      val catchUp = identityMarkCatchUp(snap.metadata, adds)
       val v = snap.version + 1
       val now = System.currentTimeMillis()
       val removes: Seq[Action] =
@@ -830,7 +838,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       // Operation naming matches the staged batch path so graft_history
       // reads the same for the same statement regardless of write path:
       // batch INSERT OVERWRITE (txn=None, overwrite) is WRITE-OVERWRITE.
-      log.writeCommit(v, (txn.toSeq: Seq[Action]) ++ removes ++
+      log.writeCommit(v, (catchUp.toSeq: Seq[Action]) ++
+        (txn.toSeq: Seq[Action]) ++ removes ++
         (adds: Seq[Action]) :+ CommitInfo(now,
           if (txn.isDefined) "STREAMING UPDATE"
           else if (overwrite) "WRITE-OVERWRITE" else "WRITE",

@@ -718,14 +718,56 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
     }
   }
 
+  /** Identity tables through the DIRECT task-side writers, from the V1
+    * seam (which, unlike the push-based DSv2 plan, holds the whole
+    * DataFrame): the two-phase allocator runs first, then the ASSIGNED
+    * frame drives the same per-task parquet writers — each byte written
+    * once, no staging rename — with the high-water mark re-checked and
+    * advanced in the one metadata commit. Returns false (before any job
+    * or allocation) when the shape is ineligible for the direct writer —
+    * schema evolution, type casts — so the caller falls back to the
+    * staged write, which handles everything. */
+  private def tryIdentityDirect(data: org.apache.spark.sql.DataFrame,
+                                truncate: Boolean): Boolean = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.graft.write.direct", "true").toBoolean) return false
+    val snap = delta.metaSnapshot()
+    if (snap.metadata.isEmpty) return false
+    val specs = graft.delta.IdentityColumns.specs(snap.schema)
+    if (specs.isEmpty) return false
+    // the allocator appends OMITTED identity columns (BIGINT) at the end —
+    // plan the writer against exactly that shape
+    val assignedSchema = org.apache.spark.sql.types.StructType(
+      data.schema.fields ++ specs
+        .filterNot(s => data.schema.fieldNames.contains(s.name))
+        .map(s => org.apache.spark.sql.types.StructField(
+          s.name, org.apache.spark.sql.types.LongType, nullable = false)))
+    // eligibility gate: the constructor runs every plan-time validation
+    // BEFORE any job; an ineligible shape throws and we stage instead
+    val w =
+      try new graft.streaming.GraftDirectWrite(spark, delta.path,
+        java.util.UUID.randomUUID().toString, assignedSchema,
+        if (truncate) graft.streaming.GraftDirectWrite.Truncate
+        else graft.streaming.GraftDirectWrite.Append,
+        preAllocatedIdentity = true)
+      catch { case _: ValidationException => return false }
+    w.runBatch(graft.delta.IdentityColumns.assign(spark, data, specs), specs)
+    true
+  }
+
   override def build(): Write = directWrite().getOrElse(new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data, overwriteFlag) => mode match {
         case ReplaceWhere(cond) => delta.replaceWhere(data, cond); ()
         case Dynamic => delta.overwritePartitionsDynamic(data); ()
-        case Truncate => delta.write(data, "overwrite"); ()
+        case Truncate =>
+          if (!tryIdentityDirect(data, truncate = true))
+            delta.write(data, "overwrite")
+          ()
         case Append =>
-          delta.write(data, if (overwriteFlag) "overwrite" else "append"); ()
+          if (!tryIdentityDirect(data, truncate = overwriteFlag))
+            delta.write(data, if (overwriteFlag) "overwrite" else "append")
+          ()
       }
 
     /** `df.writeStream.toTable(...)` — Append appends per epoch, Complete

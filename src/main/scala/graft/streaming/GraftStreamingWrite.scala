@@ -54,7 +54,13 @@ final class GraftDirectWrite(
     tablePath: String,
     queryId: String,
     querySchema: StructType,
-    mode: GraftDirectWrite.Mode)
+    mode: GraftDirectWrite.Mode,
+    // the caller ALREADY ran the two-phase identity allocator over the
+    // input (the V1 batch seam, which holds the whole DataFrame) — the
+    // identity column arrives as an ordinary provided column. The DSv2
+    // push-based planners must leave this false: their tasks receive rows
+    // with no pre-write count pass to allocate from.
+    preAllocatedIdentity: Boolean = false)
   extends StreamingWrite with BatchWrite with Write
   with RequiresDistributionAndOrdering {
 
@@ -73,11 +79,11 @@ final class GraftDirectWrite(
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
-  if (graft.delta.IdentityColumns.hasAny(snap.schema))
+  if (graft.delta.IdentityColumns.hasAny(snap.schema) && !preAllocatedIdentity)
     throw new ValidationException(
-      "direct (task-side) writes cannot assign identity values " +
-        "(allocation needs the append path's high-water-mark commit); " +
-        "batch writes fall back to the staging path")
+      "push-based direct writes cannot assign identity values (allocation " +
+        "needs a pre-write count pass over the input); batch INSERTs take " +
+        "the V1 seam, which pre-allocates and still writes task-direct")
   private val tableSchema = snap.schema
   private val partCols: Seq[String] = snap.partitionColumns
   private val genExprSql: Map[String, String] =
@@ -333,6 +339,36 @@ final class GraftDirectWrite(
     }
     GraftDirectWrite.batchCommits.incrementAndGet()
     ()
+  }
+
+  /** V1 batch seam: run the write job OURSELVES over `assigned` (already
+    * aligned to `querySchema` — for identity tables, the output of the
+    * two-phase allocator) and make the one metadata commit. Same task-side
+    * writers, contracts, and orphan-on-zombie-task semantics as the DSv2
+    * path; `idAlloc` carries the allocation-time specs so the commit
+    * re-checks the high-water mark in its OCC loop and advances it. */
+  private[graft] def runBatch(assigned: org.apache.spark.sql.DataFrame,
+                              idAlloc: Seq[graft.delta.IdentityColumns.Spec]): Long = {
+    require(assigned.schema.map(f => (f.name, f.dataType)) ==
+      querySchema.map(f => (f.name, f.dataType)),
+      "runBatch frame must match the planned query schema")
+    val f = writerFactory
+    val messages: Array[WriterCommitMessage] =
+      assigned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val w = f.createWriter(pid,
+          org.apache.spark.TaskContext.get().taskAttemptId())
+        try {
+          it.foreach(w.write)
+          Iterator.single(w.commit(): WriterCommitMessage)
+        } catch {
+          case e: Throwable => w.abort(); throw e
+        }
+      }.collect()
+    val v = table.commitStreamedFiles(rawAdds(messages), txn = None,
+      overwrite = truncate, enforcedConstraints = enforcedConstraints,
+      idAlloc = idAlloc)
+    GraftDirectWrite.batchCommits.incrementAndGet()
+    v
   }
 
   private def deleteStaged(messages: Array[WriterCommitMessage]): Unit =
