@@ -81,6 +81,22 @@ object WriteAb {
       }
     }
 
+    // Round-13 shape: identity-table INSERT — the direct arm pre-allocates
+    // (two-phase, pinned plan) and writes task-side; the staged arm is the
+    // classic stage→rename append with the same allocator.
+    def armIdentity(name: String, direct: Boolean): Seq[Double] = {
+      val t = s"$cat.ab.$name"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (rid BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        spark.table("src").schema.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+      val cols = spark.table("src").schema.fieldNames.mkString(", ")
+      spark.conf.set("spark.graft.write.direct", direct.toString)
+      try (0 until samples).map { _ =>
+        timed { spark.sql(s"INSERT INTO $t ($cols) SELECT * FROM src") }
+      } finally spark.conf.unset("spark.graft.write.direct")
+    }
+
     def report(label: String, d: Seq[Double], s: Seq[Double]): Unit =
       println(f"$label%-20s rows=$nRows%d direct=${median(d)}%.3fs " +
         f"staged=${median(s)}%.3fs speedup=${median(s) / median(d)}%.2fx " +
@@ -102,6 +118,9 @@ object WriteAb {
     report("dynamic_overwrite",
       armDynamic("dy_d", direct = true),
       armDynamic("dy_s", direct = false))
+    report("identity_insert",
+      armIdentity("id_d", direct = true),
+      armIdentity("id_s", direct = false))
     spark.stop()
   }
 }
