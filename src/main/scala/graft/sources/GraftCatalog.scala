@@ -697,6 +697,13 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
   private def directWrite(): Option[Write] = {
     val spark = SparkSession.active
     if (!spark.conf.get("spark.graft.write.direct", "true").toBoolean) None
+    // Identity tables route through the V1 fallback below: batch INSERTs
+    // take [[tryIdentityDirect]] (order-preserving pre-allocation, still
+    // task-direct), and toStreaming builds the direct writer whose
+    // PER-EPOCH factories allocate from the mark — a push-based BATCH
+    // plan, which can't count before it writes, must never reach
+    // createBatchWriterFactory on an identity table.
+    else if (graft.delta.IdentityColumns.hasAny(delta.metaSnapshot().schema)) None
     else {
       val directMode: Option[graft.streaming.GraftDirectWrite.Mode] = mode match {
         case Append => Some(graft.streaming.GraftDirectWrite.Append)

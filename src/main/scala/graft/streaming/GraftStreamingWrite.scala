@@ -79,12 +79,18 @@ final class GraftDirectWrite(
   private val snap = table.metaSnapshot()
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
-  if (graft.delta.IdentityColumns.hasAny(snap.schema) && !preAllocatedIdentity)
-    throw new ValidationException(
-      "push-based direct writes cannot assign identity values (allocation " +
-        "needs a pre-write count pass over the input); batch INSERTs take " +
-        "the V1 seam, which pre-allocates and still writes task-direct")
   private val tableSchema = snap.schema
+  // Identity specs at PLAN time. Batch pushes cannot allocate (no
+  // pre-write count pass) — the catalog routes batch identity INSERTs to
+  // the V1 seam, which pre-allocates order-preserving values and drives
+  // runBatch. STREAMING epochs allocate per epoch: each epoch's writer
+  // factory is created fresh (Spark builds a MicroBatchWrite per batch),
+  // so the driver re-reads the high-water mark there and tasks fill an
+  // interleaved lattice slice ([[graft.functions.StreamIdentityAssign]]);
+  // the epoch commit re-checks the mark in its OCC loop and advances it.
+  private val idSpecsPlan: Seq[graft.delta.IdentityColumns.Spec] =
+    if (preAllocatedIdentity) Nil
+    else graft.delta.IdentityColumns.specs(tableSchema)
   private val partCols: Seq[String] = snap.partitionColumns
   private val genExprSql: Map[String, String] =
     graft.delta.GeneratedColumns.exprs(tableSchema).toMap
@@ -284,11 +290,58 @@ final class GraftDirectWrite(
       factory, conf, violationChecks)
   }
 
+  // Identity specs the CURRENT epoch allocated from (set by
+  // createStreamingWriterFactory, read by commit(epochId) — MicroBatch
+  // execution is single-threaded per query, so plain driver state).
+  @volatile private var epochIdAlloc: Seq[graft.delta.IdentityColumns.Spec] = Nil
+
+  /** Per-epoch factory for an identity table: the file plan gains the
+    * identity columns (filled task-side on an interleaved lattice from
+    * the mark a FRESH snapshot just read), so omitted identity columns
+    * never land sparse. `slots` = the write's partition count. */
+  private def identityEpochFactory(slots: Int): GraftStreamWriterFactory = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal}
+    val specs = graft.delta.IdentityColumns.specs(table.metaSnapshot().schema)
+    epochIdAlloc = specs
+    val byName = specs.map(s => s.name -> s).toMap
+    val plan: Array[(org.apache.spark.sql.types.StructField, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      tableSchema.fields.zip(physical.fields).collect {
+        case (lf, pf) if !partCols.contains(lf.name) =>
+          byName.get(lf.name) match {
+            case Some(s) =>
+              val qi = querySchema.fieldNames.indexOf(lf.name)
+              val child: org.apache.spark.sql.catalyst.expressions.Expression =
+                if (qi < 0) Literal(null, org.apache.spark.sql.types.LongType)
+                else Cast(BoundReference(qi,
+                  querySchema.fields(qi).dataType, nullable = true),
+                  org.apache.spark.sql.types.LongType)
+              Some((pf.copy(name = pf.name),
+                graft.functions.StreamIdentityAssign(child, s.name,
+                  s.nextValue, s.step, math.max(slots, 1), s.allowExplicit)
+                  : org.apache.spark.sql.catalyst.expressions.Expression))
+            case None => valueExprOf(lf).map(e => (pf.copy(name = pf.name), e))
+          }
+      }.flatten
+    val schema = StructType(plan.map(_._1))
+    val (factory, conf) = WriteShim.parquetWriterFactory(spark, schema)
+    GraftStreamWriterFactory(tablePath, schema, plan.map(_._2),
+      partCols.toArray, partExprs, factory, conf, violationChecks)
+  }
+
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = writerFactory
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    if (idSpecsPlan.isEmpty) writerFactory
+    else identityEpochFactory(info.numPartitions())
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = writerFactory
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    if (idSpecsPlan.nonEmpty) throw new ValidationException(
+      "push-based batch direct writes cannot assign identity values " +
+        "(allocation needs a pre-write count pass over the input); batch " +
+        "INSERTs take the V1 seam, which pre-allocates and still writes " +
+        "task-direct")
+    writerFactory
+  }
 
   // ---- commits ---------------------------------------------------------------
 
@@ -307,9 +360,14 @@ final class GraftDirectWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     require(mode == GraftDirectWrite.Append || mode == GraftDirectWrite.Truncate,
       s"streaming epochs support Append/Truncate only, got $mode")
+    // epochIdAlloc: the specs this epoch's tasks allocated identity values
+    // from — the commit re-checks the mark inside its OCC loop (a racer
+    // advancing it fails the epoch; the engine replays it against a fresh
+    // factory) and advances it past the epoch's furthest value
     table.commitStreamedFiles(rawAdds(messages),
       Some(Txn(queryId, epochId, System.currentTimeMillis())),
-      overwrite = truncate, enforcedConstraints = enforcedConstraints)
+      overwrite = truncate, enforcedConstraints = enforcedConstraints,
+      idAlloc = epochIdAlloc)
     ()
   }
 
@@ -453,8 +511,10 @@ private final class GraftStreamDataWriter(
 
   // per-file-column value expressions, pre-bound by the driver to query
   // ordinals (BoundReferences for plain columns, generation expressions
-  // for generated ones)
+  // for generated ones; StreamIdentityAssign — Nondeterministic — for
+  // identity columns in streaming epochs, hence the initialize call)
   private val dataProj = UnsafeProjection.create(f.dataExprs.toIndexedSeq)
+  dataProj.initialize(partitionId)
   // partition values render through Cast-to-string (UTC) — the same
   // rendering Spark's writer uses, so paths parse back identically
   private val partProj =
