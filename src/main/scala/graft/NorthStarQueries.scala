@@ -546,6 +546,42 @@ object NorthStarQueries {
       s.sql(s"SELECT event_id, user_id, v2, band FROM $dst ORDER BY event_id")
     }),
 
+    // ---- streaming IDENTITY allocation (round 13): writeStream.toTable
+    // into a GENERATED ALWAYS AS IDENTITY table — each epoch's factory
+    // allocates an interleaved lattice slice from the high-water mark a
+    // fresh snapshot read, the commit advances the mark, and the next
+    // epoch continues above it. Per-row values are nondeterministic
+    // (partition interleave, gaps allowed — Delta's identity contract),
+    // so the gate checks what IS contracted: every value on the
+    // (100, +7) lattice (lat = 0) and zero duplicates (n = nd), per
+    // row count the oracle re-derives from `orders`. ----
+    "n30_stream_identity" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cat = graft.plans.GraftSql.ensure(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nstar")
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s"$cat.nstar.nisrc_$uid"
+      val dst = s"$cat.nstar.nidst_$uid"
+      s.sql(s"CREATE TABLE $src (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      s.sql(s"""CREATE TABLE $dst (rid BIGINT GENERATED ALWAYS AS IDENTITY
+               |  (START WITH 100 INCREMENT BY 7),
+               |  o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      (0 until 3).foreach(k =>
+        o.filter(col("o_orderkey") % 30 === k * 10).writeTo(src).append())
+      val q = s.readStream.option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "4").table(src)
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-n30").toString)
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+      q.awaitTermination()
+      s.sql(s"""SELECT (rid - 100) % 7 AS lat, count(*) AS n,
+               |  count(DISTINCT rid) AS nd
+               |FROM $dst GROUP BY (rid - 100) % 7""".stripMargin)
+    }),
+
     // ---- streaming CURATION: the text-pipeline operators composed with
     // Structured Streaming — a doubled corpus lands in the Delta table as
     // three append commits, the stream tails them rate-capped, and each
@@ -860,6 +896,14 @@ object NorthStarQueries {
         |  CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS band
         |FROM events WHERE event_type = 'click' AND value >= 10
         |ORDER BY event_id""".stripMargin,
+
+    // Per-row identity values are nondeterministic (interleaved lattice,
+    // gaps allowed), so the oracle checks the CONTRACT: one group, on
+    // lattice (lat 0), as many DISTINCT values as rows (n = nd = the
+    // streamed row count, re-derived from orders).
+    "n30_stream_identity" ->
+      """SELECT CAST(0 AS BIGINT) AS lat, count(*) AS n, count(*) AS nd
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     // Same post-state algebra as d7 (the batch CDF gate): inserts = the
     // click rows, deletes = every row under the value floor at delete time.
