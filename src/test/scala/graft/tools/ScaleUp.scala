@@ -40,11 +40,22 @@ object ScaleUp {
       println(s"wrote $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
     }
 
-    val OK = 1000000L // > max o_orderkey (149999)
-    val CK = 100000L  // > max c_custkey  (14999)
-    val EK = 1000000L // > max event_id   (99999)
-    val UK = 10000L   // > max user_id    (1499)
-    val DK = 100000L  // > max doc_id     (4999)
+    // Replica key spacing: just above each key's sf0.1 maximum, so the
+    // SHIFTED key space stays inside the invariants the gate queries
+    // assume for their synthetic new-key arms — s3 derives fresh order
+    // keys as `o_orderkey + 10000000` and several gates derive fresh
+    // customer keys as `c_custkey + 1000000`, so replicated o_orderkey
+    // must stay < 10M and c_custkey < 1M. This spacing supports up to
+    // ~60 replicas (sf6); the pre-round-13 spacing (1M/100k) broke the
+    // orders invariant above 10 replicas, which surfaced as a MERGE
+    // cardinality violation in s3 at sf3 — a data-generation artifact,
+    // not an engine bug. Order-key shifts are multiples of 100, so the
+    // `% 10` / `% 100` residue classes the gates filter on survive.
+    val OK = 150000L // > max o_orderkey (149999); 60 reps < 10M
+    val CK = 15000L  // > max c_custkey  (14999);  60 reps < 1M
+    val EK = 100000L // > max event_id   (99999)
+    val UK = 1500L   // > max user_id    (1499)
+    val DK = 5000L   // > max doc_id     (4999)
 
     write(replicate(read("customer"), (d, r) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(r * CK))), "customer")
