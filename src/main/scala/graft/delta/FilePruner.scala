@@ -41,7 +41,7 @@ object FilePruner {
         case other => Seq(other)
       }
       f => conj.forall { case (field, cond) =>
-        if (partCols.contains(field)) partitionKeeps(f, field, cond)
+        if (partCols.contains(field)) partitionKeeps(f, field, cond, schema)
         else statsKeep(f, field, cond, schema)
       }
     case _ => _ => true
@@ -49,18 +49,50 @@ object FilePruner {
 
   // ---- partition pruning ---------------------------------------------------
 
-  private def partitionKeeps(f: AddFile, field: String, cond: JValue): Boolean = {
+  private def partitionKeeps(f: AddFile, field: String, cond: JValue,
+                             schema: StructType): Boolean = {
     val actual = f.partitionValues.get(field) match {
       case Some(v) if v != PartitionPaths.NullMarker => Some(v)
       case Some(_) => None // hive null marker
       case None => return true // unknown partition value: keep
+    }
+    // Typed comparison against the file's SINGLE partition value (every
+    // row in the file shares it): render the path string in the same
+    // JValue form the zone-map comparator takes for the column's type,
+    // then ranges and negations prune exactly — `WHERE event_date >=
+    // DATE '…'` on a date-partitioned table drops every out-of-range
+    // partition at plan time. The reference keeps only equality here
+    // (table.ts:1624-1657); ranges are the canonical partition-filter
+    // shape at scale, so we deliberately exceed it. Incomparable forms
+    // (parse failure, unsupported type) stay conservative keeps.
+    def cmpActual(v: JValue): Option[Int] = actual.flatMap { s =>
+      val dt = schema.fields.find(_.name == field).map(_.dataType)
+        .getOrElse(return None)
+      val statForm: Option[JValue] = dt match {
+        case _: NumericType =>
+          scala.util.Try(JDecimal(BigDecimal(s))).toOption
+        case StringType => Some(JString(s))
+        case DateType | TimestampType | TimestampNTZType => Some(JString(s))
+        case _ => None
+      }
+      statForm.flatMap(compare(_, v, dt))
     }
     cond match {
       case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
         ops.forall {
           case ("$eq", v) => matchesPartition(actual, v)
           case ("$in", JArray(items)) => items.exists(matchesPartition(actual, _))
-          case _ => true // other operators: conservative keep ($ne/$nin/ranges skipped, table.ts:1624-1657)
+          case ("$gt", v) => cmpActual(v).forall(_ > 0)
+          case ("$gte", v) => cmpActual(v).forall(_ >= 0)
+          case ("$lt", v) => cmpActual(v).forall(_ < 0)
+          case ("$lte", v) => cmpActual(v).forall(_ <= 0)
+          // $ne/$nin drop a file only on a DEFINITE equality: all rows
+          // share the value, so a proven match excludes every row. A
+          // null partition (actual None) keeps — Mongo $ne matches null.
+          case ("$ne", v) => actual.isEmpty || !cmpActual(v).contains(0)
+          case ("$nin", JArray(items)) =>
+            actual.isEmpty || !items.exists(i => cmpActual(i).contains(0))
+          case _ => true // other operators: conservative keep
         }
       case literal => matchesPartition(actual, literal)
     }
@@ -168,7 +200,7 @@ object FilePruner {
 
   /** Fixed-precision (micros) ISO-8601 at UTC — the canonical stat/literal
     * timestamp form. Mirrors MongoFilter's literal parse rules. */
-  private[delta] val CanonFormat =
+  private[graft] val CanonFormat =
     java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS")
 
   private[delta] def canonTs(s: String): Option[String] = {

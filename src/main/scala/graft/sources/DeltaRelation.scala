@@ -238,6 +238,25 @@ object DeltaRelation {
       case f: Float => Some(JDouble(f.toDouble))
       case s: String => Some(JString(s))
       case b: Boolean => Some(JBool(b))
+      // Date/timestamp literals reach V1 Filters as external Java types
+      // (either legacy java.sql or java8 java.time, per
+      // spark.sql.datetime.java8API.enabled). Encode them in the log's
+      // canonical string forms — ISO date / micros-precision UTC
+      // timestamp — which FilePruner.compare parses for DateType and
+      // TimestampType columns. Without this, a date-range filter on a
+      // 100-TB date-partitioned table prunes NOTHING at the file level.
+      case d: java.sql.Date => Some(JString(d.toLocalDate.toString))
+      case d: java.time.LocalDate => Some(JString(d.toString))
+      case t: java.sql.Timestamp =>
+        Some(JString(java.time.LocalDateTime.ofInstant(
+          t.toInstant, java.time.ZoneOffset.UTC)
+          .format(graft.delta.FilePruner.CanonFormat)))
+      case i: java.time.Instant =>
+        Some(JString(java.time.LocalDateTime.ofInstant(
+          i, java.time.ZoneOffset.UTC)
+          .format(graft.delta.FilePruner.CanonFormat)))
+      case t: java.time.LocalDateTime =>
+        Some(JString(t.format(graft.delta.FilePruner.CanonFormat)))
       case _ => None
     }
     def op(field: String, o: String, v: Any): Seq[JObject] =

@@ -78,6 +78,26 @@ object ExprFilters {
         case _: org.apache.spark.sql.types.NumericType |
              org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BooleanType => jraw(v)
+        // Catalyst date/timestamp literals (days / UTC micros / NTZ
+        // micros) → the log's canonical string forms, the same rendering
+        // FooterStats writes and FilePruner.compare parses — so date and
+        // timestamp range filters zone-map-prune and partition-prune like
+        // any other type instead of scanning every file.
+        case org.apache.spark.sql.types.DateType => v match {
+          case days: Int =>
+            Some(JString(java.time.LocalDate.ofEpochDay(days.toLong).toString))
+          case _ => None
+        }
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => v match {
+          case micros: Long =>
+            Some(JString(java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+              .format(graft.delta.FilePruner.CanonFormat)))
+          case _ => None
+        }
         case _ => None
       }
     case _ => None

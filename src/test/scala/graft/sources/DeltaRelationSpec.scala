@@ -125,4 +125,53 @@ class DeltaRelationSpec extends SparkTestBase {
       Array(org.apache.spark.sql.sources.StringStartsWith("par", "e")))).size ==
       snap.activeFiles.size)
   }
+
+  test("date-partitioned ranges prune partitions; date/timestamp zone maps prune files") {
+    import graft.delta.FilePruner
+    import org.apache.spark.sql.sources.{EqualTo => SEq, GreaterThanOrEqual => SGte, LessThan => SLt, Not => SNot}
+    val dir = Files.createTempDirectory("graft-rel-dt").toString
+    val days = Seq("2026-01-01", "2026-01-02", "2026-01-03")
+    days.zipWithIndex.flatMap { case (d, i) =>
+      (1 to 10).map(j => (i * 10 + j,
+        java.sql.Date.valueOf(d),
+        java.sql.Timestamp.valueOf(s"$d 0${i + 1}:00:00")))
+    }.toDF("id", "event_date", "ts")
+      .write.format("graft-delta").option("partitionBy", "event_date").save(dir)
+    val snap = DeltaTable.forPath(spark, dir).snapshot()
+    assert(snap.activeFiles.forall(_.path.startsWith("event_date=")))
+
+    // PARTITION range pruning (round-13): `event_date >= DATE'2026-01-02'`
+    // drops the 01-01 partition at plan time — the canonical daily-table
+    // filter shape at 100 TB
+    val gte = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SGte("event_date", java.sql.Date.valueOf("2026-01-02")))))
+    assert(gte.nonEmpty && gte.forall(f =>
+      f.path.contains("event_date=2026-01-02") ||
+        f.path.contains("event_date=2026-01-03")), gte.map(_.path))
+    val lt = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SLt("event_date", java.sql.Date.valueOf("2026-01-02")))))
+    assert(lt.nonEmpty && lt.forall(_.path.contains("event_date=2026-01-01")))
+    // $ne drops exactly the proven-equal partition
+    val ne = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SNot(SEq("event_date", java.sql.Date.valueOf("2026-01-02"))))))
+    // Not(EqualTo) doesn't translate through pruneJson (conv drops Not) —
+    // drive the $ne form directly to pin partitionKeeps' behavior
+    val neJson = org.json4s.JObject(List("$and" -> org.json4s.JArray(List(
+      org.json4s.JObject(List("event_date" -> org.json4s.JObject(List(
+        "$ne" -> org.json4s.JString("2026-01-02")))))))))
+    val neDirect = FilePruner.prune(snap, neJson)
+    assert(ne.size == snap.activeFiles.size, "Not() stays conservative in pruneJson")
+    assert(neDirect.nonEmpty && neDirect.forall(f => !f.path.contains("event_date=2026-01-02")))
+
+    // TIMESTAMP zone-map pruning: ts >= 03:00 on 01-03 keeps only the
+    // third day's files (each partition's files carry ts footer stats)
+    val tsGte = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SGte("ts", java.sql.Timestamp.valueOf("2026-01-03 03:00:00")))))
+    assert(tsGte.nonEmpty && tsGte.forall(_.path.contains("event_date=2026-01-03")),
+      tsGte.map(_.path))
+    // and the whole-range filter keeps everything (no over-pruning)
+    assert(FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SGte("ts", java.sql.Timestamp.valueOf("2025-12-31 00:00:00"))))).size ==
+      snap.activeFiles.size)
+  }
 }

@@ -41,10 +41,15 @@ class ExprFiltersSpec extends AnyFunSuite {
     assert(ExprFilters.pruneJson(col("a").isin(lit(1), col("b"))) == JNothing)
   }
 
-  test("date/timestamp/decimal literals are refused (pruner-untrusted stats forms)") {
-    assert(ExprFilters.pruneJson(col("d") === java.sql.Date.valueOf("2024-01-01")) == JNothing)
-    assert(ExprFilters.pruneJson(
-      col("t") === java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) == JNothing)
+  test("date/timestamp literals translate to the canonical stat forms; decimals are refused") {
+    // round-13: date/timestamp literals render in the SAME string forms
+    // FooterStats writes (ISO date, micros-precision UTC timestamp), so
+    // range filters on them zone-map- and partition-prune
+    assert(j(ExprFilters.pruneJson(col("d") === java.sql.Date.valueOf("2024-01-01"))) ==
+      """{"$and":[{"d":{"$eq":"2024-01-01"}}]}""")
+    assert(j(ExprFilters.pruneJson(
+      col("t") >= java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))) ==
+      """{"$and":[{"t":{"$gte":"2024-01-01T00:00:00.000000"}}]}""")
     assert(ExprFilters.pruneJson(col("x") === BigDecimal("1.50")) == JNothing)
   }
 
