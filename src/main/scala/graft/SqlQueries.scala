@@ -166,6 +166,27 @@ object SqlQueries {
              |ORDER BY event_id""".stripMargin)
   }
 
+  /** Date-typed PARTITION column under a range filter (round 13) — the
+    * canonical daily-table query shape at 100 TB: a table partitioned by
+    * `event_date DATE` scanned with `event_date >= DATE'…'`. The scan
+    * prunes out-of-range partitions at PLAN time from the log's partition
+    * values (FilePruner's typed partition-range comparison, added this
+    * round — equality-only before), so a year's backfill reads only the
+    * requested days' files. The oracle re-derives the aggregate from the
+    * raw events. */
+  def sqlDatePartitionRange(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dpr")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT, value DOUBLE,
+             |  event_date DATE) PARTITIONED BY (event_date)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, user_id, value, CAST(ts AS DATE) FROM $v""".stripMargin)
+    s.sql(s"""SELECT event_date, count(*) AS n, min(event_id) AS min_id,
+             |  max(event_id) AS max_id
+             |FROM $t WHERE event_date >= DATE '2024-01-20'
+             |GROUP BY event_date ORDER BY event_date""".stripMargin)
+  }
+
   /** `INSERT INTO ... REPLACE WHERE` (Delta's replaceWhere): ONE commit
     * atomically swaps the `o_orderstatus = 'O'` region for a reloaded
     * slice of it — the idempotent-backfill primitive. Rows outside the
@@ -781,6 +802,7 @@ object SqlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s40_sql_date_partition_range" -> (sqlDatePartitionRange(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -822,6 +844,13 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s40_sql_date_partition_range" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "s39_sql_merge_identity" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
