@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default zone too: tests build literals via
+  // java.sql.Timestamp.valueOf / Date.valueOf, which parse in LOCAL time —
+  // without this, timestamp-canonicalization assertions flake off-UTC.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -187,6 +187,34 @@ object SqlQueries {
              |GROUP BY event_date ORDER BY event_date""".stripMargin)
   }
 
+  /** Timestamp-typed PARTITION column under EQUALITY (round 14) — pins the
+    * round-13 regression where the canonical filter literal
+    * ('2024-01-15T00:00:00.000000') never string-matched the Cast-rendered
+    * partition path value ('2024-01-15 00:00:00'), so `WHERE ts_day =
+    * TIMESTAMP '…'` pruned every file and silently returned ZERO rows.
+    * Equality now routes through the same typed comparator as ranges; this
+    * gate fails loudly (rows_match=false) if that ever regresses. */
+  def sqlTimestampPartitionEq(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "tpe")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+             |  event_type STRING, value DOUBLE, ts_day TIMESTAMP_NTZ)
+             |PARTITIONED BY (ts_day)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, user_id, event_type, value,
+             |  date_trunc('DAY', ts) FROM $v""".stripMargin)
+    // UNION ALL of two scans so BOTH pushdown shapes hit the pruner:
+    // a bare $eq and a multi-value $in (a 1-element IN would fold to =).
+    s.sql(s"""SELECT * FROM (
+             |  SELECT event_id, user_id, event_type, value
+             |  FROM $t WHERE ts_day = TIMESTAMP_NTZ '2024-01-15 00:00:00'
+             |  UNION ALL
+             |  SELECT event_id, user_id, event_type, value
+             |  FROM $t WHERE ts_day IN (TIMESTAMP_NTZ '2024-01-22 00:00:00',
+             |                           TIMESTAMP_NTZ '2024-01-29 00:00:00')
+             |) ORDER BY event_id""".stripMargin)
+  }
+
   /** `INSERT INTO ... REPLACE WHERE` (Delta's replaceWhere): ONE commit
     * atomically swaps the `o_orderstatus = 'O'` region for a reloaded
     * slice of it — the idempotent-backfill primitive. Rows outside the
@@ -803,6 +831,7 @@ object SqlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s40_sql_date_partition_range" -> (sqlDatePartitionRange(_, _)),
+    "s41_sql_ts_partition_eq" -> (sqlTimestampPartitionEq(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -844,6 +873,12 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s41_sql_ts_partition_eq" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE date_trunc('day', CAST(ts AS TIMESTAMP))
+        |  IN (TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29')
+        |ORDER BY event_id""".stripMargin,
+
     "s40_sql_date_partition_range" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
         |  count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id

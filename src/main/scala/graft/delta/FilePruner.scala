@@ -77,11 +77,27 @@ object FilePruner {
       }
       statForm.flatMap(compare(_, v, dt))
     }
+    // Equality must agree with the range comparators on typed columns: the
+    // filter literal arrives in canonical ISO form ('2026-01-03T03:00:00.000000')
+    // while the partition path value is Cast-rendered ('2026-01-03 03:00:00'),
+    // so raw string equality would prune EVERY file and silently return zero
+    // rows. Route date/timestamp through the same typed comparator the ranges
+    // use; an incomparable pair (None) keeps the file — conservative = correct.
+    val typedField = schema.fields.find(_.name == field).map(_.dataType).exists {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def eqKeeps(v: JValue): Boolean = (actual, v) match {
+      case (None, JNull) => true
+      case (None, _) | (_, JNull) => false
+      case _ if typedField => cmpActual(v).forall(_ == 0)
+      case _ => matchesPartition(actual, v)
+    }
     cond match {
       case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
         ops.forall {
-          case ("$eq", v) => matchesPartition(actual, v)
-          case ("$in", JArray(items)) => items.exists(matchesPartition(actual, _))
+          case ("$eq", v) => eqKeeps(v)
+          case ("$in", JArray(items)) => items.exists(eqKeeps)
           case ("$gt", v) => cmpActual(v).forall(_ > 0)
           case ("$gte", v) => cmpActual(v).forall(_ >= 0)
           case ("$lt", v) => cmpActual(v).forall(_ < 0)
@@ -94,7 +110,7 @@ object FilePruner {
             actual.isEmpty || !items.exists(i => cmpActual(i).contains(0))
           case _ => true // other operators: conservative keep
         }
-      case literal => matchesPartition(actual, literal)
+      case literal => eqKeeps(literal)
     }
   }
 

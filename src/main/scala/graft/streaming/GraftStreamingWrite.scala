@@ -290,11 +290,6 @@ final class GraftDirectWrite(
       factory, conf, violationChecks)
   }
 
-  // Identity specs the CURRENT epoch allocated from (set by
-  // createStreamingWriterFactory, read by commit(epochId) — MicroBatch
-  // execution is single-threaded per query, so plain driver state).
-  @volatile private var epochIdAlloc: Seq[graft.delta.IdentityColumns.Spec] = Nil
-
   /** Per-epoch factory for an identity table: the file plan gains the
     * identity columns (filled task-side on an interleaved lattice from
     * the mark a FRESH snapshot just read), so omitted identity columns
@@ -302,7 +297,6 @@ final class GraftDirectWrite(
   private def identityEpochFactory(slots: Int): GraftStreamWriterFactory = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal}
     val specs = graft.delta.IdentityColumns.specs(table.metaSnapshot().schema)
-    epochIdAlloc = specs
     val byName = specs.map(s => s.name -> s).toMap
     val plan: Array[(org.apache.spark.sql.types.StructField, org.apache.spark.sql.catalyst.expressions.Expression)] =
       tableSchema.fields.zip(physical.fields).collect {
@@ -325,7 +319,7 @@ final class GraftDirectWrite(
     val schema = StructType(plan.map(_._1))
     val (factory, conf) = WriteShim.parquetWriterFactory(spark, schema)
     GraftStreamWriterFactory(tablePath, schema, plan.map(_._2),
-      partCols.toArray, partExprs, factory, conf, violationChecks)
+      partCols.toArray, partExprs, factory, conf, violationChecks, specs)
   }
 
   override def createStreamingWriterFactory(
@@ -360,14 +354,19 @@ final class GraftDirectWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     require(mode == GraftDirectWrite.Append || mode == GraftDirectWrite.Truncate,
       s"streaming epochs support Append/Truncate only, got $mode")
-    // epochIdAlloc: the specs this epoch's tasks allocated identity values
-    // from — the commit re-checks the mark inside its OCC loop (a racer
-    // advancing it fails the epoch; the engine replays it against a fresh
-    // factory) and advances it past the epoch's furthest value
+    // idAlloc: the specs THIS epoch's tasks allocated identity values from,
+    // echoed back in the epoch's own commit messages (so the pairing is
+    // correct even if factory creation and commits interleave) — the commit
+    // re-checks the mark inside its OCC loop (a racer advancing it fails
+    // the epoch; the engine replays it against a fresh factory) and
+    // advances it past the epoch's furthest value
+    val epochAlloc = messages.collectFirst {
+      case m: GraftStreamCommitMessage if m.idAlloc.nonEmpty => m.idAlloc
+    }.getOrElse(Nil)
     table.commitStreamedFiles(rawAdds(messages),
       Some(Txn(queryId, epochId, System.currentTimeMillis())),
       overwrite = truncate, enforcedConstraints = enforcedConstraints,
-      idAlloc = epochIdAlloc)
+      idAlloc = epochAlloc)
     ()
   }
 
@@ -467,7 +466,13 @@ object GraftDirectWrite {
 }
 
 /** Per-(file-relative-path, bytes) written by one task. */
-final case class GraftStreamCommitMessage(files: Seq[(String, Long)])
+final case class GraftStreamCommitMessage(
+    files: Seq[(String, Long)],
+    // Identity specs the writing epoch allocated from, echoed back by each
+    // task so the driver's commit(epochId) pairs marks with the RIGHT
+    // epoch even if factory creation and commits ever interleave
+    // (pipelined micro-batches) — no shared driver field to race on.
+    idAlloc: Seq[graft.delta.IdentityColumns.Spec] = Nil)
   extends WriterCommitMessage
 
 /** Serializable task-writer factory: everything a task needs to route
@@ -481,7 +486,8 @@ final case class GraftStreamWriterFactory(
     partExprs: Array[org.apache.spark.sql.catalyst.expressions.Expression],
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableConfiguration,
-    violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    violationChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    idAlloc: Seq[graft.delta.IdentityColumns.Spec] = Nil)
   extends StreamingDataWriterFactory with DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -580,7 +586,7 @@ private final class GraftStreamDataWriter(
       rel -> fs.getFileStatus(new Path(f.tablePath, rel)).getLen
     }
     writers.clear()
-    GraftStreamCommitMessage(files)
+    GraftStreamCommitMessage(files, f.idAlloc)
   }
 
   override def abort(): Unit = {

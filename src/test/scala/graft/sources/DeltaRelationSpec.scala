@@ -174,4 +174,47 @@ class DeltaRelationSpec extends SparkTestBase {
       Array(SGte("ts", java.sql.Timestamp.valueOf("2025-12-31 00:00:00"))))).size ==
       snap.activeFiles.size)
   }
+
+  test("equality and IN on date/timestamp partition columns prune typed, not stringly") {
+    // Round-13 regression: the canonical filter literal
+    // ('2026-01-03T03:00:00.000000') never string-equals the Cast-rendered
+    // partition path value ('2026-01-03 03:00:00'), so $eq pruned EVERY
+    // file and the query silently returned zero rows. Equality now routes
+    // through the same typed comparator as the ranges.
+    import graft.delta.FilePruner
+    import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn}
+    val dir = Files.createTempDirectory("graft-rel-tseq").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val hours = Seq("2026-01-03T01:00:00Z", "2026-01-03T03:00:00Z", "2026-01-03T05:00:00Z")
+    hours.zipWithIndex.flatMap { case (h, i) =>
+      (1 to 5).map(j => (i * 5 + j, ts(h), java.sql.Date.valueOf(s"2026-01-0${i + 1}")))
+    }.toDF("id", "ts_part", "d_part")
+      .write.format("graft-delta").option("partitionBy", "ts_part,d_part").save(dir)
+    val snap = DeltaTable.forPath(spark, dir).snapshot()
+    assert(snap.activeFiles.size >= 3)
+
+    // $eq keeps exactly the matching timestamp partition
+    val eq = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SEq("ts_part", ts("2026-01-03T03:00:00Z")))))
+    assert(eq.nonEmpty, "timestamp $eq over-pruned to zero files")
+    assert(eq.forall(_.partitionValues("ts_part").startsWith("2026-01-03 03")),
+      eq.map(_.path))
+    // $in keeps the union of matching partitions
+    val in = FilePruner.prune(snap, DeltaRelation.pruneJson(Array(SIn("ts_part",
+      Array(ts("2026-01-03T01:00:00Z"), ts("2026-01-03T05:00:00Z"))))))
+    assert(in.nonEmpty && in.forall { f =>
+      val v = f.partitionValues("ts_part")
+      v.startsWith("2026-01-03 01") || v.startsWith("2026-01-03 05")
+    }, in.map(_.path))
+    // date partition equality prunes to one day
+    val deq = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(SEq("d_part", java.sql.Date.valueOf("2026-01-02")))))
+    assert(deq.nonEmpty && deq.forall(_.partitionValues("d_part") == "2026-01-02"),
+      deq.map(_.path))
+    // and the scan itself returns the right rows end-to-end
+    val got = spark.read.format("graft-delta").load(dir)
+      .where(col("ts_part") === ts("2026-01-03T03:00:00Z"))
+      .select("id").as[Int].collect().toSet
+    assert(got == (6 to 10).toSet, got)
+  }
 }
