@@ -215,6 +215,27 @@ object SqlQueries {
              |) ORDER BY event_id""".stripMargin)
   }
 
+  /** OR / LIKE-prefix / IS NULL partition pruning, end-to-end (round 14):
+    * a string-partitioned table with NULL partitions
+    * (`__HIVE_DEFAULT_PARTITION__` directories) scanned with
+    * `LIKE 'p%' OR IS NULL` — the disjunctive prune path keeps exactly
+    * the prefix-matching and null partitions at plan time; the result
+    * must still be row-exact vs DuckDB. */
+  def sqlOrPrefixNullPrune(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "opn")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+             |  value DOUBLE, event_type STRING)
+             |PARTITIONED BY (event_type)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, user_id, value, NULLIF(event_type, 'view')
+             |FROM $v""".stripMargin)
+    s.sql(s"""SELECT event_id, user_id, value, event_type
+             |FROM $t
+             |WHERE event_type LIKE 'p%' OR event_type IS NULL
+             |ORDER BY event_id""".stripMargin)
+  }
+
   /** `INSERT INTO ... REPLACE WHERE` (Delta's replaceWhere): ONE commit
     * atomically swaps the `o_orderstatus = 'O'` region for a reloaded
     * slice of it — the idempotent-backfill primitive. Rows outside the
@@ -832,6 +853,7 @@ object SqlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s40_sql_date_partition_range" -> (sqlDatePartitionRange(_, _)),
     "s41_sql_ts_partition_eq" -> (sqlTimestampPartitionEq(_, _)),
+    "s42_sql_or_prefix_null_prune" -> (sqlOrPrefixNullPrune(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -873,6 +895,14 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s42_sql_or_prefix_null_prune" ->
+      """SELECT event_id, user_id, value,
+        |  NULLIF(event_type, 'view') AS event_type
+        |FROM events
+        |WHERE NULLIF(event_type, 'view') LIKE 'p%'
+        |   OR NULLIF(event_type, 'view') IS NULL
+        |ORDER BY event_id""".stripMargin,
+
     "s41_sql_ts_partition_eq" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE date_trunc('day', CAST(ts AS TIMESTAMP))

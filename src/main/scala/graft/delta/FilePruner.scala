@@ -35,15 +35,30 @@ object FilePruner {
   def compile(filter: JValue, partCols: Set[String],
               schema: StructType): AddFile => Boolean = filter match {
     case JObject(entries) =>
-      // Conjunctive top-level entries only; flatten top-level $and.
+      // Conjunctive top-level entries; flatten top-level $and. A `$or`
+      // conjunct prunes DISJUNCTIVELY: keep the file if any branch's
+      // compiled predicate keeps it — sound because each branch predicate
+      // is itself a may-contain over-approximation. Branches are compiled
+      // once here, not per file.
       val conj: Seq[(String, JValue)] = entries.flatMap {
         case ("$and", JArray(subs)) => subs.collect { case JObject(fs) => fs }.flatten
         case other => Seq(other)
       }
-      f => conj.forall { case (field, cond) =>
-        if (partCols.contains(field)) partitionKeeps(f, field, cond, schema)
-        else statsKeep(f, field, cond, schema)
+      val keeps: Seq[AddFile => Boolean] = conj.map {
+        case ("$or", JArray(branches)) if branches.nonEmpty =>
+          val bs = branches.map {
+            case b: JObject => compile(b, partCols, schema)
+            case _ => (_: AddFile) => true
+          }
+          f => bs.exists(_(f))
+        case (field, cond) if !field.startsWith("$") =>
+          if (partCols.contains(field))
+            f => partitionKeeps(f, field, cond, schema)
+          else
+            f => statsKeep(f, field, cond, schema)
+        case _ => _ => true // $nor/$not/empty-$or etc: conservative keep
       }
+      f => keeps.forall(_(f))
     case _ => _ => true
   }
 
@@ -104,10 +119,17 @@ object FilePruner {
           case ("$lte", v) => cmpActual(v).forall(_ <= 0)
           // $ne/$nin drop a file only on a DEFINITE equality: all rows
           // share the value, so a proven match excludes every row. A
-          // null partition (actual None) keeps — Mongo $ne matches null.
+          // null partition (actual None) keeps for non-null literals —
+          // Mongo $ne matches null — but `$ne null` (IS NOT NULL) drops
+          // it, and `$nin [...null...]` drops it too.
+          case ("$ne", JNull) => actual.nonEmpty
           case ("$ne", v) => actual.isEmpty || !cmpActual(v).contains(0)
           case ("$nin", JArray(items)) =>
-            actual.isEmpty || !items.exists(i => cmpActual(i).contains(0))
+            if (actual.isEmpty) !items.contains(JNull)
+            else !items.exists(i => cmpActual(i).contains(0))
+          // prefix predicate (LIKE 'p%'): every row shares the partition
+          // value, so keep iff it carries the prefix; null never matches
+          case ("$startsWith", JString(p)) => actual.exists(_.startsWith(p))
           case _ => true // other operators: conservative keep
         }
       case literal => eqKeeps(literal)
@@ -148,7 +170,37 @@ object FilePruner {
         case JArray(items) => items.exists(i => mayContain(lo, hi, i, dt, allNull, nullsOpt))
         case _ => true
       }
+      // $ne/$nin drop only when EVERY row provably matches the excluded
+      // value: all-null for `null`, or a constant column (zero nulls,
+      // min == max == literal) for a non-null literal.
+      case "$ne" => !provenAllEqual(v)
+      case "$nin" => v match {
+        case JArray(items) => !items.exists(provenAllEqual)
+        case _ => true
+      }
+      // prefix (LIKE 'p%'): some x in [lo, hi] can start with p iff
+      // hi >= p and (lo <= p or lo itself carries the prefix) in UTF-8
+      // byte order — exact because our string stats are never truncated
+      // (long strings are omitted, FooterStats policy). Missing bound or
+      // non-string stat form → keep.
+      case "$startsWith" => (dt, v) match {
+        case (StringType, JString(p)) =>
+          !allNull &&
+            hi.forall { case JString(h) => utf8Compare(h, p) >= 0; case _ => true } &&
+            lo.forall { case JString(l) =>
+              utf8Compare(l, p) <= 0 || l.startsWith(p); case _ => true }
+        case _ => true
+      }
       case _ => true
+    }
+
+    def provenAllEqual(v: JValue): Boolean = v match {
+      case JNull => allNull
+      case _ =>
+        // a KNOWN-zero null count is required: a missing nullCount stat
+        // can't prove the file has no null rows (which $ne/$nin match)
+        stats.numRecords > 0 && nullsOpt.contains(0L) &&
+          cmpLo(lo, v, dt).contains(0) && cmpHi(hi, v, dt).contains(0)
     }
 
     cond match {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
-import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JValue}
+import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JNull, JObject, JString, JValue}
 
 import graft.delta.{DeltaTable, Snapshot, Txn, ValidationException}
 
@@ -263,6 +263,10 @@ object DeltaRelation {
       jlit(v).map(jv => JObject(List(field -> JObject(List(o -> jv))))).toSeq
     def conv(f: Filter): Seq[JObject] = f match {
       case EqualTo(a, v) => op(a, "$eq", v)
+      // `<=>` IS Mongo $eq (null-safe equality), including the null literal
+      case EqualNullSafe(a, null) =>
+        Seq(JObject(List(a -> JObject(List("$eq" -> JNull)))))
+      case EqualNullSafe(a, v) => op(a, "$eq", v)
       case GreaterThan(a, v) => op(a, "$gt", v)
       case GreaterThanOrEqual(a, v) => op(a, "$gte", v)
       case LessThan(a, v) => op(a, "$lt", v)
@@ -272,8 +276,30 @@ object DeltaRelation {
         if (lits.nonEmpty && lits.forall(_.isDefined))
           Seq(JObject(List(a -> JObject(List("$in" -> JArray(lits.flatten.toList))))))
         else Nil
+      // Null checks prune directly: `IS NULL` keeps only files that may
+      // hold null rows (null partitions / nonzero-or-unknown null count);
+      // `IS NOT NULL` drops null partitions and all-null files — the
+      // shape every join key filter takes after Spark's null-safety
+      // rewrites, so it matters at scale.
+      case IsNull(a) => Seq(JObject(List(a -> JObject(List("$eq" -> JNull)))))
+      case IsNotNull(a) => Seq(JObject(List(a -> JObject(List("$ne" -> JNull)))))
+      // LIKE 'p%' prunes on untruncated string stats and partition values.
+      case StringStartsWith(a, p) =>
+        Seq(JObject(List(a -> JObject(List("$startsWith" -> JString(p))))))
       case And(l, r) => conv(l) ++ conv(r)
-      case _ => Nil // Or/Not/null/string ops: no file skipping, still exact
+      // Disjunctions prune soundly branch-wise: each branch's translation
+      // is weaker-or-equal than the branch (conv drops what it can't
+      // express), so L∨R ⇒ L'∨R' and a file is kept if ANY branch keeps
+      // it. A branch that translates to nothing means the whole Or is
+      // vacuous (true ∨ R' = true) — drop it and prune nothing. This is
+      // the `date = X OR date = Y` backfill shape on a partitioned table.
+      case Or(l, r) =>
+        val (lc, rc) = (conv(l), conv(r))
+        if (lc.isEmpty || rc.isEmpty) Nil
+        else Seq(JObject(List("$or" -> JArray(List(
+          JObject(List("$and" -> JArray(lc.toList))),
+          JObject(List("$and" -> JArray(rc.toList))))))))
+      case _ => Nil // Not/null/string ops: no file skipping, still exact
     }
     val conjuncts = filters.toSeq.flatMap(conv)
     if (conjuncts.isEmpty) JNothing

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JValue}
+import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JNull, JObject, JString, JValue}
 
 /**
  * Conservative Catalyst `Expression` → Mongo-style prune-filter
@@ -12,10 +12,10 @@ import org.json4s.{JArray, JBool, JDouble, JLong, JNothing, JObject, JString, JV
  * about) — never for row filtering, so partial translation stays exact:
  * untranslatable conjuncts simply prune nothing.
  *
- * Handles top-level-attribute comparisons against foldable primitive
- * literals, `AND` conjunctions, and `IN`/`InSet` lists. Timestamps,
- * decimals, nested fields, `OR`/`NOT`: skipped, matching the DSv1
- * translator's untrusted-stats policy.
+ * Handles top-level-attribute comparisons against foldable primitive and
+ * date/timestamp literals, `AND` conjunctions, `OR` disjunctions (pruned
+ * branch-wise), and `IN`/`InSet` lists. Decimals, nested fields, `NOT`:
+ * skipped, matching the DSv1 translator's untrusted-stats policy.
  */
 object ExprFilters {
 
@@ -116,8 +116,54 @@ object ExprFilters {
       case _ => Nil
     }
 
+  // Disjunctions prune branch-wise (see DeltaRelation.pruneJson): each
+  // branch's translation is weaker-or-equal than the branch, so a file
+  // kept by ANY translated branch over-approximates L∨R. A branch that
+  // translates to nothing makes the whole Or vacuous — emit nothing.
+  private def disj(l: Expression, r: Expression): Seq[JObject] = {
+    val (lc, rc) = (conv(l), conv(r))
+    if (lc.isEmpty || rc.isEmpty) Nil
+    else Seq(JObject(List("$or" -> JArray(List(
+      JObject(List("$and" -> JArray(lc.toList))),
+      JObject(List("$and" -> JArray(rc.toList))))))))
+  }
+
+  /** `LIKE 'p%'` with a literal pattern that is a plain prefix (no other
+    * wildcards, no escapes) → the prefix; anything else → None. */
+  private def likePrefix(pattern: String): Option[String] =
+    if (pattern.nonEmpty && pattern.last == '%' &&
+        !pattern.init.exists(c => c == '%' || c == '_' || c == '\\'))
+      Some(pattern.init)
+    else None
+
+  private def nullCheck(a: Expression, o: String): Seq[JObject] =
+    attrName(a).map(f => op(f, o, JNull)).toSeq
+
+  private def prefixCheck(l: Expression, r: Expression): Seq[JObject] =
+    (attrName(l), r) match {
+      case (Some(f), Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        Seq(op(f, "$startsWith", JString(p.toString)))
+      case _ => Nil
+    }
+
   private def conv(e: Expression): Seq[JObject] = e match {
     case And(l, r) => conv(l) ++ conv(r)
+    case Or(l, r) => disj(l, r)
+    // `<=>` IS Mongo $eq (null-safe), incl. against a null literal
+    case EqualNullSafe(l, Literal(null, _)) => nullCheck(l, "$eq")
+    case EqualNullSafe(Literal(null, _), r) => nullCheck(r, "$eq")
+    case EqualNullSafe(l, r) => cmp(l, r, "$eq")
+    // Null checks and string prefixes prune like the DSv1 translator's
+    // (IS [NOT] NULL / LIKE 'p%' — see DeltaRelation.pruneJson).
+    case IsNull(a) => nullCheck(a, "$eq")
+    case IsNotNull(a) => nullCheck(a, "$ne")
+    case StartsWith(l, r) => prefixCheck(l, r)
+    case Like(l, Literal(p: org.apache.spark.unsafe.types.UTF8String, _), '\\') =>
+      likePrefix(p.toString) match {
+        case Some(prefix) =>
+          attrName(l).map(f => op(f, "$startsWith", JString(prefix))).toSeq
+        case None => Nil
+      }
     case EqualTo(l, r) => cmp(l, r, "$eq")
     case GreaterThan(l, r) => cmp(l, r, "$gt")
     case GreaterThanOrEqual(l, r) => cmp(l, r, "$gte")
@@ -129,9 +175,22 @@ object ExprFilters {
     // analyzer ran first). Same conservative rules, pre-resolution shape.
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if u.nameParts.length == 1 && !u.isDistinct =>
-      (u.nameParts.head, u.arguments) match {
+      (u.nameParts.head.toLowerCase(java.util.Locale.ROOT), u.arguments) match {
         case ("and", Seq(l, r)) => conv(l) ++ conv(r)
+        case ("or", Seq(l, r)) => disj(l, r)
+        case ("isnull", Seq(a)) => nullCheck(a, "$eq")
+        case ("isnotnull", Seq(a)) => nullCheck(a, "$ne")
+        case ("startswith", Seq(l, r)) => prefixCheck(l, r)
+        case ("like", Seq(l, Literal(p: org.apache.spark.unsafe.types.UTF8String, _))) =>
+          likePrefix(p.toString) match {
+            case Some(prefix) =>
+              attrName(l).map(f => op(f, "$startsWith", JString(prefix))).toSeq
+            case None => Nil
+          }
         case ("=" | "==", Seq(l, r)) => cmp(l, r, "$eq")
+        case ("<=>", Seq(l, Literal(null, _))) => nullCheck(l, "$eq")
+        case ("<=>", Seq(Literal(null, _), r)) => nullCheck(r, "$eq")
+        case ("<=>", Seq(l, r)) => cmp(l, r, "$eq")
         case (">", Seq(l, r)) => cmp(l, r, "$gt")
         case (">=", Seq(l, r)) => cmp(l, r, "$gte")
         case ("<", Seq(l, r)) => cmp(l, r, "$lt")
@@ -166,6 +225,6 @@ object ExprFilters {
           else Nil
         case None => Nil
       }
-    case _ => Nil // Or/Not/null-checks/UDFs: no file skipping, still exact
+    case _ => Nil // Not/null-checks/UDFs: no file skipping, still exact
   }
 }

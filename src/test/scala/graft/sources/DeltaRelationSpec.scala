@@ -120,9 +120,21 @@ class DeltaRelationSpec extends SparkTestBase {
     val prunedZone = FilePruner.prune(snap,
       DeltaRelation.pruneJson(Array(SAnd(SEq("par", "even"), SGt("id", 1000)))))
     assert(prunedZone.isEmpty)
-    // untranslatable filters prune nothing (conservative)
+    // prefix filters prune partitions (round 14): par LIKE 'e%' keeps
+    // only the even partition
+    val prefix = FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(org.apache.spark.sql.sources.StringStartsWith("par", "e"))))
+    assert(prefix.nonEmpty && prefix.forall(_.path.contains("par=even")))
+    // null checks prune: no partition is null, so IS NULL keeps nothing
+    // and IS NOT NULL keeps everything
     assert(FilePruner.prune(snap, DeltaRelation.pruneJson(
-      Array(org.apache.spark.sql.sources.StringStartsWith("par", "e")))).size ==
+      Array(org.apache.spark.sql.sources.IsNull("par")))).isEmpty)
+    assert(FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(org.apache.spark.sql.sources.IsNotNull("par")))).size ==
+      snap.activeFiles.size)
+    // untranslatable filters still prune nothing (conservative)
+    assert(FilePruner.prune(snap, DeltaRelation.pruneJson(
+      Array(org.apache.spark.sql.sources.StringContains("par", "e")))).size ==
       snap.activeFiles.size)
   }
 
@@ -216,5 +228,55 @@ class DeltaRelationSpec extends SparkTestBase {
       .where(col("ts_part") === ts("2026-01-03T03:00:00Z"))
       .select("id").as[Int].collect().toSet
     assert(got == (6 to 10).toSet, got)
+  }
+
+  test("OR of partition predicates prunes disjunctively (round 14)") {
+    import graft.delta.FilePruner
+    import org.apache.spark.sql.sources.{EqualTo => SEq, GreaterThan => SGt, Or => SOr, StringStartsWith}
+    val dir = Files.createTempDirectory("graft-rel-or").toString
+    (1 to 30).map(i => (i, s"2026-01-0${(i - 1) / 10 + 1}", i * 10))
+      .map { case (i, d, v) => (i, java.sql.Date.valueOf(d), v) }
+      .toDF("id", "event_date", "v")
+      .write.format("graft-delta").option("partitionBy", "event_date").save(dir)
+    val snap = DeltaTable.forPath(spark, dir).snapshot()
+
+    // date = X OR date = Y keeps exactly those two partitions
+    val or2 = FilePruner.prune(snap, DeltaRelation.pruneJson(Array(SOr(
+      SEq("event_date", java.sql.Date.valueOf("2026-01-01")),
+      SEq("event_date", java.sql.Date.valueOf("2026-01-03"))))))
+    assert(or2.nonEmpty && or2.forall(f =>
+      f.path.contains("event_date=2026-01-01") ||
+        f.path.contains("event_date=2026-01-03")), or2.map(_.path))
+    assert(!or2.forall(_.path.contains("event_date=2026-01-01")))
+
+    // a partition branch OR a zone-map branch: files survive if EITHER
+    // side may match (date partition 01-01, or v stats admitting > 250)
+    val mixed = FilePruner.prune(snap, DeltaRelation.pruneJson(Array(SOr(
+      SEq("event_date", java.sql.Date.valueOf("2026-01-01")),
+      SGt("v", 250)))))
+    assert(mixed.nonEmpty && mixed.forall(f =>
+      f.path.contains("event_date=2026-01-01") ||
+        f.path.contains("event_date=2026-01-03")), mixed.map(_.path))
+
+    // an untranslatable branch makes the whole OR vacuous: prune nothing
+    assert(FilePruner.prune(snap, DeltaRelation.pruneJson(Array(SOr(
+      SEq("event_date", java.sql.Date.valueOf("2026-01-01")),
+      StringStartsWith("event_date", "2026"))))).size == snap.activeFiles.size)
+
+    // Mongo-form $or prunes the same way through the table query path
+    val mongoOr = org.json4s.JObject(List("$or" -> org.json4s.JArray(List(
+      org.json4s.JObject(List("event_date" -> org.json4s.JString("2026-01-01"))),
+      org.json4s.JObject(List("event_date" -> org.json4s.JString("2026-01-03")))))))
+    val m = FilePruner.prune(snap, mongoOr)
+    assert(m.nonEmpty && m.forall(f =>
+      f.path.contains("event_date=2026-01-01") ||
+        f.path.contains("event_date=2026-01-03")), m.map(_.path))
+
+    // end-to-end: the OR scan returns the right rows
+    val got = spark.read.format("graft-delta").load(dir)
+      .where(col("event_date") === java.sql.Date.valueOf("2026-01-01") ||
+        col("event_date") === java.sql.Date.valueOf("2026-01-03"))
+      .select("id").as[Int].collect().toSet
+    assert(got == ((1 to 10) ++ (21 to 30)).toSet, got)
   }
 }

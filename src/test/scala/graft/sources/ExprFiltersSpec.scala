@@ -25,14 +25,46 @@ class ExprFiltersSpec extends AnyFunSuite {
   }
 
   test("AND conjunctions accumulate; untranslatable conjuncts drop out") {
-    val v = ExprFilters.pruneJson(col("a") > 1 && col("b") === "x" && col("c").isNull)
+    val v = ExprFilters.pruneJson(col("a") > 1 && col("b") === "x" && col("c").contains("q"))
     assert(j(v) == """{"$and":[{"a":{"$gt":1}},{"b":{"$eq":"x"}}]}""")
   }
 
-  test("OR / NOT / null-checks / UDF shapes prune nothing") {
-    assert(ExprFilters.pruneJson(col("a") === 1 || col("b") === 2) == JNothing)
+  test("NOT / UDF shapes prune nothing") {
     assert(ExprFilters.pruneJson(!(col("a") === 1)) == JNothing)
-    assert(ExprFilters.pruneJson(col("a").isNotNull) == JNothing)
+  }
+
+  test("null checks and string prefixes translate (round 14)") {
+    assert(j(ExprFilters.pruneJson(col("a").isNull)) ==
+      """{"$and":[{"a":{"$eq":null}}]}""")
+    // <=> is null-safe equality = Mongo $eq
+    assert(j(ExprFilters.pruneJson(col("a") <=> 5)) ==
+      """{"$and":[{"a":{"$eq":5}}]}""")
+    assert(j(ExprFilters.pruneJson(col("a") <=> lit(null))) ==
+      """{"$and":[{"a":{"$eq":null}}]}""")
+    assert(j(ExprFilters.pruneJson(col("a").isNotNull)) ==
+      """{"$and":[{"a":{"$ne":null}}]}""")
+    assert(j(ExprFilters.pruneJson(col("s").startsWith("ab"))) ==
+      """{"$and":[{"s":{"$startsWith":"ab"}}]}""")
+    // LIKE with a plain prefix pattern translates; real wildcards do not
+    assert(j(ExprFilters.pruneJson(col("s").like("ab%"))) ==
+      """{"$and":[{"s":{"$startsWith":"ab"}}]}""")
+    assert(ExprFilters.pruneJson(col("s").like("ab%c")) == JNothing)
+    assert(ExprFilters.pruneJson(col("s").like("a_b%")) == JNothing)
+    assert(ExprFilters.pruneJson(col("s").like("%ab")) == JNothing)
+  }
+
+  test("OR translates branch-wise; an untranslatable branch voids the whole OR") {
+    // round 14: `a = 1 OR b = 2` prunes disjunctively — a file survives if
+    // EITHER branch might match it
+    assert(j(ExprFilters.pruneJson(col("a") === 1 || col("b") === 2)) ==
+      """{"$and":[{"$or":[{"$and":[{"a":{"$eq":1}}]},{"$and":[{"b":{"$eq":2}}]}]}]}""")
+    // compound branches keep their conjunctions
+    assert(j(ExprFilters.pruneJson((col("a") === 1 && col("c") > 5) || col("b") === 2)) ==
+      """{"$and":[{"$or":[{"$and":[{"a":{"$eq":1}},{"c":{"$gt":5}}]},{"$and":[{"b":{"$eq":2}}]}]}]}""")
+    // a branch that translates to nothing makes OR vacuous: no pruning
+    // (true ∨ R is true — emitting just R would over-prune)
+    assert(ExprFilters.pruneJson(col("a").contains("q") || col("b") === 2) == JNothing)
+    assert(ExprFilters.pruneJson(col("a") === 1 || !(col("b") === 2)) == JNothing)
   }
 
   test("IN translates only when every element is a trusted literal") {
