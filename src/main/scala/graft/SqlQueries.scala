@@ -236,6 +236,25 @@ object SqlQueries {
              |ORDER BY event_id""".stripMargin)
   }
 
+  /** Partition-filtered METADATA aggregate (round 14): on a partitioned
+    * table, `COUNT/MIN/MAX ... WHERE <partition predicate>` folds the
+    * matching files' log stats without scanning — the claimed-filter path
+    * (Spark only pushes aggregates past an empty residual set, so the
+    * exact per-file claim is what unblocks this). The oracle recomputes
+    * from the raw rows, so a wrong metadata answer fails the gate. */
+  def sqlAggClaimedFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "acf")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+             |  value DOUBLE, event_type STRING)
+             |PARTITIONED BY (event_type)""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, user_id, value, event_type FROM $v""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, count(user_id) AS n_users,
+             |  min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM $t WHERE event_type IN ('click', 'purchase')""".stripMargin)
+  }
+
   /** `INSERT INTO ... REPLACE WHERE` (Delta's replaceWhere): ONE commit
     * atomically swaps the `o_orderstatus = 'O'` region for a reloaded
     * slice of it — the idempotent-backfill primitive. Rows outside the
@@ -854,6 +873,7 @@ object SqlQueries {
     "s40_sql_date_partition_range" -> (sqlDatePartitionRange(_, _)),
     "s41_sql_ts_partition_eq" -> (sqlTimestampPartitionEq(_, _)),
     "s42_sql_or_prefix_null_prune" -> (sqlOrPrefixNullPrune(_, _)),
+    "s43_sql_agg_claimed_filter" -> (sqlAggClaimedFilter(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -895,6 +915,11 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s43_sql_agg_claimed_filter" ->
+      """SELECT count(*) AS n, count(user_id) AS n_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_type IN ('click', 'purchase')""".stripMargin,
+
     "s42_sql_or_prefix_null_prune" ->
       """SELECT event_id, user_id, value,
         |  NULLIF(event_type, 'view') AS event_type

@@ -294,6 +294,19 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     else Some(StatsAggregates.dimensions(scanState(Some(target), filter)))
   }
 
+  /** Driver-materialized scan state pinned at an EXPLICIT version, for
+    * DSv2 filter claiming: the claim decision and the later scan must see
+    * the same file set, so the resolved version is returned alongside and
+    * re-used by the scan. None above the distributed-snapshot threshold
+    * (claiming needs per-file evaluation on the driver). */
+  private[graft] def pinnedScanState(versionOpt: Option[Long]): Option[(Long, Snapshot)] = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    val big = log.readLastCheckpoint().filter(_._1 <= target)
+      .exists(_._2 >= distributedSnapshotThreshold)
+    if (big) None
+    else Some((target, scanState(Some(target), org.json4s.JNothing)))
+  }
+
   /** Metadata/protocol/txn-only snapshot (empty file list): cheap at any
     * table size — schema resolution and txn-idempotence checks should use
     * this instead of a full [[snapshot]]. */

@@ -79,9 +79,16 @@ object StatsAggregates {
     * java.sql.Date / LocalDateTime), matching what a V1 relation's
     * Row-encoder conversion expects. */
   def answer(snap: Snapshot, schema: StructType,
-             aggs: Seq[StatAgg]): Option[Seq[Any]] = {
-    val stats = parseAll(snap.activeFiles).getOrElse(return None)
-    val out = fold(stats, snap.partitionColumns.toSet, schema, aggs)
+             aggs: Seq[StatAgg]): Option[Seq[Any]] =
+    answerFiles(snap.activeFiles, snap.partitionColumns.toSet, schema, aggs)
+
+  /** [[answer]] over an explicit file subset — the claimed-partition-filter
+    * path: `SELECT count(*) WHERE <exact partition predicate>` folds the
+    * matching files' stats without a scan. */
+  def answerFiles(files: Seq[AddFile], partCols: Set[String],
+                  schema: StructType, aggs: Seq[StatAgg]): Option[Seq[Any]] = {
+    val stats = parseAll(files).getOrElse(return None)
+    val out = fold(stats, partCols, schema, aggs)
     if (out.isDefined) answered.incrementAndGet()
     out
   }
@@ -92,12 +99,18 @@ object StatsAggregates {
     * `groupCols ++ aggs` in order. Same exactness contract as [[answer]],
     * applied per group; any unprovable group refuses the whole query. */
   def answerGrouped(snap: Snapshot, schema: StructType, groupCols: Seq[String],
-                    aggs: Seq[StatAgg]): Option[Seq[Seq[Any]]] = {
-    val partCols = snap.partitionColumns.toSet
+                    aggs: Seq[StatAgg]): Option[Seq[Seq[Any]]] =
+    answerGroupedFiles(snap.activeFiles, snap.partitionColumns.toSet,
+      schema, groupCols, aggs)
+
+  /** [[answerGrouped]] over an explicit file subset (claimed filters). */
+  def answerGroupedFiles(files: Seq[AddFile], partCols: Set[String],
+                         schema: StructType, groupCols: Seq[String],
+                         aggs: Seq[StatAgg]): Option[Seq[Seq[Any]]] = {
     if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
     val gFields = groupCols.map(n =>
       schema.fields.find(_.name == n).getOrElse(return None))
-    val stats = parseAll(snap.activeFiles).getOrElse(return None)
+    val stats = parseAll(files).getOrElse(return None)
     val grouped = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Option[String]], scala.collection.mutable.Buffer[(AddFile, FileStats)]]
     stats.foreach { case (f, st) =>

@@ -52,22 +52,52 @@ final class DeltaRelation(
   override val schema: StructType =
     table.toDF(table.metaSnapshot(resolvedVersion())).schema
 
-  /** Metadata-only aggregate answer over this relation's (possibly
-    * time-traveled) snapshot — see [[graft.delta.StatsAggregates]]. None
-    * refuses (caller falls back to the ordinary scan). */
-  private[sources] def answerAggregates(
-      aggs: Seq[graft.delta.StatsAggregates.StatAgg]): Option[Seq[Any]] = {
-    val snap = table.scanState(resolvedVersion(), JNothing)
-    graft.delta.StatsAggregates.answer(snap, schema, aggs)
+  /** Partition columns from metadata alone (O(1) in file count). */
+  private[sources] lazy val partitionColumnSet: Set[String] =
+    table.metaSnapshot(resolvedVersion()).partitionColumns.toSet
+
+  /** Driver-materialized snapshot pinned at an explicit version, for DSv2
+    * filter claiming; None above the distributed-snapshot threshold. */
+  private[sources] def claimState(): Option[(Long, Snapshot)] =
+    table.pinnedScanState(resolvedVersion())
+
+  /** The exactly-matching file subset for CLAIMED partition filters over a
+    * pinned snapshot, or None when anything is undecidable (callers must
+    * then refuse rather than answer inexactly). */
+  private def claimedFiles(pinnedVersion: Option[Long],
+                           claimed: Array[Filter]): Option[(Snapshot, Seq[graft.delta.AddFile])] = {
+    val snap = table.scanState(pinnedVersion.orElse(resolvedVersion()),
+      DeltaRelation.pruneJson(claimed))
+    if (claimed.isEmpty) Some((snap, snap.activeFiles))
+    else graft.delta.PartitionFilters.exactSubset(snap.activeFiles,
+      claimed.toIndexedSeq, snap.partitionColumns.toSet, schema)
+      .map(files => (snap, files))
   }
+
+  /** Metadata-only aggregate answer over this relation's (possibly
+    * time-traveled) snapshot, optionally restricted to the exact subset a
+    * set of CLAIMED partition filters selects — see
+    * [[graft.delta.StatsAggregates]]. None refuses (caller falls back to
+    * the ordinary scan). */
+  private[sources] def answerAggregates(
+      aggs: Seq[graft.delta.StatsAggregates.StatAgg],
+      pinnedVersion: Option[Long] = None,
+      claimed: Array[Filter] = Array.empty): Option[Seq[Any]] =
+    claimedFiles(pinnedVersion, claimed).flatMap { case (snap, files) =>
+      graft.delta.StatsAggregates.answerFiles(files,
+        snap.partitionColumns.toSet, schema, aggs)
+    }
 
   /** GROUP-BY-partition-columns twin of [[answerAggregates]] — one row per
     * surviving partition group. */
   private[sources] def answerGroupedAggregates(groupCols: Seq[String],
-      aggs: Seq[graft.delta.StatsAggregates.StatAgg]): Option[Seq[Seq[Any]]] = {
-    val snap = table.scanState(resolvedVersion(), JNothing)
-    graft.delta.StatsAggregates.answerGrouped(snap, schema, groupCols, aggs)
-  }
+      aggs: Seq[graft.delta.StatsAggregates.StatAgg],
+      pinnedVersion: Option[Long] = None,
+      claimed: Array[Filter] = Array.empty): Option[Seq[Seq[Any]]] =
+    claimedFiles(pinnedVersion, claimed).flatMap { case (snap, files) =>
+      graft.delta.StatsAggregates.answerGroupedFiles(files,
+        snap.partitionColumns.toSet, schema, groupCols, aggs)
+    }
 
   /** (estimatedBytes, exactRows) of this scan AFTER file pruning by
     * `filters` — the DSv2 `SupportsReportStatistics` feed. Bytes are
@@ -125,8 +155,23 @@ final class DeltaRelation(
     * native V2 batch scan. */
   private[sources] def plannedSnapshot(filters: Array[Filter],
                                        limit: Option[Int],
-                                       topN: Option[DeltaRelation.TopN]): Snapshot = {
-    val snap0 = table.scanState(resolvedVersion(), DeltaRelation.pruneJson(filters))
+                                       topN: Option[DeltaRelation.TopN],
+                                       pinnedVersion: Option[Long] = None,
+                                       claimed: Array[Filter] = Array.empty): Snapshot = {
+    val snapRaw = table.scanState(pinnedVersion.orElse(resolvedVersion()),
+      DeltaRelation.pruneJson(filters ++ claimed))
+    // CLAIMED filters were removed from Spark's post-scan residuals, so
+    // the scan itself must enforce them — exactly, via the per-file
+    // tri-state evaluation the claim was based on. The version is pinned
+    // to the claim-time snapshot, so decidability cannot degrade here.
+    val snap0 =
+      if (claimed.isEmpty) snapRaw
+      else snapRaw.copy(activeFiles = graft.delta.PartitionFilters.exactSubset(
+        snapRaw.activeFiles, claimed.toIndexedSeq,
+        snapRaw.partitionColumns.toSet, schema)
+        .getOrElse(throw new graft.delta.ValidationException(
+          "claimed partition filters became undecidable at scan time " +
+            "(pinned-version invariant violated)")))
     (limit, topN) match {
       case (Some(l), _) if filters.isEmpty =>
         snap0.copy(activeFiles = DeltaRelation.trimForLimit(snap0.activeFiles, l))

@@ -63,11 +63,17 @@ private[sources] final class GraftBatchScan(
     relation: DeltaRelation,
     required: StructType,
     filters: Array[Filter],
-    limit: Option[Int],
-    topN: Option[DeltaRelation.TopN],
+    claimed: Array[Filter] = Array.empty,
+    pinnedVersion: Option[Long] = None,
+    limit: Option[Int] = None,
+    topN: Option[DeltaRelation.TopN] = None,
     options: java.util.Map[String, String] = java.util.Collections.emptyMap())
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
+
+  /** Residual + claimed = the full pushed predicate set, used wherever the
+    * conservative (may-keep) machinery wants every pushed filter. */
+  private def allPushed: Array[Filter] = filters ++ claimed
 
   private def spark: SparkSession = relation.sqlContext.sparkSession
   private def table = relation.table
@@ -116,7 +122,7 @@ private[sources] final class GraftBatchScan(
   private lazy val basePlan: GraftBatchScan.Planned = plan(filters)
 
   private def plan(fs: Array[Filter]): GraftBatchScan.Planned = {
-    val snap = relation.plannedSnapshot(fs, limit, topN)
+    val snap = relation.plannedSnapshot(fs, limit, topN, pinnedVersion, claimed)
     val (parts, columnarOk) = GraftBatchScan.planFiles(
       spark, table, snap.activeFiles, requiredPart.toIndexedSeq)
     GraftBatchScan.Planned(parts, columnarOk, snap)
@@ -151,21 +157,29 @@ private[sources] final class GraftBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftBatchScan.readerFactoryFor(spark, table, basePlan.snapshot.schema,
-      partCols, requiredData, requiredPart, filters, basePlan.columnarOk)
+      partCols, requiredData, requiredPart, allPushed, basePlan.columnarOk)
 
   /** `spark.readStream.table(...)` — the scan builder is the only DSv2
     * entry point for streaming reads, so the batch scan doubles as the
     * stream factory. Streaming gets no column pruning from Spark, so
     * `required` is the full table schema here. */
   override def toMicroBatchStream(
-      checkpointLocation: String): graft.streaming.GraftMicroBatchStream =
+      checkpointLocation: String): graft.streaming.GraftMicroBatchStream = {
+    // The stream ignores pushed filters (Spark re-evaluates residuals on
+    // top). CLAIMED filters are the one thing it must never ignore —
+    // they were removed from the post-scan plan on the promise that the
+    // scan enforces them. Batch planning is the only path that claims
+    // today; fail loudly if that invariant ever changes.
+    require(claimed.isEmpty,
+      "claimed partition filters cannot back a streaming read")
     new graft.streaming.GraftMicroBatchStream(spark, table, options)
+  }
 
   // ---- statistics (what the join planner compares against the broadcast
   // threshold — see GraftV1Scan's scaladoc history) ---------------------------
 
   override def estimateStatistics(): Statistics = {
-    val dims = relation.scanDimensions(filters)
+    val dims = relation.scanDimensions(allPushed)
     new Statistics {
       override def sizeInBytes(): OptionalLong = dims match {
         case Some((bytes, _)) => OptionalLong.of(bytes)
@@ -181,6 +195,8 @@ private[sources] final class GraftBatchScan(
   override def description(): String =
     s"GraftBatchScan ${table.path} " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
+      (if (claimed.nonEmpty)
+        s"ClaimedFilters: [${claimed.mkString(", ")}], " else "") +
       s"RuntimeFilters: [${runtimeFilters.mkString(", ")}], " +
       (if (limit.nonEmpty) s"PushedLimit: ${limit.get}, " else "") +
       (if (topN.nonEmpty) s"PushedTopN: ${topN.get}, " else "") +

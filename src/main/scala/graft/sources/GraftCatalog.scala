@@ -498,6 +498,9 @@ private final class GraftScanBuilder(relation: DeltaRelation,
   with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
+  private var claimed: Array[Filter] = Array.empty
+  private var claimedVersion: Option[Long] = None
   private var required: StructType = relation.schema
   private var agg: Option[(StructType, Seq[Seq[Any]])] = None
   private var limit: Option[Int] = None
@@ -529,13 +532,36 @@ private final class GraftScanBuilder(relation: DeltaRelation,
     true
   }
 
-  /** Accept every filter for file/row-group pruning but RETURN them all:
-    * pruning is best-effort (the pruner keeps files it can't reason
-    * about), so Spark must keep re-evaluating each predicate post-scan —
-    * the same contract the DSv1 path relies on. */
+  /** Accept every filter for file/row-group pruning; CLAIM the subset
+    * that is EXACTLY decidable per-file on partition values (tri-state
+    * evaluation over a version-pinned snapshot — see
+    * [[graft.delta.PartitionFilters]]) and return only the rest as
+    * post-scan residuals. Claiming removes per-row re-evaluation of
+    * partition predicates AND unblocks metadata-only aggregate pushdown
+    * under a WHERE clause (Spark only pushes aggregates past an empty
+    * residual set). Everything unclaimed keeps the conservative contract:
+    * best-effort pruning + Spark re-evaluates post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters
+    claimed = Array.empty
+    claimedVersion = None
+    residual = filters
+    val partCols = relation.partitionColumnSet
+    if (partCols.nonEmpty &&
+        filters.exists(graft.delta.PartitionFilters.shapeClaimable(_, partCols))) {
+      relation.claimState().foreach { case (v, snap) =>
+        val ok = filters.filter(f =>
+          graft.delta.PartitionFilters.shapeClaimable(f, partCols) &&
+            graft.delta.PartitionFilters.decidable(
+              snap.activeFiles, f, partCols, relation.schema))
+        if (ok.nonEmpty) {
+          claimed = ok
+          claimedVersion = Some(v)
+          residual = filters.filterNot(ok.contains)
+        }
+      }
+    }
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -568,7 +594,11 @@ private final class GraftScanBuilder(relation: DeltaRelation,
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     import graft.delta.StatsAggregates
-    if (pushed.nonEmpty) return None
+    // Only CLAIMED (exactly-enforced partition) filters may accompany a
+    // metadata-answered aggregate; any residual predicate needs the rows.
+    // (Spark only attempts aggregate pushdown when the residual set is
+    // empty anyway — this is the defensive twin of that rule.)
+    if (residual.nonEmpty) return None
     def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
@@ -603,14 +633,17 @@ private final class GraftScanBuilder(relation: DeltaRelation,
     }
     val schema = StructType(groupFields ++ aggFields)
     if (groupCols.isEmpty)
-      relation.answerAggregates(specs).map(vs => (schema, Seq(vs)))
+      relation.answerAggregates(specs, claimedVersion, claimed)
+        .map(vs => (schema, Seq(vs)))
     else
-      relation.answerGroupedAggregates(groupCols, specs).map(rows => (schema, rows))
+      relation.answerGroupedAggregates(groupCols, specs, claimedVersion, claimed)
+        .map(rows => (schema, rows))
   }
 
   override def build(): Scan = agg match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftBatchScan(relation, required, pushed, limit, topN, options)
+    case None => new GraftBatchScan(relation, required, residual, claimed,
+      claimedVersion, limit, topN, options)
   }
 }
 

@@ -1,0 +1,130 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import graft.delta.StatsAggregates
+
+/**
+ * DSv2 partition-filter CLAIMING (round 14): filters that are exactly
+ * decidable per-file on partition values are consumed by the scan (exact
+ * file subset, version-pinned) instead of staying post-scan residuals.
+ * Two consequences under test:
+ *  1. row scans stay correct with NO Spark-side re-evaluation — proven by
+ *     comparing against a cached in-memory ground truth;
+ *  2. `SELECT count(*)/min/max ... WHERE <partition predicate>` becomes a
+ *     metadata fold — proven physically by deleting the data files.
+ */
+class ClaimedFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val cat: String = GraftSql.ensure(spark)
+
+  private var n = 0
+  private def freshTable(): String = synchronized {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.claimed")
+    n += 1; s"$cat.claimed.t$n"
+  }
+
+  private def tableDir(t: String): Path = {
+    val wh = GraftSql.warehousePath(spark).get
+    Paths.get((wh +: t.split('.').drop(1).toSeq).mkString("/"))
+  }
+
+  private def answered[A](body: => A): (A, Long) = {
+    val before = StatsAggregates.answered.get()
+    val r = body
+    (r, StatsAggregates.answered.get() - before)
+  }
+
+  test("aggregates under a partition filter answer from metadata (files deleted)") {
+    val t = freshTable()
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, g STRING) PARTITIONED BY (g)""")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE NULL END
+      FROM range(900)""")
+    // physically remove the data — only the log remains
+    Files.walk(tableDir(t)).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filterNot(_.toString.contains("_delta_log"))
+      .foreach(Files.delete)
+    val (r1, h1) = answered {
+      spark.sql(s"SELECT COUNT(*), MIN(id), MAX(id) FROM $t WHERE g = 'a'").head()
+    }
+    assert(h1 == 1, "partition-filtered aggregate was not metadata-answered")
+    assert(r1.getLong(0) == 300 && r1.getLong(1) == 0 && r1.getLong(2) == 897)
+    // IS NULL partition filter
+    val (r2, h2) = answered {
+      spark.sql(s"SELECT COUNT(*) FROM $t WHERE g IS NULL").head()
+    }
+    assert(h2 == 1 && r2.getLong(0) == 300)
+    // IN + range-of-string
+    val (r3, h3) = answered {
+      spark.sql(s"SELECT COUNT(*) FROM $t WHERE g IN ('a','b')").head()
+    }
+    assert(h3 == 1 && r3.getLong(0) == 600)
+    // GROUP BY partition col under the claimed filter
+    val (rows, h4) = answered {
+      spark.sql(s"SELECT g, COUNT(*) AS c FROM $t WHERE g IS NOT NULL GROUP BY g ORDER BY g")
+        .collect()
+    }
+    assert(h4 == 1)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 300L), ("b", 300L)))
+    // a residual (data-column) predicate still needs the rows: with the
+    // files gone it can only fail, and the metadata path must not fire
+    val (_, h5) = answered {
+      intercept[Throwable](
+        spark.sql(s"SELECT COUNT(*) FROM $t WHERE g = 'a' AND id > 10").head())
+    }
+    assert(h5 == 0, "residual-filtered aggregate must not be metadata-answered")
+  }
+
+  test("claimed row scans match an in-memory ground truth (incl. null partitions)") {
+    val dir = Files.createTempDirectory("graft-claim-rows").toString
+    val days = Seq(Some("2026-04-01"), Some("2026-04-02"), Some("2026-04-03"), None)
+    days.zipWithIndex.flatMap { case (d, i) =>
+      (1 to 25).map(j => (i * 25 + j, d.map(java.sql.Date.valueOf).orNull, j % 5))
+    }.toDF("id", "d", "v")
+      .write.format("graft-delta").option("partitionBy", "d").save(dir)
+    val full = spark.read.format("graft-delta").load(dir).cache()
+    full.count() // materialize: ground-truth filters run on InMemoryRelation
+    def check(cond: String): Unit = {
+      val got = spark.read.format("graft-delta").load(dir)
+        .where(cond).select("id").as[Int].collect().sorted.toSeq
+      val want = full.where(cond).select("id").as[Int].collect().sorted.toSeq
+      assert(got == want, s"cond=$cond got=$got want=$want")
+    }
+    check("d = DATE'2026-04-02'")
+    check("d IN (DATE'2026-04-01', DATE'2026-04-03')")
+    check("d >= DATE'2026-04-02'")
+    check("d < DATE'2026-04-02'")
+    check("d IS NULL")
+    check("d IS NOT NULL")
+    check("d = DATE'2026-04-01' OR d IS NULL")
+    check("NOT (d = DATE'2026-04-02')")
+    check("d = DATE'2026-04-02' AND v = 3") // mixed: partition claimed, v residual
+    check("d != DATE'2026-04-02'")
+    check("d <=> DATE'2026-04-02'")
+    full.unpersist()
+    ()
+  }
+
+  test("the DSv2 plan claims partition filters and keeps data filters residual") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 2 AS STRING) FROM range(10)")
+    val plan = spark.sql(s"SELECT id FROM $t WHERE p = '1' AND id > 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ClaimedFilters"), plan)
+    assert(plan.contains("p"), plan)
+    // the data predicate survives as a real post-scan filter
+    assert(plan.contains("Filter") && plan.contains("id"), plan)
+    // non-partition filters alone claim nothing
+    val plan2 = spark.sql(s"SELECT id FROM $t WHERE id > 3")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("ClaimedFilters"), plan2)
+  }
+}
