@@ -130,6 +130,15 @@ object FilePruner {
           // prefix predicate (LIKE 'p%'): every row shares the partition
           // value, so keep iff it carries the prefix; null never matches
           case ("$startsWith", JString(p)) => actual.exists(_.startsWith(p))
+          // anchored regex ('^abc...') prunes on its literal prefix — an
+          // over-approximation (the tail of the pattern may demand more),
+          // which is exactly what may-keep needs. Flags ('$options', e.g.
+          // 'i'/'m') change what ^ and the prefix mean → no pruning.
+          case ("$regex", JString(p)) if !ops.exists(_._1 == "$options") =>
+            regexLiteralPrefix(p) match {
+              case Some(pre) => actual.exists(_.startsWith(pre))
+              case None => true
+            }
           case _ => true // other operators: conservative keep
         }
       case literal => eqKeeps(literal)
@@ -153,6 +162,10 @@ object FilePruner {
 
   private def statsKeep(f: AddFile, field: String, cond: JValue, schema: StructType): Boolean = {
     val stats = f.parsedStats.getOrElse(return true)
+    val hasOptions = cond match {
+      case JObject(ops) => ops.exists(_._1 == "$options")
+      case _ => false
+    }
     val dt = schema.fields.find(_.name == field).map(_.dataType).getOrElse(return true)
     val lo = stats.minValues.get(field)
     val hi = stats.maxValues.get(field)
@@ -184,15 +197,25 @@ object FilePruner {
       // (long strings are omitted, FooterStats policy). Missing bound or
       // non-string stat form → keep.
       case "$startsWith" => (dt, v) match {
-        case (StringType, JString(p)) =>
-          !allNull &&
-            hi.forall { case JString(h) => utf8Compare(h, p) >= 0; case _ => true } &&
-            lo.forall { case JString(l) =>
-              utf8Compare(l, p) <= 0 || l.startsWith(p); case _ => true }
+        case (StringType, JString(p)) => prefixKeep(p)
+        case _ => true
+      }
+      case "$regex" => (dt, v) match {
+        // see partitionKeeps: the anchored pattern's literal prefix bounds
+        // the zone map exactly like $startsWith; flag-carrying or
+        // unanchored patterns prune nothing
+        case (StringType, JString(p)) if !hasOptions =>
+          regexLiteralPrefix(p).forall(prefixKeep)
         case _ => true
       }
       case _ => true
     }
+
+    def prefixKeep(p: String): Boolean =
+      !allNull &&
+        hi.forall { case JString(h) => utf8Compare(h, p) >= 0; case _ => true } &&
+        lo.forall { case JString(l) =>
+          utf8Compare(l, p) <= 0 || l.startsWith(p); case _ => true }
 
     def provenAllEqual(v: JValue): Boolean = v match {
       case JNull => allNull
@@ -287,6 +310,44 @@ object FilePruner {
   private def parseDate(s: String): Option[java.time.LocalDate] =
     try Some(java.time.LocalDate.parse(s.take(10)))
     catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** Literal prefix of a start-anchored regex ('^abc.*' → "abc"): the
+    * chars after '^' up to the first metacharacter or escape. None when
+    * unanchored or the prefix is empty — then the pattern says nothing
+    * about where matches sit in the string order. A character FOLLOWED BY
+    * a quantifier ('^ab?') is optional, so the prefix stops one short. */
+  private[delta] def regexLiteralPrefix(pattern: String): Option[String] = {
+    if (!pattern.startsWith("^")) return None
+    val meta = ".*+?()[]{}|\\$".toSet
+    val body = pattern.drop(1)
+    val lit = body.takeWhile(!meta.contains(_))
+    // a quantifier right after the literal run makes its LAST char optional
+    val safe =
+      if (body.length > lit.length && "*?{".contains(body(lit.length)) && lit.nonEmpty)
+        lit.init
+      else lit
+    if (safe.isEmpty) return None
+    // a TOP-LEVEL alternation voids the anchor: '^a|b' also matches
+    // strings that merely contain 'b'. Scan the tail (the literal run
+    // itself holds no metacharacters) tracking escapes/classes/groups.
+    val rest = body.drop(lit.length)
+    var depth = 0; var i = 0; var esc = false; var cls = false
+    while (i < rest.length) {
+      val c = rest(i)
+      if (esc) esc = false
+      else c match {
+        case '\\' => esc = true
+        case '[' => cls = true
+        case ']' => cls = false
+        case '(' if !cls => depth += 1
+        case ')' if !cls => depth -= 1
+        case '|' if !cls && depth == 0 => return None
+        case _ => ()
+      }
+      i += 1
+    }
+    Some(safe)
+  }
 
   private[delta] def utf8Compare(x: String, y: String): Int = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -35,6 +35,20 @@ final class DeltaRelation(
     timestampMs: Option[Long])
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  /** Filters [[buildScan]] applies INSIDE the scan (via
+    * [[DeltaRelation.toColumn]] — the same Catalyst operators Spark would
+    * use) are handled: re-declaring them unhandled would stack a second
+    * per-row evaluation of every pushed predicate on top of the scan.
+    * Only plain top-level column references qualify — dotted or
+    * backquoted names could resolve differently through `col(...)`. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot { f =>
+      f.references.nonEmpty &&
+        f.references.forall(r =>
+          !r.contains(".") && !r.contains("`") && schema.fieldNames.contains(r)) &&
+        DeltaRelation.toColumn(f).isDefined
+    }
+
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` (and `df.write.insertInto`)
     * land as transactional table writes. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

@@ -164,6 +164,10 @@ object ExprFilters {
           attrName(l).map(f => op(f, "$startsWith", JString(prefix))).toSeq
         case None => Nil
       }
+    // RLIKE with a literal pattern: the pruner extracts a safe anchored
+    // prefix itself (FilePruner.regexLiteralPrefix) or keeps everything.
+    case RLike(l, Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+      attrName(l).map(f => op(f, "$regex", JString(p.toString))).toSeq
     case EqualTo(l, r) => cmp(l, r, "$eq")
     case GreaterThan(l, r) => cmp(l, r, "$gt")
     case GreaterThanOrEqual(l, r) => cmp(l, r, "$gte")
@@ -181,6 +185,9 @@ object ExprFilters {
         case ("isnull", Seq(a)) => nullCheck(a, "$eq")
         case ("isnotnull", Seq(a)) => nullCheck(a, "$ne")
         case ("startswith", Seq(l, r)) => prefixCheck(l, r)
+        case ("rlike" | "regexp" | "regexp_like",
+              Seq(l, Literal(p: org.apache.spark.unsafe.types.UTF8String, _))) =>
+          attrName(l).map(f => op(f, "$regex", JString(p.toString))).toSeq
         case ("like", Seq(l, Literal(p: org.apache.spark.unsafe.types.UTF8String, _))) =>
           likePrefix(p.toString) match {
             case Some(prefix) =>

@@ -51,8 +51,17 @@ class FilePrunerPropertySpec extends SparkTestBase {
     JObject(List(field -> JObject(List(op -> operand))))
   }
 
+  // $regex leaves: anchored (prunes on the literal prefix), anchored with
+  // top-level alternation (must NOT prune), unanchored, optional-tail.
+  private val genRegexLeaf: Gen[JObject] = for {
+    p <- Gen.oneOf("^a", "^ab", "^a.*", "^a|b", "b", "^c?d", "^(a|b)x", "^zz")
+  } yield JObject(List("s" -> JObject(List("$regex" -> JString(p)))))
+
   private val genFilter: Gen[JObject] = Gen.oneOf(
     genLeaf,
+    genRegexLeaf,
+    for { a <- genLeaf; b <- genRegexLeaf } yield
+      JObject(List("$and" -> JArray(List(a, b)))),
     for { a <- genLeaf; b <- genLeaf } yield JObject(List("$and" -> JArray(List(a, b)))),
     for { a <- genLeaf; b <- genLeaf } yield JObject(List("$or" -> JArray(List(a, b)))),
     for { a <- genLeaf; b <- genLeaf; c <- genLeaf } yield
@@ -100,6 +109,29 @@ class FilePrunerPropertySpec extends SparkTestBase {
     assert(pruned >= 20, s"only $pruned/80 filters pruned anything")
     full.unpersist()
     ()
+  }
+
+  test("regexLiteralPrefix extracts only safe anchored prefixes") {
+    assert(FilePruner.regexLiteralPrefix("^abc") == Some("abc"))
+    assert(FilePruner.regexLiteralPrefix("^abc.*def") == Some("abc"))
+    assert(FilePruner.regexLiteralPrefix("^ab(c|d)") == Some("ab"))
+    assert(FilePruner.regexLiteralPrefix("^ab[0-9]+") == Some("ab"))
+    assert(FilePruner.regexLiteralPrefix("^ab\\d") == Some("ab"))
+    // quantifier makes the last literal char optional
+    assert(FilePruner.regexLiteralPrefix("^abc?") == Some("ab"))
+    assert(FilePruner.regexLiteralPrefix("^abc*") == Some("ab"))
+    assert(FilePruner.regexLiteralPrefix("^abc{0,2}") == Some("ab"))
+    assert(FilePruner.regexLiteralPrefix("^abc+") == Some("abc"))
+    // no pruning: unanchored, empty prefix, top-level alternation
+    assert(FilePruner.regexLiteralPrefix("abc") == None)
+    assert(FilePruner.regexLiteralPrefix("^.*abc") == None)
+    assert(FilePruner.regexLiteralPrefix("^a|b") == None)
+    assert(FilePruner.regexLiteralPrefix("^ab|cd") == None)
+    assert(FilePruner.regexLiteralPrefix("^a?") == None)
+    assert(FilePruner.regexLiteralPrefix("^") == None)
+    // class/escape containing | or ) stays prunable
+    assert(FilePruner.regexLiteralPrefix("^ab[|)]c") == Some("ab"))
+    assert(FilePruner.regexLiteralPrefix("^ab\\|c") == Some("ab"))
   }
 
   test("prefix pruning ($startsWith) is sound on UTF-8 edge values") {

@@ -51,6 +51,9 @@ class ExprFiltersSpec extends AnyFunSuite {
     assert(ExprFilters.pruneJson(col("s").like("ab%c")) == JNothing)
     assert(ExprFilters.pruneJson(col("s").like("a_b%")) == JNothing)
     assert(ExprFilters.pruneJson(col("s").like("%ab")) == JNothing)
+    // rlike carries the raw pattern; the pruner anchors/voids it itself
+    assert(j(ExprFilters.pruneJson(col("s").rlike("^ab.*"))) ==
+      """{"$and":[{"s":{"$regex":"^ab.*"}}]}""")
   }
 
   test("OR translates branch-wise; an untranslatable branch voids the whole OR") {
