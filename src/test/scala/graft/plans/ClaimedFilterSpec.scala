@@ -112,6 +112,47 @@ class ClaimedFilterSpec extends SparkTestBase {
     ()
   }
 
+  test("LIMIT and ORDER-BY-LIMIT file trims compose with claimed filters") {
+    // Spark only pushes Limit/TopN past an EMPTY post-scan filter set —
+    // claiming makes `WHERE p = 'a' ORDER BY id LIMIT k` trim files,
+    // which was unreachable with any WHERE before.
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    for (part <- Seq("a", "b"); i <- 0 until 4)
+      spark.sql(s"INSERT INTO $t SELECT id, '$part' FROM " +
+        s"range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    val before = graft.sources.DeltaRelation.topNSkipped.get()
+    val top = spark.sql(s"SELECT id FROM $t WHERE p = 'a' ORDER BY id DESC LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(39L, 38L, 37L))
+    val trimmed = graft.sources.DeltaRelation.topNSkipped.get() - before
+    assert(trimmed == 3, s"expected 3 of 4 'a' files trimmed, got $trimmed")
+    // plain LIMIT under a claimed filter pushes too (partial)
+    val lim = spark.sql(s"SELECT p FROM $t WHERE p = 'b' LIMIT 5")
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit"), "limit not pushed")
+    val got = lim.collect()
+    assert(got.length == 5 && got.forall(_.getString(0) == "b"))
+  }
+
+  test("DISTINCT over a partition column is metadata-answered, filtered or not") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 4 AS STRING) FROM range(100)")
+    Files.walk(tableDir(t)).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(Files.delete)
+    val (d1, h1) = answered {
+      spark.sql(s"SELECT DISTINCT p FROM $t ORDER BY p").collect().map(_.getString(0)).toSeq
+    }
+    assert(h1 == 1, "DISTINCT partition values not metadata-answered")
+    assert(d1 == Seq("0", "1", "2", "3"))
+    val (d2, h2) = answered {
+      spark.sql(s"SELECT DISTINCT p FROM $t WHERE p >= '2' ORDER BY p")
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(h2 == 1 && d2 == Seq("2", "3"))
+  }
+
   test("the DSv2 plan claims partition filters and keeps data filters residual") {
     val t = freshTable()
     spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
