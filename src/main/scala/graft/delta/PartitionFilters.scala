@@ -150,6 +150,27 @@ object PartitionFilters {
                 partCols: Set[String], schema: StructType): Boolean =
     files.forall(f => eval(f, filter, partCols, schema).isDefined)
 
+  /** ONE-PASS claim over a pinned snapshot: evaluate every candidate on
+    * every file once; a candidate is claimable iff it decides everywhere,
+    * and the kept set is the files where EVERY claimable filter is True.
+    * Returns (claimable filters, kept file paths) — the path set is the
+    * memoized claim decision the scan and aggregate paths reuse, so the
+    * tri-state evaluation runs once per query, not once per consumer. */
+  def claim(files: Seq[AddFile], candidates: Seq[Filter],
+            partCols: Set[String], schema: StructType): (Seq[Filter], Set[String]) = {
+    val perFilter: Seq[(Filter, IndexedSeq[Option[TV]])] = candidates.map { f =>
+      f -> files.map(af => eval(af, f, partCols, schema)).toIndexedSeq
+    }
+    val claimable = perFilter.collect {
+      case (f, evs) if evs.forall(_.isDefined) => (f, evs)
+    }
+    if (claimable.isEmpty) return (Nil, Set.empty)
+    val keep = files.iterator.zipWithIndex.collect {
+      case (af, i) if claimable.forall(_._2(i).contains(True)) => af.path
+    }.toSet
+    (claimable.map(_._1), keep)
+  }
+
   // ---- helpers ---------------------------------------------------------------
 
   /** None = value unknowable (missing key / not a partition column);

@@ -75,17 +75,17 @@ final class DeltaRelation(
   private[sources] def claimState(): Option[(Long, Snapshot)] =
     table.pinnedScanState(resolvedVersion())
 
-  /** The exactly-matching file subset for CLAIMED partition filters over a
-    * pinned snapshot, or None when anything is undecidable (callers must
-    * then refuse rather than answer inexactly). */
+  /** The exactly-matching file subset for CLAIMED partition filters over
+    * the pinned snapshot: the claim decision was computed ONCE at
+    * pushFilters time ([[graft.delta.PartitionFilters.claim]]) and is
+    * reused here as a path set — no re-evaluation. */
   private def claimedFiles(pinnedVersion: Option[Long],
-                           claimed: Array[Filter]): Option[(Snapshot, Seq[graft.delta.AddFile])] = {
+                           claimed: Array[Filter],
+                           claimedPaths: Set[String]): (Snapshot, Seq[graft.delta.AddFile]) = {
     val snap = table.scanState(pinnedVersion.orElse(resolvedVersion()),
       DeltaRelation.pruneJson(claimed))
-    if (claimed.isEmpty) Some((snap, snap.activeFiles))
-    else graft.delta.PartitionFilters.exactSubset(snap.activeFiles,
-      claimed.toIndexedSeq, snap.partitionColumns.toSet, schema)
-      .map(files => (snap, files))
+    if (claimed.isEmpty) (snap, snap.activeFiles)
+    else (snap, snap.activeFiles.filter(f => claimedPaths.contains(f.path)))
   }
 
   /** Metadata-only aggregate answer over this relation's (possibly
@@ -96,30 +96,34 @@ final class DeltaRelation(
   private[sources] def answerAggregates(
       aggs: Seq[graft.delta.StatsAggregates.StatAgg],
       pinnedVersion: Option[Long] = None,
-      claimed: Array[Filter] = Array.empty): Option[Seq[Any]] =
-    claimedFiles(pinnedVersion, claimed).flatMap { case (snap, files) =>
-      graft.delta.StatsAggregates.answerFiles(files,
-        snap.partitionColumns.toSet, schema, aggs)
-    }
+      claimed: Array[Filter] = Array.empty,
+      claimedPaths: Set[String] = Set.empty): Option[Seq[Any]] = {
+    val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
+    graft.delta.StatsAggregates.answerFiles(files,
+      snap.partitionColumns.toSet, schema, aggs)
+  }
 
   /** GROUP-BY-partition-columns twin of [[answerAggregates]] — one row per
     * surviving partition group. */
   private[sources] def answerGroupedAggregates(groupCols: Seq[String],
       aggs: Seq[graft.delta.StatsAggregates.StatAgg],
       pinnedVersion: Option[Long] = None,
-      claimed: Array[Filter] = Array.empty): Option[Seq[Seq[Any]]] =
-    claimedFiles(pinnedVersion, claimed).flatMap { case (snap, files) =>
-      graft.delta.StatsAggregates.answerGroupedFiles(files,
-        snap.partitionColumns.toSet, schema, groupCols, aggs)
-    }
+      claimed: Array[Filter] = Array.empty,
+      claimedPaths: Set[String] = Set.empty): Option[Seq[Seq[Any]]] = {
+    val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
+    graft.delta.StatsAggregates.answerGroupedFiles(files,
+      snap.partitionColumns.toSet, schema, groupCols, aggs)
+  }
 
   /** (estimatedBytes, exactRows) of this scan AFTER file pruning by
     * `filters` — the DSv2 `SupportsReportStatistics` feed. Bytes are
     * on-disk parquet scaled by `spark.sql.sources.fileCompressionFactor`
     * (the knob Spark's own file sources honor for the columnar-on-disk vs
     * in-memory gap). None above the distributed-snapshot threshold. */
-  private[sources] def scanDimensions(filters: Array[Filter]): Option[(Long, Option[Long])] =
-    table.tableDimensions(resolvedVersion(), DeltaRelation.pruneJson(filters))
+  private[sources] def scanDimensions(filters: Array[Filter],
+                                      pinnedVersion: Option[Long] = None): Option[(Long, Option[Long])] =
+    table.tableDimensions(pinnedVersion.orElse(resolvedVersion()),
+      DeltaRelation.pruneJson(filters))
       .map { case (bytes, rows) => (DeltaRelation.scaleBytes(sqlContext, bytes), rows) }
 
   /** Log-derived relation size: Spark's join planner consults
@@ -171,21 +175,18 @@ final class DeltaRelation(
                                        limit: Option[Int],
                                        topN: Option[DeltaRelation.TopN],
                                        pinnedVersion: Option[Long] = None,
-                                       claimed: Array[Filter] = Array.empty): Snapshot = {
+                                       claimed: Array[Filter] = Array.empty,
+                                       claimedPaths: Set[String] = Set.empty): Snapshot = {
     val snapRaw = table.scanState(pinnedVersion.orElse(resolvedVersion()),
       DeltaRelation.pruneJson(filters ++ claimed))
     // CLAIMED filters were removed from Spark's post-scan residuals, so
-    // the scan itself must enforce them — exactly, via the per-file
-    // tri-state evaluation the claim was based on. The version is pinned
-    // to the claim-time snapshot, so decidability cannot degrade here.
+    // the scan itself must enforce them — exactly, by restricting to the
+    // path set the pushFilters-time claim computed over the SAME pinned
+    // version (one tri-state evaluation per query, memoized here).
     val snap0 =
       if (claimed.isEmpty) snapRaw
-      else snapRaw.copy(activeFiles = graft.delta.PartitionFilters.exactSubset(
-        snapRaw.activeFiles, claimed.toIndexedSeq,
-        snapRaw.partitionColumns.toSet, schema)
-        .getOrElse(throw new graft.delta.ValidationException(
-          "claimed partition filters became undecidable at scan time " +
-            "(pinned-version invariant violated)")))
+      else snapRaw.copy(activeFiles =
+        snapRaw.activeFiles.filter(f => claimedPaths.contains(f.path)))
     (limit, topN) match {
       case (Some(l), _) if filters.isEmpty =>
         snap0.copy(activeFiles = DeltaRelation.trimForLimit(snap0.activeFiles, l))
@@ -204,6 +205,19 @@ final class DeltaRelation(
 }
 
 object DeltaRelation {
+
+  /** Branch-wise disjunction encoding, shared by the sources.Filter and
+    * Catalyst-expression translators: each branch's translation is
+    * weaker-or-equal than the branch (conv drops what it can't express),
+    * so L∨R ⇒ L'∨R' and a file is kept if ANY branch keeps it. A branch
+    * that translates to NOTHING makes the whole Or vacuous
+    * (true ∨ R' = true) — emit nothing and prune nothing. This is the
+    * `date = X OR date = Y` backfill shape on a partitioned table. */
+  private[sources] def orJson(lc: Seq[JObject], rc: Seq[JObject]): Seq[JObject] =
+    if (lc.isEmpty || rc.isEmpty) Nil
+    else Seq(JObject(List("$or" -> JArray(List(
+      JObject(List("$and" -> JArray(lc.toList))),
+      JObject(List("$and" -> JArray(rc.toList))))))))
 
   /** On-disk → planner bytes: scaled by the session's
     * `spark.sql.sources.fileCompressionFactor` (default 1.0), floored at
@@ -346,18 +360,8 @@ object DeltaRelation {
       case StringStartsWith(a, p) =>
         Seq(JObject(List(a -> JObject(List("$startsWith" -> JString(p))))))
       case And(l, r) => conv(l) ++ conv(r)
-      // Disjunctions prune soundly branch-wise: each branch's translation
-      // is weaker-or-equal than the branch (conv drops what it can't
-      // express), so L∨R ⇒ L'∨R' and a file is kept if ANY branch keeps
-      // it. A branch that translates to nothing means the whole Or is
-      // vacuous (true ∨ R' = true) — drop it and prune nothing. This is
-      // the `date = X OR date = Y` backfill shape on a partitioned table.
-      case Or(l, r) =>
-        val (lc, rc) = (conv(l), conv(r))
-        if (lc.isEmpty || rc.isEmpty) Nil
-        else Seq(JObject(List("$or" -> JArray(List(
-          JObject(List("$and" -> JArray(lc.toList))),
-          JObject(List("$and" -> JArray(rc.toList))))))))
+      // Disjunctions prune soundly branch-wise — see [[DeltaRelation.orJson]].
+      case Or(l, r) => orJson(conv(l), conv(r))
       case _ => Nil // Not/null/string ops: no file skipping, still exact
     }
     val conjuncts = filters.toSeq.flatMap(conv)

@@ -116,17 +116,10 @@ object ExprFilters {
       case _ => Nil
     }
 
-  // Disjunctions prune branch-wise (see DeltaRelation.pruneJson): each
-  // branch's translation is weaker-or-equal than the branch, so a file
-  // kept by ANY translated branch over-approximates L∨R. A branch that
-  // translates to nothing makes the whole Or vacuous — emit nothing.
-  private def disj(l: Expression, r: Expression): Seq[JObject] = {
-    val (lc, rc) = (conv(l), conv(r))
-    if (lc.isEmpty || rc.isEmpty) Nil
-    else Seq(JObject(List("$or" -> JArray(List(
-      JObject(List("$and" -> JArray(lc.toList))),
-      JObject(List("$and" -> JArray(rc.toList))))))))
-  }
+  // Disjunctions prune branch-wise; encoding + soundness rule live in
+  // [[DeltaRelation.orJson]] (shared with the sources.Filter translator).
+  private def disj(l: Expression, r: Expression): Seq[JObject] =
+    DeltaRelation.orJson(conv(l), conv(r))
 
   /** `LIKE 'p%'` with a literal pattern that is a plain prefix (no other
     * wildcards, no escapes) → the prefix; anything else → None. */

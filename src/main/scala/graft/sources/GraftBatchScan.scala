@@ -64,6 +64,7 @@ private[sources] final class GraftBatchScan(
     required: StructType,
     filters: Array[Filter],
     claimed: Array[Filter] = Array.empty,
+    claimedPaths: Set[String] = Set.empty,
     pinnedVersion: Option[Long] = None,
     limit: Option[Int] = None,
     topN: Option[DeltaRelation.TopN] = None,
@@ -122,7 +123,8 @@ private[sources] final class GraftBatchScan(
   private lazy val basePlan: GraftBatchScan.Planned = plan(filters)
 
   private def plan(fs: Array[Filter]): GraftBatchScan.Planned = {
-    val snap = relation.plannedSnapshot(fs, limit, topN, pinnedVersion, claimed)
+    val snap = relation.plannedSnapshot(fs, limit, topN, pinnedVersion,
+      claimed, claimedPaths)
     val (parts, columnarOk) = GraftBatchScan.planFiles(
       spark, table, snap.activeFiles, requiredPart.toIndexedSeq)
     GraftBatchScan.Planned(parts, columnarOk, snap)
@@ -179,7 +181,9 @@ private[sources] final class GraftBatchScan(
   // threshold — see GraftV1Scan's scaladoc history) ---------------------------
 
   override def estimateStatistics(): Statistics = {
-    val dims = relation.scanDimensions(allPushed)
+    // pinned to the claim-time version: the stats the join planner reads
+    // must describe the snapshot this scan actually reads
+    val dims = relation.scanDimensions(allPushed, pinnedVersion)
     new Statistics {
       override def sizeInBytes(): OptionalLong = dims match {
         case Some((bytes, _)) => OptionalLong.of(bytes)

@@ -501,6 +501,7 @@ private final class GraftScanBuilder(relation: DeltaRelation,
   private var residual: Array[Filter] = Array.empty
   private var claimed: Array[Filter] = Array.empty
   private var claimedVersion: Option[Long] = None
+  private var claimedPaths: Set[String] = Set.empty
   private var required: StructType = relation.schema
   private var agg: Option[(StructType, Seq[Seq[Any]])] = None
   private var limit: Option[Int] = None
@@ -545,18 +546,21 @@ private final class GraftScanBuilder(relation: DeltaRelation,
     pushed = filters
     claimed = Array.empty
     claimedVersion = None
+    claimedPaths = Set.empty
     residual = filters
     val partCols = relation.partitionColumnSet
     if (partCols.nonEmpty &&
         filters.exists(graft.delta.PartitionFilters.shapeClaimable(_, partCols))) {
       relation.claimState().foreach { case (v, snap) =>
-        val ok = filters.filter(f =>
-          graft.delta.PartitionFilters.shapeClaimable(f, partCols) &&
-            graft.delta.PartitionFilters.decidable(
-              snap.activeFiles, f, partCols, relation.schema))
+        val candidates = filters.filter(
+          graft.delta.PartitionFilters.shapeClaimable(_, partCols))
+        val (ok, keep) = graft.delta.PartitionFilters.claim(
+          snap.activeFiles, candidates.toIndexedSeq,
+          snap.partitionColumns.toSet, relation.schema)
         if (ok.nonEmpty) {
-          claimed = ok
+          claimed = ok.toArray
           claimedVersion = Some(v)
+          claimedPaths = keep
           residual = filters.filterNot(ok.contains)
         }
       }
@@ -633,17 +637,18 @@ private final class GraftScanBuilder(relation: DeltaRelation,
     }
     val schema = StructType(groupFields ++ aggFields)
     if (groupCols.isEmpty)
-      relation.answerAggregates(specs, claimedVersion, claimed)
+      relation.answerAggregates(specs, claimedVersion, claimed, claimedPaths)
         .map(vs => (schema, Seq(vs)))
     else
-      relation.answerGroupedAggregates(groupCols, specs, claimedVersion, claimed)
+      relation.answerGroupedAggregates(groupCols, specs,
+        claimedVersion, claimed, claimedPaths)
         .map(rows => (schema, rows))
   }
 
   override def build(): Scan = agg match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
     case None => new GraftBatchScan(relation, required, residual, claimed,
-      claimedVersion, limit, topN, options)
+      claimedPaths, claimedVersion, limit, topN, options)
   }
 }
 
