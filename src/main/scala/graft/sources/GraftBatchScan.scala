@@ -181,9 +181,19 @@ private[sources] final class GraftBatchScan(
   // threshold — see GraftV1Scan's scaladoc history) ---------------------------
 
   override def estimateStatistics(): Statistics = {
-    // pinned to the claim-time version: the stats the join planner reads
-    // must describe the snapshot this scan actually reads
-    val dims = relation.scanDimensions(allPushed, pinnedVersion)
+    // Pinned to the claim-time version: the stats the join planner reads
+    // must describe the snapshot this scan actually reads. Under a CLAIM
+    // the planned file set is exact, so report ITS dimensions instead of
+    // the conservative estimate — a fact table filtered to one partition
+    // then reports one partition's size and can auto-broadcast into a
+    // join that would otherwise shuffle both sides.
+    val dims: Option[(Long, Option[Long])] =
+      if (claimed.isEmpty) relation.scanDimensions(allPushed, pinnedVersion)
+      else {
+        val (bytes, rows) =
+          graft.delta.StatsAggregates.dimensions(basePlan.snapshot)
+        Some((DeltaRelation.scaleBytes(relation.sqlContext, bytes), rows))
+      }
     new Statistics {
       override def sizeInBytes(): OptionalLong = dims match {
         case Some((bytes, _)) => OptionalLong.of(bytes)

@@ -153,6 +153,26 @@ class ClaimedFilterSpec extends SparkTestBase {
     assert(h2 == 1 && d2 == Seq("2", "3"))
   }
 
+  test("claimed scans report exact post-claim statistics to the join planner") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id % 4 AS STRING) FROM range(400)")
+    def stats(cond: String) = {
+      val plan = spark.sql(s"SELECT id FROM $t WHERE $cond")
+        .queryExecution.optimizedPlan
+      plan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }.get
+    }
+    val one = stats("p = '1'")
+    assert(one.rowCount.contains(BigInt(100)),
+      s"claimed scan must report the partition's exact rows, got ${one.rowCount}")
+    val half = stats("p IN ('1', '3')")
+    assert(half.rowCount.contains(BigInt(200)), half.rowCount)
+    assert(one.sizeInBytes < half.sizeInBytes)
+  }
+
   test("the DSv2 plan claims partition filters and keeps data filters residual") {
     val t = freshTable()
     spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) PARTITIONED BY (p)")
