@@ -255,6 +255,60 @@ object SqlQueries {
              |FROM $t WHERE event_type IN ('click', 'purchase')""".stripMargin)
   }
 
+  /** Float-partitioned equality/IN (round 15): float literals arrive in
+    * pushdown exact-widened (0.1f → 0.10000000149011612) while partition
+    * paths carry the shortest decimal ("0.1") — the claim/prune comparators
+    * must reconcile the two renderings or every file of a satisfied
+    * equality is silently dropped. The aggregate-under-WHERE shape also
+    * exercises the claimed metadata fold on a float partition column. */
+  def sqlFloatPartitionEq(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "fpe")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+             |  event_type STRING, fbucket FLOAT)
+             |PARTITIONED BY (fbucket)""".stripMargin)
+    // FLOOR (not CAST-to-int: Spark truncates, DuckDB rounds) buckets the
+    // value into k*0.1 — decimal-exact in both engines, then one float
+    // rounding — so the partition values are the epsilon-prone decimals.
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, user_id, event_type,
+             |  CAST(CAST(FLOOR(value) AS BIGINT) % 10 * 0.1 AS FLOAT)
+             |FROM $v""".stripMargin)
+    s.sql(s"""SELECT * FROM (
+             |  SELECT count(*) AS n, min(event_id) AS min_id,
+             |    max(event_id) AS max_id
+             |  FROM $t WHERE fbucket = CAST(0.1 AS FLOAT)
+             |  UNION ALL
+             |  SELECT count(*), min(event_id), max(event_id)
+             |  FROM $t WHERE fbucket IN (CAST(0.3 AS FLOAT), CAST(0.7 AS FLOAT))
+             |) ORDER BY n""".stripMargin)
+  }
+
+  /** Zoned-timestamp partition round-trip under a NON-UTC session
+    * (round 15): the write must lay the partition directories out in the
+    * engine's canonical UTC rendering regardless of
+    * `spark.sql.session.timeZone`, or the UTC read side reconstitutes
+    * values 8 hours off and the equality filter silently returns zero
+    * rows. The timestamp literal resolves to an instant at parse time
+    * (inside the LA session), so the later execution is TZ-independent. */
+  def sqlTzPartitionWrite(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "tzp")
+    val v = view(s, dir, "events")
+    val prev = s.conf.get("spark.sql.session.timeZone")
+    s.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+               |  event_type STRING, ts_day TIMESTAMP)
+               |PARTITIONED BY (ts_day)""".stripMargin)
+      s.sql(s"""INSERT INTO $t
+               |SELECT event_id, user_id, event_type,
+               |  CAST(date_trunc('DAY', ts) AS TIMESTAMP) FROM $v""".stripMargin)
+      s.sql(s"""SELECT count(*) AS n, min(event_id) AS min_id,
+               |  max(event_id) AS max_id
+               |FROM $t WHERE ts_day = TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
+    } finally s.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   /** `INSERT INTO ... REPLACE WHERE` (Delta's replaceWhere): ONE commit
     * atomically swaps the `o_orderstatus = 'O'` region for a reloaded
     * slice of it — the idempotent-backfill primitive. Rows outside the
@@ -874,6 +928,8 @@ object SqlQueries {
     "s41_sql_ts_partition_eq" -> (sqlTimestampPartitionEq(_, _)),
     "s42_sql_or_prefix_null_prune" -> (sqlOrPrefixNullPrune(_, _)),
     "s43_sql_agg_claimed_filter" -> (sqlAggClaimedFilter(_, _)),
+    "s44_sql_float_partition_eq" -> (sqlFloatPartitionEq(_, _)),
+    "s45_sql_tz_partition_write" -> (sqlTzPartitionWrite(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -915,6 +971,25 @@ object SqlQueries {
     "s32_sql_text_functions" -> (sqlTextFunctions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "s44_sql_float_partition_eq" ->
+      """WITH b AS (SELECT event_id,
+        |  CAST(CAST(FLOOR(value) AS BIGINT) % 10 * 0.1 AS FLOAT) AS fbucket
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT count(*) AS n, min(event_id) AS min_id,
+        |    max(event_id) AS max_id
+        |  FROM b WHERE fbucket = CAST(0.1 AS FLOAT)
+        |  UNION ALL
+        |  SELECT count(*), min(event_id), max(event_id)
+        |  FROM b WHERE fbucket IN (CAST(0.3 AS FLOAT), CAST(0.7 AS FLOAT))
+        |) ORDER BY n""".stripMargin,
+
+    "s45_sql_tz_partition_write" ->
+      """SELECT count(*) AS n, min(event_id) AS min_id,
+        |  max(event_id) AS max_id
+        |FROM events
+        |WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) = TIMESTAMP '2024-01-15'""".stripMargin,
+
     "s43_sql_agg_claimed_filter" ->
       """SELECT count(*) AS n, count(user_id) AS n_users,
         |  min(event_id) AS min_id, max(event_id) AS max_id

@@ -13,8 +13,7 @@ object Verify {
       s"unknown query name(s): ${unknown.mkString(", ")} - a typo here would " +
         "run nothing and read as a green verify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = SessionEnv.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // µs-unit timestamps in output parquet (not INT96) so DuckDB/pyarrow

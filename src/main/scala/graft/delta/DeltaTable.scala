@@ -168,7 +168,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // to unpartitioned tables for exactly this reason).
     val allRelative = snap.activeFiles.forall(f =>
       !f.path.startsWith("/") && !f.path.contains(":/"))
-    val reader0 = spark.read
+    // Partition directories are UTC-canonical by construction (see
+    // writeDataFilesRaw) — pin the file source's partition-value PARSING
+    // to UTC too, or a non-UTC session would shift every zoned-timestamp
+    // partition value by its offset (the DSv2 path already parses at UTC
+    // in GraftBatchScan.partitionValueRow).
+    val reader0 = spark.read.option("timeZone", "UTC")
     val reader = if (allRelative) reader0.option("basePath", path) else reader0
     // Column mapping (reference: src/delta/snapshot.ts:29-83, applied at
     // table.ts:1753-1756): files store physical names from the schema's
@@ -1136,8 +1141,28 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
           col(s"`${lf.name.replace("`", "``")}`").as(pf.name)
       }.toIndexedSeq: _*)
     }
+    // Zoned-timestamp partition columns pre-render to UTC wall-clock
+    // strings: Spark's own partitionBy renders them in the SESSION time
+    // zone, but the engine's read side is canonically UTC
+    // (GraftBatchScan.partitionValueRow casts path values at "UTC", the
+    // streaming writer projects partitions through Cast(..., Some("UTC")),
+    // and the pruner/claimer compare literals rendered at UTC) — so a
+    // non-UTC session would lay out directories the whole read stack
+    // mis-parses. Rendering here makes the on-disk layout a function of
+    // the DATA alone, portable across writer sessions. Dates and NTZ
+    // timestamps render zone-independently; only zoned TS needs this.
+    val partDf = partCols.foldLeft(outDf) { (acc, c) =>
+      acc.schema.fields.find(_.name == c) match {
+        case Some(f) if f.dataType == TimestampType =>
+          acc.withColumn(c, org.apache.spark.sql.graftshim.ColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.graftshim.ColumnShim.expression(acc(c)),
+              StringType, Some("UTC"))))
+        case _ => acc
+      }
+    }
     val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID()}")
-    val writer = outDf.write.mode("overwrite")
+    val writer = partDf.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(staging.toString)
 
@@ -1222,7 +1247,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .filterNot(f => partCols.contains(f.name))
       .filter(f => isStatable(f.dataType))
     val files = adds.map(f => new Path(tablePath, f.path).toString)
-    val reader = spark.read.option("basePath", path)
+    // timeZone=UTC: partition paths are UTC-canonical (writeDataFilesRaw)
+    val reader = spark.read.option("timeZone", "UTC").option("basePath", path)
     val df = (if (schema.nonEmpty) reader.schema(schema) else reader).parquet(files: _*)
 
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__cnt")) ++ statable.flatMap { f =>

@@ -84,6 +84,13 @@ object FilePruner {
       val dt = schema.fields.find(_.name == field).map(_.dataType)
         .getOrElse(return None)
       val statForm: Option[JValue] = dt match {
+        // Float path values parse as FLOAT then widen — the same widening
+        // the filter literal and footer stats take (JDouble(f.toDouble)) —
+        // so path "0.1" compares equal to the widened 0.1f literal instead
+        // of BigDecimal("0.1") vs 0.10000000149011612 pruning every file.
+        // Non-finite parses ("NaN"/"Infinity") fall out in num() → keep.
+        case FloatType =>
+          scala.util.Try(JDouble(s.toFloat.toDouble)).toOption
         case _: NumericType =>
           scala.util.Try(JDecimal(BigDecimal(s))).toOption
         case StringType => Some(JString(s))
@@ -98,8 +105,13 @@ object FilePruner {
     // so raw string equality would prune EVERY file and silently return zero
     // rows. Route date/timestamp through the same typed comparator the ranges
     // use; an incomparable pair (None) keeps the file — conservative = correct.
+    // FloatType routes through the typed comparator for the same reason:
+    // the literal arrives widened (JDouble(0.1f.toDouble) =
+    // 0.10000000149011612) while the path renders the shortest decimal
+    // ("0.1"), so matchesPartition's `s.toDouble == x` would prune every
+    // file of an equality every row satisfies.
     val typedField = schema.fields.find(_.name == field).map(_.dataType).exists {
-      case DateType | TimestampType | TimestampNTZType => true
+      case DateType | TimestampType | TimestampNTZType | FloatType => true
       case _ => false
     }
     def eqKeeps(v: JValue): Boolean = (actual, v) match {
@@ -254,7 +266,9 @@ object FilePruner {
   private def num(j: JValue): Option[BigDecimal] = j match {
     case JInt(n) => Some(BigDecimal(n))
     case JLong(n) => Some(BigDecimal(n))
-    case JDouble(d) => Some(BigDecimal(d))
+    // NaN/Infinity have no decimal form (BigDecimal(d) would THROW, failing
+    // the whole scan on a pushed non-finite literal): incomparable → keep.
+    case JDouble(d) => if (java.lang.Double.isFinite(d)) Some(BigDecimal(d)) else None
     case JDecimal(d) => Some(d)
     case _ => None
   }

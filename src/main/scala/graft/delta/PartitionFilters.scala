@@ -127,29 +127,6 @@ object PartitionFilters {
     case _ => None
   }
 
-  /** Files whose rows ALL satisfy every filter — or None when any
-    * (file, filter) pair is undecidable, in which case nothing may be
-    * claimed. A file evaluating to False/Unknown contributes no TRUE rows
-    * and is dropped exactly. */
-  def exactSubset(files: Seq[AddFile], filters: Seq[Filter],
-                  partCols: Set[String], schema: StructType): Option[Seq[AddFile]] = {
-    val kept = files.filter { f =>
-      filters.foldLeft(true) { (acc, flt) =>
-        acc && (eval(f, flt, partCols, schema) match {
-          case Some(True) => true
-          case Some(_) => false
-          case None => return None
-        })
-      }
-    }
-    Some(kept)
-  }
-
-  /** Whether `filter` decides on EVERY file (claimability check). */
-  def decidable(files: Seq[AddFile], filter: Filter,
-                partCols: Set[String], schema: StructType): Boolean =
-    files.forall(f => eval(f, filter, partCols, schema).isDefined)
-
   /** ONE-PASS claim over a pinned snapshot: evaluate every candidate on
     * every file once; a candidate is claimable iff it decides everywhere,
     * and the kept set is the files where EVERY claimable filter is True.
@@ -202,8 +179,16 @@ object PartitionFilters {
     case l: Long => Some(BigDecimal(l))
     case s: Short => Some(BigDecimal(s.toInt))
     case b: Byte => Some(BigDecimal(b.toInt))
-    case d: Double => Some(BigDecimal(d))
-    case f: Float => Some(BigDecimal(f.toDouble))
+    // Double/Float literals go through their shortest decimal rendering —
+    // the SAME string Spark's Cast writes into the partition path — so the
+    // decimal compare is exact. (`BigDecimal(f.toDouble)` would compare the
+    // path's BigDecimal("0.1") against 0.10000000149011612 and silently
+    // decide False for a filter every row satisfies; scala.BigDecimal(d:
+    // Double) is already Double.toString-based.) Non-finite values have no
+    // decimal form → None → the filter stays a residual.
+    case d: Double if java.lang.Double.isFinite(d) => Some(BigDecimal(d))
+    case f: Float if java.lang.Float.isFinite(f) => Some(BigDecimal(f.toString))
+    case _: Double | _: Float => None
     case d: BigDecimal => Some(d)
     case d: java.math.BigDecimal => Some(BigDecimal(d))
     case _ => None
@@ -244,6 +229,12 @@ object PartitionFilters {
         a <- scala.util.Try(java.time.LocalDate.parse(actual.take(10))).toOption
         b <- litDate
       } yield a.compareTo(b).sign
+    // Zoned-timestamp path values are UTC wall-clock BY CONSTRUCTION: every
+    // write path renders them with Cast(..., Some("UTC")) regardless of the
+    // session time zone (DeltaTable.writeDataFilesRaw, GraftStreamingWrite's
+    // partition projection), and the scan parses them back at UTC
+    // (GraftBatchScan.partitionValueRow). Rendering the literal's instant at
+    // UTC is therefore exact — not a session-TZ assumption.
     case TimestampType | TimestampNTZType =>
       for {
         a <- FilePruner.canonTs(actual)

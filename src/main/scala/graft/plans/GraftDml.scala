@@ -254,7 +254,9 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     * of the affected rows — the price of total generality, so the
     * key-join lowerings stay the fast path and this never runs for the
     * shapes they cover. Map-typed columns cannot be compared as join
-    * keys, so tables carrying one refuse with the original error. */
+    * keys directly, so the match key substitutes a canonical JSON
+    * rendering (sorted keys) for each map column — value-equal maps
+    * match regardless of internal ordering (gate s38). */
   private def generalSubqueryDml(t: DeltaTable, relation: LogicalPlan,
                                  cond: Expression,
                                  action: Merge.MergeAction): Unit =

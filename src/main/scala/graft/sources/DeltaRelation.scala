@@ -308,6 +308,11 @@ object DeltaRelation {
       case s: Short => Some(JLong(s.toLong))
       case b: Byte => Some(JLong(b.toLong))
       case d: Double => Some(JDouble(d))
+      // Floats stay EXACT-widened (not toString-rounded): footer stats carry
+      // the same widening (FooterStats.toJValue), so stats compares are
+      // bit-exact, while the decimal-rendered partition path side is
+      // reconciled in FilePruner (parse path as float, then widen) — fixing
+      // the literal here instead would un-fix stats pruning.
       case f: Float => Some(JDouble(f.toDouble))
       case s: String => Some(JString(s))
       case b: Boolean => Some(JBool(b))

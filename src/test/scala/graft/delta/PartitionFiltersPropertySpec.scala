@@ -21,15 +21,20 @@ class PartitionFiltersPropertySpec extends SparkTestBase {
   private val schema = StructType(Seq(
     StructField("p_s", StringType),
     StructField("p_d", DateType),
-    StructField("p_n", IntegerType)))
-  private val partCols = Set("p_s", "p_d", "p_n")
+    StructField("p_n", IntegerType),
+    StructField("p_f", FloatType)))
+  private val partCols = Set("p_s", "p_d", "p_n", "p_f")
 
   // Path-string partition values as the writer renders them, incl. nulls.
+  // Float values are the shortest-decimal renderings Spark's Cast writes —
+  // 0.1/0.3 are the epsilon-prone ones (not exactly representable), NaN
+  // parses as a float but has no decimal form (must stay undecided).
   private val genVals: Gen[Map[String, String]] = for {
     s <- Gen.oneOf("a", "ab", "b", "zz", PartitionPaths.NullMarker)
     d <- Gen.oneOf("2026-05-01", "2026-05-02", "2026-05-09", PartitionPaths.NullMarker)
     n <- Gen.oneOf("-3", "0", "7", PartitionPaths.NullMarker)
-  } yield Map("p_s" -> s, "p_d" -> d, "p_n" -> n)
+    f <- Gen.oneOf("0.1", "0.3", "2.5", "NaN", PartitionPaths.NullMarker)
+  } yield Map("p_s" -> s, "p_d" -> d, "p_n" -> n, "p_f" -> f)
 
   private def dateLit(s: String) = java.sql.Date.valueOf(s)
 
@@ -42,9 +47,14 @@ class PartitionFiltersPropertySpec extends SparkTestBase {
     Gen.oneOf(-3, 7).map(v => EqualTo("p_n", v)),
     Gen.const(In("p_n", Array(0, 7))),
     Gen.const(In("p_s", Array[Any]("a", "zz"))),
-    Gen.oneOf("p_s", "p_d", "p_n").map(IsNull(_)),
-    Gen.oneOf("p_s", "p_d", "p_n").map(IsNotNull(_)),
-    Gen.oneOf("a", "z").map(p => StringStartsWith("p_s", p)))
+    Gen.oneOf("p_s", "p_d", "p_n", "p_f").map(IsNull(_)),
+    Gen.oneOf("p_s", "p_d", "p_n", "p_f").map(IsNotNull(_)),
+    Gen.oneOf("a", "z").map(p => StringStartsWith("p_s", p)),
+    // the round-15 regression class: float literals must claim EXACTLY
+    // against decimal-rendered path values (0.1f vs path "0.1")
+    Gen.oneOf(0.1f, 0.3f, 2.0f).map(v => EqualTo("p_f", v)),
+    Gen.oneOf(0.1f, 1.0f).map(v => GreaterThan("p_f", v)),
+    Gen.const(In("p_f", Array[Any](0.1f, 2.5f))))
 
   private val genFilter: Gen[Filter] = Gen.oneOf(
     genAtom,
@@ -64,7 +74,9 @@ class PartitionFiltersPropertySpec extends SparkTestBase {
       Row(i,
         dec(f.partitionValues, "p_s"),
         Option(dec(f.partitionValues, "p_d")).map(java.sql.Date.valueOf).orNull,
-        Option(dec(f.partitionValues, "p_n")).map(_.toInt).map(Integer.valueOf).orNull)
+        Option(dec(f.partitionValues, "p_n")).map(_.toInt).map(Integer.valueOf).orNull,
+        Option(dec(f.partitionValues, "p_f")).map(_.toFloat)
+          .map(java.lang.Float.valueOf).orNull)
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2),
