@@ -245,8 +245,14 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
   /** Action-count threshold at which scans switch from driver-side snapshot
     * replay to [[DistributedSnapshot]] (executor-side reconcile + prune).
     * The `_last_checkpoint` size field supplies the count without reading
-    * the checkpoint. */
-  var distributedSnapshotThreshold: Long = DistributedSnapshot.DefaultThreshold
+    * the checkpoint. Session-overridable
+    * (`spark.graft.distributedSnapshotThreshold`) so deployments can tune
+    * the crossover — and tests can force the distributed path through the
+    * catalog, whose table handles are constructed internally. */
+  var distributedSnapshotThreshold: Long =
+    scala.util.Try(spark.conf.get("spark.graft.distributedSnapshotThreshold"))
+      .toOption.map(_.toLong)
+      .getOrElse(DistributedSnapshot.DefaultThreshold)
 
   /** Which path the last `query(...)` snapshot took (plan-audit hook). */
   private[delta] var lastQueryDistributed: Boolean = false
@@ -310,6 +316,28 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .exists(_._2 >= distributedSnapshotThreshold)
     if (big) None
     else Some((target, scanState(Some(target), org.json4s.JNothing)))
+  }
+
+  /** Distributed twin of the claim evaluation for tables ABOVE the
+    * snapshot threshold (where [[pinnedScanState]] refuses): which of
+    * `candidates` decide on every active file at the pinned version —
+    * evaluated on executors, O(1) driver memory
+    * ([[DistributedSnapshot.claimDecided]]). None when the table is small
+    * enough for the driver claim (callers try that first) or no complete
+    * checkpoint backs the distributed read. */
+  private[graft] def distributedClaim(versionOpt: Option[Long],
+      candidates: Seq[org.apache.spark.sql.sources.Filter],
+      schema: StructType): Option[(Long, Seq[org.apache.spark.sql.sources.Filter])] = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    log.readLastCheckpoint().filter(_._1 <= target)
+      .flatMap { case (v, size, _) =>
+        Checkpoints.completeParts(log, v).map(parts => (v, size, parts))
+      }
+      .filter { case (_, size, _) => size >= distributedSnapshotThreshold }
+      .map { case (cv, _, parts) =>
+        (target, DistributedSnapshot.claimDecided(spark, log, cv, parts,
+          target, candidates, schema))
+      }
   }
 
   /** Metadata/protocol/txn-only snapshot (empty file list): cheap at any
@@ -431,14 +459,21 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         s"identity column '$n' cannot be a partition column: partition " +
           "columns carry no footer stats, so the high-water mark could " +
           "never advance and appends would re-assign duplicate values"))
-    val toWrite =
-      if (idSpecs.isEmpty) optimized
-      else alignTo(IdentityColumns.assign(spark, optimized, idSpecs),
-        targetSchema)
+    val (toWrite, idRelease) =
+      if (idSpecs.isEmpty) (optimized, () => ())
+      else {
+        val (a, rel) = IdentityColumns.assign(spark, optimized, idSpecs)
+        (alignTo(a, targetSchema), rel)
+      }
     // Baseline for the commit-time constraint catch-up below: read BEFORE
     // staging, so a constraint added at any later point counts as late.
     val enforcedConstraints = checkConstraints(snap0)
-    val adds = writeDataFiles(toWrite, partCols, targetSchema)
+    // the staged write is the job that consumes the allocator's pinned
+    // blocks; release them as soon as it has run (commit retries below
+    // replay metadata only, never the plan)
+    val adds =
+      try writeDataFiles(toWrite, partCols, targetSchema)
+      finally idRelease()
     // advance each mark past the furthest value this write landed (footer
     // stats — no extra scan); never regress it
     val newMarks: Map[String, Long] = idSpecs.flatMap { s =>
@@ -620,8 +655,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     // commit re-checks the mark (idAlloc) and advances it past the
     // furthest landed value.
     val idSpecs = IdentityColumns.specs(snap.schema)
-    val dataId =
-      if (idSpecs.isEmpty) data
+    val (dataId, idRelease) =
+      if (idSpecs.isEmpty) (data, () => ())
       else IdentityColumns.assign(spark, data, idSpecs)
     val aligned = alignTo(dataId, snap.schema)
     // The guard may reference columns a sparse insert omits — backfill
@@ -634,7 +669,9 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .observe(obs, coalesce(sum(when(!pred, 1L).otherwise(0L)), lit(0L))
         .as("__outside"))
       .drop(missing.map(_.name).toIndexedSeq: _*)
-    val newAdds = writeDataFiles(observed, snap.partitionColumns, snap.schema)
+    val newAdds =
+      try writeDataFiles(observed, snap.partitionColumns, snap.schema)
+      finally idRelease()
     val outside = obs.get("__outside").asInstanceOf[Long]
     if (outside > 0L) {
       newAdds.foreach(a => deleteDataFile(a.path))
@@ -668,8 +705,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       // path: the staging snapshot's; direct path: the plan-time set the
       // tasks evaluated) — anything added since re-validates at commit
       enforcedConstraints: Map[String, String] = Map.empty,
-      // specs identity values were allocated from (staged path only; the
-      // direct path refuses identity tables at plan time)
+      // specs identity values were allocated from (staged path's two-phase
+      // allocator, or the direct path's task-side lattice)
       idAlloc: Seq[IdentityColumns.Spec] = Nil): DmlResult = {
     val pred = coalesce(condition, lit(false))
     val pruneFilter = graft.sources.ExprFilters.pruneJson(condition)
@@ -735,11 +772,13 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
         s"data: missing ${missingPart.mkString(", ")}")
     // Identity allocation — same rule as replaceWhere above.
     val idSpecs = IdentityColumns.specs(snap0.schema)
-    val dataId =
-      if (idSpecs.isEmpty) data
+    val (dataId, idRelease) =
+      if (idSpecs.isEmpty) (data, () => ())
       else IdentityColumns.assign(spark, data, idSpecs)
     val aligned = alignTo(dataId, snap0.schema)
-    val adds = writeDataFiles(aligned, snap0.partitionColumns, snap0.schema)
+    val adds =
+      try writeDataFiles(aligned, snap0.partitionColumns, snap0.schema)
+      finally idRelease()
     commitDynamicOverwriteAdds(snap0, adds,
       enforcedConstraints = checkConstraints(snap0), idAlloc = idSpecs)
   }

@@ -71,9 +71,19 @@ object DistributedSnapshot {
     reconstruct(spark, log, cpVersion, parts, target, skipFiles = false,
       _ => pred)
 
-  private def reconstruct(spark: SparkSession, log: DeltaLog, cpVersion: Long,
-                          parts: Option[Int], target: Long, skipFiles: Boolean,
-                          keepFor: Option[TableMetadata] => AddFile => Boolean): Snapshot = {
+  /** Intermediate reconstruction state shared by the snapshot and the
+    * claimability paths: non-file actions + driver-replayed tail, with the
+    * checkpoint's add set still a distributed Dataset of raw JSON
+    * (checkpoint adds superseded by tail actions already anti-joined out). */
+  private final case class RawState(
+      metadata: Option[TableMetadata],
+      protocol: Option[Protocol],
+      txns: Map[String, Long],
+      tailFiles: Seq[AddFile],
+      baseAddJson: org.apache.spark.sql.Dataset[String])
+
+  private def rawState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                       parts: Option[Int], target: Long): RawState = {
     import spark.implicits._
     val state = Checkpoints.readStateDf(spark, log, cpVersion, parts)
 
@@ -110,28 +120,75 @@ object DistributedSnapshot {
       }
     }
 
-    if (skipFiles)
-      return Snapshot(target, metadata, protocol, Nil, Nil, txns.toMap)
-
-    val keep = keepFor(metadata)
-
-    // Reconcile + prune on executors. Path extraction for the anti-join is
+    // Reconcile on executors. Path extraction for the anti-join is
     // get_json_object (codegen'd) — the full AddFile parse happens once per
-    // row inside the prune filter, distributed.
+    // row inside whatever per-file work the caller distributes.
     val addJson = state.where(col("add").isNotNull).select(col("add")).as[String]
     val base =
       if (touched.isEmpty) addJson
       else addJson.join(broadcast(touched.toSeq.toDF("__p")),
           get_json_object(col("add"), "$.path") === col("__p"), "left_anti")
         .select(col("add")).as[String]
-    val cpSurvivors = base
+    RawState(metadata, protocol, txns.toMap, tailFiles.values.toSeq, base)
+  }
+
+  private def reconstruct(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                          parts: Option[Int], target: Long, skipFiles: Boolean,
+                          keepFor: Option[TableMetadata] => AddFile => Boolean): Snapshot = {
+    val raw = rawState(spark, log, cpVersion, parts, target)
+    if (skipFiles)
+      return Snapshot(target, raw.metadata, raw.protocol, Nil, Nil, raw.txns)
+
+    val keep = keepFor(raw.metadata)
+    val cpSurvivors = raw.baseAddJson
       .filter { js: String => keep(Actions.parseAdd(JsonMethods.parse(js))) }
       .collect()
       .map(js => Actions.parseAdd(JsonMethods.parse(js)))
       .toSeq
 
-    val tailSurvivors = tailFiles.values.filter(keep).toSeq
-    Snapshot(target, metadata, protocol, cpSurvivors ++ tailSurvivors,
-      Nil, txns.toMap)
+    val tailSurvivors = raw.tailFiles.filter(keep)
+    Snapshot(target, raw.metadata, raw.protocol, cpSurvivors ++ tailSurvivors,
+      Nil, raw.txns)
+  }
+
+  /** Distributed CLAIMABILITY check (round 15 — the driver claim switches
+    * off above the snapshot threshold, exactly where the metadata-fold
+    * payoff is largest): which of `candidates` are exactly decidable
+    * ([[PartitionFilters.eval]] defined) on EVERY active file at `target`.
+    * One narrow job over the checkpoint's add rows — each partition folds
+    * an undecided-bitmask, the driver ORs the per-partition masks and the
+    * tail files — nothing per-file ever materializes on the driver. The
+    * kept set is NOT returned: a claimed filter's verdict is a pure
+    * function of (file, filter, schema), so downstream consumers re-run
+    * the tri-state eval over their (pruned) survivors instead of holding
+    * a 10⁷-path set. */
+  def claimDecided(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                   parts: Option[Int], target: Long,
+                   candidates: Seq[org.apache.spark.sql.sources.Filter],
+                   schema: StructType): Seq[org.apache.spark.sql.sources.Filter] = {
+    val raw = rawState(spark, log, cpVersion, parts, target)
+    val partCols = raw.metadata.map(_.partitionColumns).getOrElse(Nil).toSet
+    if (partCols.isEmpty || candidates.isEmpty) return Nil
+    val cands = candidates.toIndexedSeq
+    val nC = cands.length
+    def undecidedOn(f: AddFile, und: Array[Boolean]): Unit = {
+      var i = 0
+      while (i < nC) {
+        if (!und(i) &&
+            PartitionFilters.eval(f, cands(i), partCols, schema).isEmpty)
+          und(i) = true
+        i += 1
+      }
+    }
+    val perPartition: Array[Array[Boolean]] =
+      raw.baseAddJson.rdd.mapPartitions { it =>
+        val und = new Array[Boolean](nC)
+        it.foreach(js => undecidedOn(Actions.parseAdd(JsonMethods.parse(js)), und))
+        Iterator.single(und)
+      }.collect()
+    val und = new Array[Boolean](nC)
+    perPartition.foreach(p => (0 until nC).foreach(i => und(i) |= p(i)))
+    raw.tailFiles.foreach(undecidedOn(_, und))
+    cands.zipWithIndex.collect { case (c, i) if !und(i) => c }
   }
 }

@@ -121,16 +121,21 @@ object Merge {
     // high-water mark (Delta's MERGE INSERT behavior); the commit
     // re-checks the mark in its OCC loop and advances it.
     val idSpecs = IdentityColumns.specs(schema)
-    def allocInserts(df: DataFrame): DataFrame =
-      if (idSpecs.isEmpty) df else IdentityColumns.assign(spark, df, idSpecs)
+    def allocInserts(df: DataFrame): (DataFrame, () => Unit) =
+      if (idSpecs.isEmpty) (df, () => ())
+      else IdentityColumns.assign(spark, df, idSpecs)
 
     // Empty active set: `_metadata` cannot resolve on the empty relation
     // toDF returns, and semantically every source row is an insert.
     if (snap.activeFiles.isEmpty) {
       val inserted =
         if (!insertUnmatched) 0L
-        else commitInsertRows(table, snap,
-          allocInserts(buildInserts(src, inserts, schema, srcCols)), idSpecs)
+        else {
+          val (a, rel) = allocInserts(buildInserts(src, inserts, schema, srcCols))
+          // the write inside commitInsertRows consumes the allocator's
+          // pinned blocks; identity CDC images read back committed files
+          try commitInsertRows(table, snap, a, idSpecs) finally rel()
+        }
       return MergeResult(0L, 0L, inserted, table.version)
     }
 
@@ -222,9 +227,14 @@ object Merge {
     // target rows via `<=>` and be INSERTED — one row, two effects.
     val insertFiles =
       if (!insertUnmatched) Nil
-      else writeInsertFiles(table, snap, allocInserts(
-        buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
-          inserts, schema, srcCols)))
+      else {
+        val (a, rel) = allocInserts(
+          buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
+            inserts, schema, srcCols))
+        // identity CDC insert parts read back the committed files, never
+        // this frame — safe to drop the pinned blocks once written
+        try writeInsertFiles(table, snap, a) finally rel()
+      }
     val inserted = insertFiles.map(_._2).sum
 
     // ONE commit covering the rewrite AND the inserts: MERGE is atomic, so
@@ -430,10 +440,10 @@ object Merge {
                            newRows: DataFrame, srcCols: Seq[String]): Long = {
     val specs = IdentityColumns.specs(snap.schema)
     val aligned = alignToSchema(newRows, snap.schema, srcCols)
-    commitInsertRows(table, snap,
-      if (specs.isEmpty) aligned
-      else IdentityColumns.assign(table.spark, aligned, specs),
-      specs)
+    val (assigned, rel) =
+      if (specs.isEmpty) (aligned, () => ())
+      else IdentityColumns.assign(table.spark, aligned, specs)
+    try commitInsertRows(table, snap, assigned, specs) finally rel()
   }
 
   /** Write already-aligned rows WITHOUT committing: (AddFile, rowCount)
@@ -594,9 +604,10 @@ object Merge {
             col("__srow") <=> col("__mrow"), "left_anti")
           .select(srcCols.map(c => col(s"__srow.$c").as(c)): _*)
         val aligned = alignToSchema(unmatched, schema, srcCols)
-        writeInsertFiles(table, snap,
-          if (idSpecs.isEmpty) aligned
-          else IdentityColumns.assign(table.spark, aligned, idSpecs))
+        val (assigned, rel) =
+          if (idSpecs.isEmpty) (aligned, () => ())
+          else IdentityColumns.assign(table.spark, aligned, idSpecs)
+        try writeInsertFiles(table, snap, assigned) finally rel()
       }
     val inserted = insertFiles.map(_._2).sum
 
@@ -736,13 +747,16 @@ object Merge {
     val insertUnmatched = inserts.nonEmpty
     // Identity allocation for insert images — see [[executeClauses]].
     val idSpecs = IdentityColumns.specs(schema)
-    def allocInserts(df: DataFrame): DataFrame =
-      if (idSpecs.isEmpty) df else IdentityColumns.assign(table.spark, df, idSpecs)
+    def allocInserts(df: DataFrame): (DataFrame, () => Unit) =
+      if (idSpecs.isEmpty) (df, () => ())
+      else IdentityColumns.assign(table.spark, df, idSpecs)
     if (snap.activeFiles.isEmpty) {
       val inserted =
         if (!insertUnmatched) 0L
-        else commitInsertRows(table, snap,
-          allocInserts(buildInserts(src, inserts, schema, srcCols)), idSpecs)
+        else {
+          val (a, rel) = allocInserts(buildInserts(src, inserts, schema, srcCols))
+          try commitInsertRows(table, snap, a, idSpecs) finally rel()
+        }
       return MergeResult(0L, 0L, inserted, table.version)
     }
     if (sqlSemantics && matchedClauses.nonEmpty)
@@ -790,13 +804,19 @@ object Merge {
           joined.filter(updateEff).select(postImageCols(dataCols, srcCols, effs): _*),
           snap.schema),
         snap.partitionColumns, snap.schema)
-    val insertsAligned =
+    val insertsAllocated =
       if (!insertUnmatched) None
       else Some(allocInserts(buildInserts(
         antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
         inserts, schema, srcCols)))
-    val insertAdds = insertsAligned.toSeq.flatMap(df =>
-      table.writeDataFiles(df, snap.partitionColumns, snap.schema))
+    // the non-identity CDC insert part below re-evaluates the frame
+    // (releasing is a no-op there); the identity part reads committed
+    // files back, so the pinned blocks can drop once written
+    val insertsAligned = insertsAllocated.map(_._1)
+    val insertAdds =
+      try insertsAligned.toSeq.flatMap(df =>
+        table.writeDataFiles(df, snap.partitionColumns, snap.schema))
+      finally insertsAllocated.foreach(_._2())
     val inserted = insertAdds
       .flatMap(_.stats.flatMap(FileStats.fromJsonString)).map(_.numRecords).sum
     if (nMasked == 0 && insertAdds.isEmpty)

@@ -71,21 +71,46 @@ final class DeltaRelation(
     table.metaSnapshot(resolvedVersion()).partitionColumns.toSet
 
   /** Driver-materialized snapshot pinned at an explicit version, for DSv2
-    * filter claiming; None above the distributed-snapshot threshold. */
+    * filter claiming; None above the distributed-snapshot threshold
+    * (then [[distributedClaim]] is the claim path). */
   private[sources] def claimState(): Option[(Long, Snapshot)] =
     table.pinnedScanState(resolvedVersion())
 
+  /** Distributed claimability over the pinned version — the claim path
+    * for tables above the snapshot threshold (round 15). Returns the
+    * claimable subset of `candidates`; the kept FILE set is not
+    * materialized (downstream consumers re-run the exact tri-state eval
+    * over their pruned survivors — see [[exactClaimKeep]]). */
+  private[sources] def distributedClaim(
+      candidates: Seq[Filter]): Option[(Long, Seq[Filter])] =
+    table.distributedClaim(resolvedVersion(), candidates, schema)
+
+  /** Restrict pruned survivors to the files EVERY claimed filter decides
+    * True on. `Some(paths)` is the pushFilters-time memoized claim (driver
+    * path — one tri-state evaluation per query); `None` re-runs the eval
+    * per file (distributed path — the verdict is a pure function of the
+    * file's partition values, so re-evaluation is exact and the 10⁷-path
+    * set never has to exist). */
+  private def exactClaimKeep(snap: Snapshot, claimed: Array[Filter],
+                             claimedPaths: Option[Set[String]]): Seq[graft.delta.AddFile] =
+    claimedPaths match {
+      case Some(paths) => snap.activeFiles.filter(f => paths.contains(f.path))
+      case None =>
+        val pc = snap.partitionColumns.toSet
+        snap.activeFiles.filter(f => claimed.forall(flt =>
+          graft.delta.PartitionFilters.eval(f, flt, pc, schema)
+            .contains(graft.delta.PartitionFilters.True)))
+    }
+
   /** The exactly-matching file subset for CLAIMED partition filters over
-    * the pinned snapshot: the claim decision was computed ONCE at
-    * pushFilters time ([[graft.delta.PartitionFilters.claim]]) and is
-    * reused here as a path set — no re-evaluation. */
+    * the pinned snapshot. */
   private def claimedFiles(pinnedVersion: Option[Long],
                            claimed: Array[Filter],
-                           claimedPaths: Set[String]): (Snapshot, Seq[graft.delta.AddFile]) = {
+                           claimedPaths: Option[Set[String]]): (Snapshot, Seq[graft.delta.AddFile]) = {
     val snap = table.scanState(pinnedVersion.orElse(resolvedVersion()),
       DeltaRelation.pruneJson(claimed))
     if (claimed.isEmpty) (snap, snap.activeFiles)
-    else (snap, snap.activeFiles.filter(f => claimedPaths.contains(f.path)))
+    else (snap, exactClaimKeep(snap, claimed, claimedPaths))
   }
 
   /** Metadata-only aggregate answer over this relation's (possibly
@@ -97,7 +122,7 @@ final class DeltaRelation(
       aggs: Seq[graft.delta.StatsAggregates.StatAgg],
       pinnedVersion: Option[Long] = None,
       claimed: Array[Filter] = Array.empty,
-      claimedPaths: Set[String] = Set.empty): Option[Seq[Any]] = {
+      claimedPaths: Option[Set[String]] = None): Option[Seq[Any]] = {
     val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
     graft.delta.StatsAggregates.answerFiles(files,
       snap.partitionColumns.toSet, schema, aggs)
@@ -109,7 +134,7 @@ final class DeltaRelation(
       aggs: Seq[graft.delta.StatsAggregates.StatAgg],
       pinnedVersion: Option[Long] = None,
       claimed: Array[Filter] = Array.empty,
-      claimedPaths: Set[String] = Set.empty): Option[Seq[Seq[Any]]] = {
+      claimedPaths: Option[Set[String]] = None): Option[Seq[Seq[Any]]] = {
     val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
     graft.delta.StatsAggregates.answerGroupedFiles(files,
       snap.partitionColumns.toSet, schema, groupCols, aggs)
@@ -176,17 +201,18 @@ final class DeltaRelation(
                                        topN: Option[DeltaRelation.TopN],
                                        pinnedVersion: Option[Long] = None,
                                        claimed: Array[Filter] = Array.empty,
-                                       claimedPaths: Set[String] = Set.empty): Snapshot = {
+                                       claimedPaths: Option[Set[String]] = None): Snapshot = {
     val snapRaw = table.scanState(pinnedVersion.orElse(resolvedVersion()),
       DeltaRelation.pruneJson(filters ++ claimed))
     // CLAIMED filters were removed from Spark's post-scan residuals, so
-    // the scan itself must enforce them — exactly, by restricting to the
-    // path set the pushFilters-time claim computed over the SAME pinned
-    // version (one tri-state evaluation per query, memoized here).
+    // the scan itself must enforce them — exactly: via the memoized
+    // pushFilters-time path set (driver claim) or by re-running the
+    // tri-state eval over the pruned survivors (distributed claim), both
+    // against the SAME pinned version.
     val snap0 =
       if (claimed.isEmpty) snapRaw
       else snapRaw.copy(activeFiles =
-        snapRaw.activeFiles.filter(f => claimedPaths.contains(f.path)))
+        exactClaimKeep(snapRaw, claimed, claimedPaths))
     (limit, topN) match {
       case (Some(l), _) if filters.isEmpty =>
         snap0.copy(activeFiles = DeltaRelation.trimForLimit(snap0.activeFiles, l))

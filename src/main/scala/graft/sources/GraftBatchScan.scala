@@ -64,7 +64,8 @@ private[sources] final class GraftBatchScan(
     required: StructType,
     filters: Array[Filter],
     claimed: Array[Filter] = Array.empty,
-    claimedPaths: Set[String] = Set.empty,
+    // Some(paths) = driver-memoized claim; None = exact per-file re-eval
+    claimedPaths: Option[Set[String]] = None,
     pinnedVersion: Option[Long] = None,
     limit: Option[Int] = None,
     topN: Option[DeltaRelation.TopN] = None,

@@ -501,7 +501,9 @@ private final class GraftScanBuilder(relation: DeltaRelation,
   private var residual: Array[Filter] = Array.empty
   private var claimed: Array[Filter] = Array.empty
   private var claimedVersion: Option[Long] = None
-  private var claimedPaths: Set[String] = Set.empty
+  // Some(paths) = driver-memoized claim; None = distributed claim (kept
+  // files re-derived by exact per-file eval — see DeltaRelation)
+  private var claimedPaths: Option[Set[String]] = None
   private var required: StructType = relation.schema
   private var agg: Option[(StructType, Seq[Seq[Any]])] = None
   private var limit: Option[Int] = None
@@ -546,23 +548,37 @@ private final class GraftScanBuilder(relation: DeltaRelation,
     pushed = filters
     claimed = Array.empty
     claimedVersion = None
-    claimedPaths = Set.empty
+    claimedPaths = None
     residual = filters
     val partCols = relation.partitionColumnSet
     if (partCols.nonEmpty &&
         filters.exists(graft.delta.PartitionFilters.shapeClaimable(_, partCols))) {
-      relation.claimState().foreach { case (v, snap) =>
-        val candidates = filters.filter(
-          graft.delta.PartitionFilters.shapeClaimable(_, partCols))
-        val (ok, keep) = graft.delta.PartitionFilters.claim(
-          snap.activeFiles, candidates.toIndexedSeq,
-          snap.partitionColumns.toSet, relation.schema)
-        if (ok.nonEmpty) {
-          claimed = ok.toArray
-          claimedVersion = Some(v)
-          claimedPaths = keep
-          residual = filters.filterNot(ok.contains)
-        }
+      val candidates = filters.filter(
+        graft.delta.PartitionFilters.shapeClaimable(_, partCols))
+      relation.claimState() match {
+        case Some((v, snap)) =>
+          val (ok, keep) = graft.delta.PartitionFilters.claim(
+            snap.activeFiles, candidates.toIndexedSeq,
+            snap.partitionColumns.toSet, relation.schema)
+          if (ok.nonEmpty) {
+            claimed = ok.toArray
+            claimedVersion = Some(v)
+            claimedPaths = Some(keep)
+            residual = filters.filterNot(ok.contains)
+          }
+        case None =>
+          // Above the distributed-snapshot threshold: claimability is
+          // decided on executors (round 15); the kept set stays implicit
+          // (exact per-file re-eval downstream) so nothing O(files) ever
+          // lands on the driver.
+          relation.distributedClaim(candidates.toIndexedSeq).foreach {
+            case (v, ok) if ok.nonEmpty =>
+              claimed = ok.toArray
+              claimedVersion = Some(v)
+              claimedPaths = None
+              residual = filters.filterNot(ok.contains)
+            case _ => ()
+          }
       }
     }
     residual
@@ -796,7 +812,11 @@ private final class GraftWriteBuilder(delta: DeltaTable, info: LogicalWriteInfo)
         else graft.streaming.GraftDirectWrite.Append,
         preAllocatedIdentity = true)
       catch { case _: ValidationException => return false }
-    w.runBatch(graft.delta.IdentityColumns.assign(spark, data, specs), specs)
+    val (assigned, release) =
+      graft.delta.IdentityColumns.assign(spark, data, specs)
+    // runBatch executes the one write job over the allocator's pinned
+    // blocks; nothing re-evaluates the frame after it
+    try w.runBatch(assigned, specs) finally release()
     true
   }
 

@@ -80,14 +80,15 @@ final class GraftDirectWrite(
   if (snap.metadata.isEmpty) throw new ValidationException(
     s"cannot stream into $tablePath before its schema exists")
   private val tableSchema = snap.schema
-  // Identity specs at PLAN time. Batch pushes cannot allocate (no
-  // pre-write count pass) — the catalog routes batch identity INSERTs to
-  // the V1 seam, which pre-allocates order-preserving values and drives
-  // runBatch. STREAMING epochs allocate per epoch: each epoch's writer
-  // factory is created fresh (Spark builds a MicroBatchWrite per batch),
-  // so the driver re-reads the high-water mark there and tasks fill an
-  // interleaved lattice slice ([[graft.functions.StreamIdentityAssign]]);
-  // the epoch commit re-checks the mark in its OCC loop and advances it.
+  // Identity specs at PLAN time. The catalog routes batch identity
+  // INSERTs to the V1 seam, which pre-allocates gap-free row-ordered
+  // values and drives runBatch (preAllocatedIdentity — specs empty here).
+  // Every OTHER push (streaming epochs, and since round 15 direct batch
+  // pushes like df.writeTo(t).append()) allocates task-side: the writer
+  // factory is created against a fresh snapshot's high-water mark and
+  // tasks fill an interleaved lattice slice
+  // ([[graft.functions.StreamIdentityAssign]]); the commit re-checks the
+  // mark in its OCC loop and advances it.
   private val idSpecsPlan: Seq[graft.delta.IdentityColumns.Spec] =
     if (preAllocatedIdentity) Nil
     else graft.delta.IdentityColumns.specs(tableSchema)
@@ -327,15 +328,19 @@ final class GraftDirectWrite(
     if (idSpecsPlan.isEmpty) writerFactory
     else identityEpochFactory(info.numPartitions())
 
+  /** Push-based batch writes on an identity table allocate exactly like a
+    * streaming epoch (round 15; this used to refuse): each task fills its
+    * partition's interleaved lattice slice from the mark a fresh snapshot
+    * read at factory creation, and the commit re-checks that mark in its
+    * OCC loop before advancing it. Values are unique and on-lattice but
+    * may carry gaps (a task that writes fewer rows than its slice leaves
+    * its tail unused) — the same contract Delta documents; the catalog's
+    * V1 seam remains the gap-free, row-ordered allocator for routed
+    * INSERTs, so only a direct `df.writeTo(t).append()` takes this path. */
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    if (idSpecsPlan.nonEmpty) throw new ValidationException(
-      "push-based batch direct writes cannot assign identity values " +
-        "(allocation needs a pre-write count pass over the input); batch " +
-        "INSERTs take the V1 seam, which pre-allocates and still writes " +
-        "task-direct")
-    writerFactory
-  }
+      info: PhysicalWriteInfo): DataWriterFactory =
+    if (idSpecsPlan.isEmpty) writerFactory
+    else identityEpochFactory(info.numPartitions())
 
   // ---- commits ---------------------------------------------------------------
 
@@ -371,10 +376,17 @@ final class GraftDirectWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // specs this batch's tasks allocated identity values from (echoed in
+    // the commit messages, same as the epoch path) — every commit core
+    // re-checks the mark in its OCC loop and advances it
+    val batchAlloc = messages.collectFirst {
+      case m: GraftStreamCommitMessage if m.idAlloc.nonEmpty => m.idAlloc
+    }.getOrElse(Nil)
     mode match {
       case GraftDirectWrite.Append | GraftDirectWrite.Truncate =>
         table.commitStreamedFiles(rawAdds(messages), txn = None,
-          overwrite = truncate, enforcedConstraints = enforcedConstraints)
+          overwrite = truncate, enforcedConstraints = enforcedConstraints,
+          idAlloc = batchAlloc)
       case GraftDirectWrite.DynamicOverwrite =>
         // tasks already proved nothing (partition replacement is derived
         // from the written files); stats/bloom/zero-row prep then the same
@@ -382,7 +394,7 @@ final class GraftDirectWrite(
         val snap0 = table.metaSnapshot()
         table.commitDynamicOverwriteAdds(snap0,
           table.prepareStreamedAdds(rawAdds(messages), snap0),
-          enforcedConstraints = enforcedConstraints)
+          enforcedConstraints = enforcedConstraints, idAlloc = batchAlloc)
       case GraftDirectWrite.ReplaceWhere(cond) =>
         // tasks proved every row satisfies the condition; the commit core
         // rewrites the kept remainder of matched files and applies the
@@ -392,7 +404,7 @@ final class GraftDirectWrite(
           graft.sources.ExprFilters.pruneJson(cond))
         table.commitReplaceWhereAdds(snap0, cond,
           table.prepareStreamedAdds(rawAdds(messages), snap0),
-          enforcedConstraints = enforcedConstraints)
+          enforcedConstraints = enforcedConstraints, idAlloc = batchAlloc)
     }
     GraftDirectWrite.batchCommits.incrementAndGet()
     ()

@@ -12,9 +12,17 @@ import org.apache.spark.sql.SparkSession
  * column blocks the metadata path). The metadata time is O(files) and
  * stays flat as rows grow; the scan is O(rows).
  *
- * Usage: `runMain graft.tools.ClaimBench <sfDir> [replication]`
+ * Usage: `runMain graft.tools.ClaimBench <sfDir> [replication] [threshold]`
  * Measured (sf1 events, local[32]): 1M rows 0.113s vs 0.235s (2.1×),
  * 10M 0.118s vs 0.330s (2.8×), 30M 0.152s vs 0.497s (3.3×).
+ *
+ * File-count axis (round 15): the optional `threshold` argument sets
+ * `spark.graft.distributedSnapshotThreshold` before the table is built,
+ * and the table is checkpointed — with threshold=1 the SAME queries run
+ * through the DISTRIBUTED claim (executor-side claimability, exact
+ * per-file re-eval, no driver path set), the regime a 10⁶⁺-file table
+ * would be in. Comparing the two runs isolates the distributed-claim
+ * planning overhead from the metadata-vs-scan gap itself.
  */
 object ClaimBench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +34,10 @@ object ClaimBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val threshold: Option[Long] =
+      if (args.length > 2) Some(args(2).toLong) else None
+    threshold.foreach(th =>
+      spark.conf.set("spark.graft.distributedSnapshotThreshold", th.toString))
     val cat = graft.plans.GraftSql.ensure(spark)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cb")
     val t = s"$cat.cb.ev"
@@ -40,6 +52,12 @@ object ClaimBench {
       "user_id", "value", "event_type"))
       .reduce(_ unionAll _)
     src.write.insertInto(t)
+    // under a forced threshold the distributed reconstruction needs a
+    // checkpoint base — same shape a genuinely large table would have
+    threshold.foreach { _ =>
+      val wh = graft.plans.GraftSql.warehousePath(spark).get
+      graft.delta.DeltaTable.forPath(spark, s"$wh/cb/ev").checkpoint()
+    }
     def time(q: String, n: Int): Double = {
       spark.sql(q).collect() // warm
       val ts = (1 to n).map { _ =>
@@ -54,8 +72,9 @@ object ClaimBench {
     val scan = time(
       s"SELECT count(*), min(event_id), max(event_id) FROM $t " +
         "WHERE event_type = 'click' AND value >= -1e18", 5)
-    println(f"CLAIMBENCH rep=$rep meta=$meta%.4fs scan=$scan%.4fs " +
-      f"speedup=${scan / meta}%.1fx")
+    println(f"CLAIMBENCH rep=$rep mode=${
+      threshold.fold("driver")(th => s"distributed(th=$th)")
+    } meta=$meta%.4fs scan=$scan%.4fs speedup=${scan / meta}%.1fx")
     spark.stop()
   }
 }

@@ -188,4 +188,58 @@ class ClaimedFilterSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan2.contains("ClaimedFilters"), plan2)
   }
+
+  test("distributed claiming: exact scans and metadata folds above the snapshot threshold") {
+    // Round 15: above the distributed-snapshot threshold the driver claim
+    // (claimState) refuses, so any ClaimedFilters in the plan below can
+    // only come from the executor-side claimability check — and the kept
+    // file set is re-derived by exact per-file eval, never materialized as
+    // a path set at pushFilters time.
+    spark.conf.set("spark.graft.distributedSnapshotThreshold", "1")
+    try {
+      val t = freshTable()
+      spark.sql(s"CREATE TABLE $t (id BIGINT, g STRING) PARTITIONED BY (g)")
+      spark.sql(s"""INSERT INTO $t
+        SELECT id, CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE NULL END
+        FROM range(900)""")
+      // the distributed reconstruction needs a checkpoint base
+      graft.delta.DeltaTable.forPath(spark, tableDir(t).toString).checkpoint()
+
+      // the plan claims through the distributed path
+      val plan = spark.sql(s"SELECT id FROM $t WHERE g = 'a' AND id > 3")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ClaimedFilters"), plan)
+
+      // row scans are exact while the data still exists
+      val got = spark.sql(s"SELECT id FROM $t WHERE g = 'a'")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until 900L by 3L).toSeq, s"got ${got.take(5)}...")
+      val gotNull = spark.sql(s"SELECT count(*) FROM $t WHERE g IS NULL").head().getLong(0)
+      assert(gotNull == 300L)
+
+      // metadata folds: prove physically by deleting the data files
+      Files.walk(tableDir(t)).iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filterNot(_.toString.contains("_delta_log"))
+        .foreach(Files.delete)
+      val (r1, h1) = answered {
+        spark.sql(s"SELECT COUNT(*), MIN(id), MAX(id) FROM $t WHERE g = 'a'").head()
+      }
+      assert(h1 == 1, "distributed-claimed aggregate was not metadata-answered")
+      assert(r1.getLong(0) == 300 && r1.getLong(1) == 0 && r1.getLong(2) == 897)
+      val (rows, h2) = answered {
+        spark.sql(s"SELECT g, COUNT(*) AS c FROM $t WHERE g IS NOT NULL GROUP BY g ORDER BY g")
+          .collect()
+      }
+      assert(h2 == 1)
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 300L), ("b", 300L)))
+      // a residual (data-column) predicate still needs the rows
+      val (_, h3) = answered {
+        intercept[Throwable](
+          spark.sql(s"SELECT COUNT(*) FROM $t WHERE g = 'a' AND id > 10").head())
+      }
+      assert(h3 == 0, "residual-filtered aggregate must not be metadata-answered")
+    } finally spark.conf.unset("spark.graft.distributedSnapshotThreshold")
+  }
 }

@@ -269,4 +269,93 @@ class DirectBatchWriteSpec extends SparkTestBase {
     assert(sql(s"SELECT sum(v) FROM $t").head().getLong(0) ==
       (0L until 200L).map(_ * 2).sum)
   }
+
+  // ---- push-based identity writes (round 15; used to refuse) ---------------
+
+  /** Drive GraftDirectWrite's push-based BatchWrite interface by hand —
+    * createBatchWriterFactory + task writers + commit — the path a DSv2
+    * planner takes when it pushes rows without holding the DataFrame. */
+  private def pushRows(w: GraftDirectWrite,
+                       df: org.apache.spark.sql.DataFrame): Unit = {
+    val f = w.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = df.rdd.getNumPartitions
+      })
+    val messages = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val wr = f.createWriter(pid,
+        org.apache.spark.TaskContext.get().taskAttemptId())
+      try {
+        it.foreach(wr.write)
+        Iterator.single(wr.commit())
+      } catch { case e: Throwable => wr.abort(); throw e }
+    }.collect()
+    w.commit(messages.map(m =>
+      m: org.apache.spark.sql.connector.write.WriterCommitMessage))
+  }
+
+  test("push-based batch write allocates identity values on the lattice") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (rid BIGINT GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 100 INCREMENT BY 3), s STRING)")
+    val querySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val df = sql("SELECT CAST(id AS STRING) AS s FROM range(0, 500, 1, 4)")
+    pushRows(new graft.streaming.GraftDirectWrite(spark, tablePath(t),
+      java.util.UUID.randomUUID().toString, querySchema,
+      GraftDirectWrite.Append), df)
+    // second push allocates from the ADVANCED mark — no overlap
+    pushRows(new graft.streaming.GraftDirectWrite(spark, tablePath(t),
+      java.util.UUID.randomUUID().toString, querySchema,
+      GraftDirectWrite.Append), df)
+    val rids = sql(s"SELECT rid FROM $t").collect().map(_.getLong(0))
+    assert(rids.length == 1000 && rids.distinct.length == 1000,
+      "task-side lattice allocation must never produce duplicates")
+    assert(rids.forall(v => v >= 100 && (v - 100) % 3 == 0),
+      s"values must sit on the (100, +3) lattice")
+    // the mark advanced past the furthest landed value in the same commits
+    val hwm = graft.delta.DeltaTable.forPath(spark, tablePath(t))
+      .metaSnapshot().schema("rid").metadata
+      .getLong(graft.delta.IdentityColumns.HighWaterMarkKey)
+    assert(hwm == rids.max, s"mark $hwm must equal furthest value ${rids.max}")
+  }
+
+  test("push-based identity write conflicts when a racer advances the mark") {
+    setup()
+    val t = freshTable()
+    sql(s"CREATE TABLE $t (rid BIGINT GENERATED ALWAYS AS IDENTITY, s STRING)")
+    val querySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val w = new graft.streaming.GraftDirectWrite(spark, tablePath(t),
+      java.util.UUID.randomUUID().toString, querySchema,
+      GraftDirectWrite.Append)
+    val df = sql("SELECT CAST(id AS STRING) AS s FROM range(0, 50, 1, 2)")
+    // the factory (and the mark its tasks allocate from) is created BEFORE
+    // the racer commits — the window the OCC re-check must close
+    val f = w.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = df.rdd.getNumPartitions
+      })
+    // racer: a routed INSERT advances the high-water mark
+    sql(s"INSERT INTO $t (s) VALUES ('racer')")
+    val e = intercept[Exception] {
+      val messages = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val wr = f.createWriter(pid,
+          org.apache.spark.TaskContext.get().taskAttemptId())
+        try {
+          it.foreach(wr.write)
+          Iterator.single(wr.commit())
+        } catch { case ex: Throwable => wr.abort(); throw ex }
+      }.collect()
+      w.commit(messages.map(m =>
+        m: org.apache.spark.sql.connector.write.WriterCommitMessage))
+    }
+    assert(e.getMessage.toLowerCase.contains("identity"),
+      s"stale-mark push must conflict, got: ${e.getMessage}")
+    // only the racer's row committed; no duplicate or orphaned values
+    val rids = sql(s"SELECT rid FROM $t").collect().map(_.getLong(0))
+    assert(rids.toSeq == Seq(1L), s"expected only the racer's row: ${rids.toSeq}")
+  }
 }
