@@ -35,8 +35,22 @@ object Bench {
     // so the artifact records the HOST's state, not the bench's own load
     // (sampling at the end made every run read self-contaminated, which
     // is what the round-11 "in-file loadavg <3" process goal tripped on).
-    val startLoad = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Start-load GATE (round 15): a co-loaded host start poisoned three of
+    // the last four driver artifacts — above the threshold, wait (bounded)
+    // for the host to settle instead of measuring into the noise. The run
+    // always proceeds after the wait budget: a late artifact beats none.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_START_LOAD")
+      .map(_.toDouble).getOrElse(6.0)
+    val waitDeadline = System.currentTimeMillis() +
+      sys.env.get("SPARK_GRAFT_LOAD_WAIT_MS").map(_.toLong).getOrElse(300000L)
+    var startLoad = osBean.getSystemLoadAverage
+    while (startLoad > maxStartLoad && System.currentTimeMillis() < waitDeadline) {
+      System.err.println(f"[bench] start load $startLoad%.2f > " +
+        f"$maxStartLoad%.1f - waiting for the host to settle")
+      Thread.sleep(15000)
+      startLoad = osBean.getSystemLoadAverage
+    }
     val spark = SessionEnv.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -158,8 +172,19 @@ object Bench {
       "\"" + k + "\":{\"orig\":" + m0 + ",\"rerun\":" + m2 +
         ",\"rerun_samples\":" + ss2.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
-    System.err.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"first_run":$firsts,"samples":$samplesJson,"rerun":$rerunJson,"loadavg":$load,"loadavg_end":$loadEnd,"cores":$cores,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"first_run":$firsts,"samples":$samplesJson,"rerun":$rerunJson,"loadavg":$load,"loadavg_end":$loadEnd,"cores":$cores,"sf":"$sfDir"}"""
+    System.err.println(fullJson)
+    // ...and as a FILE artifact (round 15): the stdout tail budget can drop
+    // small gates from the compact line, which makes longitudinal per-gate
+    // comparison a stderr-archaeology exercise. The full-precision map is
+    // always recoverable from this file.
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "scripts/bench_full_last.json"))
+      java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
+      ()
+    } catch { case _: Throwable => () } // best-effort; stdout stays canonical
 
     // stdout: ONE compact JSON line guaranteed to fit the tail capture,
     // with ALL queries present. Keys are the query IDs (the unique prefix

@@ -371,6 +371,20 @@ object DeltaQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** m3's twin on the TRUE Hilbert curve (round 15): same corpus, same
+    * final SELECT, `curveType=hilbert-true` — clustering is layout-only,
+    * so the oracle proves the rewrite reorders without losing/altering a
+    * single row while the curve walk is the real Skilling transform. */
+  def hilbertScan(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaTable.forPath(s, freshDir())
+    t.write(t_(s, dir, "customer"))
+    graft.delta.Maintenance.zOrderCluster(t, Seq("c_nationkey", "c_acctbal"),
+      targetFiles = 4, curveType = "hilbert-true")
+    t.toDF().select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   // Tables.t is shadowed by method params named t; tiny alias.
   private def t_(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
@@ -398,6 +412,7 @@ object DeltaQueries {
     "m1_compact_scan" -> (compactScan(_, _)),
     "m2_dedup_exact" -> (dedupExact(_, _)),
     "m3_zorder_scan" -> (zorderScan(_, _)),
+    "m5_hilbert_scan" -> (hilbertScan(_, _)),
     "m4_maintenance_chain" -> (maintenanceChain(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -545,6 +560,10 @@ object DeltaQueries {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "m3_zorder_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "m5_hilbert_scan" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 

@@ -680,7 +680,12 @@ object NorthStarQueries {
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
           sessionize(30L * 60 * 1000000L))
       graft.streaming.Streams.runToMemory(sessions.toDF(),
-          "graft_stream_sessions", "append", statePartitions = Some(8))
+          "graft_stream_sessions", "append",
+          // 8 state partitions BY MEASUREMENT (round-15 sizing pass at
+          // sf1): per-partition store maintenance × micro-batch count
+          // dominates the stateful shuffle here, so core-count sizing
+          // (32) ran 1.2× SLOWER than 8 on both providers
+          statePartitions = Some(8))
         .select(col("user_id"),
           col("session_start").cast(TimestampNTZType).as("session_start"),
           col("n"), col("sum_value"))

@@ -388,17 +388,22 @@ object Maintenance {
                     curveType: String = "zorder"): ZOrderResult = {
     // `hilbert` is accepted and computed as z-order, exactly like the
     // reference (compaction/index.ts:151,1122 — the hilbert branch falls
-    // through to the Morton interleave).
-    curveType.toLowerCase match {
-      case "zorder" | "z-order" | "hilbert" => ()
+    // through to the Morton interleave). `hilbert-true` (round 15, beyond
+    // the reference) walks the REAL Hilbert curve via
+    // [[graft.functions.HilbertIndex]]: unit-step locality tightens
+    // per-file min/max zone maps for multi-column range predicates.
+    val trueHilbert = curveType.toLowerCase match {
+      case "zorder" | "z-order" | "hilbert" => false
+      case "hilbert-true" => true
       case other => throw new IllegalArgumentException(
-        s"unknown curveType '$other' (expected zorder or hilbert)")
+        s"unknown curveType '$other' (expected zorder, hilbert, or hilbert-true)")
     }
-    replanOnConflict() { zOrderOnce(table, columns, targetFiles) }
+    replanOnConflict() { zOrderOnce(table, columns, targetFiles, trueHilbert) }
   }
 
   private def zOrderOnce(table: DeltaTable, columns: Seq[String],
-                         targetFiles: Int): ZOrderResult = {
+                         targetFiles: Int,
+                         trueHilbert: Boolean = false): ZOrderResult = {
     require(columns.nonEmpty && columns.size <= 3, "z-order on 1-3 columns")
     val snap = table.snapshot()
     val df = table.toDF(snap)
@@ -411,19 +416,28 @@ object Maintenance {
       max(normalizeToLong(df, c)).as(s"__max_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
 
-    val zcol = columns.zipWithIndex.map { case (c, j) =>
+    def scaledCol(c: String) = {
       val lo = bounds.getAs[Long](s"__min_$c")
       val hi = bounds.getAs[Long](s"__max_$c")
       val range = math.max(1L, hi - lo)
       // scale to [0, 2^21-1]; double intermediate avoids ANSI long overflow
       // for wide ranges (clustering precision is unaffected)
-      val scaled = ((normalizeToLong(df, c) - lit(lo)).cast("double") *
+      ((normalizeToLong(df, c) - lit(lo)).cast("double") *
         lit(((1L << bits) - 1).toDouble) / lit(range.toDouble)).cast("long")
-      // spread this column's bits to positions j, j+n, j+2n, ...
-      (0 until bits).map { i =>
-        shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)), i * columns.size + j)
+    }
+    val zcol =
+      if (trueHilbert && columns.size >= 2)
+        org.apache.spark.sql.graftshim.ColumnShim.column(
+          graft.functions.HilbertIndex(
+            columns.map(c => org.apache.spark.sql.graftshim.ColumnShim
+              .expression(scaledCol(c))), bits))
+      else columns.zipWithIndex.map { case (c, j) =>
+        val scaled = scaledCol(c)
+        // spread this column's bits to positions j, j+n, j+2n, ...
+        (0 until bits).map { i =>
+          shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)), i * columns.size + j)
+        }.reduce((a, b) => a.bitwiseOR(b))
       }.reduce((a, b) => a.bitwiseOR(b))
-    }.reduce((a, b) => a.bitwiseOR(b))
 
     val nFiles = if (targetFiles > 0) targetFiles
       else math.max(1, snap.activeFiles.size / 2)
@@ -434,7 +448,9 @@ object Maintenance {
     val adds = table.writeDataFiles(clustered, snap.partitionColumns, snap.schema)
       .map(_.copy(dataChange = false))
     val v = commitMaintenance(table, snap, snap.activeFiles, adds, "ZORDER",
-      Map("columns" -> columns.mkString(",")), dataChange = false)
+      Map("columns" -> columns.mkString(","),
+        "curve" -> (if (trueHilbert) "hilbert-true" else "zorder")),
+      dataChange = false)
     ZOrderResult(snap.activeFiles.size.toLong, adds.size.toLong, v,
       zoneMapStats(adds, columns))
   }
