@@ -103,7 +103,17 @@ final class DeltaRelation(
     }
 
   /** The exactly-matching file subset for CLAIMED partition filters over
-    * the pinned snapshot. */
+    * the pinned snapshot.
+    *
+    * Scale bound: the survivors DO materialize on the driver here (the
+    * distributed path prunes on executors first, so what lands is the
+    * post-prune subset). That is exactly the list Spark's own scan
+    * planning would materialize to build InputPartitions for the same
+    * predicate — i.e. the metadata fold is never worse than the query it
+    * replaces, and strictly cheaper (no data read). A fold that never
+    * driver-materializes would need the StatsAggregates core rewritten
+    * into distributed combine form — an optimization beyond Spark's own
+    * planning floor, deliberately not taken. */
   private def claimedFiles(pinnedVersion: Option[Long],
                            claimed: Array[Filter],
                            claimedPaths: Option[Set[String]]): (Snapshot, Seq[graft.delta.AddFile]) = {
