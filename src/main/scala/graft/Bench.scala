@@ -178,10 +178,13 @@ object Bench {
     // ...and as a FILE artifact (round 15): the stdout tail budget can drop
     // small gates from the compact line, which makes longitudinal per-gate
     // comparison a stderr-archaeology exercise. The full-precision map is
-    // always recoverable from this file.
-    try {
+    // always recoverable from this file. FULL runs only — an args-filtered
+    // iteration run must not overwrite the longitudinal record — and the
+    // default lives outside the repo so bench runs never dirty the tree.
+    if (args.isEmpty) try {
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "scripts/bench_full_last.json"))
+        "SPARK_GRAFT_BENCH_OUT",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_full_last.json"))
       java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
       ()
     } catch { case _: Throwable => () } // best-effort; stdout stays canonical

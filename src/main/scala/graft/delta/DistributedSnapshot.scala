@@ -82,8 +82,34 @@ object DistributedSnapshot {
       tailFiles: Seq[AddFile],
       baseAddJson: org.apache.spark.sql.Dataset[String])
 
+  /** Memo for [[rawState]]: a claimed query reconstructs the same pinned
+    * state twice (the claimability check at pushFilters, then the scan or
+    * metadata fold) — the key pins (table, checkpoint, target version)
+    * PLUS the `_last_checkpoint` pointer's file identity (mtime, length),
+    * so a dropped-and-recreated table at the same path — which can repeat
+    * version numbers — cannot alias a stale entry. Entries are immutable
+    * once keyed; sharing one halves per-query checkpoint reads + tail
+    * replays. Bounded: cleared wholesale past 8 entries. */
+  private val rawCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Option[Int], Long, Long, Long), RawState]()
+
   private def rawState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
                        parts: Option[Int], target: Long): RawState = {
+    val ptr = try {
+      val st = log.fs.getFileStatus(log.lastCheckpointFile)
+      (st.getModificationTime, st.getLen)
+    } catch { case _: Throwable => (-1L, -1L) }
+    val key = (log.tablePath.toString, cpVersion, parts, target, ptr._1, ptr._2)
+    val hit = rawCache.get(key)
+    if (hit != null) return hit
+    if (rawCache.size > 8) rawCache.clear()
+    val built = buildRawState(spark, log, cpVersion, parts, target)
+    rawCache.put(key, built)
+    built
+  }
+
+  private def buildRawState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                            parts: Option[Int], target: Long): RawState = {
     import spark.implicits._
     val state = Checkpoints.readStateDf(spark, log, cpVersion, parts)
 

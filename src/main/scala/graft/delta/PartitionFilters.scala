@@ -206,6 +206,29 @@ object PartitionFilters {
   /** Typed compare of a partition-path string against a pushed-filter
     * literal under the column's type; None when unparseable/mismatched. */
   private[delta] def cmpTyped(actual: String, lit: Any, dt: DataType): Option[Int] = dt match {
+    // Float/Double parse the PATH under the column type first (then widen)
+    // instead of comparing decimal strings: a foreign writer may render a
+    // float-exact but non-shortest value ("0.100000001490116" for 0.1f),
+    // which the read side casts back to the same float — a decimal-string
+    // compare would decide False on an equality every row satisfies, and a
+    // CLAIMED False is silent row loss. Same treatment FilePruner's
+    // partition comparator takes. Non-finite parses/literals refuse (no
+    // decimal identity; the filter stays a residual). IEEE `==` handles
+    // -0.0 = 0.0 before the total-order compare.
+    case FloatType | DoubleType =>
+      val a: Option[Double] = dt match {
+        case FloatType => scala.util.Try(actual.toFloat).toOption
+          .filter(java.lang.Float.isFinite(_)).map(_.toDouble)
+        case _ => scala.util.Try(actual.toDouble).toOption
+          .filter(java.lang.Double.isFinite(_))
+      }
+      val b: Option[Double] = lit match {
+        case f: java.lang.Float if java.lang.Float.isFinite(f) => Some(f.toDouble)
+        case d: java.lang.Double if java.lang.Double.isFinite(d) => Some(d.toDouble)
+        case _ => None
+      }
+      for (x <- a; y <- b)
+        yield if (x == y) 0 else java.lang.Double.compare(x, y)
     case _: NumericType =>
       for (a <- scala.util.Try(BigDecimal(actual)).toOption; b <- numOf(lit))
         yield a.compare(b)

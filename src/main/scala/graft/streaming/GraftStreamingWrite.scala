@@ -323,10 +323,16 @@ final class GraftDirectWrite(
       partCols.toArray, partExprs, factory, conf, violationChecks, specs)
   }
 
+  /** Factory selection shared by the streaming-epoch and batch-push
+    * personalities: identity tables get the allocating factory (fresh-mark
+    * lattice slices per task), everything else the plain one. */
+  private def factoryFor(numPartitions: Int): GraftStreamWriterFactory =
+    if (idSpecsPlan.isEmpty) writerFactory
+    else identityEpochFactory(numPartitions)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    if (idSpecsPlan.isEmpty) writerFactory
-    else identityEpochFactory(info.numPartitions())
+    factoryFor(info.numPartitions())
 
   /** Push-based batch writes on an identity table allocate exactly like a
     * streaming epoch (round 15; this used to refuse): each task fills its
@@ -339,8 +345,7 @@ final class GraftDirectWrite(
     * INSERTs, so only a direct `df.writeTo(t).append()` takes this path. */
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    if (idSpecsPlan.isEmpty) writerFactory
-    else identityEpochFactory(info.numPartitions())
+    factoryFor(info.numPartitions())
 
   // ---- commits ---------------------------------------------------------------
 

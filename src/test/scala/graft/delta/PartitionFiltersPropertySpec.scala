@@ -25,15 +25,18 @@ class PartitionFiltersPropertySpec extends SparkTestBase {
     StructField("p_f", FloatType)))
   private val partCols = Set("p_s", "p_d", "p_n", "p_f")
 
-  // Path-string partition values as the writer renders them, incl. nulls.
-  // Float values are the shortest-decimal renderings Spark's Cast writes —
-  // 0.1/0.3 are the epsilon-prone ones (not exactly representable), NaN
-  // parses as a float but has no decimal form (must stay undecided).
+  // Path-string partition values as a writer may render them, incl. nulls.
+  // 0.1/0.3 are the epsilon-prone shortest-decimal renderings Spark's Cast
+  // writes; "0.100000001490116" is a FOREIGN writer's non-shortest but
+  // float-exact rendering of the same 0.1f (the comparator must parse the
+  // path under the column type, not compare decimal strings); NaN parses
+  // as a float but has no decimal identity (must stay undecided).
   private val genVals: Gen[Map[String, String]] = for {
     s <- Gen.oneOf("a", "ab", "b", "zz", PartitionPaths.NullMarker)
     d <- Gen.oneOf("2026-05-01", "2026-05-02", "2026-05-09", PartitionPaths.NullMarker)
     n <- Gen.oneOf("-3", "0", "7", PartitionPaths.NullMarker)
-    f <- Gen.oneOf("0.1", "0.3", "2.5", "NaN", PartitionPaths.NullMarker)
+    f <- Gen.oneOf("0.1", "0.3", "2.5", "0.100000001490116", "NaN",
+      PartitionPaths.NullMarker)
   } yield Map("p_s" -> s, "p_d" -> d, "p_n" -> n, "p_f" -> f)
 
   private def dateLit(s: String) = java.sql.Date.valueOf(s)
