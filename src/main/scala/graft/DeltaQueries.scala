@@ -121,7 +121,7 @@ object DeltaQueries {
     val updates = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", lit(0.0))
     val inserts = orders.filter(col("o_orderkey") % 100 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)
       .withColumn("o_totalprice", lit(-1.0))
     t.mergeWithDV(updates.unionByName(inserts), Seq("o_orderkey"))
     t.toDF()
@@ -206,7 +206,7 @@ object DeltaQueries {
     val updates = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", lit(0.0))
     val inserts = orders.filter(col("o_orderkey") % 100 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)
       .withColumn("o_totalprice", lit(-1.0))
     t.merge(updates.unionByName(inserts), Seq("o_orderkey"))
     t.toDF()
@@ -251,7 +251,7 @@ object DeltaQueries {
     val updates = cust.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_acctbal", lit(0.0))
     val inserts = cust.filter(col("c_custkey") % 100 === 0)
-      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .withColumn("c_custkey", col("c_custkey") + 10000000000L)
       .withColumn("c_acctbal", lit(-1.0))
     val r = t.merge(updates.unionByName(inserts), Seq("c_custkey")) // v2
     t.changes(r.version, r.version)
@@ -478,7 +478,7 @@ object DeltaQueries {
         |    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
         |  FROM orders
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
         |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
         |  FROM orders WHERE o_orderkey % 100 = 0) merged
         |ORDER BY o_orderkey""".stripMargin,
@@ -495,7 +495,7 @@ object DeltaQueries {
         |    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
         |  FROM orders
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
         |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
         |  FROM orders WHERE o_orderkey % 100 = 0) merged
         |ORDER BY o_orderkey""".stripMargin,
@@ -514,7 +514,7 @@ object DeltaQueries {
         |  SELECT 'update_postimage', c_custkey, c_name, CAST(0 AS DOUBLE)
         |  FROM customer WHERE c_custkey % 10 = 0
         |  UNION ALL
-        |  SELECT 'insert', c_custkey + 10000000, c_name, CAST(-1 AS DOUBLE)
+        |  SELECT 'insert', c_custkey + 10000000000, c_name, CAST(-1 AS DOUBLE)
         |  FROM customer WHERE c_custkey % 100 = 0) ch
         |ORDER BY _change_type, c_custkey""".stripMargin,
 

@@ -66,7 +66,7 @@ object SqlQueries {
              |         CAST(0 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
              |  FROM $v WHERE o_orderkey % 10 = 0
              |  UNION ALL
-             |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
              |         CAST(-1 AS DOUBLE), o_orderdate, o_orderpriority
              |  FROM $v WHERE o_orderkey % 100 = 0
              |) AS src
@@ -107,7 +107,7 @@ object SqlQueries {
              |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
              |  FROM $v WHERE c_custkey % 3 = 0
              |  UNION ALL
-             |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  SELECT c_custkey + 10000000000, c_name, c_nationkey, c_acctbal, c_mktsegment
              |  FROM $v WHERE c_custkey % 50 = 0
              |) AS src
              |ON tgt.c_custkey = src.c_custkey
@@ -473,7 +473,7 @@ object SqlQueries {
              |  SELECT c_custkey, c_name, c_acctbal + 5 AS c_acctbal, c_nationkey
              |  FROM $v WHERE c_custkey % 3 = 0
              |  UNION ALL
-             |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+             |  SELECT c_custkey + 10000000000, c_name, c_acctbal, c_nationkey
              |  FROM $v WHERE c_custkey % 40 = 0
              |) AS src
              |ON tgt.c_custkey = src.c_custkey
@@ -1277,7 +1277,7 @@ object SqlQueries {
         |         ELSE CAST(NULL AS INTEGER) END AS c_nationkey
         |  FROM customer
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+        |  SELECT c_custkey + 10000000000, c_name, c_acctbal, c_nationkey
         |  FROM customer WHERE c_custkey % 40 = 0) m
         |ORDER BY c_custkey""".stripMargin,
     // d7's post-state algebra, driven end-to-end through SQL text
@@ -1308,7 +1308,7 @@ object SqlQueries {
         |    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
         |  FROM orders
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
         |    CAST(-1 AS DOUBLE), CAST(o_orderdate AS TIMESTAMP), o_orderpriority
         |  FROM orders WHERE o_orderkey % 100 = 0) merged
         |ORDER BY o_orderkey""".stripMargin,
@@ -1333,7 +1333,7 @@ object SqlQueries {
         |  FROM customer
         |  WHERE NOT (c_custkey % 3 = 0 AND c_mktsegment = 'BUILDING')
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  SELECT c_custkey + 10000000000, c_name, c_nationkey, c_acctbal, c_mktsegment
         |  FROM customer WHERE c_custkey % 50 = 0 AND c_acctbal >= 0) m
         |ORDER BY c_custkey""".stripMargin,
 

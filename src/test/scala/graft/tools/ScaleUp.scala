@@ -42,15 +42,14 @@ object ScaleUp {
 
     // Replica key spacing: just above each key's sf0.1 maximum, so the
     // SHIFTED key space stays inside the invariants the gate queries
-    // assume for their synthetic new-key arms — s3 derives fresh order
-    // keys as `o_orderkey + 10000000` and several gates derive fresh
-    // customer keys as `c_custkey + 1000000`, so replicated o_orderkey
-    // must stay < 10M and c_custkey < 1M. This spacing supports up to
-    // ~60 replicas (sf6); the pre-round-13 spacing (1M/100k) broke the
-    // orders invariant above 10 replicas, which surfaced as a MERGE
-    // cardinality violation in s3 at sf3 — a data-generation artifact,
-    // not an engine bug. Order-key shifts are multiples of 100, so the
-    // `% 10` / `% 100` residue classes the gates filter on survive.
+    // assume for their synthetic new-key arms — the merge gates derive
+    // fresh keys as `<key> + 10_000_000_000` (round 15; the old +10M/+1M
+    // arms collided with replicated keys above ~60 replicas, surfacing
+    // at sf10 as d6 counting inserts as updates — a data-generation
+    // artifact, not an engine bug, same class as the round-13 s3-at-sf3
+    // incident). With the 1e10 arm this spacing supports ~60,000
+    // replicas. Order-key shifts are multiples of 100, so the `% 10` /
+    // `% 100` residue classes the gates filter on survive.
     val OK = 150000L // > max o_orderkey (149999); 60 reps < 10M
     val CK = 15000L  // > max c_custkey  (14999);  60 reps < 1M
     val EK = 100000L // > max event_id   (99999)
