@@ -284,6 +284,39 @@ object SqlQueries {
              |) ORDER BY n""".stripMargin)
   }
 
+  /** Double-partitioned ranges + equality (round 16, the DOUBLE twin of
+    * s44): partition paths carry the column's shortest double rendering
+    * ("0.30000000000000004" for bucket 3) while range literals arrive as
+    * exact doubles — the prune/claim comparators must parse the PATH under
+    * the column type (parse-then-compare as double), or a decimal-string
+    * comparison mis-orders at $gte/$lte boundaries and equality drops
+    * every file. The aggregate-under-WHERE arms also exercise the claimed
+    * metadata fold on a double partition column. */
+  def sqlDoublePartitionRange(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "dpr")
+    val v = view(s, dir, "events")
+    s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+             |  event_type STRING, dbucket DOUBLE)
+             |PARTITIONED BY (dbucket)""".stripMargin)
+    // FLOOR (not CAST-to-int: Spark truncates, DuckDB rounds) buckets the
+    // value into k*0.1 — decimal-exact in both engines, then ONE double
+    // rounding — so the partition values are the epsilon-prone decimals
+    // (3 → 0.30000000000000004's neighbor, rendered shortest in the path).
+    s.sql(s"""INSERT INTO $t
+             |SELECT event_id, user_id, event_type,
+             |  CAST(CAST(FLOOR(value) AS BIGINT) % 10 * 0.1 AS DOUBLE)
+             |FROM $v""".stripMargin)
+    s.sql(s"""SELECT * FROM (
+             |  SELECT count(*) AS n, min(event_id) AS min_id,
+             |    max(event_id) AS max_id
+             |  FROM $t WHERE dbucket = CAST(0.3 AS DOUBLE)
+             |  UNION ALL
+             |  SELECT count(*), min(event_id), max(event_id)
+             |  FROM $t WHERE dbucket >= CAST(0.55 AS DOUBLE)
+             |    AND dbucket <= CAST(0.85 AS DOUBLE)
+             |) ORDER BY n""".stripMargin)
+  }
+
   /** Zoned-timestamp partition round-trip under a NON-UTC session
     * (round 15): the write must lay the partition directories out in the
     * engine's canonical UTC rendering regardless of
@@ -930,6 +963,7 @@ object SqlQueries {
     "s43_sql_agg_claimed_filter" -> (sqlAggClaimedFilter(_, _)),
     "s44_sql_float_partition_eq" -> (sqlFloatPartitionEq(_, _)),
     "s45_sql_tz_partition_write" -> (sqlTzPartitionWrite(_, _)),
+    "s46_sql_double_partition_range" -> (sqlDoublePartitionRange(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -989,6 +1023,20 @@ object SqlQueries {
         |  max(event_id) AS max_id
         |FROM events
         |WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) = TIMESTAMP '2024-01-15'""".stripMargin,
+
+    "s46_sql_double_partition_range" ->
+      """WITH b AS (SELECT event_id,
+        |  CAST(CAST(FLOOR(value) AS BIGINT) % 10 * 0.1 AS DOUBLE) AS dbucket
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT count(*) AS n, min(event_id) AS min_id,
+        |    max(event_id) AS max_id
+        |  FROM b WHERE dbucket = CAST(0.3 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT count(*), min(event_id), max(event_id)
+        |  FROM b WHERE dbucket >= CAST(0.55 AS DOUBLE)
+        |    AND dbucket <= CAST(0.85 AS DOUBLE)
+        |) ORDER BY n""".stripMargin,
 
     "s43_sql_agg_claimed_filter" ->
       """SELECT count(*) AS n, count(user_id) AS n_users,

@@ -2,7 +2,7 @@ package graft.delta
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{broadcast, col, get_json_object}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, MapType, StringType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -85,21 +85,50 @@ object DistributedSnapshot {
   /** Memo for [[rawState]]: a claimed query reconstructs the same pinned
     * state twice (the claimability check at pushFilters, then the scan or
     * metadata fold) — the key pins (table, checkpoint, target version)
-    * PLUS the `_last_checkpoint` pointer's file identity (mtime, length),
-    * so a dropped-and-recreated table at the same path — which can repeat
-    * version numbers — cannot alias a stale entry. Entries are immutable
-    * once keyed; sharing one halves per-query checkpoint reads + tail
-    * replays. Bounded: cleared wholesale past 8 entries. */
+    * PLUS the OWNING SESSION's identity (the cached `baseAddJson` Dataset is
+    * bound to the SparkSession that built it — a second or recreated session
+    * in the same JVM must never be served a Dataset referencing a stopped
+    * session) PLUS a CONTENT hash of the `_last_checkpoint` pointer, so a
+    * dropped-and-recreated table at the same path — which can repeat version
+    * numbers, and whose pointer can alias on (mtime, length) under
+    * coarse-mtime filesystems — cannot alias a stale entry. Entries are
+    * immutable once keyed; sharing one halves per-query checkpoint reads +
+    * tail replays. Bounded: cleared wholesale past 8 entries. */
   private val rawCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Option[Int], Long, Long, Long), RawState]()
+    (String, Long, Option[Int], Long, String, String), RawState]()
+
+  /** Stable identity of the session INSTANCE (not just the app): Spark's
+    * own per-session UUID when the runtime exposes it, else the identity
+    * hash (JVM-unique per live instance — the cache is JVM-local). */
+  private[delta] def sessionIdentity(spark: SparkSession): String =
+    (try {
+      val m = spark.getClass.getMethod("sessionUUID")
+      Option(m.invoke(spark)).map(_.toString)
+    } catch { case _: Throwable => None })
+      .getOrElse("idhash-" + System.identityHashCode(spark).toHexString)
+
+  /** Content fingerprint of the `_last_checkpoint` pointer: an MD5 of its
+    * bytes (the file is a one-line JSON — O(100 B) to read), never the
+    * (mtime, length) pair, which coarse-mtime filesystems can alias across
+    * a drop-and-recreate at the same path. Unreadable/absent → a sentinel
+    * that still keys consistently for checkpoint-less tables. */
+  private[delta] def checkpointFingerprint(log: DeltaLog): String =
+    try {
+      val body = log.readString(log.lastCheckpointFile)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "no-checkpoint-pointer" }
+
+  private[delta] def cacheKeyFor(spark: SparkSession, log: DeltaLog,
+                                 cpVersion: Long, parts: Option[Int],
+                                 target: Long): (String, Long, Option[Int], Long, String, String) =
+    (log.tablePath.toString, cpVersion, parts, target,
+      sessionIdentity(spark), checkpointFingerprint(log))
 
   private def rawState(spark: SparkSession, log: DeltaLog, cpVersion: Long,
                        parts: Option[Int], target: Long): RawState = {
-    val ptr = try {
-      val st = log.fs.getFileStatus(log.lastCheckpointFile)
-      (st.getModificationTime, st.getLen)
-    } catch { case _: Throwable => (-1L, -1L) }
-    val key = (log.tablePath.toString, cpVersion, parts, target, ptr._1, ptr._2)
+    val key = cacheKeyFor(spark, log, cpVersion, parts, target)
     val hit = rawCache.get(key)
     if (hit != null) return hit
     if (rawCache.size > 8) rawCache.clear()
@@ -192,29 +221,43 @@ object DistributedSnapshot {
                    parts: Option[Int], target: Long,
                    candidates: Seq[org.apache.spark.sql.sources.Filter],
                    schema: StructType): Seq[org.apache.spark.sql.sources.Filter] = {
+    import spark.implicits._
     val raw = rawState(spark, log, cpVersion, parts, target)
     val partCols = raw.metadata.map(_.partitionColumns).getOrElse(Nil).toSet
     if (partCols.isEmpty || candidates.isEmpty) return Nil
     val cands = candidates.toIndexedSeq
     val nC = cands.length
-    def undecidedOn(f: AddFile, und: Array[Boolean]): Unit = {
+    def undecidedOn(pv: Map[String, String], und: Array[Boolean]): Unit = {
       var i = 0
       while (i < nC) {
         if (!und(i) &&
-            PartitionFilters.eval(f, cands(i), partCols, schema).isEmpty)
+            PartitionFilters.evalPv(pv, cands(i), partCols, schema).isEmpty)
           und(i) = true
         i += 1
       }
     }
+    // Decidability needs ONLY partitionValues — project it out with
+    // codegen'd from_json (a partial schema: every other AddFile field is
+    // skipped at parse time) instead of fully parsing each add action with
+    // json4s. On the 10⁷-file tables this path targets, per-row parse cost
+    // is the whole job, and stats/DV strings dominate the add JSON.
+    val pvOnly = StructType(Seq(StructField(
+      "partitionValues", MapType(StringType, StringType))))
     val perPartition: Array[Array[Boolean]] =
-      raw.baseAddJson.rdd.mapPartitions { it =>
-        val und = new Array[Boolean](nC)
-        it.foreach(js => undecidedOn(Actions.parseAdd(JsonMethods.parse(js)), und))
-        Iterator.single(und)
-      }.collect()
+      raw.baseAddJson
+        .select(org.apache.spark.sql.functions
+          .from_json(col(raw.baseAddJson.columns.head), pvOnly)
+          .getField("partitionValues").as("pv"))
+        .as[Map[String, String]]
+        .rdd.mapPartitions { it =>
+          val und = new Array[Boolean](nC)
+          it.foreach(pv =>
+            undecidedOn(if (pv == null) Map.empty[String, String] else pv, und))
+          Iterator.single(und)
+        }.collect()
     val und = new Array[Boolean](nC)
     perPartition.foreach(p => (0 until nC).foreach(i => und(i) |= p(i)))
-    raw.tailFiles.foreach(undecidedOn(_, und))
+    raw.tailFiles.foreach(f => undecidedOn(f.partitionValues, und))
     cands.zipWithIndex.collect { case (c, i) if !und(i) => c }
   }
 }

@@ -84,13 +84,20 @@ object FilePruner {
       val dt = schema.fields.find(_.name == field).map(_.dataType)
         .getOrElse(return None)
       val statForm: Option[JValue] = dt match {
-        // Float path values parse as FLOAT then widen — the same widening
-        // the filter literal and footer stats take (JDouble(f.toDouble)) —
-        // so path "0.1" compares equal to the widened 0.1f literal instead
-        // of BigDecimal("0.1") vs 0.10000000149011612 pruning every file.
+        // Float/Double path values parse UNDER THE COLUMN TYPE then widen —
+        // the same widening the filter literal and footer stats take
+        // (JDouble(f.toDouble)) — so path "0.1" compares equal to the
+        // widened 0.1f literal instead of BigDecimal("0.1") vs
+        // 0.10000000149011612 pruning every file. Doubles take the same
+        // route (round 16): a foreign writer's double-exact but
+        // non-shortest rendering ("0.10000000000000001" for 0.1) parses
+        // back to the identical double, while BigDecimal of the raw string
+        // would mis-order against the literal at $gte/$lte boundaries.
         // Non-finite parses ("NaN"/"Infinity") fall out in num() → keep.
         case FloatType =>
           scala.util.Try(JDouble(s.toFloat.toDouble)).toOption
+        case DoubleType =>
+          scala.util.Try(JDouble(s.toDouble)).toOption
         case _: NumericType =>
           scala.util.Try(JDecimal(BigDecimal(s))).toOption
         case StringType => Some(JString(s))
@@ -109,9 +116,12 @@ object FilePruner {
     // the literal arrives widened (JDouble(0.1f.toDouble) =
     // 0.10000000149011612) while the path renders the shortest decimal
     // ("0.1"), so matchesPartition's `s.toDouble == x` would prune every
-    // file of an equality every row satisfies.
+    // file of an equality every row satisfies. DoubleType likewise: a
+    // foreign non-shortest path rendering must parse-then-compare as a
+    // double, and it keeps equality consistent with the range comparators.
     val typedField = schema.fields.find(_.name == field).map(_.dataType).exists {
-      case DateType | TimestampType | TimestampNTZType | FloatType => true
+      case DateType | TimestampType | TimestampNTZType | FloatType |
+           DoubleType => true
       case _ => false
     }
     def eqKeeps(v: JValue): Boolean = (actual, v) match {

@@ -48,22 +48,30 @@ object PartitionFilters {
 
   /** Per-file truth value of `filter`, or None when not provable. */
   def eval(f: AddFile, filter: Filter, partCols: Set[String],
-           schema: StructType): Option[TV] = filter match {
-    case And(l, r) => (eval(f, l, partCols, schema), eval(f, r, partCols, schema)) match {
+           schema: StructType): Option[TV] =
+    evalPv(f.partitionValues, filter, partCols, schema)
+
+  /** [[eval]] on the bare partitionValues map — the distributed
+    * claimability check ([[DistributedSnapshot.claimDecided]]) projects
+    * ONLY this field out of the checkpoint's add JSON (codegen'd
+    * from_json), never constructing an [[AddFile]] per row. */
+  def evalPv(f: Map[String, String], filter: Filter, partCols: Set[String],
+             schema: StructType): Option[TV] = filter match {
+    case And(l, r) => (evalPv(f, l, partCols, schema), evalPv(f, r, partCols, schema)) match {
       case (Some(False), _) | (_, Some(False)) => Some(False)
       case (Some(True), x) => x
       case (x, Some(True)) => x
       case (Some(Unknown), Some(Unknown)) => Some(Unknown)
       case _ => None
     }
-    case Or(l, r) => (eval(f, l, partCols, schema), eval(f, r, partCols, schema)) match {
+    case Or(l, r) => (evalPv(f, l, partCols, schema), evalPv(f, r, partCols, schema)) match {
       case (Some(True), _) | (_, Some(True)) => Some(True)
       case (Some(False), x) => x
       case (x, Some(False)) => x
       case (Some(Unknown), Some(Unknown)) => Some(Unknown)
       case _ => None
     }
-    case Not(c) => eval(f, c, partCols, schema).map {
+    case Not(c) => evalPv(f, c, partCols, schema).map {
       case True => False
       case False => True
       case Unknown => Unknown
@@ -151,12 +159,15 @@ object PartitionFilters {
   // ---- helpers ---------------------------------------------------------------
 
   /** None = value unknowable (missing key / not a partition column);
-    * Some(None) = null partition; Some(Some(s)) = the raw path value. */
-  private def partVal(f: AddFile, a: String,
+    * Some(None) = null partition; Some(Some(s)) = the raw path value.
+    * A JSON-null VALUE (a foreign writer's null partition, which
+    * Actions.strMap drops but from_json keeps as a null map value) is
+    * unknowable too — identical tri-state semantics on both parse paths. */
+  private def partVal(f: Map[String, String], a: String,
                       partCols: Set[String]): Option[Option[String]] =
     if (!partCols.contains(a)) None
-    else f.partitionValues.get(a) match {
-      case None => None
+    else f.get(a) match {
+      case None | Some(null) => None
       case Some(PartitionPaths.NullMarker) => Some(None)
       case Some(s) => Some(Some(s))
     }
@@ -164,7 +175,7 @@ object PartitionFilters {
   private def dtOf(a: String, schema: StructType): DataType =
     schema.fields.find(_.name == a).map(_.dataType).getOrElse(NullType)
 
-  private def ordered(f: AddFile, a: String, v: Any, partCols: Set[String],
+  private def ordered(f: Map[String, String], a: String, v: Any, partCols: Set[String],
                       schema: StructType)(sel: Int => Boolean): Option[TV] =
     partVal(f, a, partCols) match {
       case None => None

@@ -132,4 +132,59 @@ class DistributedSnapshotSpec extends SparkTestBase {
     assert(t.lastQueryDistributed)
     assert(v1 == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")))
   }
+
+  test("rawState cache key pins session identity and checkpoint CONTENT") {
+    val log = syntheticLog(1000)
+    val k1 = DistributedSnapshot.cacheKeyFor(spark, log, 0L, None, 1L)
+    assert(k1 == DistributedSnapshot.cacheKeyFor(spark, log, 0L, None, 1L))
+
+    // a second session in the same JVM must key separately: the cached
+    // baseAddJson Dataset is bound to the session that built it, and a
+    // recreated session must never be served a Dataset of a stopped one
+    val other = spark.newSession()
+    val k2 = DistributedSnapshot.cacheKeyFor(other, log, 0L, None, 1L)
+    assert(k2 != k1)
+    assert(DistributedSnapshot.sessionIdentity(other) !=
+      DistributedSnapshot.sessionIdentity(spark))
+
+    // SAME-LENGTH content change (drop-and-recreate at the same path can
+    // alias (mtime, length) on coarse-mtime filesystems): the fingerprint
+    // is over bytes, so the key still changes
+    val body = log.readString(log.lastCheckpointFile)
+    val mutated = body.map(c => if (c.isDigit) ('0' + (9 - (c - '0'))).toChar else c)
+    assert(mutated != body && mutated.length == body.length)
+    log.writeString(log.lastCheckpointFile, mutated, overwrite = true)
+    try {
+      val k3 = DistributedSnapshot.cacheKeyFor(spark, log, 0L, None, 1L)
+      assert(k3 != k1)
+    } finally log.writeString(log.lastCheckpointFile, body, overwrite = true)
+    assert(DistributedSnapshot.cacheKeyFor(spark, log, 0L, None, 1L) == k1)
+  }
+
+  test("claimDecided decides from partitionValues alone (partial JSON projection)") {
+    val log = syntheticLog(1000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    import org.apache.spark.sql.sources._
+    val decided = DistributedSnapshot.claimDecided(spark, log, 0L, None, 1L,
+      Seq(EqualTo("k", 3), GreaterThan("v", 10L), IsNotNull("k"),
+        In("k", Array(1, 2, 49))), schema)
+    // k-filters decide on every file (the path string parses as int on all
+    // 1000 adds + the 3 tail files); v references a data column → undecided
+    assert(decided == Seq(EqualTo("k", 3), IsNotNull("k"),
+      In("k", Array(1, 2, 49))))
+
+    // an undecidable-on-ONE-file candidate is rejected even when every
+    // other file decides: corrupt one tail add's partition value
+    log.writeCommit(2, Seq(
+      AddFile("k=bogus/part-x.parquet", Map("k" -> "bogus"), 1L, 3L)))
+    val decided2 = DistributedSnapshot.claimDecided(spark, log, 0L, None, 2L,
+      Seq(EqualTo("k", 3), IsNotNull("k")), schema)
+    // equality can't parse "bogus" as int → undecided; IS NOT NULL still
+    // decides (the value exists, whatever it spells)
+    assert(decided2 == Seq(IsNotNull("k")))
+  }
 }

@@ -111,6 +111,34 @@ class FilePrunerPropertySpec extends SparkTestBase {
     ()
   }
 
+  test("double partition paths parse under the column type (foreign non-shortest rendering)") {
+    // A foreign writer may render a double-exact but NON-SHORTEST path
+    // value: "0.10000000000000001" parses back to exactly 0.1, but its raw
+    // BigDecimal is strictly greater than BigDecimal("0.1") — a decimal-
+    // string comparison mis-orders at $gte/$lte/$eq and wrongly prunes
+    // files whose every row satisfies the predicate.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType)))
+    val file = AddFile("x=0.10000000000000001/p.parquet",
+      Map("x" -> "0.10000000000000001"), 1L, 1L)
+    def keeps(op: String, lit: JValue): Boolean =
+      FilePruner.compile(
+        JObject(List("x" -> JObject(List(op -> lit)))), Set("x"), schema)(file)
+    assert(keeps("$eq", JDouble(0.1)))   // value IS 0.1 → keep
+    assert(keeps("$lte", JDouble(0.1)))  // boundary: 0.1 <= 0.1
+    assert(keeps("$gte", JDouble(0.1)))
+    assert(!keeps("$lt", JDouble(0.1)))  // proven equal → no row matches
+    assert(!keeps("$gt", JDouble(0.1)))
+    assert(!keeps("$ne", JDouble(0.1)))  // definite equality excludes all rows
+    assert(keeps("$in", JArray(List(JDouble(0.3), JDouble(0.1)))))
+    // unparseable path stays a conservative keep
+    val bad = AddFile("x=oops/p.parquet", Map("x" -> "oops"), 1L, 1L)
+    assert(FilePruner.compile(
+      JObject(List("x" -> JObject(List("$lte" -> JDouble(0.1))))),
+      Set("x"), schema)(bad))
+  }
+
   test("regexLiteralPrefix extracts only safe anchored prefixes") {
     assert(FilePruner.regexLiteralPrefix("^abc") == Some("abc"))
     assert(FilePruner.regexLiteralPrefix("^abc.*def") == Some("abc"))
