@@ -24,11 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ DeltaQueries.queries ++ pipelineQueries ++ MLQueries.queries ++
-      NorthStarQueries.queries ++ SqlQueries.queries
+      NorthStarQueries.queries ++ SqlQueries.queries ++ JoinQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++ DeltaQueries.oracleSql ++ pipelineOracle ++ MLQueries.oracleSql ++
-      NorthStarQueries.oracleSql ++ SqlQueries.oracleSql
+      NorthStarQueries.oracleSql ++ SqlQueries.oracleSql ++ JoinQueries.oracleSql
 
   // ---- §2.4 aggregation pipeline (Mongo stage list → DataFrame plan) ----
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

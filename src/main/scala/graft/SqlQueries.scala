@@ -317,6 +317,36 @@ object SqlQueries {
              |) ORDER BY n""".stripMargin)
   }
 
+  /** Multi-join through a CLAIMED graft scan (round 16): the fact table
+    * lives in the engine, partitioned on o_orderpriority; the WHERE is a
+    * partition equality the DSv2 scan claims, so the join planner sees the
+    * EXACT post-claim statistics ([[graft.sources.GraftBatchScan]] stats
+    * reporting) for the ~1/5 surviving slice — broadcast selection off
+    * claimed metadata, not whole-table estimates. 5 relations total
+    * (lineitem, graft orders, customer, nation + the aggregate). */
+  def sqlJoinClaimedStats(s: SparkSession, dir: String): DataFrame = {
+    val t1 = fresh(s, "jcs")
+    val vOrd = view(s, dir, "orders")
+    val vLi = view(s, dir, "lineitem")
+    val vCust = view(s, dir, "customer")
+    val vNat = view(s, dir, "nation")
+    s.sql(s"""CREATE TABLE $t1 (o_orderkey BIGINT, o_custkey BIGINT,
+             |  o_totalprice DOUBLE, o_orderpriority STRING)
+             |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    s.sql(s"""INSERT INTO $t1
+             |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+             |FROM $vOrd""".stripMargin)
+    s.sql(s"""SELECT n_name, count(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price
+             |FROM $vLi l
+             |JOIN $t1 o ON l.l_orderkey = o.o_orderkey
+             |JOIN $vCust c ON o.o_custkey = c.c_custkey
+             |JOIN $vNat n ON c.c_nationkey = n.n_nationkey
+             |WHERE o.o_orderpriority = '1-URGENT'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   /** Zoned-timestamp partition round-trip under a NON-UTC session
     * (round 15): the write must lay the partition directories out in the
     * engine's canonical UTC rendering regardless of
@@ -964,6 +994,7 @@ object SqlQueries {
     "s44_sql_float_partition_eq" -> (sqlFloatPartitionEq(_, _)),
     "s45_sql_tz_partition_write" -> (sqlTzPartitionWrite(_, _)),
     "s46_sql_double_partition_range" -> (sqlDoublePartitionRange(_, _)),
+    "s47_sql_join_claimed_stats" -> (sqlJoinClaimedStats(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -1037,6 +1068,17 @@ object SqlQueries {
         |  FROM b WHERE dbucket >= CAST(0.55 AS DOUBLE)
         |    AND dbucket <= CAST(0.85 AS DOUBLE)
         |) ORDER BY n""".stripMargin,
+
+    "s47_sql_join_claimed_stats" ->
+      """SELECT n_name, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "s43_sql_agg_claimed_filter" ->
       """SELECT count(*) AS n, count(user_id) AS n_users,
