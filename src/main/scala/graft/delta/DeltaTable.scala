@@ -474,6 +474,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     val adds =
       try writeDataFiles(toWrite, partCols, targetSchema)
       finally idRelease()
+    // Fault-injection seam (inert no-op by default): the forked
+    // crash-writer test parks HERE — data files staged on disk, nothing
+    // committed — so a kill -9 leaves exactly the torn state a producer
+    // that dies mid-append leaves on a real cluster.
+    DeltaTable.onDataFilesStaged(adds)
     // advance each mark past the furthest value this write landed (footer
     // stats — no extra scan); never regress it
     val newMarks: Map[String, Long] = idSpecs.flatMap { s =>
@@ -2657,6 +2662,12 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
 object DeltaTable {
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
+
+  /** Fault-injection seam for crash tests: invoked after an append's data
+    * files are staged but BEFORE the commit is attempted. A forked test
+    * JVM replaces it with a park-and-await so the parent can kill -9 it
+    * in the vulnerable window; production never touches it. */
+  private[graft] var onDataFilesStaged: Seq[AddFile] => Unit = _ => ()
 
   /** Whether `path` holds a Delta table (a `_delta_log` with ≥1 commit). */
   def isDeltaTable(spark: SparkSession, path: String): Boolean =
