@@ -213,10 +213,24 @@ object Bench {
     val suffix = s"""},"reruns":${rerun.size},"loadavg":$load,"cores":$cores,"sf":"$sfDir"}"""
     // Safety net: 2000-char tail minus sbt's trailing "[success] Total
     // time..." line (~70 chars) minus slack. With ID keys, 86 entries are
-    // ~1100 chars and nothing is dropped; if the budget ever overflows
-    // again, failures are kept first, then most expensive first.
+    // ~1100 chars and nothing is dropped; if the budget overflows, failures
+    // are kept first, then gates WITHOUT an anchor (new this round — the
+    // entries a longitudinal reader most needs to see), then by ANCHOR cost
+    // descending — a fixed ranking, so the dropped set is the SAME cheap
+    // gates every run instead of rotating with measurement noise at the
+    // cut boundary (round-15 verdict finding #2). Only when no anchor file
+    // applies (non-sf0.1 runs) does measured cost rank the cut.
     val budget = 1850 - prefix.length - suffix.length - ""","dropped":84""".length
-    val prioritized = results.sortBy { case (_, m, _, _, _) => if (m < 0) Double.NegativeInfinity else -m }
+    val prioritized = results.sortBy { case (n, m, _, _, _) =>
+      val rank =
+        if (m < 0) Double.NegativeInfinity
+        else anchors.get(n) match {
+          case Some(a) => -a
+          case None if anchors.nonEmpty => Double.MinValue / 2
+          case None => -m
+        }
+      (rank, n)
+    }
     var used = 0
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     prioritized.foreach { case (k, m, _, _, _) =>

@@ -347,6 +347,39 @@ object SqlQueries {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** Distributed metadata fold (round 16, the threshold=1 twin of s43):
+    * with `spark.graft.distributedSnapshotThreshold=1` and a checkpoint
+    * base, the aggregate-under-claimed-WHERE answers through the
+    * COMBINE-FORM fold ([[graft.delta.DistributedSnapshot.foldAggregates]])
+    * — per-file contributions merged on executors, no claimed file list on
+    * the driver. The result is materialized INSIDE the threshold window
+    * (the driver contract re-executes returned plans later, when the
+    * session conf is already restored) and returned as a local frame. */
+  def sqlAggDistributedFold(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "adf")
+    val v = view(s, dir, "events")
+    s.conf.set("spark.graft.distributedSnapshotThreshold", "1")
+    try {
+      s.sql(s"""CREATE TABLE $t (event_id BIGINT, user_id BIGINT,
+               |  value DOUBLE, event_type STRING)
+               |PARTITIONED BY (event_type)""".stripMargin)
+      s.sql(s"""INSERT INTO $t
+               |SELECT event_id, user_id, value, event_type FROM $v""".stripMargin)
+      // the distributed reconstruction needs a checkpoint base
+      val wh = graft.plans.GraftSql.warehousePath(s).get
+      val tdir = (wh +: t.split('.').drop(1).toSeq).mkString("/")
+      graft.delta.DeltaTable.forPath(s, tdir).checkpoint()
+      val out = s.sql(s"""SELECT count(*) AS n, count(user_id) AS n_users,
+               |  min(event_id) AS min_id, max(event_id) AS max_id
+               |FROM $t WHERE event_type IN ('click', 'purchase')""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+    } finally s.conf.unset("spark.graft.distributedSnapshotThreshold")
+  }
+
   /** Zoned-timestamp partition round-trip under a NON-UTC session
     * (round 15): the write must lay the partition directories out in the
     * engine's canonical UTC rendering regardless of
@@ -995,6 +1028,7 @@ object SqlQueries {
     "s45_sql_tz_partition_write" -> (sqlTzPartitionWrite(_, _)),
     "s46_sql_double_partition_range" -> (sqlDoublePartitionRange(_, _)),
     "s47_sql_join_claimed_stats" -> (sqlJoinClaimedStats(_, _)),
+    "s48_sql_agg_distributed_fold" -> (sqlAggDistributedFold(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -1068,6 +1102,11 @@ object SqlQueries {
         |  FROM b WHERE dbucket >= CAST(0.55 AS DOUBLE)
         |    AND dbucket <= CAST(0.85 AS DOUBLE)
         |) ORDER BY n""".stripMargin,
+
+    "s48_sql_agg_distributed_fold" ->
+      """SELECT count(*) AS n, count(user_id) AS n_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_type IN ('click', 'purchase')""".stripMargin,
 
     "s47_sql_join_claimed_stats" ->
       """SELECT n_name, count(*) AS n,

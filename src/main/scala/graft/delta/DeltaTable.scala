@@ -340,6 +340,25 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
   }
 
+  /** Never-materializing metadata-aggregate fold for tables ABOVE the
+    * snapshot threshold ([[DistributedSnapshot.foldAggregates]]): outer
+    * None = table is small / no complete checkpoint (caller takes the
+    * driver fold); inner Option is the fold's own exactness verdict. */
+  private[graft] def distributedAggregates(versionOpt: Option[Long],
+      claimed: Seq[org.apache.spark.sql.sources.Filter], schema: StructType,
+      aggs: Seq[StatsAggregates.StatAgg]): Option[Option[Seq[Any]]] = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    log.readLastCheckpoint().filter(_._1 <= target)
+      .flatMap { case (v, size, _) =>
+        Checkpoints.completeParts(log, v).map(parts => (v, size, parts))
+      }
+      .filter { case (_, size, _) => size >= distributedSnapshotThreshold }
+      .map { case (cv, _, parts) =>
+        DistributedSnapshot.foldAggregates(spark, log, cv, parts, target,
+          claimed, schema, aggs)
+      }
+  }
+
   /** Metadata/protocol/txn-only snapshot (empty file list): cheap at any
     * table size — schema resolution and txn-idempotence checks should use
     * this instead of a full [[snapshot]]. */

@@ -217,6 +217,58 @@ object DistributedSnapshot {
     * function of (file, filter, schema), so downstream consumers re-run
     * the tri-state eval over their (pruned) survivors instead of holding
     * a 10⁷-path set. */
+  /** NEVER-MATERIALIZING metadata fold (round 16): COUNT/MIN/MAX over the
+    * active files at `target` that every CLAIMED filter decides True on,
+    * computed as per-file contributions merged ASSOCIATIVELY on executors
+    * ([[StatsAggregates.contribute]]/[[StatsAggregates.merge]]) — driver
+    * traffic is ONE [[StatsAggregates.Partial]] (a few JValues) per RDD
+    * partition plus the commit tail, at ANY file count. This beats the
+    * prior floor (collect the post-prune survivors, fold driver-side,
+    * bounded by Spark's own scan planning) because a metadata-answered
+    * aggregate never plans a scan at all: nothing justified an O(matching
+    * files) driver list except the fold's old shape.
+    *
+    * `claimed` filters are exact-decidable by contract (claimDecided
+    * verified them); a file keeps iff every one evaluates True. None =
+    * refused (same exactness rules as the driver fold — the caller falls
+    * back to the scan). */
+  def foldAggregates(spark: SparkSession, log: DeltaLog, cpVersion: Long,
+                     parts: Option[Int], target: Long,
+                     claimed: Seq[org.apache.spark.sql.sources.Filter],
+                     schema: StructType,
+                     aggs: Seq[StatsAggregates.StatAgg]): Option[Seq[Any]] = {
+    val raw = rawState(spark, log, cpVersion, parts, target)
+    val partCols = raw.metadata.map(_.partitionColumns).getOrElse(Nil).toSet
+    if (aggs.isEmpty ||
+        aggs.exists(StatsAggregates.staticallyRefused(_, partCols, schema)))
+      return None
+    val aggsIdx = aggs.toIndexedSeq
+    val claimedIdx = claimed.toIndexedSeq
+    def keep(f: AddFile): Boolean = claimedIdx.forall(flt =>
+      PartitionFilters.eval(f, flt, partCols, schema)
+        .contains(PartitionFilters.True))
+    val zero = StatsAggregates.identityPartial(aggsIdx)
+    val partials: Array[StatsAggregates.Partial] =
+      raw.baseAddJson.rdd.mapPartitions { it =>
+        var acc = zero
+        it.foreach { js =>
+          val f = Actions.parseAdd(JsonMethods.parse(js))
+          if (keep(f)) acc = StatsAggregates.merge(acc,
+            StatsAggregates.contribute(f, partCols, schema, aggsIdx),
+            aggsIdx, schema)
+        }
+        Iterator.single(acc)
+      }.collect()
+    var acc = zero
+    partials.foreach(p => acc = StatsAggregates.merge(acc, p, aggsIdx, schema))
+    raw.tailFiles.filter(keep).foreach(f => acc = StatsAggregates.merge(acc,
+      StatsAggregates.contribute(f, partCols, schema, aggsIdx), aggsIdx, schema))
+    val out = StatsAggregates.finish(acc, partCols, schema, aggsIdx)
+    StatsAggregates.distributedFolds.incrementAndGet()
+    if (out.isDefined) StatsAggregates.answered.incrementAndGet()
+    out
+  }
+
   def claimDecided(spark: SparkSession, log: DeltaLog, cpVersion: Long,
                    parts: Option[Int], target: Long,
                    candidates: Seq[org.apache.spark.sql.sources.Filter],

@@ -200,22 +200,6 @@ object StatsAggregates {
     def partExtremum(name: String, wantMax: Boolean): Option[Any] = {
       val f = schemaField(name).getOrElse(return None)
       var best: Option[String] = None
-      def better(a: String, b: String): Option[String] = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          for (x <- scala.util.Try(BigInt(a)).toOption;
-               y <- scala.util.Try(BigInt(b)).toOption)
-            yield if ((x > y) == wantMax) a else b
-        case DateType =>
-          for (x <- scala.util.Try(java.time.LocalDate.parse(a)).toOption;
-               y <- scala.util.Try(java.time.LocalDate.parse(b)).toOption)
-            yield if ((x.isAfter(y)) == wantMax) a else b
-        case StringType =>
-          // Java string order == Spark UTF-8 binary order only for ASCII
-          if (a.forall(_ < 128) && b.forall(_ < 128))
-            Some(if ((a > b) == wantMax) a else b)
-          else None
-        case _ => None // other partition types: refuse
-      }
       stats.foreach { case (file, st) =>
         val surviving = dvCardinality(file) match {
           case Some(c) => st.numRecords - c
@@ -226,7 +210,8 @@ object StatsAggregates {
           case Some(PartitionPaths.NullMarker) => ()
           case Some(v) => best = best match {
             case None => Some(v)
-            case Some(b) => Some(better(v, b).getOrElse(return None))
+            case Some(b) =>
+              Some(betterPart(v, b, f.dataType, wantMax).getOrElse(return None))
           }
         }
       }
@@ -391,6 +376,205 @@ object StatsAggregates {
       Some(files.filter(f => keep.contains(f.path)))
     } catch { case Refuse => None }
   }
+
+  /** Typed pick between two partition-value strings under `dt`/`wantMax`;
+    * None refuses (unparseable, or a non-ASCII string — Java string order
+    * agrees with Spark's UTF-8 binary order only there). Shared by the
+    * driver fold and the distributed combine, so both paths decide
+    * identically. */
+  private def betterPart(a: String, b: String, dt: DataType,
+                         wantMax: Boolean): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      for (x <- scala.util.Try(BigInt(a)).toOption;
+           y <- scala.util.Try(BigInt(b)).toOption)
+        yield if ((x > y) == wantMax) a else b
+    case DateType =>
+      for (x <- scala.util.Try(java.time.LocalDate.parse(a)).toOption;
+           y <- scala.util.Try(java.time.LocalDate.parse(b)).toOption)
+        yield if ((x.isAfter(y)) == wantMax) a else b
+    case StringType =>
+      if (a.forall(_ < 128) && b.forall(_ < 128))
+        Some(if ((a > b) == wantMax) a else b)
+      else None
+    case _ => None // other partition types: refuse
+  }
+
+  // ---- distributed combine form (round 16) ---------------------------------
+  //
+  // The same exactness contract as [[fold]], restructured as per-file
+  // contribution + ASSOCIATIVE merge + driver finish, so the claimed
+  // metadata fold on a 10⁷-file table runs as one narrow executor job whose
+  // driver traffic is ONE Partial per RDD partition (a few JValues) — the
+  // claimed file list never materializes anywhere.
+  // StatsAggregatesCombineSpec property-checks bit-equivalence with [[fold]]
+  // over random file sets and arbitrary groupings.
+
+  /** Per-aggregate partial state. Refusal is absorbing. */
+  sealed trait AggPartial extends Serializable
+  case object RefusedP extends AggPartial
+  final case class CountP(n: Long) extends AggPartial
+  /** Data-column extremum: best stat bound seen (None = no contribution). */
+  final case class ExtP(best: Option[JValue]) extends AggPartial
+  /** Partition-column extremum: best raw path value among files with
+    * surviving rows. */
+  final case class PartExtP(best: Option[String]) extends AggPartial
+
+  /** Subset-level state: `anyDv` poisons data-column COUNT(col)/MIN/MAX at
+    * finish time (deleted rows could hold the extremum / be the non-null
+    * rows) exactly as [[fold]]'s subset-wide check does. */
+  final case class Partial(anyDv: Boolean, aggs: IndexedSeq[AggPartial])
+    extends Serializable
+
+  /** Merge identity: the Partial of an EMPTY file subset. `ExtP(None)` is
+    * the universal extremum identity — merge resolves it to whichever
+    * concrete kind (data or partition extremum) the other side carries. */
+  def identityPartial(aggs: Seq[StatAgg]): Partial =
+    Partial(anyDv = false, aggs.toIndexedSeq.map {
+      case CountStar | _: CountCol => CountP(0L)
+      case _: MinCol | _: MaxCol => ExtP(None)
+    })
+
+  /** Schema-only refusals, decidable before any file is read: a missing
+    * column, a float/double data-column extremum (NaN ordering), an
+    * unfoldable partition type. One statically-refused aggregate refuses
+    * the whole query — same contract as [[fold]]. */
+  def staticallyRefused(agg: StatAgg, partCols: Set[String],
+                        schema: StructType): Boolean = {
+    def fieldOf(n: String) = schema.fields.find(_.name == n)
+    def extRefused(n: String): Boolean = fieldOf(n) match {
+      case None => true
+      case Some(f) if !partCols.contains(n) =>
+        f.dataType == FloatType || f.dataType == DoubleType
+      case Some(_) => false
+    }
+    agg match {
+      case CountStar => false
+      case CountCol(n) => fieldOf(n).isEmpty
+      case MinCol(n, _) => extRefused(n)
+      case MaxCol(n, _) => extRefused(n)
+    }
+  }
+
+  /** One file's contribution — branch-for-branch the per-file body of
+    * [[fold]]. A file without parseable stats refuses every aggregate
+    * (the parseAll gate). */
+  def contribute(f: AddFile, partCols: Set[String], schema: StructType,
+                 aggs: IndexedSeq[StatAgg]): Partial = {
+    val anyDv = f.deletionVector.nonEmpty
+    val st = f.parsedStats.getOrElse(
+      return Partial(anyDv, aggs.map(_ => RefusedP)))
+    val dvc = dvCardinality(f)
+    def perAgg(agg: StatAgg): AggPartial = agg match {
+      case CountStar => dvc match {
+        case Some(c) => CountP(st.numRecords - c)
+        case None => RefusedP
+      }
+      case CountCol(name) if partCols.contains(name) =>
+        f.partitionValues.get(name) match {
+          case None => RefusedP
+          case Some(PartitionPaths.NullMarker) => CountP(0L)
+          case Some(_) => dvc match {
+            case Some(c) => CountP(st.numRecords - c)
+            case None => RefusedP
+          }
+        }
+      case CountCol(name) =>
+        st.nullCount.get(name) match {
+          case Some(nc) => CountP(st.numRecords - nc)
+          case None => RefusedP
+        }
+      case MinCol(n, _) if partCols.contains(n) => partExt(n)
+      case MaxCol(n, _) if partCols.contains(n) => partExt(n)
+      case MinCol(n, _) => dataExt(n, st.minValues.get(n))
+      case MaxCol(n, _) => dataExt(n, st.maxValues.get(n))
+    }
+    def partExt(name: String): AggPartial = dvc match {
+      case None => RefusedP
+      case Some(c) =>
+        if (st.numRecords - c <= 0) PartExtP(None)
+        else f.partitionValues.get(name) match {
+          case None => RefusedP
+          case Some(PartitionPaths.NullMarker) => PartExtP(None)
+          case Some(v) => PartExtP(Some(v))
+        }
+    }
+    def dataExt(name: String, bound: Option[JValue]): AggPartial = bound match {
+      case Some(v) => ExtP(Some(v))
+      case None =>
+        if (st.nullCount.get(name).contains(st.numRecords)) ExtP(None)
+        else RefusedP
+    }
+    Partial(anyDv, aggs.map(perAgg))
+  }
+
+  /** Associative merge. Needs the agg list for extremum direction/type. */
+  def merge(a: Partial, b: Partial, aggs: IndexedSeq[StatAgg],
+            schema: StructType): Partial = {
+    def dtOf(n: String): DataType =
+      schema.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+    def one(x: AggPartial, y: AggPartial, agg: StatAgg): AggPartial = (x, y) match {
+      case (RefusedP, _) | (_, RefusedP) => RefusedP
+      case (CountP(m), CountP(n)) => CountP(m + n)
+      case (ExtP(None), e) => e
+      case (e, ExtP(None)) => e
+      case (ExtP(Some(v)), ExtP(Some(w))) =>
+        val (dt, wantMax) = agg match {
+          case MinCol(n, _) => (dtOf(n), false)
+          case MaxCol(n, _) => (dtOf(n), true)
+          case _ => return RefusedP
+        }
+        FilePruner.compare(v, w, dt) match {
+          case Some(c) =>
+            ExtP(Some(if ((wantMax && c > 0) || (!wantMax && c < 0)) v else w))
+          case None => RefusedP
+        }
+      case (PartExtP(None), e) => e
+      case (e, PartExtP(None)) => e
+      case (PartExtP(Some(v)), PartExtP(Some(w))) =>
+        val (dt, wantMax) = agg match {
+          case MinCol(n, _) => (dtOf(n), false)
+          case MaxCol(n, _) => (dtOf(n), true)
+          case _ => return RefusedP
+        }
+        betterPart(v, w, dt, wantMax) match {
+          case Some(best) => PartExtP(Some(best))
+          case None => RefusedP
+        }
+      case _ => RefusedP // mixed kinds: impossible by construction
+    }
+    Partial(a.anyDv || b.anyDv,
+      a.aggs.lazyZip(b.aggs).lazyZip(aggs).map(one))
+  }
+
+  /** Driver finish: apply the subset-wide DV refusal and decode — the
+    * final steps of [[fold]]. None refuses (caller falls back or errors
+    * exactly as the driver path would). */
+  def finish(p: Partial, partCols: Set[String], schema: StructType,
+             aggs: IndexedSeq[StatAgg]): Option[Seq[Any]] = {
+    def dtOf(n: String): DataType =
+      schema.fields.find(_.name == n).map(_.dataType).getOrElse(NullType)
+    Some(aggs.zip(p.aggs).map {
+      case (_, RefusedP) => return None
+      case (CountStar, CountP(n)) => n
+      case (CountCol(nm), CountP(n)) =>
+        if (!partCols.contains(nm) && p.anyDv) return None else n
+      case (MinCol(nm, _), ExtP(best)) =>
+        if (p.anyDv) return None
+        best.fold(null: Any)(j => decode(j, dtOf(nm)).getOrElse(return None))
+      case (MaxCol(nm, _), ExtP(best)) =>
+        if (p.anyDv) return None
+        best.fold(null: Any)(j => decode(j, dtOf(nm)).getOrElse(return None))
+      case (MinCol(nm, _), PartExtP(best)) =>
+        best.fold(null: Any)(s => decodePartition(s, dtOf(nm)).getOrElse(return None))
+      case (MaxCol(nm, _), PartExtP(best)) =>
+        best.fold(null: Any)(s => decodePartition(s, dtOf(nm)).getOrElse(return None))
+      case _ => return None
+    })
+  }
+
+  /** Test/inspection hook: distributed (combine-form) folds since JVM
+    * start — the never-materializing path's run counter. */
+  val distributedFolds = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Hive partition-value string → Spark EXTERNAL value for `dt`; None
     * refuses (unparseable for the declared type). Must mirror the

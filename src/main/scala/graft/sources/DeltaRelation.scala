@@ -105,15 +105,13 @@ final class DeltaRelation(
   /** The exactly-matching file subset for CLAIMED partition filters over
     * the pinned snapshot.
     *
-    * Scale bound: the survivors DO materialize on the driver here (the
-    * distributed path prunes on executors first, so what lands is the
-    * post-prune subset). That is exactly the list Spark's own scan
-    * planning would materialize to build InputPartitions for the same
-    * predicate — i.e. the metadata fold is never worse than the query it
-    * replaces, and strictly cheaper (no data read). A fold that never
-    * driver-materializes would need the StatsAggregates core rewritten
-    * into distributed combine form — an optimization beyond Spark's own
-    * planning floor, deliberately not taken. */
+    * Scale bound: the survivors materialize on the driver here — bounded
+    * by Spark's own scan planning for the same predicate. The UNGROUPED
+    * aggregate path no longer comes through here at all above the
+    * snapshot threshold ([[answerAggregates]] routes to the distributed
+    * combine-form fold, whose driver traffic is one Partial per RDD
+    * partition); what remains on this floor is the GROUPED fold and the
+    * row scan itself, both of which genuinely need the per-file list. */
   private def claimedFiles(pinnedVersion: Option[Long],
                            claimed: Array[Filter],
                            claimedPaths: Option[Set[String]]): (Snapshot, Seq[graft.delta.AddFile]) = {
@@ -133,9 +131,18 @@ final class DeltaRelation(
       pinnedVersion: Option[Long] = None,
       claimed: Array[Filter] = Array.empty,
       claimedPaths: Option[Set[String]] = None): Option[Seq[Any]] = {
-    val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
-    graft.delta.StatsAggregates.answerFiles(files,
-      snap.partitionColumns.toSet, schema, aggs)
+    // Above the snapshot threshold: the combine-form fold — per-file
+    // contributions merged on executors, one Partial per partition on the
+    // driver, no file list anywhere (round 16). Below it, the memoized
+    // driver fold is strictly cheaper than a Spark job.
+    table.distributedAggregates(
+        pinnedVersion.orElse(resolvedVersion()), claimed.toSeq, schema, aggs) match {
+      case Some(folded) => folded
+      case None =>
+        val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
+        graft.delta.StatsAggregates.answerFiles(files,
+          snap.partitionColumns.toSet, schema, aggs)
+    }
   }
 
   /** GROUP-BY-partition-columns twin of [[answerAggregates]] — one row per

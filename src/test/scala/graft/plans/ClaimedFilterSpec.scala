@@ -222,11 +222,16 @@ class ClaimedFilterSpec extends SparkTestBase {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .filterNot(_.toString.contains("_delta_log"))
         .foreach(Files.delete)
+      val foldsBefore = StatsAggregates.distributedFolds.get()
       val (r1, h1) = answered {
         spark.sql(s"SELECT COUNT(*), MIN(id), MAX(id) FROM $t WHERE g = 'a'").head()
       }
       assert(h1 == 1, "distributed-claimed aggregate was not metadata-answered")
       assert(r1.getLong(0) == 300 && r1.getLong(1) == 0 && r1.getLong(2) == 897)
+      // round 16: above the threshold the UNGROUPED fold is the COMBINE
+      // form — per-partition partials, no claimed file list on the driver
+      assert(StatsAggregates.distributedFolds.get() > foldsBefore,
+        "big-table aggregate took the driver fold instead of the combine form")
       val (rows, h2) = answered {
         spark.sql(s"SELECT g, COUNT(*) AS c FROM $t WHERE g IS NOT NULL GROUP BY g ORDER BY g")
           .collect()
