@@ -359,6 +359,23 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
   }
 
+  /** Grouped twin of [[distributedAggregates]]. */
+  private[graft] def distributedGroupedAggregates(versionOpt: Option[Long],
+      claimed: Seq[org.apache.spark.sql.sources.Filter], schema: StructType,
+      groupCols: Seq[String],
+      aggs: Seq[StatsAggregates.StatAgg]): Option[Option[Seq[Seq[Any]]]] = {
+    val target = versionOpt.getOrElse(log.latestVersion())
+    log.readLastCheckpoint().filter(_._1 <= target)
+      .flatMap { case (v, size, _) =>
+        Checkpoints.completeParts(log, v).map(parts => (v, size, parts))
+      }
+      .filter { case (_, size, _) => size >= distributedSnapshotThreshold }
+      .map { case (cv, _, parts) =>
+        DistributedSnapshot.foldGroupedAggregates(spark, log, cv, parts,
+          target, claimed, schema, groupCols, aggs)
+      }
+  }
+
   /** Metadata/protocol/txn-only snapshot (empty file list): cheap at any
     * table size — schema resolution and txn-idempotence checks should use
     * this instead of a full [[snapshot]]. */

@@ -269,6 +269,51 @@ object DistributedSnapshot {
     out
   }
 
+  /** Grouped twin of [[foldAggregates]]: GROUP BY partition columns as
+    * per-group Partials merged on executors — driver traffic is O(groups)
+    * per RDD partition (partition-value cardinality), never O(files). */
+  def foldGroupedAggregates(spark: SparkSession, log: DeltaLog,
+                            cpVersion: Long, parts: Option[Int], target: Long,
+                            claimed: Seq[org.apache.spark.sql.sources.Filter],
+                            schema: StructType, groupCols: Seq[String],
+                            aggs: Seq[StatsAggregates.StatAgg]): Option[Seq[Seq[Any]]] = {
+    val raw = rawState(spark, log, cpVersion, parts, target)
+    val partCols = raw.metadata.map(_.partitionColumns).getOrElse(Nil).toSet
+    if (aggs.isEmpty || groupCols.isEmpty ||
+        !groupCols.forall(partCols.contains) ||
+        aggs.exists(StatsAggregates.staticallyRefused(_, partCols, schema)))
+      return None
+    val aggsIdx = aggs.toIndexedSeq
+    val claimedIdx = claimed.toIndexedSeq
+    val groupColsIdx = groupCols.toIndexedSeq
+    def keep(f: AddFile): Boolean = claimedIdx.forall(flt =>
+      PartitionFilters.eval(f, flt, partCols, schema)
+        .contains(PartitionFilters.True))
+    val partials: Array[StatsAggregates.GroupedPartial] =
+      raw.baseAddJson.rdd.mapPartitions { it =>
+        var acc = StatsAggregates.identityGrouped
+        it.foreach { js =>
+          val f = Actions.parseAdd(JsonMethods.parse(js))
+          if (keep(f)) acc = StatsAggregates.mergeGrouped(acc,
+            StatsAggregates.contributeGrouped(f, groupColsIdx, partCols,
+              schema, aggsIdx), aggsIdx, schema)
+        }
+        Iterator.single(acc)
+      }.collect()
+    var acc = StatsAggregates.identityGrouped
+    partials.foreach(p =>
+      acc = StatsAggregates.mergeGrouped(acc, p, aggsIdx, schema))
+    raw.tailFiles.filter(keep).foreach(f =>
+      acc = StatsAggregates.mergeGrouped(acc,
+        StatsAggregates.contributeGrouped(f, groupColsIdx, partCols,
+          schema, aggsIdx), aggsIdx, schema))
+    val out = StatsAggregates.finishGrouped(acc, partCols, schema,
+      groupColsIdx, aggsIdx)
+    StatsAggregates.distributedFolds.incrementAndGet()
+    if (out.isDefined) StatsAggregates.answered.incrementAndGet()
+    out
+  }
+
   def claimDecided(spark: SparkSession, log: DeltaLog, cpVersion: Long,
                    parts: Option[Int], target: Long,
                    candidates: Seq[org.apache.spark.sql.sources.Filter],

@@ -109,6 +109,28 @@ object DriverSoak {
       require(big.lastQueryDistributed, "scan did not take the distributed path")
     }
 
+    // ---- metadata fold: combine-form aggregates over 10⁶ files -----------
+    // The round-16 never-materializing path: COUNT(*) claimed to one
+    // partition and over the whole table, folded as per-RDD-partition
+    // Partials. Under the 1 GB cap a driver-side file list (10⁶ AddFiles)
+    // would OOM here — completing is the heap audit.
+    phase("metadata-fold") {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(realSnap.metadata.get.schemaString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val claimed = DistributedSnapshot.foldAggregates(spark, big.log,
+        realSnap.version, None, big.version,
+        Seq(org.apache.spark.sql.sources.EqualTo("k", 999)), schema,
+        Seq(StatsAggregates.CountStar))
+      require(claimed.contains(Seq(realRows)),
+        s"claimed metadata fold returned $claimed, expected $realRows")
+      val total = DistributedSnapshot.foldAggregates(spark, big.log,
+        realSnap.version, None, big.version, Nil, schema,
+        Seq(StatsAggregates.CountStar))
+      require(total.contains(Seq(nSynthetic.toLong * 10 + realRows)),
+        s"whole-table metadata fold returned $total")
+    }
+
     // ---- DML: CoW delete restricted to the real partition ----------------
     phase("dml-delete") {
       val res = big.delete("""{"k":999,"id":{"$lt":1000}}""")

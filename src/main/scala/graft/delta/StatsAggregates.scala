@@ -576,6 +576,89 @@ object StatsAggregates {
     * start — the never-materializing path's run counter. */
   val distributedFolds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  // ---- grouped combine form -------------------------------------------------
+  //
+  // GROUP BY partition columns in the same shape: per-group Partials keyed
+  // by the decoded-later group key, merged associatively. Driver traffic is
+  // O(groups) per RDD partition — the partition-value cardinality, orders
+  // of magnitude below the file count this path exists for.
+
+  /** Per-group state: the agg Partial plus the group's surviving-row count
+    * (SQL emits no empty groups — a fully-DV-deleted partition must
+    * disappear, [[answerGroupedFiles]]'s survivors gate). */
+  final case class GroupState(survivors: Long, partial: Partial)
+    extends Serializable
+
+  /** `refused` is query-wide and absorbing: a file with a missing group
+    * value or an unreadable DV cardinality poisons the whole query, exactly
+    * as [[answerGroupedFiles]]'s early returns do. */
+  final case class GroupedPartial(
+      refused: Boolean,
+      groups: Map[Seq[Option[String]], GroupState]) extends Serializable
+
+  def identityGrouped: GroupedPartial = GroupedPartial(refused = false, Map.empty)
+
+  /** One file's contribution to its group — mirrors the per-file body of
+    * [[answerGroupedFiles]]. */
+  def contributeGrouped(f: AddFile, groupCols: Seq[String],
+                        partCols: Set[String], schema: StructType,
+                        aggs: IndexedSeq[StatAgg]): GroupedPartial = {
+    val refusedAll = GroupedPartial(refused = true, Map.empty)
+    val st = f.parsedStats.getOrElse(return refusedAll)
+    val dvc = dvCardinality(f).getOrElse(return refusedAll)
+    val key: Seq[Option[String]] = groupCols.map { c =>
+      f.partitionValues.get(c) match {
+        case None => return refusedAll // foreign writer omitted the value
+        case Some(PartitionPaths.NullMarker) => None
+        case Some(v) => Some(v)
+      }
+    }
+    GroupedPartial(refused = false, Map(key -> GroupState(
+      st.numRecords - dvc, contribute(f, partCols, schema, aggs))))
+  }
+
+  def mergeGrouped(a: GroupedPartial, b: GroupedPartial,
+                   aggs: IndexedSeq[StatAgg],
+                   schema: StructType): GroupedPartial =
+    if (a.refused || b.refused) GroupedPartial(refused = true, Map.empty)
+    else GroupedPartial(refused = false,
+      b.groups.foldLeft(a.groups) { case (acc, (k, gs)) =>
+        acc.get(k) match {
+          case Some(prev) => acc.updated(k, GroupState(
+            prev.survivors + gs.survivors,
+            merge(prev.partial, gs.partial, aggs, schema)))
+          case None => acc.updated(k, gs)
+        }
+      })
+
+  /** Driver finish: drop empty groups, decode keys, finish each group's
+    * Partial. Group order is canonicalized (sorted key strings) — the
+    * driver fold's file-insertion order is not reconstructible from a
+    * distributed merge, and every SQL consumer orders explicitly. */
+  def finishGrouped(p: GroupedPartial, partCols: Set[String],
+                    schema: StructType, groupCols: Seq[String],
+                    aggs: IndexedSeq[StatAgg]): Option[Seq[Seq[Any]]] = {
+    if (p.refused) return None
+    if (groupCols.isEmpty || !groupCols.forall(partCols.contains)) return None
+    val gFields = groupCols.map(n =>
+      schema.fields.find(_.name == n).getOrElse(return None))
+    val ordered = p.groups.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+    val rows = ordered.flatMap { case (key, gs) =>
+      if (gs.survivors == 0) None
+      else {
+        val keyVals: Seq[Any] = key.zip(gFields).map {
+          case (None, _) => null
+          case (Some(s), fld) =>
+            decodePartition(s, fld.dataType).getOrElse(return None)
+        }
+        val aggVals = finish(gs.partial, partCols, schema, aggs)
+          .getOrElse(return None)
+        Some(keyVals ++ aggVals)
+      }
+    }
+    Some(rows)
+  }
+
   /** Hive partition-value string → Spark EXTERNAL value for `dt`; None
     * refuses (unparseable for the declared type). Must mirror the
     * writer's [[PartitionPaths]] encoding. */

@@ -152,9 +152,18 @@ final class DeltaRelation(
       pinnedVersion: Option[Long] = None,
       claimed: Array[Filter] = Array.empty,
       claimedPaths: Option[Set[String]] = None): Option[Seq[Seq[Any]]] = {
-    val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
-    graft.delta.StatsAggregates.answerGroupedFiles(files,
-      snap.partitionColumns.toSet, schema, groupCols, aggs)
+    // Same routing as [[answerAggregates]]: above the snapshot threshold
+    // the grouped combine fold keeps the driver at O(groups), never
+    // O(files) (round 16).
+    table.distributedGroupedAggregates(
+        pinnedVersion.orElse(resolvedVersion()), claimed.toSeq, schema,
+        groupCols, aggs) match {
+      case Some(folded) => folded
+      case None =>
+        val (snap, files) = claimedFiles(pinnedVersion, claimed, claimedPaths)
+        graft.delta.StatsAggregates.answerGroupedFiles(files,
+          snap.partitionColumns.toSet, schema, groupCols, aggs)
+    }
   }
 
   /** (estimatedBytes, exactRows) of this scan AFTER file pruning by

@@ -122,6 +122,57 @@ class StatsAggregatesCombineSpec extends AnyFunSuite {
     assert(checked == 600)
   }
 
+  /** Grouped combine over an arbitrary grouping — the production gating
+    * of foldGroupedAggregates (static refusal pre-check included). */
+  private def combinedGrouped(files: Seq[AddFile], groupCols: Seq[String],
+                              aggs: Seq[StatAgg],
+                              splitAt: Seq[Int]): Option[Seq[Seq[Any]]] = {
+    if (aggs.isEmpty || groupCols.isEmpty ||
+        !groupCols.forall(partCols.contains) ||
+        aggs.exists(staticallyRefused(_, partCols, schema))) return None
+    val idx = aggs.toIndexedSeq
+    val gIdx = groupCols.toIndexedSeq
+    val groups: Seq[Seq[AddFile]] = {
+      val cuts = (0 +: splitAt.map(_ % (files.size + 1)).sorted :+ files.size).distinct
+      cuts.sliding(2).collect { case Seq(a, b) => files.slice(a, b) }.toSeq
+    }
+    val partials = groups.map(_.foldLeft(identityGrouped) { (acc, f) =>
+      mergeGrouped(acc, contributeGrouped(f, gIdx, partCols, schema, idx),
+        idx, schema)
+    })
+    val acc = partials.foldLeft(identityGrouped)(mergeGrouped(_, _, idx, schema))
+    finishGrouped(acc, partCols, schema, gIdx, idx)
+  }
+
+  private def canon(rows: Option[Seq[Seq[Any]]]): Option[Seq[String]] =
+    rows.map(_.map(_.map(String.valueOf).mkString("|")).sorted)
+
+  test("grouped combine form ≡ driver grouped fold (order-insensitive)") {
+    val genCase = for {
+      files <- Gen.listOfN(14, genFile)
+      aggs <- genAggs
+      groupCols <- Gen.oneOf(Seq("pk"), Seq("ps"), Seq("pk", "ps"), Seq("v"))
+      splits <- Gen.listOf(Gen.choose(0, 14))
+    } yield (files, aggs, groupCols, splits)
+    (0 until 600).foreach { i =>
+      val (files, aggs, groupCols, splits) = genCase(
+        Gen.Parameters.default, org.scalacheck.rng.Seed(9000L + i)).get
+      val viaFold = canon(
+        answerGroupedFiles(files, partCols, schema, groupCols, aggs))
+      val viaCombine = canon(combinedGrouped(files, groupCols, aggs, splits))
+      // the combine path refuses STATICALLY-refused aggregates up front;
+      // the driver fold only hits them per surviving group, so it can
+      // return the empty row set where the combine refuses — refusal is
+      // the safe direction (the consumer falls back to the scan)
+      val benignExtraRefusal = viaCombine.isEmpty &&
+        viaFold.exists(_.isEmpty) &&
+        aggs.exists(staticallyRefused(_, partCols, schema))
+      assert(viaFold == viaCombine || benignExtraRefusal,
+        s"divergence at seed ${9000 + i}:\nfold=$viaFold\ncombine=$viaCombine\n" +
+          s"groupCols=$groupCols aggs=$aggs\nfiles=${files.mkString("\n")}")
+    }
+  }
+
   test("combine form refuses exactly when fold refuses (targeted edges)") {
     val idx = IndexedSeq[StatAgg](CountStar, MinCol("pk", LongType))
     // statless file poisons everything

@@ -232,6 +232,7 @@ class ClaimedFilterSpec extends SparkTestBase {
       // form — per-partition partials, no claimed file list on the driver
       assert(StatsAggregates.distributedFolds.get() > foldsBefore,
         "big-table aggregate took the driver fold instead of the combine form")
+      val foldsBeforeG = StatsAggregates.distributedFolds.get()
       val (rows, h2) = answered {
         spark.sql(s"SELECT g, COUNT(*) AS c FROM $t WHERE g IS NOT NULL GROUP BY g ORDER BY g")
           .collect()
@@ -239,6 +240,9 @@ class ClaimedFilterSpec extends SparkTestBase {
       assert(h2 == 1)
       assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
         Seq(("a", 300L), ("b", 300L)))
+      // the grouped fold takes the combine form too (O(groups) driver)
+      assert(StatsAggregates.distributedFolds.get() > foldsBeforeG,
+        "big-table GROUPED aggregate took the driver fold")
       // a residual (data-column) predicate still needs the rows
       val (_, h3) = answered {
         intercept[Throwable](
