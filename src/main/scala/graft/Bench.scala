@@ -52,6 +52,7 @@ object Bench {
       startLoad = osBean.getSystemLoadAverage
     }
     val spark = SessionEnv.withMaster(SparkSession.builder(), cpus)
+      .withExtensions(new graft.plans.GraftSparkSessionExtension)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -908,6 +908,42 @@ object SqlQueries {
              |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Native `ALTER COLUMN ... SET NOT NULL` (round 16): the SQL-standard
+    * tighten verb Spark's own analyzer refuses for every V2 table, reached
+    * here through [[graft.plans.GraftAlterNotNullRule]] (session-extension
+    * resolution rule — no TVF). The gate proves the full contract through
+    * the native verb alone: tightening REFUSES while NULLs exist (the
+    * distributed census proof), succeeds once they're patched, ENFORCES on
+    * the next write (a NULL insert refuses atomically, nothing commits),
+    * and `DROP NOT NULL` relaxes natively so NULLs flow again — which is
+    * the final state the oracle can see.
+    * Reference: schema nullability is advisory-only there
+    * (/root/reference/src/delta/types.ts:493 `optional`); enforcement is
+    * this engine's extension via the auto-managed CHECK constraint. */
+  def sqlSetNotNull(s: SparkSession, dir: String): DataFrame = {
+    val t = fresh(s, "snn")
+    val v = view(s, dir, "orders")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_orderpriority STRING)")
+    s.sql(s"INSERT INTO $t SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 " +
+      s"THEN NULL ELSE o_orderpriority END FROM $v")
+    def isValidation(e: Throwable): Boolean = e != null &&
+      (e.isInstanceOf[graft.delta.ValidationException] || isValidation(e.getCause))
+    val refused =
+      try { s.sql(s"ALTER TABLE $t ALTER COLUMN o_orderpriority SET NOT NULL"); false }
+      catch { case e: Throwable => isValidation(e) }
+    require(refused, "native SET NOT NULL must refuse while NULLs exist")
+    s.sql(s"UPDATE $t SET o_orderpriority = 'BACKFILL' WHERE o_orderpriority IS NULL")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN o_orderpriority SET NOT NULL")
+    val enforced =
+      try { s.sql(s"INSERT INTO $t VALUES (0, NULL)"); false }
+      catch { case _: Throwable => true }
+    require(enforced, "tightened column must enforce on write")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN o_orderpriority DROP NOT NULL")
+    s.sql(s"INSERT INTO $t VALUES (-1, NULL)")
+    s.sql(s"SELECT o_orderkey, o_orderpriority, " +
+      s"(o_orderpriority IS NULL) AS went_null FROM $t ORDER BY o_orderkey")
+  }
+
   /** Idempotent file-level ingest (round 11, COPY INTO analog): the first
     * `graft_ingest` loads every source file, the second is a NO-OP (the
     * loaded-file identities ride each ingest commit), so the table equals
@@ -1029,6 +1065,7 @@ object SqlQueries {
     "s46_sql_double_partition_range" -> (sqlDoublePartitionRange(_, _)),
     "s47_sql_join_claimed_stats" -> (sqlJoinClaimedStats(_, _)),
     "s48_sql_agg_distributed_fold" -> (sqlAggDistributedFold(_, _)),
+    "s49_sql_set_not_null" -> (sqlSetNotNull(_, _)),
     "s39_sql_merge_identity" -> (sqlMergeIdentity(_, _)),
     "s38_sql_map_subquery_dml" -> (sqlMapSubqueryDml(_, _)),
     "s37_sql_identity_columns" -> (sqlIdentityColumns(_, _)),
@@ -1107,6 +1144,15 @@ object SqlQueries {
       """SELECT count(*) AS n, count(user_id) AS n_users,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE event_type IN ('click', 'purchase')""".stripMargin,
+
+    "s49_sql_set_not_null" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  (o_orderpriority IS NULL) AS went_null FROM (
+        |  SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0
+        |    THEN 'BACKFILL' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |  UNION ALL SELECT -1, NULL
+        |) ORDER BY o_orderkey""".stripMargin,
 
     "s47_sql_join_claimed_stats" ->
       """SELECT n_name, count(*) AS n,

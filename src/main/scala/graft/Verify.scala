@@ -14,6 +14,11 @@ object Verify {
         "run nothing and read as a green verify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SessionEnv.withMaster(SparkSession.builder(), cpus)
+      // build-time extension route: native DDL verbs (ALTER COLUMN SET
+      // NOT NULL) need an analyzer rule, which only exists on sessions
+      // built with the extension — the live-session ensure() route keeps
+      // the TVF surface for everything else.
+      .withExtensions(new graft.plans.GraftSparkSessionExtension)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // µs-unit timestamps in output parquet (not INT96) so DuckDB/pyarrow

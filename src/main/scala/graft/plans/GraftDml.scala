@@ -213,6 +213,7 @@ final class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       }
     case GraftMaintenanceNode(name, out, run) =>
       Seq(GraftMaintenanceExec(name, out, spark, run))
+    case GraftDdlCommandNode(name, run) => exec(name) { run() }
     case _ => Nil
   }
 
@@ -917,6 +918,19 @@ final case class GraftMaintenanceNode(opName: String,
   override def simpleString(maxFields: Int): String = s"GraftMaintenance($opName)"
 }
 
+/** Resolved leaf COMMAND for a DDL verb the analyzer would otherwise
+  * refuse ([[GraftAlterNotNullRule]]): unlike [[GraftMaintenanceNode]]
+  * (a TVF scan, lazy until collected) this carries the `Command` marker,
+  * so `spark.sql("ALTER ...")` executes it EAGERLY — native DDL
+  * semantics, empty result. */
+final case class GraftDdlCommandNode(opName: String,
+    @transient run: () => Unit)
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode
+  with org.apache.spark.sql.catalyst.plans.logical.Command {
+  override def output: Seq[Attribute] = Nil
+  override def simpleString(maxFields: Int): String = s"GraftDdlCommand($opName)"
+}
+
 /** Physical twin of [[GraftMaintenanceNode]]: the thunk runs at most once,
   * at EXECUTION time (first `executeCollect`/`doExecute`), and its one-row
   * metrics are the scan output. */
@@ -1363,10 +1377,55 @@ object GraftSql {
     }
 }
 
+/** Native SQL `ALTER TABLE t ALTER COLUMN c SET NOT NULL` on graft tables.
+  *
+  * Spark's `CheckAnalysis.checkAlterTableCommand` (CheckAnalysis.scala:1094
+  * in 4.1.2) unconditionally refuses nullable→non-nullable for V2 tables —
+  * no catalog capability reaches it, so the verb cannot arrive as a
+  * `TableChange.UpdateColumnNullability` however willing the catalog is
+  * ([[graft.sources.GraftCatalog.alterTable]] handles the relax direction
+  * natively). This RESOLUTION rule runs before that check: an
+  * [[AlterColumns]] whose child resolved to a [[GraftTable]] and whose
+  * every spec is a PURE top-level nullability TIGHTEN is rewritten to a
+  * [[GraftDdlCommandNode]] over [[DeltaTable.setColumnNullability]] (the
+  * no-existing-NULLs census proof, then one commit carrying
+  * nullable=false plus the enforcing CHECK constraint). Anything else —
+  * mixed type/comment/position specs, nested fields, relaxes (`DROP NOT
+  * NULL` already works natively) — falls through to Spark untouched.
+  *
+  * Build-time route only (analyzer rules are fixed at session
+  * construction); on a LIVE session the `graft_set_not_null` TVF remains
+  * the SQL surface for tightening.
+  */
+case class GraftAlterNotNullRule(session: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{ResolvedFieldName, ResolvedTable}
+
+  private def pureTopLevelTighten(s: AlterColumnSpec): Boolean =
+    s.newNullability.contains(false) && s.newDataType.isEmpty &&
+      s.newComment.isEmpty && s.newPosition.isEmpty &&
+      s.newDefaultExpression.isEmpty && !s.dropDefault &&
+      (s.column match {
+        case f: ResolvedFieldName => f.path.isEmpty
+        case _                    => false
+      })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case AlterColumns(r: ResolvedTable, specs)
+        if r.table.isInstanceOf[GraftTable] && specs.nonEmpty &&
+          specs.forall(pureTopLevelTighten) =>
+      val delta = r.table.asInstanceOf[GraftTable].delta
+      val cols = specs.map(_.column.asInstanceOf[ResolvedFieldName].field.name)
+      GraftDdlCommandNode("alter_set_not_null", () =>
+        cols.foreach(c => delta.setColumnNullability(c, nullable = false)))
+  }
+}
+
 /** `spark.sql.extensions` entry point (build-time route). */
 class GraftSparkSessionExtension
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(session => new GraftDmlStrategy(session))
+    ext.injectResolutionRule(session => GraftAlterNotNullRule(session))
   }
 }

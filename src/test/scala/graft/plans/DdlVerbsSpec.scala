@@ -40,17 +40,26 @@ class DdlVerbsSpec extends SparkTestBase {
     val t = s"$cat.ddl.nn"
     spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, NULL)")
-    val dt = graft.delta.DeltaTable.forPath(spark,
-      GraftSql.warehousePath(spark).get + "/ddl/nn")
-    // Spark's own analyzer refuses nullable→non-nullable for V2 tables, so
-    // TIGHTENING is the programmatic API's job; it validates existing rows.
-    val e = intercept[graft.delta.ValidationException] {
-      dt.setColumnNullability("v", nullable = false)
+    // The NATIVE verb: Spark's CheckAnalysis refuses nullable→non-nullable
+    // for every V2 table, so this only resolves because the test session is
+    // extension-built and GraftAlterNotNullRule rewrote the plan. Tightening
+    // over existing NULLs still refuses — with OUR census proof, not the
+    // analyzer's blanket error.
+    def isValidation(e: Throwable): Boolean = e != null &&
+      (e.isInstanceOf[graft.delta.ValidationException] || isValidation(e.getCause))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN v SET NOT NULL")
     }
-    assert(e.getMessage.contains("NULL"))
+    assert(isValidation(e), s"expected the NULL-census refusal, got: $e")
     spark.sql(s"UPDATE $t SET v = 'b' WHERE v IS NULL")
-    dt.setColumnNullability("v", nullable = false)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v SET NOT NULL")
     assert(!spark.table(t).schema("v").nullable)
+    // mixed specs (comment alongside nullability) are NOT intercepted:
+    // Spark's own refusal still applies, and the table is untouched
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id COMMENT 'k' SET NOT NULL")
+    }
+    assert(!isValidation(e3))
     // future writes enforce: a NULL value refuses, nothing commits
     val e2 = intercept[Exception] {
       spark.sql(s"INSERT INTO $t VALUES (3, NULL)")
