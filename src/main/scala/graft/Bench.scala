@@ -222,9 +222,19 @@ object Bench {
     // cut boundary (round-15 verdict finding #2). Only when no anchor file
     // applies (non-sf0.1 runs) does measured cost rank the cut.
     val budget = 1850 - prefix.length - suffix.length - ""","dropped":84""".length
+    // The headline-11 set is pinned onto stdout regardless of anchor cost:
+    // the round-over-round "vs baseline" sum is computed FROM this line,
+    // and q2/q6 are cheap enough that pure anchor ranking would drop them
+    // once the gate count grows past the budget (seen at 167 gates).
+    val headline = Set(
+      "q1_pricing_summary", "q2_range_filter", "q3_join_topk",
+      "q6_forecast_revenue", "n2_asof_join", "n3_rollup",
+      "n4_cube", "d6_delta_merge", "t4_minhash_neardup",
+      "t7_embedding_neardup", "t11_curation_pipeline")
     val prioritized = results.sortBy { case (n, m, _, _, _) =>
       val rank =
         if (m < 0) Double.NegativeInfinity
+        else if (headline(n)) Double.MinValue
         else anchors.get(n) match {
           case Some(a) => -a
           case None if anchors.nonEmpty => Double.MinValue / 2
