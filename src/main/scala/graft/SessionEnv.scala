@@ -30,7 +30,16 @@ object SessionEnv {
   /** Apply master + (when multi-process) executor wiring to a builder. */
   def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val b1 = b.master(master)
+    // AQE on cached plans (off by default): the engine persists operator
+    // intermediates (merge sources, LSH signatures, CC edge sets), and
+    // without this every consumer of a cached frame replays the cached
+    // subtree's full `spark.sql.shuffle.partitions` fan-out — AQE never
+    // coalesces it. Purely a physical-planning knob: results are identical,
+    // and at every scale the cached exchange sizes to the DATA, not to the
+    // static partition count (guide §2.2).
+    val b0 = b.config(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    val b1 = b0.master(master)
     if (!master.startsWith("local-cluster")) b1
     else b1
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))

@@ -31,7 +31,8 @@ object Cdc {
 
   /** Write change rows (`df` = data columns + `_change_type`) for `version`. */
   def writeChanges(table: DeltaTable, version: Long, df: DataFrame,
-                   timestampMs: Long): Unit = {
+                   timestampMs: Long): Unit = Logging.withJobDesc(
+      table.spark, "graft:cdc-write") {
     val stamped = df
       .withColumn(CommitVersion, lit(version))
       .withColumn(CommitTimestamp,
@@ -55,8 +56,22 @@ object Cdc {
     val fs = table.log.fs
     fs.delete(dst, true)
     fs.mkdirs(dst)
-    val files = fs.listStatus(src).filter(_.isFile)
+    val statuses = fs.listStatus(src).filter(_.isFile)
+    val files = statuses
       .map(st => (st.getPath.toString, new Path(dst, st.getPath.getName).toString))
+    // Small mirrors copy on the driver: a Spark job + task launch per CDC
+    // commit costs more than streaming a few MB through the driver. The
+    // byte bound (not a file-count bound) keeps big change feeds on the
+    // distributed path — no unbounded driver byte traffic.
+    if (statuses.map(_.getLen).sum <= 16L * 1024 * 1024) {
+      val conf = table.log.hadoopConf
+      files.foreach { case (from, to) =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(from), fs, new Path(to),
+          /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+      }
+      return
+    }
     val confItems: Seq[(String, String)] = {
       val it = table.log.hadoopConf.iterator()
       val b = Seq.newBuilder[(String, String)]

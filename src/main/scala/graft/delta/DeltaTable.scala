@@ -1242,9 +1242,11 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       }
     }
     val staging = new Path(tablePath, s"_staging_${java.util.UUID.randomUUID()}")
-    val writer = partDf.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(staging.toString)
+    Logging.withJobDesc(spark, "graft:write-data") {
+      val writer = partDf.write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(staging.toString)
+    }
 
     val parts = listRecursive(staging).filter(_.getPath.getName.startsWith("part-"))
     val now = System.currentTimeMillis()
@@ -1300,9 +1302,16 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
       .filterNot(f => partCols.contains(f.name))
       .filter(f => isStatable(f.dataType))
     val files = adds.map(f => new Path(tablePath, f.path).toString)
-    try {
-      val byPath = FooterStats.collect(spark, files, schema,
-        statable.toIndexedSeq, log.hadoopConf)
+    try Logging.withJobDesc(spark, "graft:attach-stats") {
+      // A handful of footers is faster to read on the driver than to
+      // schedule as a Spark job (one job + task launch per write would
+      // otherwise tax EVERY small commit); bigger writes fan out as before.
+      val byPath =
+        if (files.size <= 8) {
+          val cols = statable.toIndexedSeq.map(f => (f.name, f.dataType))
+          files.map(p => p -> FooterStats.readOne(p, log.hadoopConf, cols)).toMap
+        } else FooterStats.collect(spark, files, schema,
+          statable.toIndexedSeq, log.hadoopConf)
       adds.zip(files).map { case (add, file) =>
         byPath.get(file) match {
           case Some(st) => add.copy(stats = Some(st.toJsonString))
@@ -1769,8 +1778,8 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
     * 10⁵–10⁶ matched files (the hazard [[Merge.semiJoinFiles]] documents);
     * file-list pruning is strictly stronger than the semi-join because it
     * also skips the unmatched files' IO. */
-  private def matchedFilesDF(snap: Snapshot, candidates: Seq[AddFile],
-                             matchedFiles: Seq[String]): DataFrame = {
+  private[delta] def matchedFilesDF(snap: Snapshot, candidates: Seq[AddFile],
+                                    matchedFiles: Seq[String]): DataFrame = {
     val matchedNorm = matchedFiles.map(p => new Path(p).toUri.getPath).toSet
     candidateDF(snap, candidates.filter(f =>
       matchedNorm.contains(new Path(tablePath, f.path).toUri.getPath)))
@@ -1786,8 +1795,10 @@ final class DeltaTable private (val spark: SparkSession, val path: String) {
                               pred: Column): (Seq[String], Long) = {
     if (candidates.isEmpty) return (Nil, 0L)
     val df = candidateDF(snap, candidates)
-    val rows = df.filter(pred)
-      .groupBy(col("__file")).agg(count(lit(1)).as("n")).collect()
+    val rows = Logging.withJobDesc(spark, "graft:dml-census") {
+      df.filter(pred)
+        .groupBy(col("__file")).agg(count(lit(1)).as("n")).collect()
+    }
     (rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 

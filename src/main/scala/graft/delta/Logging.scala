@@ -40,4 +40,16 @@ object Logging {
   def setLogger(l: Logger): Unit = { current = l }
   def reset(): Unit = { current = DefaultLogger }
   def logger: Logger = current
+
+  /** Label every Spark job `body` submits with a phase name (guide §1.5:
+    * "label your jobs") — the bench/profiling listeners attribute wall time
+    * to engine phases by this description. Thread-local save/restore so a
+    * caller's own description is untouched. Zero data-path cost. */
+  def withJobDesc[T](spark: org.apache.spark.sql.SparkSession,
+                     desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(old)
+  }
 }

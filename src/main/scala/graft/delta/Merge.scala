@@ -111,9 +111,19 @@ object Merge {
 
     // First-match semantics (programmatic API): one source row per key.
     // SQL keeps every source row and errors on ambiguous matches below.
-    val src = if (sqlSemantics) source else source.dropDuplicates(srcKeys)
+    // The source feeds up to five passes (cardinality check, census join,
+    // rewrite join, insert anti-join, CDC parts): persist it once —
+    // MEMORY_AND_DISK so a huge change set spills instead of OOMing — and
+    // drop the blocks when the merge completes, so each pass reads the
+    // materialized rows instead of re-evaluating the whole source plan
+    // (Delta's own MERGE materializes the source for the same reason).
+    val src = (if (sqlSemantics) source else source.dropDuplicates(srcKeys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Source rows carried as one struct column to dodge name collisions.
     val srcCols = src.columns.toSeq
+    // `return` below returns from THIS nested method, so the persist above
+    // is released on every exit path (including thrown validation errors).
+    def body(): MergeResult = {
 
     val insertUnmatched = inserts.nonEmpty
 
@@ -179,28 +189,42 @@ object Merge {
     val updateEff = effs.collect { case (e, a) if a != MergeAction.Delete => e }
       .reduceOption(_ || _).getOrElse(lit(false))
 
-    // Census rides one aggregation over ALL target rows (each appears once:
-    // the source side is key-deduped): deleted/updated counts per file.
-    // Insert-only merges (no clauses at all) skip it — nothing can be
-    // affected, and the census would be a wasted full-table pass.
+    // Census: ONE aggregation, restricted BEFORE the shuffle to the rows a
+    // clause actually affects (each target row appears once: the source
+    // side is key-deduped) — deleted/updated counts per file. Unaffected
+    // rows never enter the aggregation, so the exchange carries O(affected)
+    // rows, not O(table). Insert-only merges (no clauses at all) skip it.
     val perFile =
       if (effs.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else joined.groupBy(col("__file")).agg(
-        count(lit(1)).as("__n"),
-        sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
-        sum(when(updateEff, 1L).otherwise(0L)).as("__u")).collect()
-    val dels = perFile.iterator.map(_.getLong(2)).sum
-    val upds = perFile.iterator.map(_.getLong(3)).sum
+      else Logging.withJobDesc(spark, "graft:merge-census") {
+        joined.filter(deleteEff || updateEff).groupBy(col("__file")).agg(
+          sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
+          sum(when(updateEff, 1L).otherwise(0L)).as("__u")).collect()
+      }
+    val dels = perFile.iterator.map(_.getLong(1)).sum
+    val upds = perFile.iterator.map(_.getLong(2)).sum
     // Only files holding a clause-AFFECTED row are rewritten: a file whose
     // matched rows all fell through every clause keeps its data unchanged.
-    val touchedFiles = perFile.iterator
-      .filter(r => r.getLong(2) + r.getLong(3) > 0)
-      .map(_.getString(0)).toIndexedSeq
+    val touchedFiles = perFile.iterator.map(_.getString(0)).toIndexedSeq
+
+    // Every later pass over pre-image rows (the rewrite and the CDC
+    // delete/update parts) needs only rows from TOUCHED files — affected
+    // rows live there by the census's definition. Re-join a scan whose
+    // FILE LIST is restricted to them (same trick the CoW delete uses,
+    // DeltaTable.matchedFilesDF): at scale the rewrite reads O(touched)
+    // files instead of re-scanning the whole table through a semi-join.
+    // When the merge touches EVERY file the restriction removes nothing —
+    // reuse the census join rather than paying a second scan relation.
+    lazy val joinedTouched =
+      if (touchedFiles.isEmpty || touchedFiles.size >= snap.activeFiles.size)
+        joined
+      else table.matchedFilesDF(snap, snap.activeFiles, touchedFiles)
+        .join(packed, joinCond, "left_outer")
 
     val rewriteAdds =
       if (touchedFiles.isEmpty) Seq.empty[AddFile]
       else {
-        val inFiles = semiJoinFiles(joined, touchedFiles)
+        val inFiles = joinedTouched
         val kept = inFiles.filter(!deleteEff)
         val rewritten =
           if (!GeneratedColumns.hasAny(schema))
@@ -214,8 +238,10 @@ object Merge {
             GeneratedColumns.regenerate(flagged, schema, Some(col("__upd")))
               .drop("__upd")
           }
-        table.writeDataFiles(rewritten.drop("__file"),
-          snap.partitionColumns, snap.schema)
+        Logging.withJobDesc(spark, "graft:merge-rewrite") {
+          table.writeDataFiles(rewritten.drop("__file"),
+            snap.partitionColumns, snap.schema)
+        }
       }
 
     // Inserts: source rows with no key match in the WHOLE target. Written
@@ -227,7 +253,7 @@ object Merge {
     // target rows via `<=>` and be INSERTED — one row, two effects.
     val insertFiles =
       if (!insertUnmatched) Nil
-      else {
+      else Logging.withJobDesc(spark, "graft:merge-insert") {
         val (a, rel) = allocInserts(
           buildInserts(antiJoinUnmatched(table, snap, src, keyPairs, sqlSemantics),
             inserts, schema, srcCols))
@@ -242,14 +268,17 @@ object Merge {
     // jobs — may expose updates-without-inserts (the half-merged state the
     // model-based property spec caught when these were two commits).
     def cdcParts: Seq[DataFrame] = {
+      // pre-images come from the touched-file-restricted join: affected
+      // rows live only in touched files, so the full-table join is never
+      // re-evaluated for CDC capture
       val deletePart: Seq[DataFrame] =
         if (dels == 0) Nil
-        else Seq(joined.filter(deleteEff).select(dataCols.map(col): _*)
+        else Seq(joinedTouched.filter(deleteEff).select(dataCols.map(col): _*)
           .withColumn(Cdc.ChangeType, lit("delete")))
       val updatePart: Seq[DataFrame] =
         if (upds == 0) Nil
         else {
-          val updated = joined.filter(updateEff)
+          val updated = joinedTouched.filter(updateEff)
           Seq(
             updated.select(dataCols.map(col): _*)
               .withColumn(Cdc.ChangeType, lit("update_preimage")),
@@ -285,6 +314,8 @@ object Merge {
       captureMergeCdc(table, snap, v, cdcParts)
     }
     MergeResult(upds, dels, inserted, table.version)
+    }
+    try body() finally { src.unpersist(false); () }
   }
 
   /** SQL MERGE cardinality: >1 source row matching the SAME target row is
@@ -301,7 +332,8 @@ object Merge {
     val dups = src.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select(keyPairs.map { case (tk, sk) => col(sk).as(s"__dk_$tk") }: _*)
-    if (dups.head(1).isEmpty) return
+    if (Logging.withJobDesc(table.spark, "graft:merge-cardcheck") {
+        dups.head(1).isEmpty }) return
     val inTarget = dups.join(
       table.toDF(snap).select(keyPairs.map { case (tk, _) => col(tk) }: _*),
       keyPairs.map { case (tk, _) => keyEq(col(tk), col(s"__dk_$tk")) }.reduce(_ && _),
@@ -492,7 +524,7 @@ object Merge {
     * CDC configured. */
   private def captureMergeCdc(table: DeltaTable, snap: Snapshot, v: Long,
                               parts: => Seq[DataFrame]): Unit =
-    if (table.cdcConfigured(snap)) {
+    if (table.cdcConfigured(snap)) Logging.withJobDesc(table.spark, "graft:merge-cdc") {
       val nonEmpty = parts
       if (nonEmpty.nonEmpty)
         // insert parts are SPARSE (omitted columns), other parts full
@@ -569,10 +601,20 @@ object Merge {
 
     val (nMatched, matchedFiles) = matchedCensus(chosen)
 
+    // rewrite + CDC passes scan only the matched FILES (file-list
+    // restriction, like the CoW delete) — matched rows live there by the
+    // census's definition, so the full target is never re-scanned; all
+    // files matched ⇒ nothing to restrict, reuse the existing scan
+    lazy val touchedTarget =
+      if (matchedFiles.size >= snap.activeFiles.size) target
+      else table
+        .matchedFilesDF(snap, snap.activeFiles, matchedFiles)
+        .withColumn("__rix", col("_metadata.row_index"))
+
     val (rewriteAdds, updated, deleted) =
       if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
       else {
-        val inFiles = semiJoinFiles(target, matchedFiles)
+        val inFiles = touchedTarget
           .join(chosen, Seq("__file", "__rix"), "left_outer")
         val rewritten =
           // matched rows got a new image: recompute their generated columns
@@ -615,7 +657,7 @@ object Merge {
     // CDC parts evaluate against the still-cached pair set, so capture
     // happens before unpersist.
     def cdcParts: Seq[DataFrame] = {
-      val matchedPairs = semiJoinFiles(target, matchedFiles)
+      val matchedPairs = touchedTarget
         .join(chosen, Seq("__file", "__rix"), "inner")
       val matchedPart: Seq[DataFrame] =
         if (nMatched == 0) Nil
@@ -683,16 +725,6 @@ object Merge {
       perFile.iterator.map(_.getString(0)).toIndexedSeq)
   }
 
-  /** Restrict the joined target⟕source rows to the files being rewritten via
-    * a broadcast LEFT SEMI join — a literal `isin(files)` would build an
-    * unbounded In-expression when a merge touches tens of thousands of files. */
-  private def semiJoinFiles(joined: DataFrame, matchedFiles: Seq[String]): DataFrame = {
-    val spark = joined.sparkSession
-    import spark.implicits._
-    val filesDf = matchedFiles.toDF("__mf")
-    joined.join(broadcast(filesDf), col("__file") === col("__mf"), "left_semi")
-  }
-
   /** Source rows with no key match in the target, under the SAME null-safe
     * `<=>` key semantics as the matched-path join (see note in [[execute]]). */
   /**
@@ -742,9 +774,12 @@ object Merge {
     val srcKeys = keyPairs.map(_._2)
     require(tgtKeys.forall(dataCols.contains), s"keys must exist in table: $tgtKeys")
     def keyEq(l: Column, r: Column): Column = if (sqlSemantics) l === r else l <=> r
-    val src = if (sqlSemantics) source else source.dropDuplicates(srcKeys)
+    // persist across the census/image/insert/CDC passes — see the CoW twin
+    val src = (if (sqlSemantics) source else source.dropDuplicates(srcKeys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcCols = src.columns.toSeq
     val insertUnmatched = inserts.nonEmpty
+    def body(): MergeResult = {
     // Identity allocation for insert images — see [[executeClauses]].
     val idSpecs = IdentityColumns.specs(schema)
     def allocInserts(df: DataFrame): (DataFrame, () => Unit) =
@@ -784,26 +819,40 @@ object Merge {
     // ONE pass builds the per-file mask bitmaps AND the clause-kind counts:
     // affected = masked out of the old file, whether the clause deletes the
     // row or replaces it (the replacement is an appended post-image).
-    val dvRows = joined.filter(deleteEff || updateEff)
-      .groupBy(col("__file"))
-      .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"),
-        sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
-        sum(when(updateEff, 1L).otherwise(0L)).as("__u"))
-      .collect()
+    val dvRows = Logging.withJobDesc(table.spark, "graft:merge-census") {
+      joined.filter(deleteEff || updateEff)
+        .groupBy(col("__file"))
+        .agg(DeletionVectors.bitmapAgg(col("__ri")).as("__dv"),
+          sum(when(deleteEff, 1L).otherwise(0L)).as("__d"),
+          sum(when(updateEff, 1L).otherwise(0L)).as("__u"))
+        .collect()
+    }
     val dels = dvRows.iterator.map(_.getLong(2)).sum
     val upds = dvRows.iterator.map(_.getLong(3)).sum
     val nMasked = dels + upds
     val dvByPath: Map[String, Array[Byte]] = dvRows.map(r =>
       new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
         r.getAs[Array[Byte]](1)).toMap
+    // Image and CDC passes read only rows of the MASKED files (affected
+    // rows live there by the census's definition): re-join a file-list-
+    // restricted scan — O(masked files) instead of a full re-scan. All
+    // files masked ⇒ the restriction removes nothing; reuse the join.
+    lazy val joinedTouched =
+      if (dvRows.isEmpty || dvRows.length >= snap.activeFiles.size) joined
+      else table.matchedFilesDF(snap, snap.activeFiles,
+          dvRows.map(_.getString(0)).toIndexedSeq)
+        .join(packed, joinCond, "left_outer")
     val imageAdds =
       if (upds == 0) Nil
-      else table.writeDataFiles(
-        // every image row IS an update — regenerate unconditionally
-        GeneratedColumns.regenerate(
-          joined.filter(updateEff).select(postImageCols(dataCols, srcCols, effs): _*),
-          snap.schema),
-        snap.partitionColumns, snap.schema)
+      else Logging.withJobDesc(table.spark, "graft:merge-rewrite") {
+        table.writeDataFiles(
+          // every image row IS an update — regenerate unconditionally
+          GeneratedColumns.regenerate(
+            joinedTouched.filter(updateEff)
+              .select(postImageCols(dataCols, srcCols, effs): _*),
+            snap.schema),
+          snap.partitionColumns, snap.schema)
+      }
     val insertsAllocated =
       if (!insertUnmatched) None
       else Some(allocInserts(buildInserts(
@@ -830,12 +879,12 @@ object Merge {
     captureMergeCdc(table, snap, v, {
       val deletePart: Seq[DataFrame] =
         if (dels == 0) Nil
-        else Seq(joined.filter(deleteEff).select(dataCols.map(col): _*)
+        else Seq(joinedTouched.filter(deleteEff).select(dataCols.map(col): _*)
           .withColumn(Cdc.ChangeType, lit("delete")))
       val updatePart: Seq[DataFrame] =
         if (upds == 0) Nil
         else {
-          val updated = joined.filter(updateEff)
+          val updated = joinedTouched.filter(updateEff)
           Seq(
             updated.select(dataCols.map(col): _*)
               .withColumn(Cdc.ChangeType, lit("update_preimage")),
@@ -858,6 +907,8 @@ object Merge {
       deletePart ++ updatePart ++ insertPart
     })
     MergeResult(upds, dels, inserted, v)
+    }
+    try body() finally { src.unpersist(false); () }
   }
 
   private def alignToSchema(newRows: DataFrame, schema: org.apache.spark.sql.types.StructType,
@@ -956,10 +1007,19 @@ object Merge {
     val (nMatched, matchedFiles) =
       matchedCensus(joined.filter(col("__src").isNotNull))
 
+    // rewrite + CDC passes over matched files only (file-list restriction;
+    // matched rows live there by the census's definition); all files
+    // matched ⇒ nothing to restrict, reuse the census join
+    lazy val joinedTouched =
+      if (matchedFiles.isEmpty || matchedFiles.size >= snap.activeFiles.size)
+        joined
+      else table.matchedFilesDF(snap, snap.activeFiles, matchedFiles)
+        .join(packed, joinCond, "left_outer")
+
     val (rewriteAdds, updated, deleted) =
       if (matchedFiles.isEmpty) (Seq.empty[AddFile], 0L, 0L)
       else {
-        val inFiles = semiJoinFiles(joined, matchedFiles)
+        val inFiles = joinedTouched
         val nData = dataCols.size
         val srcIdx = inFiles.columns.indexOf("__src")
         // Pre-rewrite live row count of the matched files, needed below to
@@ -1004,10 +1064,10 @@ object Merge {
       val cdcSchema = schema.add(Cdc.ChangeType,
         org.apache.spark.sql.types.StringType)
       val nData = dataCols.size
-      val srcIdx = joined.columns.indexOf("__src")
+      val srcIdx = joinedTouched.columns.indexOf("__src")
       val matchedPart: Seq[DataFrame] =
         if (matchedFiles.isEmpty) Nil
-        else Seq(joined.filter(col("__src").isNotNull).flatMap { row =>
+        else Seq(joinedTouched.filter(col("__src").isNotNull).flatMap { row =>
           val existing = Row.fromSeq((0 until nData).map(row.get))
           whenMatched(existing, row.getStruct(srcIdx)) match {
             case Some(updatedRow) => Seq(

@@ -15,6 +15,7 @@ object SparkTestBase {
       .appName("graft-test")
       .withExtensions(new graft.plans.GraftSparkSessionExtension)
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
