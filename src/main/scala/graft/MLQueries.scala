@@ -19,9 +19,13 @@ object MLQueries {
 
   private def docsUnion(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("doc_id") < 100)
-    d.select(col("doc_id").as("id"), col("text"))
-      .unionByName(d.select((col("doc_id") + 1000).as("id"),
-        concat(col("text"), lit(" zzz")).as("text")))
+    // widen: the union feeds the md5-shingle + 128-permutation minhash
+    // kernels; a single-row-group scan would run them on ≤2 cores
+    // (guide §2.5 — no-op at cluster scale)
+    graft.Tables.widen(
+      d.select(col("doc_id").as("id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 1000).as("id"),
+          concat(col("text"), lit(" zzz")).as("text"))))
   }
 
   /** Deterministic FIXED-SIZE centroid sample: stride = ceil(n/64) caps the
@@ -51,7 +55,9 @@ object MLQueries {
       concat(
         array((element_at(col("embedding"), 1).cast(DoubleType) + lit(0.1)).cast(FloatType)),
         slice(col("embedding"), 2, 63)).as("embedding"))
-    e.select(col("vec_id").as("id"), col("embedding")).unionByName(perturbed)
+    // widen: feeds the 128-bit hyperplane LSH kernel — see docsUnion
+    graft.Tables.widen(
+      e.select(col("vec_id").as("id"), col("embedding")).unionByName(perturbed))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
